@@ -27,7 +27,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Public
+    * escape hatch (SPARK-40819): read nanos as Long, then rebuild a
+    * microsecond timestamp. Integer division (`DIV`) is mandatory —
+    * ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact-integer
+    * range, so a fractional divide would corrupt timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
