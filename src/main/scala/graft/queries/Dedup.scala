@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+import graft.functions.TextKernels
+import graft.functions.VecFns
+import graft.sources.Tables
+
+/** Deduplication operator family over `documents` / `embeddings` —
+  * the LLM-training-pipeline core: exact dedup, MinHash signatures,
+  * MinHash-LSH banded candidate generation with exact-Jaccard verify,
+  * and embedding-cosine near-dup. (SimHash + order-sensitive
+  * fingerprints live in TextAnalysis.q30.)
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Exact
+  * dedup is one hash aggregate; LSH turns all-pairs into per-bucket
+  * joins (band keys are uniform hashes, so buckets stay small and
+  * skew-free); the only quadratic step — exact Jaccard — runs on the
+  * LSH candidate set only. At 100 TB each stage is a map-side
+  * transform plus one keyed shuffle.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word-bigram shingle set per doc — shared basis for
+    * q33/q34 (and mirrored in their oracles).
+    */
+  private def shingleSet: Column =
+    array_distinct(shingles(tokens(col("text")), 2))
+
+  private val shingleSetSql: String =
+    s"list_distinct(${shinglesSql("string_split(text, ' ')", 2)})"
+
+  /** Documents with the shingle set, repartitioned BEFORE the
+    * CPU-heavy shingle/minhash work (the reference's
+    * repartition-before-UDF pattern, radiography_analysis.py:102):
+    * the local corpus parquet is a single row group, so without this
+    * the whole interpreted array pipeline runs on one core —
+    * measured 4s single-task vs 0.3s spread over the cluster. At
+    * real scale the scan already has thousands of splits and this
+    * exchange is cheap relative to the map work it parallelizes.
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+
+  // ---------------------------------------------------------------
+  // q32_dedup_exact_docs — exact dedup via content-hash groupBy:
+  // keep lowest doc_id per distinct text. One partial+final hash
+  // aggregate on md5(text); the exchange carries one row per
+  // distinct document, not per document.
+  // ---------------------------------------------------------------
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q32Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q33_minhash_sig — per-doc MinHash signature (k=16) over bigram
+  // shingles. Pure map work: one md5 per shingle, k affine rehashes,
+  // no shuffle except the output sort.
+  // ---------------------------------------------------------------
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        size(TextKernels.bigramSetCol(col("text"))).as("n_shingles"),
+        TextKernels.minhashSigCol(col("text")).as("sig"))
+      .orderBy(col("doc_id"))
+
+  val q33Sql: String =
+    s"""SELECT doc_id, len(sh) AS n_shingles, ${minhashSigSql("sh")} AS sig
+       |FROM (SELECT doc_id, $shingleSetSql AS sh FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q34_lsh_neardup — full MinHash-LSH pipeline: signature → 4 bands
+  // of 4 rows → band-key self-join for candidates → exact Jaccard on
+  // candidates only → top-30 most-similar pairs. The band self-join
+  // shuffles on (band, key) — uniformly-hashed keys, so no skew; the
+  // candidate set is a tiny fraction of all pairs (that is the point
+  // of LSH).
+  // ---------------------------------------------------------------
+  final val Bands = 4
+  final val Rows = NumHashes / Bands
+
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    // Note on expression reuse: CollapseProject + ColumnPruning will
+    // inline the signature expression into each element_at band-key
+    // reference (projection barriers — even repartition — don't stop
+    // it). With the interpreted HOF minhash that was a measured 10x
+    // slowdown; the native kernel is cheap enough (~10 µs/doc) that
+    // the duplication is immaterial. The repartition parallelizes the
+    // kernel work over the cluster (local corpus parquet is a single
+    // row group → single task otherwise).
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextKernels.minhashSigCol(col("text")).as("sig"))
+    val bandsArr = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until Rows).map(r =>
+          element_at(col("sig"), b * Rows + r + 1)): _*).as("key"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandsArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        rnd(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(30)
+  }
+
+  val q34Sql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
+       |sig AS (SELECT doc_id, ${minhashSigSql("sh")} AS sig FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |  ${rndSql("len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))", 4)} AS jaccard
+       |FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+       |           JOIN sh b ON pairs.id_b = b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 30""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q35_embedding_neardup — near-dup by embedding cosine, blocked by
+  // label (the blocking key bounds the pair count; at 100 TB the
+  // block key would be an LSH bucket — see Similarity.q37). Norms are
+  // computed once per vector BEFORE the pair join, not per pair.
+  // ---------------------------------------------------------------
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VecFns.norm(col("embedding")).as("nrm"))
+    val x = v.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val y = v.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    x.join(y, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        rnd(VecFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val q35Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings)
+       |SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ${rndSql(s"${VecFns.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 4)} AS cosine
+       |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+       |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q32_dedup_exact_docs" -> (q32 _),
+    "q33_minhash_sig" -> (q33 _),
+    "q34_lsh_neardup" -> (q34 _),
+    "q35_embedding_neardup" -> (q35 _))
+
+  def oracles: Map[String, String] = Map(
+    "q32_dedup_exact_docs" -> q32Sql,
+    "q33_minhash_sig" -> q33Sql,
+    "q34_lsh_neardup" -> q34Sql,
+    "q35_embedding_neardup" -> q35Sql)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, TextKernels}
+import graft.functions.TextFns._
+import graft.sources.Tables
+
+/** Parity: the native StaticInvoke kernels must produce exactly the
+  * values of the declarative (oracle-checked) expression pipeline on
+  * the real corpus.
+  */
+class KernelSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+
+  test("bigramSet kernel == declarative array_distinct(shingles)") {
+    val mismatch = docs.select(
+        TextKernels.bigramSetCol(col("text")).as("k"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("minhashSig kernel == declarative minhashSig") {
+    val mismatch = docs.select(
+        TextKernels.minhashSigCol(col("text")).as("k"),
+        TextFns.minhashSig(array_distinct(shingles(tokens(col("text")), 2))).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("hash60 kernel == conv(substring(md5,1,15),16,10)") {
+    val rows = docs.limit(50)
+      .select(col("text"), conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect()
+    rows.foreach { row =>
+      val expect = row.getLong(1)
+      val got = TextKernels.hash60(row.getString(0).getBytes("UTF-8"))
+      assert(got == expect, s"hash60 mismatch for ${row.getString(0).take(30)}")
+    }
+  }
+}
