@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns.{rnd, rndSql}
+import graft.sources.Tables
+
+/** Event-stream operators over `events` (batch side; the streaming
+  * twins live in graft.streaming): JSON property extraction,
+  * gap-based sessionization, tumbling-window rollups, and the
+  * reference's fillna/replace semantics (SURVEY.md §2.10 C5/C6).
+  *
+  * Scale: every query shuffles once on its natural key (user_id /
+  * window bucket); session assembly is a per-user sorted pass —
+  * exactly the shape mapGroupsWithState executes incrementally in the
+  * streaming twin.
+  */
+object EventsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a new session starts after >2h of inactivity. */
+  final val GapUs: Long = 2L * 3600 * 1000000
+
+  // ---------------------------------------------------------------
+  // q38_json_extract — JSON property access pushed into a per-type
+  // rollup. get_json_object is a codegen'd path expression — no UDF,
+  // no whole-document parse into a map.
+  // ---------------------------------------------------------------
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        rnd(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val q38Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+       |  ${rndSql("SUM(k)::DOUBLE / COUNT(k)", 4)} AS avg_k
+       |FROM (SELECT event_type, json_extract_string(props, '$$.k')::INT AS k
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q39_sessionize — gap-based sessionization: lag() finds gaps,
+  // a running sum of session-starts numbers the sessions, then one
+  // aggregate per (user, session). All three windows + the final
+  // groupBy share the user_id hash partitioning — Catalyst plans a
+  // single exchange.
+  // ---------------------------------------------------------------
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(runSum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("duration_s", (col("end_us") - col("start_us")) / lit(1000000L))
+      .withColumn("duration_s", floor(col("duration_s")).cast("long"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q39Sql: String =
+    s"""SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  MIN(us) AS start_us, MAX(us) AS end_us,
+       |  CAST(floor((MAX(us) - MIN(us)) / 1000000) AS BIGINT) AS duration_s
+       |FROM (
+       |  SELECT user_id, us,
+       |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |          LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |            ORDER BY epoch_us(ts), event_id) AS prev_us
+       |        FROM events))
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q40_tumbling_hourly — batch twin of the streaming tumbling
+  // window: 1-hour buckets per event type. window() start for hour
+  // widths equals date_trunc('hour') — asserted by the oracle.
+  // ---------------------------------------------------------------
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val q40Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q41_fill_replace — §2.10 C5/C6: na.fill / na.replace semantics
+  // (cases_clinical_spectrum_analysis.py:86,110,249-259). Nulls are
+  // first injected deterministically (the corpus has none), then
+  // filled; event_type goes through an exact-value replace map.
+  // ---------------------------------------------------------------
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("value") > 150, lit(null)).otherwise(col("value")).as("v"))
+      .na.fill(Map("v" -> -1.0))
+      .na.replace("event_type", Map("error" -> "ERR", "purchase" -> "BUY"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_v"),
+        count(when(col("v") === -1.0, lit(1))).as("n_filled"))
+      .orderBy(col("event_type"))
+
+  val q41Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+      |  COUNT(CASE WHEN v = -1.0 THEN 1 END) AS n_filled
+      |FROM (SELECT event_id,
+      |        CASE event_type WHEN 'error' THEN 'ERR'
+      |                        WHEN 'purchase' THEN 'BUY'
+      |                        ELSE event_type END AS event_type,
+      |        COALESCE(CASE WHEN value > 150 THEN NULL ELSE value END, -1.0) AS v
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q38_json_extract" -> (q38 _),
+    "q39_sessionize" -> (q39 _),
+    "q40_tumbling_hourly" -> (q40 _),
+    "q41_fill_replace" -> (q41 _))
+
+  def oracles: Map[String, String] = Map(
+    "q38_json_extract" -> q38Sql,
+    "q39_sessionize" -> q39Sql,
+    "q40_tumbling_hourly" -> q40Sql,
+    "q41_fill_replace" -> q41Sql)
+}
