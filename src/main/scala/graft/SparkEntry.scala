@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ EventsOps.queries ++ StreamingQueries.queries
+      Similarity.queries ++ EventsOps.queries ++ StreamingQueries.queries ++
+      Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ EventsOps.oracles ++ StreamingQueries.oracles
+      Similarity.oracles ++ EventsOps.oracles ++ StreamingQueries.oracles ++
+      Advanced.oracles
 }
