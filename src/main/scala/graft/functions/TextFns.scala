@@ -186,4 +186,23 @@ object TextFns {
     val inList = markers.map(m => s"'$m'").mkString(", ")
     rndSql(s"len(list_filter($toksExpr, t -> t IN ($inList)))::DOUBLE / len($toksExpr)", 4)
   }
+
+  /** D9 clean-text chain (research_challenge_analysis.py:117-123):
+    * strip non-letters, lowercase, collapse whitespace — pure
+    * expressions, no UDF.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(lower(regexp_replace(c, "[^a-zA-Z]", " ")), " +", " "))
+
+  /** Broadcast-lexicon polarity (D10 reimplementation,
+    * research_challenge_analysis.py:126-131): summed token-match
+    * polarity; average + 0.0 passthrough are applied by callers.
+    */
+  def lexiconPolarity(toks: Column, lexicon: Seq[(String, Double)]): Column =
+    lexicon.foldLeft(lit(0.0).cast("double")) { case (acc, (w, s)) =>
+      acc + coalesce(size(filter(toks, t => t === w)).cast("double") * s, lit(0.0))
+    }
+
+  def matchedCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
 }

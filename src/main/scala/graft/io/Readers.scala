@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+/** Source readers — the E of the reference's ETL jobs (SURVEY.md §2.1).
+  * Each mirrors one scan family; schema/option choices are part of the
+  * behavioral contract (header inference ⇒ all-string columns, ISO
+  * date strings, multiLine JSON, dropInvalid images).
+  */
+object Readers {
+
+  /** S1 — header CSV, every column StringType (schema inference off,
+    * like the reference: spark.read.csv(path, header=True) with no
+    * schema ⇒ strings; dates stay ISO strings whose lexicographic
+    * order is relied upon downstream).
+    */
+  def csvAllString(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+
+  /** S2 — multi-line JSON with an explicit nested schema, tagged with
+    * a source label (research_challenge_analysis.py:39-69). At scale
+    * the explicit schema is mandatory: inference would scan the
+    * corpus twice, and nested-schema pruning needs declared types.
+    */
+  def nestedJson(spark: SparkSession, path: String, schema: StructType,
+    sourceTag: String): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("multiLine", "true")
+      .json(path)
+      .withColumn("source", lit(sourceTag))
+
+  /** S3 — the built-in image source with invalid files dropped
+    * (radiography_analysis.py:77-88). Listing cost is driver-side; at
+    * 100 TB prefer `binaryFile` + a decode expression and keep this
+    * for parity (SURVEY.md §7.4 risk 4).
+    */
+  def images(spark: SparkSession, dir: String, label: Int): DataFrame =
+    spark.read
+      .format("image")
+      .option("dropInvalid", "true")
+      .load(dir)
+      .withColumn("label", lit(label))
+
+  /** S4 — parquet re-read through SQL, preserving the reference's
+    * mid-query materialization idiom
+    * (cases_clinical_spectrum_analysis.py:115-118).
+    */
+  def parquetViaSql(spark: SparkSession, path: String): DataFrame =
+    spark.sql(s"SELECT * FROM parquet.`$path`")
+}

@@ -25,9 +25,14 @@ object Forecast {
   /** One observation: day index t (days since epoch), count y. */
   case class TrendPoint(key: String, t: Long, y: Long)
 
-  /** One forecast row, h days past the last observed day. */
+  /** One forecast row, h days past the last observed day (t = the
+    * forecast day's absolute index). Bands are ±1.96 × the population
+    * residual std of the fit (Prophet-shaped contract:
+    * yhat/yhat_lower/yhat_upper).
+    */
   case class ForecastRow(key: String, n_days: Long, slope: Double,
-    intercept: Double, h: Int, yhat: Double)
+    intercept: Double, h: Int, t: Long, yhat: Double,
+    yhat_lower: Double, yhat_upper: Double)
 
   /** OLS fit + H-step forecast per key. Groups with <2 distinct days
     * are dropped (no slope).
@@ -35,9 +40,10 @@ object Forecast {
   def linearForecast(points: Dataset[TrendPoint], horizon: Int): Dataset[ForecastRow] = {
     import points.sparkSession.implicits._
     points.groupByKey(_.key).flatMapGroups { (key, it) =>
+      val pts = it.toArray
       var n = 0L; var st = 0L; var sy = 0L; var sty = 0L; var st2 = 0L
       var tmax = Long.MinValue
-      it.foreach { p =>
+      pts.foreach { p =>
         n += 1; st += p.t; sy += p.y
         sty += p.t * p.y; st2 += p.t * p.t
         if (p.t > tmax) tmax = p.t
@@ -47,9 +53,16 @@ object Forecast {
       else {
         val slope = (n * sty - st * sy).toDouble / den.toDouble
         val intercept = (sy.toDouble - slope * st.toDouble) / n.toDouble
+        var rss = 0.0
+        pts.foreach { p =>
+          val r = p.y.toDouble - (intercept + slope * p.t.toDouble)
+          rss += r * r
+        }
+        val sigma = math.sqrt(rss / n.toDouble)
         (1 to horizon).iterator.map { h =>
-          ForecastRow(key, n, slope, intercept, h,
-            intercept + slope * (tmax + h).toDouble)
+          val yhat = intercept + slope * (tmax + h).toDouble
+          ForecastRow(key, n, slope, intercept, h, tmax + h, yhat,
+            yhat - 1.96 * sigma, yhat + 1.96 * sigma)
         }
       }
     }
