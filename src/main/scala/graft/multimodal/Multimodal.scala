@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Multimodal columns: media as opaque `binary` payloads with typed
+  * metadata structs, plus the decode/feature-extract/resize/
+  * frame-sample plumbing a 100 TB training-data pipeline needs.
+  *
+  * The media DECODE step is a STUB — no image/audio codecs ship in
+  * this environment — implemented as a clearly-marked deterministic
+  * fake. Everything around it is real and load-bearing: the schema,
+  * nested-metadata pruning, the repartition-before-decode pattern,
+  * and the load-once-per-partition batched mapPartitions shape that a
+  * real decoder (JNI codec, ONNX runtime…) would drop into unchanged.
+  *
+  * Scale notes: payloads never shuffle unless a query explicitly
+  * needs them (metadata queries prune to the struct only — verify
+  * with .explain ReadSchema); decode parallelism follows the scan; a
+  * real pipeline would bucket by media kind to co-locate
+  * decoder-affine work.
+  */
+object Multimodal {
+
+  final val metaType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false)))
+
+  /** Deterministic media table derived from `documents`: the text's
+    * utf-8 bytes stand in for media payloads; metadata fields derive
+    * from the md5-based hash so the table is stable across runs and
+    * oracle-expressible.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextFns.hash60(col("doc_id").cast("string"))
+    val kind = when(pmod(h, lit(3)) === 0, "image")
+      .when(pmod(h, lit(3)) === 1, "audio")
+      .otherwise("video")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          kind.as("kind"),
+          (lit(64) + pmod(h, lit(192))).cast("int").as("width"),
+          (lit(64) + pmod(h, lit(128))).cast("int").as("height"),
+          (lit(1) + pmod(h, lit(30))).cast("int").as("n_frames"),
+          lit(16000).as("sample_rate")).as("meta"))
+  }
+
+  /** Frame sampling as payload slicing: keep every `stride`-th
+    * "frame" (fixed-size byte window) of the payload, updating
+    * n_frames. Pure expressions — no UDF.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    val kept = sequence(lit(0), nFrames - 1, lit(stride))
+    df.withColumn("payload",
+        TextFns.bind1(kept) { idx =>
+          // concat the selected frame windows
+          aggregate(
+            transform(idx, i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))),
+            lit(Array.emptyByteArray),
+            (acc, fr) => concat(acc, fr))
+        })
+      .withColumn("meta", col("meta").withField("n_frames",
+        size(kept).cast("int")))
+  }
+
+  final val FeatureDim = 8
+
+  /** ===== STUB DECODER =====
+    * A real implementation decodes the codec bytes (JPEG/WAV/H.264)
+    * via a native library loaded once per partition. This container
+    * has no codecs, so the "decoded features" are a deterministic
+    * fake: byte statistics + metadata, shaped exactly like a real
+    * embedding batch (FeatureDim floats per row). The mapPartitions
+    * batching, model-load-once, and schema plumbing are real.
+    */
+  def decodeStub(): Array[(Array[Byte], Row)] => Array[Array[Float]] =
+    (batch: Array[(Array[Byte], Row)]) => batch.map { case (payload, meta) =>
+      var s1 = 0L; var s2 = 0L
+      payload.foreach { b => val v = b & 0xff; s1 += v; s2 += v.toLong * v }
+      val n = math.max(payload.length, 1)
+      Array(
+        payload.length.toFloat,
+        s1.toFloat / n,
+        (s2.toFloat / n) / 256f,
+        meta.getAs[Int]("width").toFloat,
+        meta.getAs[Int]("height").toFloat,
+        meta.getAs[Int]("n_frames").toFloat,
+        if (meta.getAs[String]("kind") == "audio") 1f else 0f,
+        if (meta.getAs[String]("kind") == "video") 1f else 0f)
+    }
+
+  /** Batched decode/feature-extract: repartition before the CPU-heavy
+    * stage (the corpus parquet is one row group locally; at scale the
+    * scan is already split), then mapPartitions with the decoder
+    * loaded once per partition and inputs processed `batchSize` rows
+    * at a time.
+    */
+  def extractFeatures(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("meta", metaType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val spread = df.repartition(spark.sparkContext.defaultParallelism)
+    val rdd = spread.select("doc_id", "payload", "meta").rdd.mapPartitions { it =>
+      val decoder = decodeStub() // load once per partition
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decoder(batch.map(r =>
+          (r.getAs[Array[Byte]]("payload"), r.getAs[Row]("meta"))).toArray)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row(r.getAs[Long]("doc_id"), r.getAs[Row]("meta"), f.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

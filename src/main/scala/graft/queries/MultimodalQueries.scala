@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{hash60Sql, rnd, rndSql}
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries. q46 (metadata rollup) is DuckDB-oracled
+  * — the metadata derivation is md5-based and engine-portable. q47
+  * (batched decode/feature extraction) has no SQL equivalent (the
+  * decode stub is imperative) → rows-only check.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q46_multimodal_meta — per-kind metadata rollup. Only doc_id and
+  // the meta struct leave the scan (payload pruned away — the
+  // property that makes metadata queries cheap at 100 TB).
+  // ---------------------------------------------------------------
+  def q46(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(spark, dir)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        min(col("meta.width")).as("min_w"), max(col("meta.width")).as("max_w"),
+        rnd(sum(col("meta.n_frames")).cast("double") / count(lit(1)), 4)
+          .as("avg_frames"),
+        sum(length(col("payload"))).as("total_bytes"))
+      .orderBy(col("kind"))
+
+  val q46Sql: String = {
+    val h = hash60Sql("doc_id::VARCHAR")
+    s"""SELECT kind, COUNT(*) AS n, MIN(width) AS min_w, MAX(width) AS max_w,
+       |  ${rndSql("SUM(n_frames)::DOUBLE / COUNT(*)", 4)} AS avg_frames,
+       |  SUM(strlen(text)) AS total_bytes
+       |FROM (SELECT
+       |        CASE ($h) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |                      ELSE 'video' END AS kind,
+       |        64 + ($h) % 192 AS width,
+       |        1 + ($h) % 30 AS n_frames,
+       |        text
+       |      FROM documents)
+       |GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q47_multimodal_features — the batched stub-decode pipeline.
+  // Imperative decode ⇒ no SQL oracle; the driver records a
+  // rows-only check, and MultimodalSpec pins the values.
+  // ---------------------------------------------------------------
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
+      .select(col("doc_id"), col("meta.kind").as("kind"),
+        size(col("features")).as("n_features"),
+        rnd(element_at(col("features"), 2).cast("double"), 4).as("mean_byte"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q46_multimodal_meta" -> (q46 _),
+    "q47_multimodal_features" -> (q47 _))
+
+  def oracles: Map[String, String] = Map(
+    "q46_multimodal_meta" -> q46Sql)
+}
