@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashMerge, TextKernels}
+import graft.functions.TextFns
+import graft.operators.SkewOps
+import graft.sources.Tables
+
+/** Sketch + skew operators: the custom TypedImperativeAggregate
+  * (MinHash union sketch) and salted two-phase aggregation, both
+  * DuckDB-oracled (the salt is algebraically invisible; the sketch
+  * merge equals per-element MIN in SQL).
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q48_corpus_sketch — per-source merged MinHash signature via the
+  // custom aggregate: each source's sketch is the signature of the
+  // union of its documents' shingle sets. Partial+final: the
+  // exchange carries k longs per (partition, source).
+  // ---------------------------------------------------------------
+  def q48(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), TextKernels.minhashSigCol(col("text")).as("sig"))
+      .groupBy(col("source"))
+      .agg(MinHashMerge.minhashMerge(col("sig")).as("corpus_sig"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  val q48Sql: String = {
+    val mins = (1 to TextFns.NumHashes).map(i => s"MIN(sig[$i])")
+      .mkString("[", ", ", "]")
+    val shingleSet =
+      s"list_distinct(${TextFns.shinglesSql("string_split(text, ' ')", 2)})"
+    s"""SELECT source, $mins AS corpus_sig, COUNT(*) AS n_docs
+       |FROM (SELECT source, ${TextFns.minhashSigSql("sh")} AS sig
+       |      FROM (SELECT source, $shingleSet AS sh FROM documents))
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q49_skew_salted — salted two-phase aggregation over the skewed
+  // event_type key (5 keys, 100k+ rows). Results are identical to
+  // the plain aggregate — the oracle is the unsalted SQL.
+  // ---------------------------------------------------------------
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.saltedCountSum(
+      Tables.events(spark, dir),
+      key = col("event_type"),
+      saltSource = col("event_id"),
+      valueCol = col("value"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
+  val q49Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q48_corpus_sketch" -> (q48 _),
+    "q49_skew_salted" -> (q49 _))
+
+  def oracles: Map[String, String] = Map(
+    "q48_corpus_sketch" -> q48Sql,
+    "q49_skew_salted" -> q49Sql)
+}
