@@ -14,12 +14,50 @@ import org.apache.spark.sql.functions._
   */
 object VecFns {
 
-  /** dot(a, b) with double accumulation in index order. */
+  /** dot(a, b) with double accumulation in index order — declarative
+    * form (parity reference for [[dotCol]] and the specs).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
+
+  /** Native kernel: same float→double cast and ascending-index strict
+    * left fold as [[dot]] (bit-identical), in one JIT'd loop instead
+    * of interpreted HOF evaluation — the hot path of every cosine
+    * pair/probe query.
+    */
+  def dotK(a: org.apache.spark.sql.catalyst.util.ArrayData,
+    b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Column wrapper for [[dotK]] via StaticInvoke (stays inside
+    * whole-stage codegen).
+    */
+  def dotCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.VecFns"),
+      DoubleType, "dotK",
+      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType)),
+      propagateNull = true,
+      returnNullable = false))
+  }
+
+  /** L2 norm via the native kernel. */
+  def normK(a: Column): Column = sqrt(dotCol(a, a))
 
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +

@@ -166,14 +166,14 @@ object Dedup {
   def q35(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"))
+        VecFns.normK(col("embedding")).as("nrm"))
     val x = v.select(col("vec_id").as("id_a"), col("label"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val y = v.select(col("vec_id").as("id_b"), col("label").as("label_b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
     x.join(y, col("label") === col("label_b") && col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-        rnd(VecFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4)
+        rnd(VecFns.dotCol(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4)
           .as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(20)

@@ -32,7 +32,7 @@ object Similarity {
   def q36(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"))
+        VecFns.normK(col("embedding")).as("nrm"))
     val q = v.filter(expr(QueryFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"))
@@ -40,7 +40,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        rnd(VecFns.dot(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
+        rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
@@ -70,7 +70,7 @@ object Similarity {
   def q37(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"),
+        VecFns.normK(col("embedding")).as("nrm"),
         VecFns.lshBucket(col("embedding")).as("bucket"))
     val q = v.filter(expr(QueryFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
@@ -80,7 +80,7 @@ object Similarity {
     v.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("bucket"), col("vec_id"),
-        rnd(VecFns.dot(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
+        rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)

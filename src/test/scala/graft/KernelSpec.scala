@@ -31,6 +31,18 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("dotCol kernel == declarative zip_with/aggregate dot (bitwise)") {
+    val emb = Tables.embeddings(spark, Sf)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val mismatch = pairs.select(
+        graft.functions.VecFns.dot(col("a"), col("b")).as("d"),
+        graft.functions.VecFns.dotCol(col("a"), col("b")).as("k"))
+      .filter(not(col("d") === col("k"))) // bit-exact, no tolerance
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("hash60 kernel == conv(substring(md5,1,15),16,10)") {
     val rows = docs.limit(50)
       .select(col("text"), conv(substring(md5(col("text")), 1, 15), 16, 10)
