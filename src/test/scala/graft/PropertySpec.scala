@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{TextFns, TextKernels}
+
+/** Property tests for the semantics SURVEY.md §5 flags as subtle:
+  * rounding determinism, the W1 latest-per-key idiom, O3 top-k, and
+  * kernel/declarative hash parity on arbitrary token streams.
+  * Generators are driven by fixed seeds (deterministic CI).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  test("property: kernel minhash equals declarative on arbitrary docs") {
+    val docs = samples(doc, 40)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mismatch = df.select(
+        TextKernels.minhashSigCol(col("text")).as("k"),
+        TextFns.minhashSig(
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 2))).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("property: rnd is deterministic and within half-ulp of scale") {
+    val xs = samples(Gen.chooseNum(-1000.0, 1000.0), 50)
+    val rs = xs.toDF("x").select(col("x"), TextFns.rnd(col("x"), 4).as("r")).collect()
+    rs.foreach { row =>
+      val (x, r) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(r - x) <= 0.00005 + math.ulp(x), s"x=$x r=$r")
+    }
+    val again = xs.toDF("x").select(TextFns.rnd(col("x"), 4)).collect().map(_.getDouble(0))
+    assert(rs.map(_.getDouble(1)).toSeq == again.toSeq)
+  }
+
+  test("property: W1 latest-per-key equals groupBy-max join") {
+    val rows = samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 20))), 5)
+    rows.foreach { data =>
+      val df = data.map { case (k, d) => (k.toLong, d.toLong) }.toDF("k", "d")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      val viaWindow = df.withColumn("m", max("d").over(w))
+        .where(col("d") === col("m")).select("k", "d").distinct()
+      val viaJoin = df.groupBy("k").agg(max("d").as("d")).select("k", "d")
+      assert(viaWindow.except(viaJoin).count() == 0)
+      assert(viaJoin.except(viaWindow).count() == 0)
+    }
+  }
+
+  test("property: top-k-then-resort returns the true top k") {
+    val lists = samples(Gen.listOfN(30, Gen.chooseNum(-1000, 1000)), 8)
+    lists.foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toDF("id", "v")
+      val k = 5
+      val got = df.orderBy(col("v").desc, col("id").asc).limit(k)
+        .orderBy(col("v").asc, col("id").asc)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+      val expect = xs.zipWithIndex.map { case (v, i) => (v.toLong, i.toLong) }
+        .sortBy { case (v, i) => (-v, i) }.take(k)
+        .sortBy { case (v, i) => (v, i) }
+      assert(got.toSeq == expect)
+    }
+  }
+}
