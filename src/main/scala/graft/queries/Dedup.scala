@@ -24,12 +24,10 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word-bigram shingle set per doc — shared basis for
-    * q33/q34 (and mirrored in their oracles).
+  /** DuckDB twin of the distinct word-bigram shingle basis (the Spark
+    * side computes it natively — TextKernels.bigramSetCol; parity is
+    * pinned by KernelSpec).
     */
-  private def shingleSet: Column =
-    array_distinct(shingles(tokens(col("text")), 2))
-
   private val shingleSetSql: String =
     s"list_distinct(${shinglesSql("string_split(text, ' ')", 2)})"
 
