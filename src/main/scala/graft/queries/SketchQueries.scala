@@ -60,11 +60,53 @@ object SketchQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q50_asof_join — events joined to the latest order at-or-before
+  // the event time per customer key, via the composed AsOfJoin
+  // operator (one shuffle + one sort — no range explosion). Right
+  // side deduped to one row per (key, time) with max_by so both
+  // engines' tie-breaking is pinned. Oracle: DuckDB's native ASOF
+  // JOIN. Bounded to user_id <= 120 to keep the result small.
+  // ---------------------------------------------------------------
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") <= 120)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 120)
+      .groupBy(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("odate"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey")).as("o"))
+      .select(col("user_id"), col("odate"),
+        col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+    graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "ts", "odate")
+      .select(col("event_id"), col("user_id"),
+        col("asof.o_orderkey").as("o_orderkey"),
+        col("asof.o_totalprice").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val q50Sql: String =
+    """SELECT event_id, e.user_id AS user_id, o_orderkey, o_totalprice
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE user_id <= 120) e
+      |ASOF JOIN (
+      |  SELECT o_custkey AS user_id, o_orderdate AS odate,
+      |         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+      |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders WHERE o_custkey <= 120
+      |  GROUP BY o_custkey, o_orderdate
+      |) o ON e.user_id = o.user_id AND o.odate <= e.ts
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
-    "q49_skew_salted" -> (q49 _))
+    "q49_skew_salted" -> (q49 _),
+    "q50_asof_join" -> (q50 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
-    "q49_skew_salted" -> q49Sql)
+    "q49_skew_salted" -> q49Sql,
+    "q50_asof_join" -> q50Sql)
 }

@@ -47,6 +47,15 @@ class PlanSpec extends SparkTestBase {
       "band join must not degrade to a cartesian product")
   }
 
+  test("q50: as-of join composition plans one hash exchange, no range join") {
+    val p = plan(graft.queries.SketchQueries.q50(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not degrade to a product/range probe")
+    val windowExchanges = p.split('\n')
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(windowExchanges <= 2, s"expected at most union+window exchanges:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan(Relational.q01(spark, Sf))
     val hashAggs = p.split('\n').count(_.contains("HashAggregate"))
