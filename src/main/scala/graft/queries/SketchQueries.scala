@@ -100,13 +100,49 @@ object SketchQueries {
       |) o ON e.user_id = o.user_id AND o.odate <= e.ts
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q51_percentiles — exact interpolated percentiles per group
+  // (Spark `percentile` == DuckDB `quantile_cont`, both linear
+  // interpolation over the sorted multiset). Exact percentile is a
+  // sort-based aggregate; at 100 TB swap in approx_percentile (KLL/
+  // GK sketch) — same query shape, mergeable partial state.
+  // ---------------------------------------------------------------
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("qs"),
+        TextFns.rnd(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        TextFns.rnd(element_at(col("qs"), 1), 4).as("p50"),
+        TextFns.rnd(element_at(col("qs"), 2), 4).as("p90"),
+        TextFns.rnd(element_at(col("qs"), 3), 4).as("p99"),
+        col("median_price"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q51Sql: String =
+    s"""SELECT l_returnflag,
+       |  ${TextFns.rndSql("qs[1]", 4)} AS p50,
+       |  ${TextFns.rndSql("qs[2]", 4)} AS p90,
+       |  ${TextFns.rndSql("qs[3]", 4)} AS p99,
+       |  median_price, n
+       |FROM (SELECT l_returnflag,
+       |        quantile_cont(l_quantity, [0.5, 0.9, 0.99]) AS qs,
+       |        ${TextFns.rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
+       |        COUNT(*) AS n
+       |      FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
-    "q50_asof_join" -> (q50 _))
+    "q50_asof_join" -> (q50 _),
+    "q51_percentiles" -> (q51 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
     "q49_skew_salted" -> q49Sql,
-    "q50_asof_join" -> q50Sql)
+    "q50_asof_join" -> q50Sql,
+    "q51_percentiles" -> q51Sql)
 }
