@@ -185,15 +185,50 @@ object Dedup {
        |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q52_ngram_jaccard — exact word-bigram Jaccard over a blocked
+  // candidate set (same lang, deterministic doc_id sample): the
+  // ground-truth near-dup measure that q34's LSH approximates. The
+  // block bounds pairs to (sample/langs)² per language — at 100 TB
+  // the block key is the LSH bucket (q34), never a plain sample.
+  // ---------------------------------------------------------------
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"),
+        TextKernels.bigramSetCol(col("text")).as("sh"))
+    val x = base.select(col("doc_id").as("id_a"), col("lang"),
+      col("sh").as("sh_a"))
+    val y = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    x.join(y, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"),
+        rnd(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val q52Sql: String =
+    s"""WITH sh AS (SELECT doc_id, lang, $shingleSetSql AS sh
+       |            FROM documents WHERE doc_id % 7 = 0)
+       |SELECT x.lang AS lang, x.doc_id AS id_a, y.doc_id AS id_b,
+       |  ${rndSql("len(list_intersect(x.sh, y.sh))::DOUBLE / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 4)} AS jaccard
+       |FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q32_dedup_exact_docs" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
     "q34_lsh_neardup" -> (q34 _),
-    "q35_embedding_neardup" -> (q35 _))
+    "q35_embedding_neardup" -> (q35 _),
+    "q52_ngram_jaccard" -> (q52 _))
 
   def oracles: Map[String, String] = Map(
     "q32_dedup_exact_docs" -> q32Sql,
     "q33_minhash_sig" -> q33Sql,
     "q34_lsh_neardup" -> q34Sql,
-    "q35_embedding_neardup" -> q35Sql)
+    "q35_embedding_neardup" -> q35Sql,
+    "q52_ngram_jaccard" -> q52Sql)
 }
