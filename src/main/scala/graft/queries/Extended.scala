@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.functions.TextFns.{rnd, rndSql}
+import graft.sources.Tables
+
+/** Extended Catalyst-capability queries (SURVEY.md §4.2's "unused by
+  * reference parity but exercised by the test corpus" families):
+  * correlated-subquery decorrelation, map-typed JSON, sliding
+  * windows.
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q53_correlated_subquery — orders above their customer's average:
+  // a correlated scalar subquery through the SQL surface. Catalyst
+  // decorrelates it into an aggregate + join (no per-row subquery
+  // execution) — the property that makes it runnable at scale.
+  // ---------------------------------------------------------------
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT AVG(o_totalprice) FROM orders_v i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q53Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (
+      |  SELECT AVG(o_totalprice) FROM orders i
+      |  WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q54_map_functions — props parsed into a typed map column, then
+  // map_keys / element access / map aggregation. from_json with an
+  // explicit MapType — no schema inference pass over the corpus.
+  // ---------------------------------------------------------------
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(col("event_type"),
+        element_at(col("m"), "k").as("k"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+        max(col("n_keys")).as("max_keys"))
+      .orderBy(col("event_type"))
+
+  val q54Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MAX(json_extract_string(props, '$.k')::INT) AS max_k,
+      |  MAX(len(json_keys(props))) AS max_keys
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q55_sliding_windows — 2h windows sliding by 1h: every event lands
+  // in exactly two windows. The batch twin of
+  // window(ts, '2 hours', '1 hour'); the oracle unnests the two
+  // aligned window starts per event.
+  // ---------------------------------------------------------------
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q55Sql: String =
+    """SELECT w_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, value,
+      |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+      |                date_trunc('hour', ts)])::TIMESTAMP AS w_start
+      |      FROM events)
+      |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q53_correlated_subquery" -> (q53 _),
+    "q54_map_functions" -> (q54 _),
+    "q55_sliding_windows" -> (q55 _))
+
+  def oracles: Map[String, String] = Map(
+    "q53_correlated_subquery" -> q53Sql,
+    "q54_map_functions" -> q54Sql,
+    "q55_sliding_windows" -> q55Sql)
+}
