@@ -39,7 +39,7 @@ object ClinicalAnalysis {
     * string regime that the later fill/replace semantics depend on.
     */
   def transform(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*)
 
   /** C5/C6 + C2 — fill "nan"→"0" then round (:86-91). */
   def hemoglobinValues(df: DataFrame): DataFrame =
@@ -86,7 +86,7 @@ object ClinicalAnalysis {
 
   /** A4 — per-column missing-value profile (:220-225). */
   def missingValues(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       count(when(col(c).isNull || col(c) === "nan", c)).as(c)): _*)
 
   /** C6 — categorical value remap + numeric fill (:243-264). */
@@ -95,7 +95,7 @@ object ClinicalAnalysis {
     val strCols = kept.columns.filterNot(_ == "Patient ID")
     kept
       .na.fill("0", strCols)
-      .na.replace(strCols,
+      .na.replace(strCols.toIndexedSeq,
         Map("nan" -> "0", "detected" -> "1", "not_detected" -> "0",
           "present" -> "1", "absent" -> "0",
           "positive" -> "1", "negative" -> "0"))

@@ -37,17 +37,17 @@ object AsOfJoin {
       .withColumn("__is_left", lit(1))
       .withColumn("__rp", lit(null).cast(rightStruct))
     val rTagged = right
-      .withColumn("__rp", struct(right.columns.map(col): _*))
+      .withColumn("__rp", struct(right.columns.toIndexedSeq.map(col): _*))
       .withColumn("__t", col(rightTime).cast(tType))
       .withColumn("__is_left", lit(0))
     // align to the left schema (+tags): right contributes only key/time
     val rAligned = rTagged.select(
-      left.columns.map(c =>
+      left.columns.toIndexedSeq.map(c =>
         if (c == key) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__t"), col("__is_left"), col("__rp")): _*)
     val unioned = lTagged
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         Seq(col("__t"), col("__is_left"), col("__rp")): _*)
       .union(rAligned)
     // right rows sort before left rows at equal time ⇒ <= semantics
