@@ -95,6 +95,35 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** Hashing-trick term-frequency embedding: token t adds 1.0 to
+    * bucket hash60(t) mod dim; the vector is L2-normalized (zero
+    * vector stays zero). One pass, float output — the text→embedding
+    * bridge into the ANN/dedup pipeline. DuckDB twin in
+    * TextFns.tfEmbeddingSql (same bucket hash, same normalization
+    * order: norm computed from FLOAT-cast weights).
+    */
+  final val EmbeddingDim = 32
+
+  def tfEmbedding(text: UTF8String): ArrayData = {
+    val v = new Array[Float](EmbeddingDim)
+    val toks = splitTokens(text)
+    var i = 0
+    while (i < toks.length) {
+      val b = (hash60(toks(i).getBytes("UTF-8")) % EmbeddingDim).toInt
+      v(b) += 1f
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < EmbeddingDim) { ss += v(j).toDouble * v(j); j += 1 }
+    if (ss > 0) {
+      val inv = math.sqrt(ss)
+      j = 0
+      while (j < EmbeddingDim) { v(j) = (v(j) / inv).toFloat; j += 1 }
+    }
+    new GenericArrayData(v)
+  }
+
   // -----------------------------------------------------------------
   // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
   // -----------------------------------------------------------------
@@ -111,6 +140,22 @@ object TextKernels {
 
   def bigramSetCol(text: Column): Column =
     invoke("bigramSet", ArrayType(StringType, containsNull = false), text)
+
+  def tfEmbeddingCol(text: Column): Column =
+    invoke("tfEmbedding", ArrayType(FloatType, containsNull = false), text)
+
+  /** DuckDB twin of [[tfEmbedding]] over a token-list expression. */
+  def tfEmbeddingSql(toksExpr: String): String = {
+    val dim = EmbeddingDim
+    val bks = s"list_transform($toksExpr, t -> ${TextFns.hash60Sql("t")} % $dim)"
+    val w = s"list_transform(generate_series(0, ${dim - 1}), " +
+      s"b -> len(list_filter($bks, x -> x = b))::DOUBLE)"
+    val ss = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform($w, x -> x * x)), (a, b) -> a + b)"
+    s"CASE WHEN ($ss) > 0 THEN " +
+      s"list_transform($w, x -> (x / sqrt($ss))::FLOAT) " +
+      s"ELSE list_transform($w, x -> x::FLOAT) END"
+  }
 
   def minhashSigCol(text: Column): Column =
     invoke("minhashSig", ArrayType(LongType, containsNull = false), text)

@@ -87,13 +87,39 @@ object Extended {
       |      FROM events)
       |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q56_tf_embedding — text→embedding generation (hashing-trick TF,
+  // L2-normalized) via a native one-pass kernel: the bridge from raw
+  // documents into the ANN/near-dup pipeline (embed → dedup). Pure
+  // map work at scan parallelism; the embedding column then flows
+  // into the q35-q37 operators unchanged.
+  // ---------------------------------------------------------------
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.tfEmbeddingCol(col("text")).as("embedding"),
+        size(filter(graft.functions.TextKernels.tfEmbeddingCol(col("text")),
+          x => x > 0)).as("nnz"))
+      .orderBy(col("doc_id"))
+
+  val q56Sql: String = {
+    val emb = graft.functions.TextKernels.tfEmbeddingSql("string_split(text, ' ')")
+    s"""SELECT doc_id, $emb AS embedding,
+       |  len(list_filter($emb, x -> x > 0)) AS nnz
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q53_correlated_subquery" -> (q53 _),
     "q54_map_functions" -> (q54 _),
-    "q55_sliding_windows" -> (q55 _))
+    "q55_sliding_windows" -> (q55 _),
+    "q56_tf_embedding" -> (q56 _))
 
   def oracles: Map[String, String] = Map(
     "q53_correlated_subquery" -> q53Sql,
     "q54_map_functions" -> q54Sql,
-    "q55_sliding_windows" -> q55Sql)
+    "q55_sliding_windows" -> q55Sql,
+    "q56_tf_embedding" -> q56Sql)
 }
