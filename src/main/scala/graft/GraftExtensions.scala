@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.LongType
+import graft.functions.{BinKernels, MinHashMerge, TextKernels}
+
+/** SQL-surface registration for the graft native kernels: a
+  * SparkSessionExtensions hook (the public extension point — no
+  * `spark.udf` involved, the functions stay native Catalyst
+  * expressions inside whole-stage codegen) that makes every kernel
+  * callable from `spark.sql(...)`:
+  *
+  *   - `graft_hash60(str)`        — first 60 bits of md5 as BIGINT
+  *   - `graft_bigram_set(str)`    — distinct word-bigram shingles
+  *   - `graft_minhash_sig(str)`   — k=16 MinHash signature
+  *   - `graft_tf_embedding(str)`  — L2-normalized hashing-trick TF vector
+  *   - `graft_byte_stats(bin)`    — fused min/max/mean/std over bytes
+  *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
+  *
+  * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * (GraftSession does this) or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def unary(name: String, usage: String,
+    build: Expression => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects exactly 1 argument")
+      build(args.head)
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // builders construct catalyst expressions DIRECTLY (the Column
+    // API would leave unresolved column nodes behind the analyzer)
+    ext.injectFunction(unary("graft_hash60",
+      "_FUNC_(str) - first 60 bits of md5(str) as a non-negative BIGINT",
+      e => Cast(Conv(Substring(Md5(e), Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType)))
+    ext.injectFunction(unary("graft_bigram_set",
+      "_FUNC_(str) - distinct word-bigram shingles in first-occurrence order",
+      e => TextKernels.invokeExpr("bigramSet", TextKernels.bigramSetType, e)))
+    ext.injectFunction(unary("graft_minhash_sig",
+      "_FUNC_(str) - MinHash signature (k=16) over the bigram shingle set",
+      e => TextKernels.invokeExpr("minhashSig", TextKernels.minhashSigType, e)))
+    ext.injectFunction(unary("graft_tf_embedding",
+      "_FUNC_(str) - L2-normalized hashing-trick term-frequency embedding",
+      e => TextKernels.invokeExpr("tfEmbedding", TextKernels.tfEmbeddingType, e)))
+    ext.injectFunction(unary("graft_byte_stats",
+      "_FUNC_(bin) - struct(bmin,bmax,bmean,bstd) over the bytes, one pass",
+      BinKernels.byteStatsExpr))
+    // aggregate: the analyzer wraps a bare AggregateFunction into an
+    // AggregateExpression, so the builder returns MinHashMerge directly
+    ext.injectFunction(unary("graft_minhash_merge",
+      "_FUNC_(sig) - elementwise-min merge of MinHash signatures (union sketch)",
+      e => MinHashMerge(e)))
+  }
+}

@@ -18,6 +18,8 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // native-kernel SQL surface (graft_minhash_sig, graft_byte_stats…)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

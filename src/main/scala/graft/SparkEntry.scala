@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ EventsOps.queries ++ StreamingQueries.queries ++
-      Advanced.queries ++ MultimodalQueries.queries ++ SketchQueries.queries ++ Extended.queries
+      Advanced.queries ++ MultimodalQueries.queries ++ SketchQueries.queries ++
+      Extended.queries ++ Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventsOps.oracles ++ StreamingQueries.oracles ++
-      Advanced.oracles ++ MultimodalQueries.oracles ++ SketchQueries.oracles ++ Extended.oracles
+      Advanced.oracles ++ MultimodalQueries.oracles ++ SketchQueries.oracles ++
+      Extended.oracles ++ Bucketed.oracles
 }

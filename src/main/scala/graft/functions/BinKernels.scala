@@ -52,17 +52,24 @@ object BinKernels {
     }
   }
 
+  /** Expression-level builder — shared by the Column wrapper and the
+    * SQL FunctionRegistry (GraftExtensions).
+    */
+  def byteStatsExpr(in: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
+      Class.forName("graft.functions.BinKernels"),
+      statsType, "byteStats",
+      Seq(in),
+      inputTypes = Seq(BinaryType),
+      propagateNull = true,
+      returnNullable = false)
+
   /** Column wrapper: binary → struct(bmin,bmax,bmean,bstd), inside
     * whole-stage codegen via StaticInvoke.
     */
   def byteStatsCol(bin: Column): Column =
-    ColumnBridge.column(StaticInvoke(
-      Class.forName("graft.functions.BinKernels"),
-      statsType, "byteStats",
-      Seq(ColumnBridge.expression(bin)),
-      inputTypes = Seq(BinaryType),
-      propagateNull = true,
-      returnNullable = false))
+    ColumnBridge.column(byteStatsExpr(ColumnBridge.expression(bin)))
 
   /** DuckDB twin over the codepoints of an ASCII string column (the
     * oracle corpus is ASCII, so codepoint == byte). `bytesExpr` must

@@ -30,8 +30,13 @@ case class MinHashMerge(
 
   private val k = TextFns.NumHashes
 
+  // Seeded with P (not Long.MaxValue): signature values live in
+  // [0, P], and an empty document's signature is all-P (TextKernels
+  // .minhashSig) — so an empty/all-null GROUP must sketch to the same
+  // all-P sentinel, keeping "no shingles seen" a single value
+  // throughout the pipeline.
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(k)(Long.MaxValue)
+    Array.fill(k)(TextFns.P)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

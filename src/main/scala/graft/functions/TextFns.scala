@@ -157,8 +157,10 @@ object TextFns {
       s"list_reduce(list_prepend($zeros, " +
         s"list_transform($toksExpr, t -> $bitsOf)), " +
         s"(acc, x) -> list_transform(generate_series(1, 16), j -> acc[j] + x[j]))"
-    s"list_sum(list_transform(generate_series(1, 16), " +
-      s"j -> CASE WHEN ($bitSums)[j] > 0 THEN (1::BIGINT << (j-1)) ELSE 0 END))"
+    // CAST: DuckDB list_sum(BIGINT) yields HUGEINT, which the driver's
+    // pandas harness reads as float64 — Spark emits int64.
+    s"CAST(list_sum(list_transform(generate_series(1, 16), " +
+      s"j -> CASE WHEN ($bitSums)[j] > 0 THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS BIGINT)"
   }
 
   // -----------------------------------------------------------------

@@ -130,19 +130,31 @@ object TextKernels {
 
   private val kernelClass: Class[_] = Class.forName("graft.functions.TextKernels")
 
-  private def invoke(name: String, dt: DataType, in: Column): Column =
-    ColumnBridge.column(StaticInvoke(
+  /** Expression-level builder — the construction site shared by the
+    * Column API below and the SQL FunctionRegistry (GraftExtensions).
+    */
+  def invokeExpr(name: String, dt: DataType,
+    in: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       kernelClass, dt, name,
-      Seq(ColumnBridge.expression(in)),
+      Seq(in),
       inputTypes = Seq(StringType),
       propagateNull = true,
-      returnNullable = false))
+      returnNullable = false)
+
+  final val bigramSetType: DataType = ArrayType(StringType, containsNull = false)
+  final val minhashSigType: DataType = ArrayType(LongType, containsNull = false)
+  final val tfEmbeddingType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private def invoke(name: String, dt: DataType, in: Column): Column =
+    ColumnBridge.column(invokeExpr(name, dt, ColumnBridge.expression(in)))
 
   def bigramSetCol(text: Column): Column =
-    invoke("bigramSet", ArrayType(StringType, containsNull = false), text)
+    invoke("bigramSet", bigramSetType, text)
 
   def tfEmbeddingCol(text: Column): Column =
-    invoke("tfEmbedding", ArrayType(FloatType, containsNull = false), text)
+    invoke("tfEmbedding", tfEmbeddingType, text)
 
   /** DuckDB twin of [[tfEmbedding]] over a token-list expression. */
   def tfEmbeddingSql(toksExpr: String): String = {
@@ -158,5 +170,5 @@ object TextKernels {
   }
 
   def minhashSigCol(text: Column): Column =
-    invoke("minhashSig", ArrayType(LongType, containsNull = false), text)
+    invoke("minhashSig", minhashSigType, text)
 }

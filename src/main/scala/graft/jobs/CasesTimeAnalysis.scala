@@ -8,7 +8,7 @@ import graft.operators.Forecast
 
 /** The cases-time ETL job — idiomatic Scala re-expression of
   * /root/reference/spark/jobs/cases_time_analysis.py (main at :15-83):
-  * daily case counts CSV → 15 named JSON outputs. Each transform is a
+  * daily case counts CSV → 14 named JSON outputs. Each transform is a
   * pure, individually-testable DataFrame function, preserving the
   * reference's idempotent-transform architecture (README.md:38-42).
   *
@@ -119,6 +119,22 @@ object CasesTimeAnalysis {
       .withColumnRenamed("sum(confirmed)", "y")
       .orderBy("ds")
 
+  /** The reference's time-series test split
+    * (cases_time_analysis.py:226-233): `np.random.rand(len) < 0.8`
+    * selects train rows driver-side; the test remainder (~20%) is
+    * re-lifted into a DataFrame. The reference split is UNSEEDED
+    * (SURVEY.md §5 nondeterminism risk) — deliberately re-expressed
+    * as a deterministic md5-hash-of-ds split: same ~20% expected
+    * fraction, stable across runs/engines, and fully distributed (no
+    * toPandas round-trip — at 100 TB the reference's driver-side
+    * split is impossible).
+    */
+  def timeSeriesTestData(df: DataFrame): DataFrame =
+    timeSeries(df)
+      .where(pmod(conv(substring(md5(col("ds")), 1, 15), 16, 10).cast("long"),
+        lit(5L)) === 0L)
+      .orderBy("ds")
+
   def timeSeriesByCountries(df: DataFrame): DataFrame =
     df.filter(col("country").isin(forecastCountries: _*))
       .select("date", "confirmed", "country")
@@ -145,7 +161,33 @@ object CasesTimeAnalysis {
       .orderBy(col("country"), col("ds"))
   }
 
-  /** Full job: extract → transform → 15 sinks (:15-83, :309-314). */
+  /** D11 per-country forecast INCLUDING history — the reference's
+    * future_forecasting output (grouped-map Prophet with
+    * make_future_dataframe(periods=90, include_history=True),
+    * cases_time_analysis.py:260-306), re-expressed through the same
+    * deterministic OLS operator as [[futurePredictions]]. Contract
+    * columns (country, ds timestamp, yhat, yhat_upper, yhat_lower)
+    * match result_schema at :277-285 — the shape
+    * visualization/scripts/cases_time_visualization.py:242-267 reads.
+    */
+  def futureForecasting(df: DataFrame, horizon: Int = 90): DataFrame = {
+    import df.sparkSession.implicits._
+    val pts = df.filter(col("country").isin(forecastCountries: _*))
+      .select("date", "confirmed", "country").dropDuplicates()
+      .groupBy(col("country").as("key"),
+        datediff(to_date(col("date")), to_date(lit("1970-01-01")))
+          .cast("long").as("t"))
+      .agg(sum(col("confirmed")).cast("long").as("y"))
+      .as[Forecast.TrendPoint]
+    Forecast.linearForecastWithHistory(pts, horizon).toDF()
+      .select(col("key").as("country"),
+        to_timestamp(date_add(to_date(lit("1970-01-01")), col("t").cast("int")))
+          .as("ds"),
+        col("yhat"), col("yhat_upper"), col("yhat_lower"))
+      .orderBy(col("country"), col("ds"))
+  }
+
+  /** Full job: extract → transform → 14 named sinks (:15-83, :309-314). */
   def run(spark: SparkSession, inputCsv: String, outDir: String): Unit = {
     val df = transform(extract(spark, inputCsv))
     val outputs: Seq[(String, DataFrame)] = Seq(
@@ -160,7 +202,9 @@ object CasesTimeAnalysis {
       "confirmed_cases_recovery_rates" -> recoveryRates(df),
       "time_series" -> timeSeries(df),
       "time_series_by_countries" -> timeSeriesByCountries(df),
-      "future_predictions" -> futurePredictions(df))
+      "time_series_test_data" -> timeSeriesTestData(df),
+      "future_predictions" -> futurePredictions(df),
+      "future_forecasting" -> futureForecasting(df))
     outputs.foreach { case (name, out) =>
       Writers.singleFileJson(out, s"$outDir/$name")
     }

@@ -82,13 +82,22 @@ object ResearchChallengeAnalysis {
   /** C5 — fillna("NA"): type-directed, string columns only (:72-76). */
   def transform(df: DataFrame): DataFrame = df.na.fill("NA")
 
-  /** G1 + nested projection + F5 — one row per author, flattened,
-    * with non-empty email (:79-86).
+  /** G1 + nested projection — one row per author, flattened (:79-86).
+    * Bit-faithful quirk preserved: the reference BUILDS an
+    * `email <> ''` filter (:81, the F5 predicate) but discards its
+    * result — transform_papers_and_authors returns the UNfiltered
+    * author rows. Parity keeps every author; [[paperAuthorsNonEmpty]]
+    * is the repaired variant (and the F5 predicate's live exercise).
     */
   def paperAuthors(df: DataFrame): DataFrame =
     df.select(col("paper_id"), explode(col("metadata.authors")).as("author"))
       .select(col("paper_id"), col("author.*"))
-      .where(expr("email <> ''"))
+
+  /** The filter the reference meant to apply (F5 `<>` expr-string
+    * predicate, :81) — kept as the documented "fixed" variant.
+    */
+  def paperAuthorsNonEmpty(df: DataFrame): DataFrame =
+    paperAuthors(df).where(expr("email <> ''"))
 
   /** G2+W2+A5+C7/C8+D9/D10 — ordered abstract reassembly then
     * clean/word-count/sentiment, all as JVM expressions (:89-106).

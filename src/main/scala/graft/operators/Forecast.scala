@@ -37,7 +37,18 @@ object Forecast {
   /** OLS fit + H-step forecast per key. Groups with <2 distinct days
     * are dropped (no slope).
     */
-  def linearForecast(points: Dataset[TrendPoint], horizon: Int): Dataset[ForecastRow] = {
+  def linearForecast(points: Dataset[TrendPoint], horizon: Int): Dataset[ForecastRow] =
+    forecast(points, horizon, includeHistory = false)
+
+  /** Like [[linearForecast]] but also re-predicts every observed day
+    * (h = t - tmax ≤ 0) — the `include_history=True` shape of the
+    * reference's make_future_dataframe (cases_time_analysis.py:296-300).
+    */
+  def linearForecastWithHistory(points: Dataset[TrendPoint], horizon: Int): Dataset[ForecastRow] =
+    forecast(points, horizon, includeHistory = true)
+
+  private def forecast(points: Dataset[TrendPoint], horizon: Int,
+    includeHistory: Boolean): Dataset[ForecastRow] = {
     import points.sparkSession.implicits._
     points.groupByKey(_.key).flatMapGroups { (key, it) =>
       val pts = it.toArray
@@ -59,11 +70,15 @@ object Forecast {
           rss += r * r
         }
         val sigma = math.sqrt(rss / n.toDouble)
-        (1 to horizon).iterator.map { h =>
-          val yhat = intercept + slope * (tmax + h).toDouble
-          ForecastRow(key, n, slope, intercept, h, tmax + h, yhat,
+        def row(t: Long): ForecastRow = {
+          val yhat = intercept + slope * t.toDouble
+          ForecastRow(key, n, slope, intercept, (t - tmax).toInt, t, yhat,
             yhat - 1.96 * sigma, yhat + 1.96 * sigma)
         }
+        val future = (1 to horizon).iterator.map(h => row(tmax + h))
+        if (includeHistory)
+          pts.map(_.t).distinct.sorted.iterator.map(row) ++ future
+        else future
       }
     }
   }

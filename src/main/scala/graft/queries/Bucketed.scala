@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bucketed co-located join through the declared inventory: both join
+  * sides are pre-shuffled ONCE into the same bucket layout
+  * (bucketBy(orderkey) + sortBy), after which every orderkey join is
+  * a zero-exchange sort-merge — the strategy for repeatedly-joined
+  * 100 TB fact tables, where paying one layout write amortizes over
+  * every downstream query. BucketingSpec pins the no-Exchange plan;
+  * the driver oracle pins the values.
+  */
+object Bucketed {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  final val NumBuckets = 8
+
+  /** Bucketed copies of orders/lineitem for `dir`, created once per
+    * (session, dir) — table names are dir-keyed so different scale
+    * factors don't collide, and re-runs in one session reuse the
+    * layout (that reuse IS the bucketing economics).
+    */
+  def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val li = s"graft_li_bkt_$tag"
+    val ord = s"graft_ord_bkt_$tag"
+
+    // A previous JVM's managed-table directory survives in the
+    // warehouse while the in-memory catalog does not — clear the
+    // stale location or saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    def clearStaleLocation(table: String): Unit = {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(warehouse, table)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
+    if (!spark.catalog.tableExists(li)) {
+      clearStaleLocation(li)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(li)
+    }
+    if (!spark.catalog.tableExists(ord)) {
+      clearStaleLocation(ord)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
+  /** The co-located join itself (pre-aggregation) — the fragment
+    * BucketingSpec plan-asserts has no Exchange on either side.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = ensureBucketed(spark, dir)
+    spark.table(ord).join(spark.table(li),
+      col("o_orderkey") === col("l_orderkey"))
+  }
+
+  // ---------------------------------------------------------------
+  // q57_bucketed_join — revenue per order priority through the
+  // zero-exchange orders⋈lineitem. The only shuffle in the whole
+  // query is the final small groupBy on o_orderpriority (5 keys);
+  // the fact-fact join itself moves no rows.
+  // ---------------------------------------------------------------
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoin(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q57Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def queries: Map[String, Q] = Map("q57_bucketed_join" -> (q57 _))
+
+  def oracles: Map[String, String] = Map("q57_bucketed_join" -> q57Sql)
+}

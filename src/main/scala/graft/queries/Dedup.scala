@@ -66,7 +66,10 @@ object Dedup {
   // ---------------------------------------------------------------
   // q33_minhash_sig — per-doc MinHash signature (k=16) over bigram
   // shingles. Pure map work: one md5 per shingle, k affine rehashes,
-  // no shuffle except the output sort.
+  // no shuffle except the output sort. The declared projection
+  // serializes the signature to a canonical '_'-joined string (the
+  // driver's pandas harness can't sort/hash raw arrays); the
+  // array-valued kernel stays the internal currency (q34/q48).
   // ---------------------------------------------------------------
   def q33(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -74,11 +77,13 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         size(TextKernels.bigramSetCol(col("text"))).as("n_shingles"),
-        TextKernels.minhashSigCol(col("text")).as("sig"))
+        array_join(TextKernels.minhashSigCol(col("text")).cast("array<string>"), "_")
+          .as("sig"))
       .orderBy(col("doc_id"))
 
   val q33Sql: String =
-    s"""SELECT doc_id, len(sh) AS n_shingles, ${minhashSigSql("sh")} AS sig
+    s"""SELECT doc_id, len(sh) AS n_shingles,
+       |  array_to_string(${minhashSigSql("sh")}, '_') AS sig
        |FROM (SELECT doc_id, $shingleSetSql AS sh FROM documents)
        |ORDER BY doc_id""".stripMargin
 
@@ -157,20 +162,25 @@ object Dedup {
 
   // ---------------------------------------------------------------
   // q35_embedding_neardup — near-dup by embedding cosine, blocked by
-  // label (the blocking key bounds the pair count; at 100 TB the
-  // block key would be an LSH bucket — see Similarity.q37). Norms are
-  // computed once per vector BEFORE the pair join, not per pair.
+  // the sign-random-projection LSH BUCKET (same hash family as the
+  // q37 ANN path): bucket population is ~n/2^planes, so the pair
+  // count stays linear in corpus size as the corpus grows — the
+  // blocking key a 100 TB run would actually use. (Blocking by a
+  // data attribute like `label` makes blocks, and therefore pairs,
+  // grow quadratically — the round-1 design this replaces.) Norms
+  // are computed once per vector BEFORE the pair join, not per pair.
   // ---------------------------------------------------------------
   def q35(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        VecFns.normK(col("embedding")).as("nrm"))
-    val x = v.select(col("vec_id").as("id_a"), col("label"),
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"),
+        VecFns.lshBucket(col("embedding")).as("bucket"))
+    val x = v.select(col("vec_id").as("id_a"), col("bucket"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val y = v.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+    val y = v.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    x.join(y, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .select(col("label"), col("id_a"), col("id_b"),
+    x.join(y, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
         rnd(VecFns.dotCol(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4)
           .as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
@@ -178,11 +188,12 @@ object Dedup {
   }
 
   val q35Sql: String =
-    s"""WITH v AS (SELECT vec_id, label, embedding,
-       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings)
-       |SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm,
+       |  ${VecFns.lshBucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT x.bucket AS bucket, x.vec_id AS id_a, y.vec_id AS id_b,
        |  ${rndSql(s"${VecFns.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 4)} AS cosine
-       |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+       |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------

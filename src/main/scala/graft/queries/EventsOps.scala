@@ -77,10 +77,10 @@ object EventsOps {
        |  CAST(floor((MAX(us) - MIN(us)) / 1000000) AS BIGINT) AS duration_s
        |FROM (
        |  SELECT user_id, us,
-       |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+       |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
        |             THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY user_id ORDER BY us, event_id
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
        |          LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
        |            ORDER BY epoch_us(ts), event_id) AS prev_us

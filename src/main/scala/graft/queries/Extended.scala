@@ -92,21 +92,30 @@ object Extended {
   // L2-normalized) via a native one-pass kernel: the bridge from raw
   // documents into the ANN/near-dup pipeline (embed → dedup). Pure
   // map work at scan parallelism; the embedding column then flows
-  // into the q35-q37 operators unchanged.
+  // into the q35-q37 operators unchanged. The declared projection
+  // serializes the vector as '_'-joined 4-dp fixed-point longs
+  // (float→string formatting differs across engines; fixed-point
+  // longs are exact, and raw arrays crash the driver's pandas
+  // harness). The array-valued kernel stays the pipeline currency.
   // ---------------------------------------------------------------
-  def q56(spark: SparkSession, dir: String): DataFrame =
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.functions.TextKernels.tfEmbeddingCol(col("text"))
+    val fixed = transform(emb,
+      x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        graft.functions.TextKernels.tfEmbeddingCol(col("text")).as("embedding"),
-        size(filter(graft.functions.TextKernels.tfEmbeddingCol(col("text")),
-          x => x > 0)).as("nnz"))
+        array_join(fixed.cast("array<string>"), "_").as("embedding"),
+        size(filter(emb, x => x > 0)).as("nnz"))
       .orderBy(col("doc_id"))
+  }
 
   val q56Sql: String = {
     val emb = graft.functions.TextKernels.tfEmbeddingSql("string_split(text, ' ')")
-    s"""SELECT doc_id, $emb AS embedding,
+    val fixed = s"list_transform($emb, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    s"""SELECT doc_id, array_to_string($fixed, '_') AS embedding,
        |  len(list_filter($emb, x -> x > 0)) AS nnz
        |FROM documents ORDER BY doc_id""".stripMargin
   }

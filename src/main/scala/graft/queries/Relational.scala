@@ -502,7 +502,7 @@ object Relational {
       .orderBy(col("kind"))
 
   val q22Sql: String =
-    """SELECT kind, COUNT(*) AS n, SUM(is_purchase) AS purchases,
+    """SELECT kind, COUNT(*) AS n, CAST(SUM(is_purchase) AS BIGINT) AS purchases,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM (SELECT user_id,
       |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,

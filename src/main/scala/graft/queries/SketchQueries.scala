@@ -20,7 +20,9 @@ object SketchQueries {
   // q48_corpus_sketch — per-source merged MinHash signature via the
   // custom aggregate: each source's sketch is the signature of the
   // union of its documents' shingle sets. Partial+final: the
-  // exchange carries k longs per (partition, source).
+  // exchange carries k longs per (partition, source). The declared
+  // projection joins the sketch to a '_'-string (pandas harness
+  // can't hash arrays); the array aggregate stays the internal API.
   // ---------------------------------------------------------------
   def q48(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -28,6 +30,9 @@ object SketchQueries {
       .groupBy(col("source"))
       .agg(MinHashMerge.minhashMerge(col("sig")).as("corpus_sig"),
         count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        array_join(col("corpus_sig").cast("array<string>"), "_").as("corpus_sig"),
+        col("n_docs"))
       .orderBy(col("source"))
 
   val q48Sql: String = {
@@ -35,7 +40,7 @@ object SketchQueries {
       .mkString("[", ", ", "]")
     val shingleSet =
       s"list_distinct(${TextFns.shinglesSql("string_split(text, ' ')", 2)})"
-    s"""SELECT source, $mins AS corpus_sig, COUNT(*) AS n_docs
+    s"""SELECT source, array_to_string($mins, '_') AS corpus_sig, COUNT(*) AS n_docs
        |FROM (SELECT source, ${TextFns.minhashSigSql("sh")} AS sig
        |      FROM (SELECT source, $shingleSet AS sh FROM documents))
        |GROUP BY source ORDER BY source""".stripMargin

@@ -116,7 +116,7 @@ object TextAnalysis {
       .orderBy(col("source"))
 
   val q28Sql: String =
-    """SELECT source, SUM(n_ws) AS ws_tokens, SUM(n_bpe) AS bpe_tokens,
+    """SELECT source, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
       |  COUNT(*) AS n_docs
       |FROM (SELECT source, len(string_split(text, ' ')) AS n_ws,
       |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe

@@ -17,8 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** (session, dir, table) → analyzed scan node. `spark.read.parquet`
+    * lists files and reads footers to infer the schema EVERY call —
+    * a fixed ~0.1 s tax per query that dominates small-SF benchmarks
+    * and re-reads object-store metadata at scale. One scan node per
+    * (session, dir, table) is safe to share: DataFrames are immutable
+    * plans. Keyed by session identity so stopped test sessions don't
+    * leak stale plans into new ones.
+    */
+  private val scanCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scanCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")

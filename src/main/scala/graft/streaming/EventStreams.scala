@@ -58,51 +58,92 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** One user's event (micros since epoch). */
-  case class UserEvent(user_id: Long, event_id: Long, us: Long)
+  /** One user's event. `us` (micros since epoch) drives the gap
+    * logic; `ts` is kept alongside because the WATERMARK is attached
+    * to that attribute — projecting it away would silently discard
+    * the event-time column the timeout machinery needs.
+    */
+  case class UserEvent(user_id: Long, event_id: Long, us: Long,
+    ts: java.sql.Timestamp)
 
   /** One closed session — mirrors EventsOps.q39's output row. */
   case class Session(user_id: Long, session_idx: Long, n_events: Long,
     start_us: Long, end_us: Long, duration_s: Long)
 
-  /** Per-user session state carried across micro-batches. */
-  case class SessionState(nextIdx: Long, events: Seq[UserEvent])
-
-  /** Stateful sessionization with flatMapGroupsWithState: buffers a
-    * user's events in GroupState, splits on >GapUs inactivity, emits
-    * every session of the batch (state is kept so a continuation
-    * batch could re-open the last session; with AvailableNow's single
-    * batch all sessions close at end of input, matching q39).
+  /** Per-user session state: the OPEN session's aggregate only — four
+    * longs, O(1) regardless of how many events the user ever sent.
+    * (Never a buffered event list: on a long-running stream that is
+    * unbounded state.)
     */
-  def sessionize(events: DataFrame): Dataset[Session] = {
+  case class OpenSession(idx: Long, nEvents: Long, startUs: Long, endUs: Long)
+
+  /** Stateful sessionization with flatMapGroupsWithState and O(1)
+    * per-user state (the open session's aggregate + its end
+    * timestamp).
+    *
+    * Two modes:
+    *  - `boundedBacklog = true` (the q43 batch-twin contract): the
+    *    whole backlog arrives in one AvailableNow batch; trailing open
+    *    sessions are closed and emitted at batch end and the state is
+    *    dropped — output equals EventsOps.q39 exactly.
+    *  - `boundedBacklog = false` (continuous operation): the open
+    *    session stays in state with an EVENT-TIME timeout at
+    *    end + gap; the session is emitted when the watermark passes
+    *    the gap (the only correct close signal on an unbounded
+    *    stream). The 2h watermark bounds late data; state size is
+    *    (#users with an open session) × 4 longs.
+    *
+    * Per-batch work sorts only THAT batch's events for the user —
+    * O(batch), never O(history).
+    */
+  def sessionize(events: DataFrame, boundedBacklog: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val timeout =
+      if (boundedBacklog) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
+    val src = if (boundedBacklog) events else events.withWatermark("ts", "2 hours")
+    src
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"))
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          val prior = if (state.exists) state.get.events else Seq.empty
-          val all = (prior ++ it.toSeq).sortBy(e => (e.us, e.event_id))
-          var idx = if (state.exists) state.get.nextIdx else 1L
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var cur = scala.collection.mutable.ArrayBuffer[UserEvent]()
-          def close(): Unit = if (cur.nonEmpty) {
-            val s = cur.head.us
-            val e = cur.last.us
-            out += Session(userId, idx, cur.size.toLong, s, e,
-              math.floor((e - s).toDouble / 1000000).toLong)
-            idx += 1
-            cur = scala.collection.mutable.ArrayBuffer[UserEvent]()
+      .flatMapGroupsWithState[OpenSession, Session](OutputMode.Append(), timeout) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): Session =
+            Session(userId, s.idx, s.nEvents, s.startUs, s.endUs,
+              math.floor((s.endUs - s.startUs).toDouble / 1000000).toLong)
+          if (!boundedBacklog && state.hasTimedOut) {
+            // watermark passed end + gap: the open session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var open = state.getOption
+            evs.foreach { ev =>
+              open = open match {
+                case Some(s) if ev.us - s.endUs > EventsOps.GapUs =>
+                  out += close(s)
+                  Some(OpenSession(s.idx + 1, 1L, ev.us, ev.us))
+                case Some(s) =>
+                  Some(s.copy(nEvents = s.nEvents + 1, endUs = ev.us))
+                case None =>
+                  Some(OpenSession(1L, 1L, ev.us, ev.us))
+              }
+            }
+            if (boundedBacklog) {
+              open.foreach(s => out += close(s))
+              state.remove()
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                // ms timeout: fire once watermark > session end + gap
+                state.setTimeoutTimestamp(s.endUs / 1000 + EventsOps.GapUs / 1000)
+              }
+            }
+            out.iterator
           }
-          all.foreach { ev =>
-            if (cur.nonEmpty && ev.us - cur.last.us > EventsOps.GapUs) close()
-            cur += ev
-          }
-          close()
-          state.update(SessionState(idx, Seq.empty))
-          out.iterator
       }
   }
 
@@ -111,7 +152,15 @@ object EventStreams {
     * final result as a batch DataFrame.
     */
   def runToMemory(df: DataFrame, name: String,
-    mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    mode: OutputMode = OutputMode.Complete()): DataFrame =
+    runToMemoryTracked(df, name, mode)._1
+
+  /** [[runToMemory]] that also returns the query's progress events —
+    * the spec uses StateOperatorProgress to pin state-size bounds.
+    */
+  def runToMemoryTracked(df: DataFrame, name: String,
+    mode: OutputMode = OutputMode.Complete())
+    : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val spark = df.sparkSession
     val q = df.writeStream
       .format("memory")
@@ -120,6 +169,6 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    (spark.table(name), q.recentProgress)
   }
 }

@@ -1,39 +1,41 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.queries.Bucketed
 
 /** Bucketing: pre-shuffling both join sides into the same bucket
   * layout removes the per-query exchange — the co-located-join
   * strategy for repeatedly-joined 100 TB fact tables (SURVEY.md
-  * "Partitioning & shuffle"). Asserts the bucketed join plans with
-  * NO Exchange on either side.
+  * "Partitioning & shuffle"). Asserts the q57 join fragment plans
+  * with NO Exchange on either side, and that the declared q57 result
+  * matches the plain (unbucketed) join.
   */
 class BucketingSpec extends SparkTestBase {
 
-  test("bucketed tables join without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    Tables.lineitem(spark, Sf)
-      .select("l_orderkey", "l_extendedprice")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    Tables.orders(spark, Sf)
-      .select("o_orderkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
+  test("q57 bucketed join fragment plans without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("li_b")
-        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val joined = Bucketed.bucketedJoin(spark, Sf)
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS ord_b")
     }
+  }
+
+  test("q57 values equal the unbucketed join") {
+    val bucketed = Bucketed.q57(spark, Sf).collect().toSeq
+    val plain = graft.sources.Tables.orders(spark, Sf)
+      .join(graft.sources.Tables.lineitem(spark, Sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq
+    assert(bucketed.nonEmpty && bucketed == plain)
   }
 }

@@ -57,6 +57,32 @@ class CasesTimeJobSpec extends SparkTestBase {
     assert(math.abs(f(0).getAs[Double]("yhat_upper") - f(0).getAs[Double]("yhat_lower")) < 1e-6)
   }
 
+  test("futureForecasting: include_history contract — history refit + horizon") {
+    val f = futureForecasting(df, horizon = 2)
+      .filter(col("country") === "Serbia").collect()
+    // 3 observed days re-predicted + 2 future days
+    assert(f.length == 5)
+    // contract schema (reference result_schema: country, ds, yhat, yhat_upper, yhat_lower)
+    val ff = futureForecasting(df, horizon = 2)
+    assert(ff.columns.toSeq == Seq("country", "ds", "yhat", "yhat_upper", "yhat_lower"))
+    assert(ff.schema("ds").dataType.typeName == "timestamp")
+    // perfect linear fixture: history refit reproduces the observations
+    val byDs = f.map(r => r.getAs[java.sql.Timestamp]("ds").toString.take(10) ->
+      r.getAs[Double]("yhat")).toMap
+    assert(math.abs(byDs("2020-03-01") - 10.0) < 1e-6)
+    assert(math.abs(byDs("2020-03-03") - 30.0) < 1e-6)
+    assert(math.abs(byDs("2020-03-05") - 50.0) < 1e-6)
+  }
+
+  test("timeSeriesTestData: deterministic ~20% split of the time series") {
+    val full = timeSeries(df).collect().map(_.getAs[String]("ds")).toSet
+    val test = timeSeriesTestData(df).collect()
+    assert(test.map(_.getAs[String]("ds")).toSet.subsetOf(full))
+    assert(timeSeriesTestData(df).columns.toSeq == Seq("ds", "y"))
+    // deterministic: two evaluations agree
+    assert(timeSeriesTestData(df).collect().toSeq == test.toSeq)
+  }
+
   test("run writes single-file JSON outputs") {
     val out = java.nio.file.Files.createTempDirectory("cases_time_out").toString
     CasesTimeAnalysis.run(spark, fixture, out)
@@ -64,5 +90,7 @@ class CasesTimeJobSpec extends SparkTestBase {
     val parts = dir.listFiles().filter(_.getName.endsWith(".json"))
     assert(parts.length == 1, "coalesce(1) must produce exactly one json file")
     assert(new java.io.File(s"$out/future_predictions").exists())
+    assert(new java.io.File(s"$out/future_forecasting").exists())
+    assert(new java.io.File(s"$out/time_series_test_data").exists())
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, TextKernels}
+import graft.sources.Tables
+
+/** The SQL surface registered by GraftExtensions must equal the
+  * column-API kernels bit-for-bit.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  private lazy val docs =
+    Tables.documents(spark, Sf).select(col("doc_id"), col("text")).limit(50)
+
+  test("graft_hash60 / graft_minhash_sig / graft_bigram_set SQL == kernel columns") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_hash60(text) AS h, graft_bigram_set(text) AS sh,
+        |  graft_minhash_sig(text) AS sig, graft_tf_embedding(text) AS emb
+        |FROM ext_docs""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      TextFns.hash60(col("text")).as("h"),
+      TextKernels.bigramSetCol(col("text")).as("sh"),
+      TextKernels.minhashSigCol(col("text")).as("sig"),
+      TextKernels.tfEmbeddingCol(col("text")).as("emb"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("graft_byte_stats SQL == BinKernels column") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_byte_stats(encode(text, 'UTF-8')) AS s FROM ext_docs")
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.BinKernels.byteStatsCol(encode(col("text"), "UTF-8")).as("s"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("graft_minhash_merge aggregates through SQL") {
+    Tables.documents(spark, Sf)
+      .select(col("source"), TextKernels.minhashSigCol(col("text")).as("sig"))
+      .createOrReplaceTempView("ext_sigs")
+    val viaSql = spark.sql(
+      """SELECT source, graft_minhash_merge(sig) AS merged
+        |FROM ext_sigs GROUP BY source""".stripMargin)
+    val viaCol = Tables.documents(spark, Sf)
+      .select(col("source"), TextKernels.minhashSigCol(col("text")).as("sig"))
+      .groupBy("source")
+      .agg(graft.functions.MinHashMerge.minhashMerge(col("sig")).as("merged"))
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+}

@@ -43,6 +43,18 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("minhash_merge: empty/all-null group sketches to the all-P sentinel") {
+    import spark.implicits._
+    // a group whose signatures are all null must equal an empty
+    // document's signature (all-P), not Long.MaxValue
+    val df = Seq(("g", Option.empty[Seq[Long]]), ("g", None)).toDF("k", "sig")
+      .select(col("k"), col("sig").cast("array<long>").as("sig"))
+      .groupBy("k")
+      .agg(graft.functions.MinHashMerge.minhashMerge(col("sig")).as("merged"))
+    val merged = df.head().getAs[scala.collection.Seq[Long]]("merged")
+    assert(merged.forall(_ == TextFns.P))
+  }
+
   test("hash60 kernel == conv(substring(md5,1,15),16,10)") {
     val rows = docs.limit(50)
       .select(col("text"), conv(substring(md5(col("text")), 1, 15), 16, 10)

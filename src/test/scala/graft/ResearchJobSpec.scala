@@ -15,8 +15,14 @@ class ResearchJobSpec extends SparkTestBase {
     assert(df.select("source").distinct().head().getString(0) == "pdf_json")
   }
 
-  test("paperAuthors: explode + flatten + email filter (G1/F5)") {
-    val rows = paperAuthors(df).orderBy("last").collect()
+  test("paperAuthors: explode + flatten, reference's discarded filter preserved (G1)") {
+    // the reference builds-then-discards the email filter — ALL
+    // authors come back, including the empty-email one
+    val all = paperAuthors(df).collect()
+    assert(all.length == 3)
+    assert(all.count(_.getAs[String]("email") == "") == 1)
+    // the repaired variant applies the F5 predicate for real
+    val rows = paperAuthorsNonEmpty(df).orderBy("last").collect()
     assert(rows.map(_.getAs[String]("last")).toSeq == Seq("Hopper", "Lovelace"))
     val ada = rows(1)
     assert(ada.getAs[String]("email") == "ada@example.org")

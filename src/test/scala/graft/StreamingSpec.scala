@@ -23,4 +23,27 @@ class StreamingSpec extends SparkTestBase {
     val df = EventStreams.tumblingHourly(EventStreams.readEvents(spark, Sf))
     assert(df.isStreaming)
   }
+
+  test("continuous sessionize: state rows bounded by users, not events") {
+    val (out, progress) = EventStreams.runToMemoryTracked(
+      EventStreams.sessionize(EventStreams.readEvents(spark, Sf),
+        boundedBacklog = false).toDF(),
+      "sessions_state_bound", OutputMode.Append())
+    val nUsers = graft.sources.Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    val nEvents = graft.sources.Tables.events(spark, Sf).count()
+    val stateRows = progress.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+    // One OpenSession (4 longs) per user with an open session — never
+    // one row per event. The payload being O(1) is structural (the
+    // state type is a fixed-width case class).
+    assert(stateRows.nonEmpty && stateRows.max <= nUsers)
+    assert(stateRows.max < nEvents / 10)
+    // sessions emitted in continuous mode (closed by gap or by the
+    // final watermark advance) are exactly a subset of the batch result
+    val batch = EventsOps.q39(spark, Sf).collect().toSet
+    val streamed = out
+      .orderBy("user_id", "session_idx")
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+  }
 }
