@@ -18,13 +18,21 @@ object StreamingQueries {
 
   private val runId = new AtomicLong(0)
 
+  /** State partitions for the backlog-replay twins: each state store
+    * pays a fixed per-micro-batch snapshot/commit cost, so the count
+    * tracks throughput, not the session's batch-shuffle setting — 8
+    * covers a single-file backlog; a production continuous run sizes
+    * it to the cluster (see EventStreams.runToMemoryTracked).
+    */
+  private val ReplayStateParts = Some(8)
+
   // q42_stream_tumbling — watermark + tumbling window over the
   // events backlog; equals EventsOps.q40.
   def q42(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_tumbling_${runId.incrementAndGet()}"
     EventStreams.runToMemory(
       EventStreams.tumblingHourly(EventStreams.readEvents(spark, dir)),
-      name, OutputMode.Complete())
+      name, OutputMode.Complete(), ReplayStateParts)
       .orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -34,7 +42,7 @@ object StreamingQueries {
     val name = s"stream_sessions_${runId.incrementAndGet()}"
     EventStreams.runToMemory(
       EventStreams.sessionize(EventStreams.readEvents(spark, dir)).toDF(),
-      name, OutputMode.Append())
+      name, OutputMode.Append(), ReplayStateParts)
       .orderBy(col("user_id"), col("session_idx"))
   }
 

@@ -152,23 +152,50 @@ object EventStreams {
     * final result as a batch DataFrame.
     */
   def runToMemory(df: DataFrame, name: String,
-    mode: OutputMode = OutputMode.Complete()): DataFrame =
-    runToMemoryTracked(df, name, mode)._1
+    mode: OutputMode = OutputMode.Complete(),
+    stateParts: Option[Int] = None): DataFrame =
+    runToMemoryTracked(df, name, mode, stateParts)._1
 
   /** [[runToMemory]] that also returns the query's progress events —
     * the spec uses StateOperatorProgress to pin state-size bounds.
+    *
+    * `stateParts` pins the number of state-store partitions for THIS
+    * query (it is frozen into the checkpoint at first start). Sizing
+    * rule: one state store per partition pays fixed snapshot/commit
+    * cost per micro-batch, so the count should track key cardinality ×
+    * cluster size — hundreds on a real cluster, but single digits for
+    * a small backlog replay where per-store overhead would dominate.
+    * None inherits the session's spark.sql.shuffle.partitions.
     */
   def runToMemoryTracked(df: DataFrame, name: String,
-    mode: OutputMode = OutputMode.Complete())
+    mode: OutputMode = OutputMode.Complete(),
+    stateParts: Option[Int] = None)
     : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    (spark.table(name), q.recentProgress)
+    // Checkpoint on tmpfs when available: offset/commit/state files are
+    // fsync'd per micro-batch per state partition, and that I/O — not
+    // plan work — dominates a short AvailableNow run on local disk. A
+    // production run points this at durable storage instead.
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
+    val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(ckpt))))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    stateParts.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (spark.table(name), q.recentProgress)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 }
