@@ -11,21 +11,34 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    // min of two runs per query: the first execution of a plan pays
-    // one-time janino codegen + JIT; the min measures the plan itself.
-    // A failed run poisons the query to the -1 sentinel (never folded
-    // into the min — an instant abort must read as breakage, not speed)
-    // and is excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // min of two runs per query, taken as two INTERLEAVED full passes
+    // over the suite (A..Z, A..Z) rather than back-to-back runs: the
+    // first execution of a plan pays one-time janino codegen + JIT,
+    // and a transient host-noise window then correlates back-to-back
+    // samples — minutes-apart samples decorrelate it. A failed run
+    // poisons the query to the -1 sentinel (never folded into the
+    // min — an instant abort must read as breakage, not speed) and is
+    // excluded from the total.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to 2).map { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
+        // memory-sink tables from streaming queries hold their full
+        // result on the driver; drop them once timed so earlier
+        // queries' results don't crowd the heap for later ones
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("stream_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples.map(_(i))
       name -> (if (times.forall(_.isDefined)) times.flatten.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -28,6 +28,9 @@ object GraftSession {
       // nested-schema pruning matters for the deep CORD-19-style structs
       // (SURVEY.md §4.2) and for multimodal metadata structs.
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      // snapshot maintenance is for long-running streams; a short
+      // backlog replay (2-3 micro-batches) should never pay for it
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from env (driver harness passes SPARK_GRAFT_CPUS). */

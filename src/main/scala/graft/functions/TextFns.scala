@@ -124,44 +124,49 @@ object TextFns {
       s"list_transform($toksExpr, t -> ${hash60Sql("t")} % $P)), " +
       s"(acc, x) -> (acc * 131 + x) % $P)"
 
-  /** 16-bit SimHash, bit-parallel: per token take 16 sign bits of its
-    * hash, sum signs per bit across tokens in ONE array fold (no
+  /** N-bit SimHash, bit-parallel: per token take `bits` sign bits of
+    * its hash, sum signs per bit across tokens in ONE array fold (no
     * explode — the per-doc work is a single codegen'd pass), then pack
-    * the sign vector into an int.
+    * the sign vector into a long. `bits` ≤ 60 (hash60 width).
     */
-  def simhash16(toks: Column): Column = {
+  def simhashN(toks: Column, bits: Int): Column = {
     val bitSums = aggregate(
       transform(toks, t => hash60(t)),
-      array_repeat(lit(0L), 16),
+      array_repeat(lit(0L), bits),
       (acc, h) => zip_with(
         acc,
-        array((0 until 16).map(j => shiftright(h, j) % 2 * 2 - 1): _*),
+        array((0 until bits).map(j => shiftright(h, j) % 2 * 2 - 1): _*),
         (a, b) => a + b))
     aggregate(
       zip_with(
         bitSums,
-        array((0 until 16).map(j => lit(1L << j)): _*),
+        array((0 until bits).map(j => lit(1L << j)): _*),
         (s, pw) => when(s > 0, pw).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc + x)
   }
 
-  /** DuckDB twin of [[simhash16]]. `list_reduce` folds left using the
+  /** 16-bit SimHash (the q30 fingerprint width). */
+  def simhash16(toks: Column): Column = simhashN(toks, 16)
+
+  /** DuckDB twin of [[simhashN]]. `list_reduce` folds left using the
     * first element as the seed, hence the prepended zero vector.
     */
-  def simhash16Sql(toksExpr: String): String = {
-    val zeros = (1 to 16).map(_ => "0::BIGINT").mkString("[", ", ", "]")
+  def simhashNSql(toksExpr: String, bits: Int): String = {
+    val zeros = (1 to bits).map(_ => "0::BIGINT").mkString("[", ", ", "]")
     val bitsOf =
-      s"list_transform(generate_series(0, 15), j -> (((${hash60Sql("t")}) >> j) & 1) * 2 - 1)"
+      s"list_transform(generate_series(0, ${bits - 1}), j -> (((${hash60Sql("t")}) >> j) & 1) * 2 - 1)"
     val bitSums =
       s"list_reduce(list_prepend($zeros, " +
         s"list_transform($toksExpr, t -> $bitsOf)), " +
-        s"(acc, x) -> list_transform(generate_series(1, 16), j -> acc[j] + x[j]))"
+        s"(acc, x) -> list_transform(generate_series(1, $bits), j -> acc[j] + x[j]))"
     // CAST: DuckDB list_sum(BIGINT) yields HUGEINT, which the driver's
     // pandas harness reads as float64 — Spark emits int64.
-    s"CAST(list_sum(list_transform(generate_series(1, 16), " +
+    s"CAST(list_sum(list_transform(generate_series(1, $bits), " +
       s"j -> CASE WHEN ($bitSums)[j] > 0 THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS BIGINT)"
   }
+
+  def simhash16Sql(toksExpr: String): String = simhashNSql(toksExpr, 16)
 
   // -----------------------------------------------------------------
   // Quality / language heuristics

@@ -124,6 +124,35 @@ object TextKernels {
     new GenericArrayData(v)
   }
 
+  /** 60-bit SimHash over the token stream — same semantics as the
+    * declarative `TextFns.simhashN(tokens(text), 60)` (one hash60 per
+    * token, per-bit sign sums, bit set where the sum is positive) in
+    * one primitive loop. The declarative 60-wide HOF fold generates
+    * pathologically large codegen when CollapseProject inlines it into
+    * band keys (measured ~20 s compile+interpret on first run); this
+    * kernel is a single static call.
+    */
+  final val SimhashBits = 60
+
+  def simhash60(text: UTF8String): Long = {
+    val sums = new Array[Int](SimhashBits)
+    val toks = splitTokens(text)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(toks(i).getBytes("UTF-8"))
+      var j = 0
+      while (j < SimhashBits) {
+        sums(j) += ((((h >>> j) & 1L) << 1) - 1).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < SimhashBits) { if (sums(j) > 0) v |= 1L << j; j += 1 }
+    v
+  }
+
   // -----------------------------------------------------------------
   // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
   // -----------------------------------------------------------------
@@ -171,4 +200,7 @@ object TextKernels {
 
   def minhashSigCol(text: Column): Column =
     invoke("minhashSig", minhashSigType, text)
+
+  def simhash60Col(text: Column): Column =
+    invoke("simhash60", LongType, text)
 }

@@ -98,7 +98,10 @@ object Dedup {
   final val Bands = 4
   final val Rows = NumHashes / Bands
 
-  def q34(spark: SparkSession, dir: String): DataFrame = {
+  /** The unbounded LSH near-dup pipeline (candidates → exact Jaccard):
+    * q34 takes its top-30; q61 thresholds it into a duplicate graph.
+    */
+  private[graft] def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
     // Note on expression reuse: CollapseProject + ColumnPruning will
     // inline the signature expression into each element_at band-key
@@ -133,17 +136,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         rnd(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(30)
   }
 
-  val q34Sql: String = {
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(spark, dir)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(30)
+
+  /** Shared CTE chain ending in `scored(id_a, id_b, jaccard)` — the
+    * SQL twin of [[lshScoredPairs]] (used by q34Sql and q61Sql).
+    */
+  private val scoredPairsCtes: String = {
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]::VARCHAR")
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
+    s"""sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
        |sig AS (SELECT doc_id, ${minhashSigSql("sh")} AS sig FROM sh),
        |bands AS (
        |  $bandSelects
@@ -152,13 +161,19 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |)
-       |SELECT id_a, id_b,
-       |  ${rndSql("len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))", 4)} AS jaccard
-       |FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
-       |           JOIN sh b ON pairs.id_b = b.doc_id
-       |ORDER BY jaccard DESC, id_a, id_b LIMIT 30""".stripMargin
+       |),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    ${rndSql("len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))", 4)} AS jaccard
+       |  FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+       |             JOIN sh b ON pairs.id_b = b.doc_id
+       |)""".stripMargin
   }
+
+  val q34Sql: String =
+    s"""WITH $scoredPairsCtes
+       |SELECT id_a, id_b, jaccard FROM scored
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 30""".stripMargin
 
   // ---------------------------------------------------------------
   // q35_embedding_neardup — near-dup by embedding cosine, blocked by
@@ -229,17 +244,127 @@ object Dedup {
        |FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q58_simhash_neardup — SimHash near-dup with banded candidate
+  // generation: 60-bit SimHash (wide enough that band buckets stay
+  // near-singleton — a 16-bit hash makes every bucket hold n/16 of
+  // the corpus, which is all-pairs in disguise) split into 4 bands of
+  // 15 bits; docs sharing any band are candidates; exact Hamming
+  // distance (bit_count of xor) verifies. Same shuffle shape as q34:
+  // map-side hash, one banded self-join, no full-corpus pair work.
+  // ---------------------------------------------------------------
+  final val SimBits = 60
+  final val SimBands = 4
+  final val SimBandBits = SimBits / SimBands
+  final val SimHammingMax = 8
+
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextKernels.simhash60Col(col("text")).as("sh"))
+    val bandsArr = array((0 until SimBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("key"))
+    }: _*)
+    val bands = s
+      .select(col("doc_id"), col("sh"), explode(bandsArr).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= SimHammingMax)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  val q58Sql: String = {
+    val mask = (1L << SimBandBits) - 1
+    val bandSelects = (0 until SimBands).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * SimBandBits}) & $mask AS key FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (SELECT doc_id,
+       |  ${simhashNSql("string_split(text, ' ')", SimBits)} AS sh FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.sh AS sh_a, y.sh AS sh_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $SimHammingMax
+       |ORDER BY hamming, id_a, id_b LIMIT 50""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q61_dedup_clusters — near-dup pairs → duplicate GROUPS: threshold
+  // the q34 LSH-scored pairs into an edge set, run distributed
+  // connected components (min-label propagation,
+  // operators/ConnectedComponents.scala), emit (doc, cluster, size).
+  // The cluster id (= min doc_id in the component) is what a dedup
+  // pipeline keeps as the canonical document. Oracle: recursive-CTE
+  // transitive closure over the same edges.
+  // ---------------------------------------------------------------
+  final val ClusterJaccardMin = 0.5
+
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshScoredPairs(spark, dir)
+      .where(col("jaccard") >= ClusterJaccardMin)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.operators.ConnectedComponents.run(edges)
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String =
+    s"""WITH RECURSIVE $scoredPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= $ClusterJaccardMin
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= $ClusterJaccardMin
+       |),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |),
+       |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+       |FROM cc JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+       |              FROM cc GROUP BY cluster_id) sz
+       |  ON cc.cluster_id = sz.cluster_id
+       |ORDER BY cc.doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q32_dedup_exact_docs" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
     "q34_lsh_neardup" -> (q34 _),
     "q35_embedding_neardup" -> (q35 _),
-    "q52_ngram_jaccard" -> (q52 _))
+    "q52_ngram_jaccard" -> (q52 _),
+    "q58_simhash_neardup" -> (q58 _),
+    "q61_dedup_clusters" -> (q61 _))
 
   def oracles: Map[String, String] = Map(
     "q32_dedup_exact_docs" -> q32Sql,
     "q33_minhash_sig" -> q33Sql,
     "q34_lsh_neardup" -> q34Sql,
     "q35_embedding_neardup" -> q35Sql,
-    "q52_ngram_jaccard" -> q52Sql)
+    "q52_ngram_jaccard" -> q52Sql,
+    "q58_simhash_neardup" -> q58Sql,
+    "q61_dedup_clusters" -> q61Sql)
 }

@@ -102,11 +102,112 @@ object Similarity {
        |QUALIFY rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q59_ann_ivf — IVF (inverted-file) ANN: a small coarse-quantizer
+  // codebook partitions the corpus into cells; every vector is
+  // assigned to its nearest centroid (one broadcast join — the
+  // codebook is always tiny); each probe searches only its nprobe=2
+  // nearest cells. The codebook here is a deterministic sample
+  // (lowest vec_ids) so the oracle can mirror it — production trains
+  // it offline with k-means, which changes the centroids, not the
+  // query shape. Complement to q37: LSH cells are hash-random, IVF
+  // cells follow the data distribution.
+  //
+  // Scale: assignment shuffles only (vec_id, cell, cos) triples —
+  // the embedding column never moves for the argmin; at 100 TB `cell`
+  // becomes the parquet partition key, so each probe reads nprobe
+  // partitions (partition pruning) instead of the corpus.
+  // ---------------------------------------------------------------
+  final val IvfCells = 16
+  final val IvfProbe = 2
+
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("e_c"),
+        col("nrm").as("n_c"))
+    // nearest centroid per vector: broadcast the codebook, rank on the
+    // skinny (vec_id, cid, cos) frame — embeddings stay behind
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val assign = v.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // probes search their nprobe nearest cells
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probeCells = v.filter(expr(QueryFilter)).join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= IvfProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val q = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assign.join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(v, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q59Sql: String = {
+    def cosC(e: String, n: String) =
+      s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS e_c, nrm AS n_c
+       |      FROM v WHERE vec_id < $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN c) WHERE rk = 1
+       |),
+       |probe AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT v.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN c WHERE $QueryFilter) WHERE rk <= $IvfProbe
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS e_q, nrm AS n_q
+       |      FROM v WHERE $QueryFilter)
+       |SELECT query_id, probe.cell AS cell, v.vec_id,
+       |  ${rndSql(s"${VecFns.dotSql("v.embedding", "q.e_q")} / (v.nrm * q.n_q)", 4)} AS cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY ${rndSql(s"${VecFns.dotSql("v.embedding", "q.e_q")} / (v.nrm * q.n_q)", 4)} DESC, v.vec_id ASC) AS INT) AS rank
+       |FROM assign JOIN probe USING (cell)
+       |  JOIN v ON assign.vec_id = v.vec_id
+       |  JOIN q USING (query_id)
+       |WHERE v.vec_id <> query_id
+       |QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q36_ann_bruteforce" -> (q36 _),
-    "q37_ann_lsh" -> (q37 _))
+    "q37_ann_lsh" -> (q37 _),
+    "q59_ann_ivf" -> (q59 _))
 
   def oracles: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
-    "q37_ann_lsh" -> q37Sql)
+    "q37_ann_lsh" -> q37Sql,
+    "q59_ann_ivf" -> q59Sql)
 }

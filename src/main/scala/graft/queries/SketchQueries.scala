@@ -139,15 +139,44 @@ object SketchQueries {
        |      FROM lineitem GROUP BY l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q62_kmv_distinct — per-source vocabulary size via the KMV
+  // distinct-count sketch (functions/KmvSketch.scala), with the exact
+  // distinct count alongside to expose the sketch error. The sketch
+  // is the 100 TB path: k longs of mergeable state per group vs the
+  // exact count's full distinct shuffle (kept here only because the
+  // corpus is small enough to afford the ground truth).
+  // ---------------------------------------------------------------
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("source"), (TextFns.hash60(col("tok")) % TextFns.P).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("h")).as("exact_distinct"),
+        TextFns.rnd(graft.functions.KmvSketch.kmvDistinct(col("h")), 4)
+          .as("est_distinct"))
+      .orderBy(col("source"))
+
+  val q62Sql: String =
+    s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT h) AS exact_distinct,
+       |  ${TextFns.rndSql(graft.functions.KmvSketch.kmvDistinctSql("h"), 4)} AS est_distinct
+       |FROM (SELECT source, ${TextFns.hash60Sql("t")} % ${TextFns.P} AS h
+       |      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |            FROM documents))
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
     "q50_asof_join" -> (q50 _),
-    "q51_percentiles" -> (q51 _))
+    "q51_percentiles" -> (q51 _),
+    "q62_kmv_distinct" -> (q62 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
     "q49_skew_salted" -> q49Sql,
     "q50_asof_join" -> q50Sql,
-    "q51_percentiles" -> q51Sql)
+    "q51_percentiles" -> q51Sql,
+    "q62_kmv_distinct" -> q62Sql)
 }

@@ -46,11 +46,58 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // q60_stream_dedup — watermark-bounded streaming dropDuplicates;
+  // equals the batch DISTINCT below. Bounded to user_id <= 300 (the
+  // q50 pattern) to keep the emitted result proportionate; the
+  // filter is applied BEFORE the stateful operator, so it also prunes
+  // dedup state at the source.
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.dedupFirstInHour(
+        EventStreams.readEvents(spark, dir).filter(col("user_id") <= 300)),
+      name, OutputMode.Append(), ReplayStateParts)
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+  }
+
+  val q60Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start
+      |FROM events WHERE user_id <= 300
+      |ORDER BY user_id, event_type, hour_start""".stripMargin
+
+  // q63_stream_interval_join — stream-stream join, both sides
+  // watermarked, event-time-bounded condition; equals the batch join.
+  // A stream-stream join keeps FOUR state stores per partition (two
+  // maps per side), so its per-partition commit overhead is 4x a
+  // dedup/agg's — the replay uses fewer, bigger state partitions.
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_ssjoin_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.purchaseClickJoin(spark, dir),
+      name, OutputMode.Append(), Some(2))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  val q63Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id,
+      |  CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000) AS BIGINT) AS gap_s
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY user_id, purchase_id, click_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q42_stream_tumbling" -> (q42 _),
-    "q43_stream_sessions" -> (q43 _))
+    "q43_stream_sessions" -> (q43 _),
+    "q60_stream_dedup" -> (q60 _),
+    "q63_stream_interval_join" -> (q63 _))
 
   def oracles: Map[String, String] = Map(
     "q42_stream_tumbling" -> EventsOps.q40Sql,
-    "q43_stream_sessions" -> EventsOps.q39Sql)
+    "q43_stream_sessions" -> EventsOps.q39Sql,
+    "q60_stream_dedup" -> q60Sql,
+    "q63_stream_interval_join" -> q63Sql)
 }

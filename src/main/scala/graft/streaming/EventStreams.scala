@@ -58,6 +58,46 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming dedup: first (user, event_type, hour) occurrence wins.
+    * The dedup key includes the event-time window, so the watermark
+    * EVICTS dedup state for hours it has passed — state is bounded by
+    * (active keys × watermark horizon), never by stream length. This
+    * is the streaming half of exact dedup (batch half: Dedup.q32).
+    */
+  def dedupFirstInHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"),
+        window(col("ts"), "1 hour").as("win"))
+      .dropDuplicates("user_id", "event_type", "win")
+      .select(col("user_id"), col("event_type"),
+        col("win.start").as("hour_start"))
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides are watermarked
+    * and the join condition bounds event-time distance, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the interval — the canonical bounded-state stream join.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      expr("""user_id = c_user AND
+             |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        floor((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000L)
+          .cast("long").as("gap_s"))
+  }
+
   /** One user's event. `us` (micros since epoch) drives the gap
     * logic; `ts` is kept alongside because the WATERMARK is attached
     * to that attribute — projecting it away would silently discard
@@ -193,6 +233,11 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the replay is done and its checkpoint is never revisited —
+      // drop the loaded state-store providers (and their in-memory
+      // state maps) instead of letting every completed query leak its
+      // state into the session (see StreamingBridge)
+      org.apache.spark.sql.graftbridge.StreamingBridge.unloadStateStores()
       (spark.table(name), q.recentProgress)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
