@@ -38,7 +38,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materializes the cache and sizes the loop's shuffles: ~500k
     // edges per partition, capped at the cluster's parallelism
+    val tEdges0 = System.nanoTime()
     val nEdges = both.count()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] edges=$nEdges materialize=${(System.nanoTime() - tEdges0) / 1e9}%.2f s")
     val loopParts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 500000L + 1L)).toString
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -71,6 +74,8 @@ object ConnectedComponents {
             least(col("p.lbl"), coalesce(col("llbl"), col("p.lbl"))).as("lbl"))
           .localCheckpoint(true)
         val nextSum = next.agg(sum("lbl")).head().getLong(0)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"[cc] iter=$iter sum=$nextSum")
         labels = next
         converged = nextSum == checksum
         checksum = nextSum

@@ -120,15 +120,54 @@ object Extended {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q64_stratified_sample — deterministic per-stratum sampling for
+  // class rebalancing (the training-data curation step: downsample
+  // the dominant language, keep the tail): keep a doc iff
+  // hash60(doc_id) mod 100 < rate(lang). Hash-threshold sampling is
+  // the distributed form of sampleBy that is (a) reproducible across
+  // runs/engines with no RNG state, (b) pure map work at scan
+  // parallelism, and (c) consistent under re-partitioning — the
+  // properties a 100 TB curation pass needs. One partial+final
+  // aggregate computes kept/total per stratum.
+  // ---------------------------------------------------------------
+  final val EnSampleRate = 30L
+  final val TailSampleRate = 80L
+
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val rate = when(col("lang") === "en", lit(EnSampleRate))
+      .otherwise(lit(TailSampleRate))
+    val keep = hash60(col("doc_id").cast("string")) % 100 < rate
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate_pct", rate)
+      .orderBy(col("lang"))
+  }
+
+  val q64Sql: String = {
+    import graft.functions.TextFns.hash60Sql
+    val rate = s"CASE WHEN lang = 'en' THEN $EnSampleRate ELSE $TailSampleRate END"
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $rate
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST($rate AS BIGINT) AS rate_pct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q53_correlated_subquery" -> (q53 _),
     "q54_map_functions" -> (q54 _),
     "q55_sliding_windows" -> (q55 _),
-    "q56_tf_embedding" -> (q56 _))
+    "q56_tf_embedding" -> (q56 _),
+    "q64_stratified_sample" -> (q64 _))
 
   def oracles: Map[String, String] = Map(
     "q53_correlated_subquery" -> q53Sql,
     "q54_map_functions" -> q54Sql,
     "q55_sliding_windows" -> q55Sql,
-    "q56_tf_embedding" -> q56Sql)
+    "q56_tf_embedding" -> q56Sql,
+    "q64_stratified_sample" -> q64Sql)
 }

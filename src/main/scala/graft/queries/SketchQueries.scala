@@ -166,17 +166,57 @@ object SketchQueries {
        |            FROM documents))
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q65_countmin_freq — token frequencies via the Count-Min sketch
+  // (functions/CountMinSketch.scala): fill one 4x256 sketch over the
+  // token stream, then point-estimate the top-10 exact tokens against
+  // their true counts (the exact side is affordable ground truth at
+  // this SF; at 100 TB only the sketch — d*w longs of mergeable
+  // state — survives). The estimate is deterministic, so the oracle
+  // reproduces it with per-row bucket-count subqueries.
+  // ---------------------------------------------------------------
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .select(col("token"), (TextFns.hash60(col("token")) % TextFns.P).as("h"))
+    val cms = toks.agg(CountMinSketch.countMin(col("h")).as("cms"))
+    val top = toks.groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+      .limit(10)
+    top.join(broadcast(cms))
+      .select(col("token"), col("exact_n"),
+        CountMinSketch.estimate(col("cms"), col("h")).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  val q65Sql: String = {
+    import graft.functions.CountMinSketch
+    s"""WITH toks AS (
+       |  SELECT token, ${TextFns.hash60Sql("token")} % ${TextFns.P} AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+       |top AS (
+       |  SELECT token, h, COUNT(*) AS exact_n FROM toks
+       |  GROUP BY token, h ORDER BY exact_n DESC, token LIMIT 10)
+       |SELECT token, exact_n,
+       |  ${CountMinSketch.estimateSql("toks", "top.h")} AS cms_est
+       |FROM top ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
     "q50_asof_join" -> (q50 _),
     "q51_percentiles" -> (q51 _),
-    "q62_kmv_distinct" -> (q62 _))
+    "q62_kmv_distinct" -> (q62 _),
+    "q65_countmin_freq" -> (q65 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
     "q49_skew_salted" -> q49Sql,
     "q50_asof_join" -> q50Sql,
     "q51_percentiles" -> q51Sql,
-    "q62_kmv_distinct" -> q62Sql)
+    "q62_kmv_distinct" -> q62Sql,
+    "q65_countmin_freq" -> q65Sql)
 }

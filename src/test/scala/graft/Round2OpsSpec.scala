@@ -82,6 +82,42 @@ class Round2OpsSpec extends SparkTestBase {
       "corpus must never cartesian with itself")
   }
 
+  test("CountMinSketch: estimates never undercount and are partition-invariant") {
+    import graft.functions.CountMinSketch
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .select(col("token"), (TextFns.hash60(col("token")) % TextFns.P).as("h"))
+    def estimates(parts: Int) = {
+      val cms = toks.repartition(parts).agg(CountMinSketch.countMin(col("h")).as("cms"))
+      toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(cms))
+        .select(col("token"), col("exact_n"),
+          CountMinSketch.estimate(col("cms"), col("h")).as("est"))
+    }
+    val e = estimates(4).cache()
+    // CMS error is one-sided: est >= exact always
+    assert(e.filter(col("est") < col("exact_n")).count() == 0)
+    // merge correctness: sketch identical under any partitioning
+    assert(estimates(1).exceptAll(e).isEmpty)
+    e.unpersist()
+  }
+
+  test("q64: sampling is deterministic and per-stratum fractions are sane") {
+    val r1 = graft.queries.Extended.q64(spark, Sf).collect()
+    val r2 = graft.queries.Extended.q64(spark, Sf).collect()
+    assert(r1.sameElements(r2), "hash sampling must be reproducible")
+    r1.foreach { row =>
+      val (total, sampled, rate) =
+        (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(sampled <= total)
+      // hash-threshold sampling concentrates near rate% (loose bound
+      // for small strata)
+      val frac = sampled.toDouble / total
+      assert(math.abs(frac - rate / 100.0) < 0.35,
+        s"stratum ${row.getString(0)}: frac $frac vs rate $rate%")
+    }
+  }
+
   test("q60: streaming dedup equals batch DISTINCT") {
     val stream = StreamingQueries.q60(spark, Sf)
     val batch = graft.sources.Tables.events(spark, Sf)
