@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.types.LongType
-import graft.functions.{BinKernels, MinHashMerge, TextKernels}
+import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, TextKernels}
 
 /** SQL-surface registration for the graft native kernels: a
   * SparkSessionExtensions hook (the public extension point — no
@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: AsOfJoinPlan → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // builders construct catalyst expressions DIRECTLY (the Column
     // API would leave unresolved column nodes behind the analyzer)
     ext.injectFunction(unary("graft_hash60",
@@ -54,10 +56,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_byte_stats",
       "_FUNC_(bin) - struct(bmin,bmax,bmean,bstd) over the bytes, one pass",
       BinKernels.byteStatsExpr))
-    // aggregate: the analyzer wraps a bare AggregateFunction into an
-    // AggregateExpression, so the builder returns MinHashMerge directly
+    ext.injectFunction(unary("graft_simhash60",
+      "_FUNC_(str) - 60-bit SimHash over the whitespace token stream",
+      e => TextKernels.invokeExpr("simhash60", LongType, e)))
+    // aggregates: the analyzer wraps a bare AggregateFunction into an
+    // AggregateExpression, so the builders return the function directly
     ext.injectFunction(unary("graft_minhash_merge",
       "_FUNC_(sig) - elementwise-min merge of MinHash signatures (union sketch)",
       e => MinHashMerge(e)))
+    ext.injectFunction(unary("graft_kmv_distinct",
+      "_FUNC_(hash) - KMV sketch distinct-count estimate (exact below k)",
+      e => KmvSketch(e, KmvSketch.DefaultK)))
+    ext.injectFunction(unary("graft_countmin",
+      "_FUNC_(hash) - Count-Min sketch (row-major d*w counter array)",
+      e => CountMinSketch(e)))
   }
 }

@@ -31,21 +31,6 @@ object Dedup {
   private val shingleSetSql: String =
     s"list_distinct(${shinglesSql("string_split(text, ' ')", 2)})"
 
-  /** Documents with the shingle set, repartitioned BEFORE the
-    * CPU-heavy shingle/minhash work (the reference's
-    * repartition-before-UDF pattern, radiography_analysis.py:102):
-    * the local corpus parquet is a single row group, so without this
-    * the whole interpreted array pipeline runs on one core —
-    * measured 4s single-task vs 0.3s spread over the cluster. At
-    * real scale the scan already has thousands of splits and this
-    * exchange is cheap relative to the map work it parallelizes.
-    */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
-
   // ---------------------------------------------------------------
   // q32_dedup_exact_docs — exact dedup via content-hash groupBy:
   // keep lowest doc_id per distinct text. One partial+final hash
@@ -100,27 +85,33 @@ object Dedup {
 
   /** The unbounded LSH near-dup pipeline (candidates → exact Jaccard):
     * q34 takes its top-30; q61 thresholds it into a duplicate graph.
+    *
+    * Materialize-once: (doc_id, shingle set, signature) is computed in
+    * ONE corpus pass and localCheckpoint'd, then reused by the band
+    * join AND both exact-Jaccard sides. Without it the text→hash
+    * kernel pipeline runs three times (band source + each join side) —
+    * immaterial locally (~10 µs/doc), but at 100 TB that is two extra
+    * full-corpus md5 passes; a persisted/bucketed table plays this
+    * role in a multi-job production pipeline. (CollapseProject would
+    * otherwise also inline the signature expression into each
+    * element_at band-key reference — with the interpreted HOF minhash
+    * that was a measured 10x slowdown; the checkpoint is a hard
+    * barrier.)
     */
   private[graft] def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    // Note on expression reuse: CollapseProject + ColumnPruning will
-    // inline the signature expression into each element_at band-key
-    // reference (projection barriers — even repartition — don't stop
-    // it). With the interpreted HOF minhash that was a measured 10x
-    // slowdown; the native kernel is cheap enough (~10 µs/doc) that
-    // the duplication is immaterial. The repartition parallelizes the
-    // kernel work over the cluster (local corpus parquet is a single
-    // row group → single task otherwise).
-    val sig = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextKernels.minhashSigCol(col("text")).as("sig"))
+      .select(col("doc_id"),
+        TextKernels.bigramSetCol(col("text")).as("sh"),
+        TextKernels.minhashSigCol(col("text")).as("sig"))
+      .localCheckpoint()
     val bandsArr = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until Rows).map(r =>
           element_at(col("sig"), b * Rows + r + 1)): _*).as("key"))
     }: _*)
-    val bands = sig
+    val bands = base
       .select(col("doc_id"), explode(bandsArr).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val pairs = bands.as("x")
@@ -129,8 +120,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),

@@ -167,6 +167,33 @@ object SketchQueries {
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q66_asof_native — the SAME as-of semantics as q50 through the
+  // whole-operator Catalyst extension (plans/AsOfJoinNative: custom
+  // LogicalPlan + SparkStrategy + SparkPlan, injected by
+  // GraftExtensions): one exchange + sort per side, then a streaming
+  // O(1)-memory merge — no union/window/null-padding. Shares q50's
+  // oracle; PlanSpec asserts the AsOfJoinExec node is actually used.
+  // ---------------------------------------------------------------
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") <= 120)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 120)
+      .groupBy(col("o_custkey").as("r_user"),
+        col("o_orderdate").cast("timestamp").as("odate"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey")).as("o"))
+      .select(col("r_user"), col("odate"),
+        col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+    graft.plans.AsOfJoinNative.asOf(ev, ord, "user_id", "r_user", "ts", "odate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------
   // q65_countmin_freq — token frequencies via the Count-Min sketch
   // (functions/CountMinSketch.scala): fill one 4x256 sketch over the
   // token stream, then point-estimate the top-10 exact tokens against
@@ -210,7 +237,8 @@ object SketchQueries {
     "q50_asof_join" -> (q50 _),
     "q51_percentiles" -> (q51 _),
     "q62_kmv_distinct" -> (q62 _),
-    "q65_countmin_freq" -> (q65 _))
+    "q65_countmin_freq" -> (q65 _),
+    "q66_asof_native" -> (q66 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
@@ -218,5 +246,6 @@ object SketchQueries {
     "q50_asof_join" -> q50Sql,
     "q51_percentiles" -> q51Sql,
     "q62_kmv_distinct" -> q62Sql,
-    "q65_countmin_freq" -> q65Sql)
+    "q65_countmin_freq" -> q65Sql,
+    "q66_asof_native" -> q50Sql)
 }

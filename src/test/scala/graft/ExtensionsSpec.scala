@@ -35,6 +35,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("graft_simhash60 / graft_kmv_distinct / graft_countmin SQL == column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash60(text) AS sh FROM ext_docs")
+    val viaCol = docs.select(col("doc_id"),
+      TextKernels.simhash60Col(col("text")).as("sh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+
+    Tables.documents(spark, Sf)
+      .select(col("source"), (TextFns.hash60(col("text")) % TextFns.P).as("h"))
+      .createOrReplaceTempView("ext_hashes")
+    val aggSql = spark.sql(
+      """SELECT source, graft_kmv_distinct(h) AS kmv, graft_countmin(h) AS cms
+        |FROM ext_hashes GROUP BY source""".stripMargin)
+    val aggCol = spark.table("ext_hashes").groupBy("source")
+      .agg(graft.functions.KmvSketch.kmvDistinct(col("h")).as("kmv"),
+        graft.functions.CountMinSketch.countMin(col("h")).as("cms"))
+    assert(aggSql.count() > 0)
+    assert(aggSql.exceptAll(aggCol).isEmpty && aggCol.exceptAll(aggSql).isEmpty)
+  }
+
   test("graft_minhash_merge aggregates through SQL") {
     Tables.documents(spark, Sf)
       .select(col("source"), TextKernels.minhashSigCol(col("text")).as("sig"))
