@@ -138,15 +138,53 @@ object EventsOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q67_session_window — gap-based sessions via Spark's BUILT-IN
+  // session_window aggregate (the declarative counterpart of the
+  // hand-rolled q39 and the stateful q43): dynamic-gap session
+  // windows merged inside the aggregation operator itself, one
+  // exchange on user_id. Boundary semantics differ from q39 BY
+  // DESIGN: session_window starts a new session when the gap is
+  // >= the duration (q39 uses >) — the oracle mirrors >= exactly.
+  // Window end = last event time + gap.
+  // ---------------------------------------------------------------
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val q67Sql: String =
+    s"""SELECT user_id, MIN(us) AS start_us, MAX(us) + $GapUs AS end_us,
+       |  COUNT(*) AS n_events
+       |FROM (
+       |  SELECT user_id, us,
+       |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= $GapUs
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |          LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |            ORDER BY epoch_us(ts), event_id) AS prev_us
+       |        FROM events))
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, start_us""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q38_json_extract" -> (q38 _),
     "q39_sessionize" -> (q39 _),
     "q40_tumbling_hourly" -> (q40 _),
-    "q41_fill_replace" -> (q41 _))
+    "q41_fill_replace" -> (q41 _),
+    "q67_session_window" -> (q67 _))
 
   def oracles: Map[String, String] = Map(
     "q38_json_extract" -> q38Sql,
     "q39_sessionize" -> q39Sql,
     "q40_tumbling_hourly" -> q40Sql,
-    "q41_fill_replace" -> q41Sql)
+    "q41_fill_replace" -> q41Sql,
+    "q67_session_window" -> q67Sql)
 }

@@ -43,6 +43,39 @@ class PropertySpec extends SparkTestBase {
     assert(rs.map(_.getDouble(1)).toSeq == again.toSeq)
   }
 
+  test("property: simhash60 kernel equals declarative on arbitrary docs; " +
+    "near-identical docs stay Hamming-close") {
+    val docs = samples(doc, 30)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mismatch = df.select(
+        TextKernels.simhash60Col(col("text")).as("k"),
+        TextFns.simhashN(TextFns.tokens(col("text")), 60).as("d"))
+      .filter(col("k") =!= col("d")).count()
+    assert(mismatch == 0)
+    // locality: appending one token moves few of the 60 bits
+    val perturbed = df.select(
+        TextKernels.simhash60Col(col("text")).as("a"),
+        TextKernels.simhash60Col(concat(col("text"), lit(" zzz"))).as("b"))
+      .select(bit_count(col("a").bitwiseXOR(col("b"))).as("ham"))
+      .collect().map(_.getInt(0))
+    assert(perturbed.forall(_ <= 30), s"perturbation moved too many bits: ${perturbed.max}")
+  }
+
+  test("property: KMV estimate is exact below k for arbitrary distinct sets") {
+    val sets = samples(Gen.listOfN(50, Gen.chooseNum(1L, 1000000L)), 6)
+    sets.foreach { xs =>
+      val distinct = xs.distinct
+      val df = distinct.toDF("x")
+        .select((TextFns.hash60(col("x").cast("string")) % TextFns.P).as("h"))
+      val est = df.agg(graft.functions.KmvSketch.kmvDistinct(col("h")))
+        .head().getDouble(0)
+      // k=64 > 50 inputs → sketch must be exact on DISTINCT HASHES
+      val nHashes = df.distinct().count()
+      assert(est == nHashes.toDouble, s"est $est vs $nHashes")
+    }
+  }
+
   test("property: W1 latest-per-key equals groupBy-max join") {
     val rows = samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 20))), 5)
     rows.foreach { data =>
