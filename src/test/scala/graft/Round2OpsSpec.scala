@@ -118,6 +118,23 @@ class Round2OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q64: scan reads only the columns the sample needs (text pruned)") {
+    val p = plan(graft.queries.Extended.q64(spark, Sf))
+    val readSchema = p.split('\n').find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("lang") && readSchema.contains("doc_id"),
+      s"expected lang+doc_id in scan: $readSchema")
+    assert(!readSchema.contains("text"), s"text must be pruned: $readSchema")
+  }
+
+  test("q62/q65: custom sketch aggregates plan partial+final (ObjectHashAggregate)") {
+    val p62 = plan(graft.queries.SketchQueries.q62(spark, Sf))
+    assert(p62.contains("ObjectHashAggregate"),
+      "KMV TypedImperativeAggregate should use object hash aggregation")
+    val p65 = plan(graft.queries.SketchQueries.q65(spark, Sf))
+    assert(p65.contains("ObjectHashAggregate"),
+      "Count-Min TypedImperativeAggregate should use object hash aggregation")
+  }
+
   test("q60: streaming dedup equals batch DISTINCT") {
     val stream = StreamingQueries.q60(spark, Sf)
     val batch = graft.sources.Tables.events(spark, Sf)
