@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_simhash60",
       "_FUNC_(str) - 60-bit SimHash over the whitespace token stream",
       e => TextKernels.invokeExpr("simhash60", LongType, e)))
+    // binary: fully codegen'd (doGenCode) float-vector dot product
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "_FUNC_(a, b) - dot product of two FLOAT arrays, double accumulation"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_dot expects exactly 2 arguments")
+        org.apache.spark.sql.graftbridge.DotProductFloat(args(0), args(1))
+      }))
     // aggregates: the analyzer wraps a bare AggregateFunction into an
     // AggregateExpression, so the builders return the function directly
     ext.injectFunction(unary("graft_minhash_merge",

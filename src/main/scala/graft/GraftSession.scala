@@ -38,6 +38,9 @@ object GraftSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = builder(appName, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // evict this session's cached frames/layouts when the context ends
+    spark.sparkContext.addSparkListener(
+      new GraftEvictionListener(CacheRegistry.sessionKey(spark)))
     spark
   }
 }

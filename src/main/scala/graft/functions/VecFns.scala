@@ -40,10 +40,18 @@ object VecFns {
     s
   }
 
-  /** Column wrapper for [[dotK]] via StaticInvoke (stays inside
-    * whole-stage codegen).
+  /** Hot-path dot product: the fully codegen'd [[DotProductFloat]]
+    * expression (doGenCode inlines the loop into the stage's generated
+    * Java). Same numeric contract as [[dot]]/[[dotK]] — KernelSpec
+    * pins all three bit-identical.
     */
-  def dotCol(a: Column, b: Column): Column = {
+  def dotCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.VecExprs.dotGen(a, b)
+
+  /** StaticInvoke wrapper for [[dotK]] — kept as the parity reference
+    * one rung below [[dotCol]] on the extension ladder.
+    */
+  def dotColInvoke(a: Column, b: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}

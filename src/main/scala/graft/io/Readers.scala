@@ -47,6 +47,28 @@ object Readers {
       .load(dir)
       .withColumn("label", lit(label))
 
+  /** S3 at scale — same contract as [[images]] (image struct +
+    * label, invalid files dropped) over the `binaryFile` source + the
+    * ImgKernels decode expression (SURVEY.md §7.4 risk 4; reference
+    * radiography_analysis.py:71-89). The scan is a plain distributed
+    * file scan; decode happens inside the projection, only in plans
+    * that use the decoded struct; NULL-decode filter ≡ dropInvalid.
+    * The origin is normalised to the image source's
+    * `file:///…` URI form so path-string operators (D6 hdfs_origin
+    * stripping) behave identically on either reader.
+    */
+  def imagesBinary(spark: SparkSession, dir: String, label: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val origin = regexp_replace(col("path"), "^file:/(?=[^/])", "file:///")
+    spark.read
+      .format("binaryFile")
+      .load(dir)
+      .select(graft.functions.ImgKernels.decodeImage(origin, col("content"))
+        .as("image"))
+      .filter(col("image").isNotNull)
+      .withColumn("label", lit(label))
+  }
+
   /** S4 — parquet re-read through SQL, preserving the reference's
     * mid-query materialization idiom
     * (cases_clinical_spectrum_analysis.py:115-118).

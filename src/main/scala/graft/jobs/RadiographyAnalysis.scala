@@ -34,6 +34,17 @@ object RadiographyAnalysis {
       .map { case (name, k) => Readers.images(spark, s"$baseDir/$name", k) }
       .reduce(_ union _)
 
+  /** S3 scale path — the same extract over `binaryFile` + the
+    * ImgKernels decode expression (SURVEY.md §7.4 risk 4). Struct
+    * layout and invalid-file behaviour match [[extract]], so every
+    * downstream stage runs unchanged; the scan itself is a plain
+    * distributed file scan with no eager decode.
+    */
+  def extractBinary(spark: SparkSession, baseDir: String): DataFrame =
+    classNames.zipWithIndex
+      .map { case (name, k) => Readers.imagesBinary(spark, s"$baseDir/$name", k) }
+      .reduce(_ union _)
+
   /** U1+F3+H1 — union, size filter, repartition before the
     * UDF-heavy stages (py:92-104).
     */

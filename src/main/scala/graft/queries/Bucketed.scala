@@ -23,6 +23,35 @@ object Bucketed {
     * factors don't collide, and re-runs in one session reuse the
     * layout (that reuse IS the bucketing economics).
     */
+  /** Warehouse locations written by this session, so a session stop
+    * can reclaim the layout files (the in-memory catalog dies with
+    * the session; the directories would otherwise accumulate across
+    * many sessions of one long-lived process).
+    */
+  private val createdLayouts =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[String]]
+
+  graft.CacheRegistry.register("bucketed.layouts") { sid =>
+    createdLayouts.keys.filter(_._1 == sid).foreach { key =>
+      createdLayouts.remove(key).getOrElse(Nil).foreach { p =>
+        // local-fs only: a shared warehouse (hdfs/s3) outlives sessions
+        // by design and is never deleted from a lifecycle hook
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).toSeq.flatten.foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    }
+  }
+
+  /** Test/introspection hook. */
+  private[graft] def layoutsTracked(spark: SparkSession): Seq[String] =
+    createdLayouts.toSeq
+      .filter(_._1._1 == System.identityHashCode(spark)).flatMap(_._2)
+
   def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val li = s"graft_li_bkt_$tag"
@@ -36,6 +65,13 @@ object Bucketed {
       val path = new org.apache.hadoop.fs.Path(warehouse, table)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
+    }
+
+    def localPath(table: String): Option[String] = {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = new org.apache.hadoop.fs.Path(warehouse, table).toUri
+      if (uri.getScheme == null || uri.getScheme == "file") Some(uri.getPath)
+      else None
     }
 
     if (!spark.catalog.tableExists(li)) {
@@ -52,6 +88,9 @@ object Bucketed {
         .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ord)
     }
+    createdLayouts.putIfAbsent(
+      (System.identityHashCode(spark), dir),
+      Seq(li, ord).flatMap(localPath))
     (li, ord)
   }
 

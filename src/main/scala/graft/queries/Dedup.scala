@@ -107,6 +107,15 @@ object Dedup {
   private val lshBaseCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  // session stops drop that session's checkpointed base frames
+  graft.CacheRegistry.register("dedup.lshBase") { sid =>
+    lshBaseCache.keys.filter(_._1 == sid).foreach(lshBaseCache.remove)
+  }
+
+  /** Test/introspection hook: is a base frame cached for (session, dir)? */
+  private[graft] def lshBaseCached(spark: SparkSession, dir: String): Boolean =
+    lshBaseCache.contains((System.identityHashCode(spark), dir))
+
   private def lshBase(spark: SparkSession, dir: String): DataFrame =
     lshBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir),
       Tables.documents(spark, dir)

@@ -56,6 +56,15 @@ class ExtensionsSpec extends SparkTestBase {
     assert(aggSql.exceptAll(aggCol).isEmpty && aggCol.exceptAll(aggSql).isEmpty)
   }
 
+  test("graft_dot SQL == codegen dot column (bitwise)") {
+    Tables.embeddings(spark, Sf).limit(100).createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM ext_emb")
+    val viaCol = Tables.embeddings(spark, Sf).limit(100).select(col("vec_id"),
+      graft.functions.VecFns.dotCol(col("embedding"), col("embedding")).as("d"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("graft_minhash_merge aggregates through SQL") {
     Tables.documents(spark, Sf)
       .select(col("source"), TextKernels.minhashSigCol(col("text")).as("sig"))

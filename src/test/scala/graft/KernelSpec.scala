@@ -31,16 +31,37 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
-  test("dotCol kernel == declarative zip_with/aggregate dot (bitwise)") {
+  test("dot product: declarative == StaticInvoke kernel == codegen expression (bitwise)") {
     val emb = Tables.embeddings(spark, Sf)
     val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
       .crossJoin(emb.select(col("embedding").as("b")).limit(5))
     val mismatch = pairs.select(
         graft.functions.VecFns.dot(col("a"), col("b")).as("d"),
-        graft.functions.VecFns.dotCol(col("a"), col("b")).as("k"))
-      .filter(not(col("d") === col("k"))) // bit-exact, no tolerance
+        graft.functions.VecFns.dotColInvoke(col("a"), col("b")).as("k"),
+        graft.functions.VecFns.dotCol(col("a"), col("b")).as("g"))
+      .filter(not(col("d") === col("k")) || not(col("d") === col("g"))) // bit-exact
       .count()
     assert(mismatch == 0)
+  }
+
+  test("DotProductFloat: null propagation + interpreted eval parity") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
+      (None, Some(Seq(1f, 1f, 1f))),
+      (Some(Seq(1f, 1f, 1f)), None))
+      .toDF("a", "b")
+    val rows = df.select(graft.functions.VecFns.dotCol(col("a"), col("b")).as("d"))
+      .collect()
+    assert(rows(0).getDouble(0) == (4.0 + 10.0 + 18.0))
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    // interpreted path (eval) must agree with codegen
+    val e = org.apache.spark.sql.graftbridge.DotProductFloat(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4f, 5f, 6f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == 32.0)
   }
 
   test("minhash_merge: empty/all-null group sketches to the all-P sentinel") {

@@ -56,6 +56,27 @@ class PlanSpec extends SparkTestBase {
     assert(windowExchanges <= 2, s"expected at most union+window exchanges:\n$p")
   }
 
+  test("graft_dot codegen expression stays inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.embeddings(spark, Sf)
+      .select(graft.functions.VecFns.dotCol(col("embedding"), col("embedding")).as("d"))
+      .filter(col("d") > 0)
+    val p = plan(df)
+    // a star prefix (`*(n)`) marks an operator compiled into a
+    // WholeStageCodegen stage; both the project evaluating graft_dot
+    // and the filter referencing it must carry it (no interpreted
+    // fallback)
+    val lines = p.split('\n')
+    val dotLines = lines.filter(_.contains("graft_dot"))
+    assert(dotLines.nonEmpty, s"graft_dot not in plan:\n$p")
+    dotLines.filterNot(_.contains("FileScan")).foreach { l =>
+      val op = l.trim.replaceFirst("^[+\\-:| ]+", "") // strip tree-drawing prefix
+      assert(op.startsWith("*"),
+        s"graft_dot operator fell out of codegen: $l")
+    }
+    assert(df.count() > 0)
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan(Relational.q01(spark, Sf))
     val hashAggs = p.split('\n').count(_.contains("HashAggregate"))

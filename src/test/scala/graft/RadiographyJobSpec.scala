@@ -73,6 +73,21 @@ class RadiographyJobSpec extends SparkTestBase {
     assert(matrix.forall(_.length == matrix.length), "confusion matrix must be square")
   }
 
+  test("binaryFile reader runs the same pipeline: filter, stats parity (S3 scale path)") {
+    val dfBin = RadiographyAnalysis.transform(
+      RadiographyAnalysis.extractBinary(spark, imgDir)).cache()
+    assert(dfBin.count() == 48) // same dropInvalid + 299x299 semantics
+    val a = percentageOfSamples(dfBin).collect()
+    assert(a.length == 4 && a.forall(_.getAs[Double]("percentage") == 25.0))
+    // byte stats agree with the built-in image source reader per class
+    val statsOf = (d: org.apache.spark.sql.DataFrame) =>
+      colourDistribution(d).groupBy("label")
+        .agg(round(sum("mean"), 3).as("m"), round(sum("standard_deviation"), 3).as("s"))
+        .collect().map(r => (r.getAs[Int]("label"), r.getAs[Double]("m"), r.getAs[Double]("s")))
+        .toSet
+    assert(statsOf(dfBin) == statsOf(df))
+  }
+
   test("dlInference: load-once batched stub scorer (D12)") {
     val preds = dlInference(df, sample = 10, batchSize = 4).collect()
     assert(preds.length == 10)
