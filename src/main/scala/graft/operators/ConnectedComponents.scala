@@ -87,4 +87,97 @@ object ConnectedComponents {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
+
+  /** Alternating large-star/small-star connected components (the
+    * two-operation algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SOCC'14 — re-derived here on
+    * DataFrames). Each round rewrites the EDGE SET rather than a
+    * label table:
+    *
+    *   - large-star: every node u links each strictly-larger
+    *     neighbor to m = min(N(u) ∪ {u});
+    *   - small-star: every node u links its smaller neighbors and
+    *     itself to m = min(N⁻(u) ∪ {u}).
+    *
+    * Both operations preserve connectivity and strictly shrink a
+    * potential function until the edge set is a star forest whose
+    * centers are the component minima. Convergence is provably
+    * O(log² n) rounds and O(log n) in practice — including on the
+    * CHAIN graph that makes plain min-label propagation take O(n)
+    * rounds without pointer jumping (CCStarSpec pins ≤ ~2·log₂ n
+    * rounds on a 1024-chain).
+    *
+    * Scale: every step is a keyed self-aggregate + keyed join on the
+    * edge frame (never all-pairs); the frame's size is bounded by the
+    * original edge count; localCheckpoint truncates the per-round
+    * lineage exactly as [[run]] does. Use this variant when the
+    * duplicate graph may contain long paths (transitive near-dup
+    * chains); [[run]]'s label propagation is marginally cheaper on
+    * the shallow clique-like graphs LSH thresholds produce.
+    */
+  def runStarWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+
+    def bidir(df: DataFrame): DataFrame =
+      df.union(df.select(col("dst").as("src"), col("src").as("dst")))
+
+    // large-star: m(u) = min(N(u) ∪ {u}); emit (m, v) for v ∈ N(u), v > u
+    def largeStar(cur: DataFrame): DataFrame = {
+      val nb = bidir(cur)
+      val m = nb.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      canon(nb.join(m, col("src") === col("u"))
+        .where(col("dst") > col("src"))
+        .select(col("m").as("src"), col("dst").as("dst")))
+    }
+
+    // small-star: m(u) = min(N⁻(u) ∪ {u}); emit (m, v) for
+    // v ∈ N⁻(u) ∪ {u}
+    def smallStar(cur: DataFrame): DataFrame = {
+      val nb = bidir(cur)
+      val sm = nb.where(col("dst") < col("src"))
+      val m = sm.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      canon(
+        sm.join(m, "src").select(col("m").as("src"), col("dst").as("dst"))
+          .union(m.select(col("m").as("src"), col("src").as("dst"))))
+    }
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h")).head()
+      (r.getAs[Long]("n"), r.getAs[Long]("h"))
+    }
+
+    var e = canon(edges).localCheckpoint(true)
+    var cs = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val ncs = checksum(next)
+      e = next
+      rounds += 1
+      converged = ncs == cs
+      cs = ncs
+    }
+    // star forest: (src = component min, dst = member); centers and
+    // isolated nodes label themselves
+    val labels = nodes
+      .join(e.groupBy(col("dst")).agg(min(col("src")).as("lbl")),
+        col("id") === col("dst"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** [[runStarWithRounds]] without the round count. */
+  def runStar(edges: DataFrame, maxIters: Int = 50): DataFrame =
+    runStarWithRounds(edges, maxIters)._1
 }

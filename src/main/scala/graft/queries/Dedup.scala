@@ -343,6 +343,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q71_dedup_clusters_star — q61's clustering through the
+  // alternating large-star/small-star algorithm instead of min-label
+  // propagation. Same edge set, same oracle (the recursive-CTE
+  // transitive closure): two independent distributed algorithms are
+  // pinned to one ground truth. Star rounds are O(log n) even on
+  // chain-shaped duplicate graphs (CCStarSpec) — the adversarial
+  // case for propagation-style CC.
+  // ---------------------------------------------------------------
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshScoredPairs(spark, dir)
+      .where(col("jaccard") >= ClusterJaccardMin)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.operators.ConnectedComponents.runStar(edges)
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val q61Sql: String =
     s"""WITH RECURSIVE $scoredPairsCtes,
        |edges AS (
@@ -370,7 +391,8 @@ object Dedup {
     "q35_embedding_neardup" -> (q35 _),
     "q52_ngram_jaccard" -> (q52 _),
     "q58_simhash_neardup" -> (q58 _),
-    "q61_dedup_clusters" -> (q61 _))
+    "q61_dedup_clusters" -> (q61 _),
+    "q71_dedup_clusters_star" -> (q71 _))
 
   def oracles: Map[String, String] = Map(
     "q32_dedup_exact_docs" -> q32Sql,
@@ -379,5 +401,6 @@ object Dedup {
     "q35_embedding_neardup" -> q35Sql,
     "q52_ngram_jaccard" -> q52Sql,
     "q58_simhash_neardup" -> q58Sql,
-    "q61_dedup_clusters" -> q61Sql)
+    "q61_dedup_clusters" -> q61Sql,
+    "q71_dedup_clusters_star" -> q61Sql)
 }
