@@ -89,15 +89,36 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY user_id, purchase_id, click_id""".stripMargin
 
+  // q72_stream_static_join — the event stream enriched by the static
+  // customer dimension (broadcast, stateless join; see
+  // EventStreams.enrichBySegment), then watermarked hourly counts per
+  // market segment. Oracle: the equivalent batch join+group.
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_enrich_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.enrichBySegment(spark, dir),
+      name, OutputMode.Complete(), ReplayStateParts)
+      .orderBy(col("hour_start"), col("c_mktsegment"))
+  }
+
+  val q72Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      |  c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q42_stream_tumbling" -> (q42 _),
     "q43_stream_sessions" -> (q43 _),
     "q60_stream_dedup" -> (q60 _),
-    "q63_stream_interval_join" -> (q63 _))
+    "q63_stream_interval_join" -> (q63 _),
+    "q72_stream_static_join" -> (q72 _))
 
   def oracles: Map[String, String] = Map(
     "q42_stream_tumbling" -> EventsOps.q40Sql,
     "q43_stream_sessions" -> EventsOps.q39Sql,
     "q60_stream_dedup" -> q60Sql,
-    "q63_stream_interval_join" -> q63Sql)
+    "q63_stream_interval_join" -> q63Sql,
+    "q72_stream_static_join" -> q72Sql)
 }

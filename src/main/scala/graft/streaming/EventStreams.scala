@@ -98,6 +98,30 @@ object EventStreams {
           .cast("long").as("gap_s"))
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * (batch) customer dimension, then windowed per market segment —
+    * the canonical "enrich the stream with reference data" shape.
+    * Stream-static inner joins are STATELESS on the stream side: the
+    * static side is re-planned per micro-batch (picking up dimension
+    * updates) and broadcast, so no join state store exists at all;
+    * the only state is the downstream windowed aggregate, bounded by
+    * its watermark. At 100 TB/day of events the dimension stays a
+    * broadcast as long as it fits an executor — beyond that Spark
+    * falls back to a per-batch shuffled join.
+    */
+  def enrichBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val segments = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(segments), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+  }
+
   /** One user's event. `us` (micros since epoch) drives the gap
     * logic; `ts` is kept alongside because the WATERMARK is attached
     * to that attribute — projecting it away would silently discard

@@ -15,4 +15,49 @@ object PlanBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[_]].queryExecution.analyzed
+
+  /** Post-execution per-node metric rows for PLANS.md: walks the
+    * EXECUTED plan (resolving AQE's final plan, which is private[sql]
+    * — hence this bridge) and reports each node's output rows plus
+    * every time-ish SQL metric that actually accumulated a value.
+    */
+  def executedMetrics(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      // AQE wraps executed subtrees in QueryStageExec nodes whose
+      // `children` is Nil — the subtree hides in `.plan`; unwrap until
+      // a real operator surfaces
+      var resolved = p
+      var unwrapped = true
+      while (unwrapped) {
+        resolved = resolved match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case q: QueryStageExec => q.plan
+          case r: ReusedExchangeExec => r.child
+          case other => unwrapped = false; other
+        }
+      }
+      val interesting = resolved.metrics.toSeq
+        .filter { case (k, m) =>
+          m.value > 0 && (k == "numOutputRows" || k.toLowerCase.contains("time"))
+        }
+        .sortBy(_._1)
+        .map { case (k, m) =>
+          val v = m.metricType match {
+            case "timing" => s"${m.value} ms"
+            case "nsTiming" => f"${m.value / 1e6}%.1f ms"
+            case _ => m.value.toString
+          }
+          s"$k=$v"
+        }
+      out += ("  " * depth + s"${resolved.nodeName}" +
+        (if (interesting.nonEmpty) interesting.mkString(" [", ", ", "]") else ""))
+      resolved.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.asInstanceOf[CDataset[_]].queryExecution.executedPlan, 0)
+    out.toSeq
+  }
 }
