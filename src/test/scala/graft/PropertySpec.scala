@@ -89,6 +89,57 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: codegen dot product equals exact BigDecimal fold on arbitrary vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-8f, 8f))
+    val pairs = samples(Gen.zip(vec, vec), 30)
+    val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+    val got = df.select(graft.functions.VecFns.dotCol(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), d) =>
+      // the pinned contract is a strict ascending double fold — replay
+      // it exactly on the driver
+      var expect = 0.0
+      a.zip(b).foreach { case (x, y) => expect += x.toDouble * y.toDouble }
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(expect), s"d=$d expect=$expect")
+      // and it must be within float-product accumulation error of the
+      // infinitely precise value
+      val exact = a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble) * BigDecimal(y.toDouble)
+      }.sum
+      assert((BigDecimal(d) - exact).abs < BigDecimal(1e-9), s"drift vs exact: $d vs $exact")
+    }
+  }
+
+  test("property: image decode round-trips arbitrary RGB rasters byte-for-byte") {
+    val px = Gen.chooseNum(0, 255)
+    val dims = samples(Gen.zip(Gen.chooseNum(1, 13), Gen.chooseNum(1, 11)), 6)
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val pixels = samples(Gen.listOfN(w * h * 3, px), 1).head.toArray
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, (pixels(o) << 16) | (pixels(o + 1) << 8) | pixels(o + 2))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos) // png is lossless
+      val row = graft.functions.ImgKernels.decode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"mem:$i"),
+        baos.toByteArray)
+      assert(row != null)
+      assert(row.getInt(1) == h && row.getInt(2) == w && row.getInt(3) == 3)
+      val data = row.getBinary(5)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        // stored BGR row-major; generator wrote (r, g, b) at o
+        assert((data(o) & 0xff) == pixels(o + 2), s"B mismatch at ($x,$y)")
+        assert((data(o + 1) & 0xff) == pixels(o + 1), s"G mismatch at ($x,$y)")
+        assert((data(o + 2) & 0xff) == pixels(o), s"R mismatch at ($x,$y)")
+      }
+    }
+  }
+
   test("property: top-k-then-resort returns the true top k") {
     val lists = samples(Gen.listOfN(30, Gen.chooseNum(-1000, 1000)), 8)
     lists.foreach { xs =>
