@@ -84,7 +84,7 @@ object KMeansCodebook {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
     v.join(broadcast(centsDf))
       .select(col("vec_id"), col("cid"),
-        (VecFns.dot(col("embedding"), col("e_c")) / (col("nrm") * col("n_c"))).as("cos_c"))
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c"))).as("cos_c"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))

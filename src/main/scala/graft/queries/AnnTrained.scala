@@ -40,7 +40,7 @@ object AnnTrained {
       .orderBy(col("cos_c").desc, col("cid").asc)
     val probeCells = v.filter(expr(QueryFilter)).join(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("cid"),
-        (VecFns.dot(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
           .as("cos_c"))
       .withColumn("rk", row_number().over(wProbe))
       .where(col("rk") <= Probe)

@@ -64,6 +64,20 @@ class KernelSpec extends SparkTestBase {
     assert(e.eval(null) == 32.0)
   }
 
+  test("DotProductFloat: mixed FLOAT x DOUBLE arrays equal the declarative cast fold") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, -2.25f, 3.125f), Seq(0.5, 4.0, -1.25)))
+      .toDF("f", "d")
+    val row = df.select(
+        graft.functions.VecFns.dotCol(col("f"), col("d")).as("g"),
+        graft.functions.VecFns.dot(col("f"), col("d")).as("ref"),
+        graft.functions.VecFns.dotCol(col("d"), col("f")).as("swapped"))
+      .head()
+    assert(row.getDouble(0) == row.getDouble(1))
+    assert(row.getDouble(2) == row.getDouble(1))
+    assert(row.getDouble(0) == (1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.25))
+  }
+
   test("minhash_merge: empty/all-null group sketches to the all-P sentinel") {
     import spark.implicits._
     // a group whose signatures are all null must equal an empty
