@@ -231,6 +231,73 @@ object SketchQueries {
        |FROM top ORDER BY exact_n DESC, token""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q73_histogram_quantiles — mergeable fixed-grid histogram sketch →
+  // p50/p90/p99 per return flag. The scale path beside q51's exact
+  // percentile_cont: O(bins) state per group through partial+final
+  // aggregation instead of a per-group sort; the estimator
+  // (left-edge + linear interpolation at rank ceil(q·n)) is a pure
+  // function of the deterministic counters, so the oracle recomputes
+  // it exactly — which approx_percentile's merge-order-dependent
+  // summaries can never offer.
+  // ---------------------------------------------------------------
+  final val HistLo = 0.0
+  final val HistHi = 120000.0
+  final val HistBins = 512
+  private val HistQs = Seq(0.5, 0.9, 0.99)
+
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (HistHi - HistLo) / HistBins
+    val sk = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.HistogramSketch.histogram(
+        col("l_extendedprice").cast("double"), HistLo, HistHi, HistBins).as("h"))
+    val bins = sk.select(col("l_returnflag"), posexplode(col("h")).as(Seq("bin", "c")))
+      .where(col("c") > 0)
+    val flagW = Window.partitionBy(col("l_returnflag"))
+    val t = bins
+      .withColumn("cum", sum(col("c")).over(flagW.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(flagW))
+    val qsDf = spark.range(1).select(explode(array(HistQs.map(lit): _*)).as("q"))
+    val r = t.crossJoin(qsDf)
+      .withColumn("rank", ceil(col("q") * col("n").cast("double")).cast("long"))
+      .where(col("cum") >= col("rank"))
+    val first = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("bin"))
+    r.withColumn("rk", row_number().over(first))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag"), col("q"),
+        TextFns.rnd(
+          lit(HistLo) + (col("bin") - 1) * lit(w) +
+            (col("rank") - (col("cum") - col("c"))).cast("double")
+              / col("c").cast("double") * lit(w), 4).as("p_est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val q73Sql: String = {
+    val w = (HistHi - HistLo) / HistBins
+    val bin = graft.functions.HistogramSketch.binSql(
+      "l_extendedprice", HistLo, HistHi, HistBins)
+    s"""WITH b AS (
+       |  SELECT l_returnflag, $bin AS bin, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |t AS (
+       |  SELECT l_returnflag, bin, c,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM b),
+       |r AS (
+       |  SELECT t.*, q, CAST(CEIL(q * n::DOUBLE) AS BIGINT) AS rank
+       |  FROM t CROSS JOIN (SELECT unnest([${HistQs.mkString(", ")}]::DOUBLE[]) AS q) qs),
+       |pick AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, q ORDER BY bin) AS rk
+       |  FROM r WHERE cum >= rank)
+       |SELECT l_returnflag, q,
+       |  ${TextFns.rndSql(s"$HistLo + (bin - 1) * $w + (rank - (cum - c))::DOUBLE / c::DOUBLE * $w", 4)} AS p_est
+       |FROM pick WHERE rk = 1
+       |ORDER BY l_returnflag, q""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
@@ -238,7 +305,8 @@ object SketchQueries {
     "q51_percentiles" -> (q51 _),
     "q62_kmv_distinct" -> (q62 _),
     "q65_countmin_freq" -> (q65 _),
-    "q66_asof_native" -> (q66 _))
+    "q66_asof_native" -> (q66 _),
+    "q73_histogram_quantiles" -> (q73 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
@@ -247,5 +315,6 @@ object SketchQueries {
     "q51_percentiles" -> q51Sql,
     "q62_kmv_distinct" -> q62Sql,
     "q65_countmin_freq" -> q65Sql,
-    "q66_asof_native" -> q50Sql)
+    "q66_asof_native" -> q50Sql,
+    "q73_histogram_quantiles" -> q73Sql)
 }

@@ -140,6 +140,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: histogram sketch is partition-independent and within one bin of exact") {
+    val lists = samples(Gen.listOfN(400, Gen.chooseNum(0.0, 1000.0)), 5)
+    val (lo, hi, bins) = (0.0, 1000.0, 100)
+    val width = (hi - lo) / bins
+    lists.foreach { xs =>
+      val df = xs.toDF("x")
+      def counts(parts: Int): Seq[Long] =
+        df.repartition(parts)
+          .agg(graft.functions.HistogramSketch.histogram(col("x"), lo, hi, bins).as("h"))
+          .head().getAs[scala.collection.Seq[Long]]("h").toSeq
+      // merge order/partitioning must not change the counters
+      assert(counts(1) == counts(7))
+      // p50 from the counters lands within one bin width of the true median
+      val c = counts(7)
+      val n = c.sum
+      val rank = math.ceil(0.5 * n).toLong
+      var cum = 0L
+      var pos = -1 // counter index: 0 = underflow, i covers [lo+(i-1)w, lo+iw)
+      while (cum < rank) { pos += 1; cum += c(pos) }
+      val est = lo + (pos - 1) * width +
+        (rank - (cum - c(pos))).toDouble / c(pos) * width
+      val exact = xs.sorted.apply((n / 2).toInt - (if (n % 2 == 0) 1 else 0))
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"est=$est exact=$exact width=$width")
+    }
+  }
+
   test("property: top-k-then-resort returns the true top k") {
     val lists = samples(Gen.listOfN(30, Gen.chooseNum(-1000, 1000)), 8)
     lists.foreach { xs =>
