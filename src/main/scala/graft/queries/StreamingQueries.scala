@@ -108,17 +108,41 @@ object StreamingQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin
 
+  // q74_stream_kmv — the KMV distinct sketch as STREAMING window
+  // state: per-hour distinct-user estimates with watermark-evicted,
+  // size-bounded sketch state (EventStreams.hourlyDistinctUsers).
+  // Oracle: the identical deterministic estimator in batch SQL.
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_kmv_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.hourlyDistinctUsers(EventStreams.readEvents(spark, dir)),
+      name, OutputMode.Complete(), ReplayStateParts)
+      .orderBy(col("hour_start"))
+  }
+
+  val q74Sql: String = {
+    import graft.functions.{KmvSketch, TextFns}
+    val h = s"${TextFns.hash60Sql("user_id::VARCHAR")} % ${TextFns.P}"
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       |  COUNT(*) AS n_events,
+       |  ${TextFns.rndSql(KmvSketch.kmvDistinctSql("h"), 4)} AS est_users
+       |FROM (SELECT ts, $h AS h FROM events)
+       |GROUP BY 1 ORDER BY hour_start""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q42_stream_tumbling" -> (q42 _),
     "q43_stream_sessions" -> (q43 _),
     "q60_stream_dedup" -> (q60 _),
     "q63_stream_interval_join" -> (q63 _),
-    "q72_stream_static_join" -> (q72 _))
+    "q72_stream_static_join" -> (q72 _),
+    "q74_stream_kmv" -> (q74 _))
 
   def oracles: Map[String, String] = Map(
     "q42_stream_tumbling" -> EventsOps.q40Sql,
     "q43_stream_sessions" -> EventsOps.q39Sql,
     "q60_stream_dedup" -> q60Sql,
     "q63_stream_interval_join" -> q63Sql,
-    "q72_stream_static_join" -> q72Sql)
+    "q72_stream_static_join" -> q72Sql,
+    "q74_stream_kmv" -> q74Sql)
 }

@@ -122,6 +122,28 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Custom sketch inside streaming state: per-hour distinct-user
+    * estimate via the KMV TypedImperativeAggregate. The window's
+    * state is the serialized k-longs sketch — input-size-independent,
+    * merged across micro-batches exactly like across partitions
+    * (the same associativity that makes it partial+final in batch
+    * makes it incrementally updatable in a state store), evicted by
+    * the watermark. Contrast: exact COUNT(DISTINCT) is unsupported in
+    * streaming precisely because its state is unbounded.
+    */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame = {
+    import graft.functions.{KmvSketch, TextFns}
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        (TextFns.hash60(col("user_id").cast("string")) % TextFns.P).as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        TextFns.rnd(KmvSketch.kmvDistinct(col("h")), 4).as("est_users"))
+      .select(col("window.start").as("hour_start"), col("n_events"),
+        col("est_users"))
+  }
+
   /** One user's event. `us` (micros since epoch) drives the gap
     * logic; `ts` is kept alongside because the WATERMARK is attached
     * to that attribute — projecting it away would silently discard
