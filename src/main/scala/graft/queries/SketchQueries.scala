@@ -298,6 +298,42 @@ object SketchQueries {
        |ORDER BY l_returnflag, q""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q77_bloom_prune — Bloom semi-join reduction: build a bloom over
+  // the BUILDING-segment customers' key hashes (the small side),
+  // prune orders MAP-SIDE with the pure-Column membership test before
+  // any shuffle, then the exact join removes false positives — the
+  // result equals the plain join (the oracle), but only
+  // ~selectivity·N fact rows reach the exchange. BloomSpec pins no
+  // false negatives, the false-positive bound, and that the pruned
+  // row count sits between the true match count and the table size.
+  // ---------------------------------------------------------------
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomSketch
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"),
+        (TextFns.hash60(col("c_custkey").cast("string")) % TextFns.P).as("h"))
+    // the sketch is NumWords longs — driver-held like any broadcast
+    // (Spark's runtime bloom join materializes the same way)
+    val sketch = cust.agg(BloomSketch.bloomAgg(col("h")))
+      .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val pruned = Tables.orders(spark, dir)
+      .withColumn("h", TextFns.hash60(col("o_custkey").cast("string")) % TextFns.P)
+      .filter(BloomSketch.mightContain(col("h"), sketch))
+      .drop("h")
+    pruned.join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  val q77Sql: String =
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
@@ -306,7 +342,8 @@ object SketchQueries {
     "q62_kmv_distinct" -> (q62 _),
     "q65_countmin_freq" -> (q65 _),
     "q66_asof_native" -> (q66 _),
-    "q73_histogram_quantiles" -> (q73 _))
+    "q73_histogram_quantiles" -> (q73 _),
+    "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_sketch" -> q48Sql,
@@ -316,5 +353,6 @@ object SketchQueries {
     "q62_kmv_distinct" -> q62Sql,
     "q65_countmin_freq" -> q65Sql,
     "q66_asof_native" -> q50Sql,
-    "q73_histogram_quantiles" -> q73Sql)
+    "q73_histogram_quantiles" -> q73Sql,
+    "q77_bloom_prune" -> q77Sql)
 }
