@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ EventsOps.queries ++ StreamingQueries.queries ++
       Advanced.queries ++ MultimodalQueries.queries ++ SketchQueries.queries ++
-      Extended.queries ++ Bucketed.queries ++ BinaryFiles.queries ++ AnnTrained.queries ++ PqQueries.queries
+      Extended.queries ++ Bucketed.queries ++ BinaryFiles.queries ++ AnnTrained.queries ++ PqQueries.queries ++
+      Reshape.queries ++ RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventsOps.oracles ++ StreamingQueries.oracles ++
       Advanced.oracles ++ MultimodalQueries.oracles ++ SketchQueries.oracles ++
-      Extended.oracles ++ Bucketed.oracles ++ BinaryFiles.oracles ++ AnnTrained.oracles ++ PqQueries.oracles
+      Extended.oracles ++ Bucketed.oracles ++ BinaryFiles.oracles ++ AnnTrained.oracles ++ PqQueries.oracles ++
+      Reshape.oracles ++ RangeJoin.oracles
 }

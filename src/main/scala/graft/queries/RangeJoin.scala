@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bin-bucketed range (interval-containment) join.
+  *
+  * The naive plan for `point BETWEEN start AND end` with no equi-key
+  * is a broadcast nested loop — O(|windows| × |points|) comparisons,
+  * a scale-killer the moment the window side outgrows a broadcast.
+  * The classic fix (used by every interval-join engine): quantize
+  * time into fixed-width bins no narrower than the interval width.
+  * Each INTERVAL is exploded to the bins it covers (≤ 2 here, since
+  * bin width == interval width); each POINT maps to exactly ONE bin.
+  * The join becomes an equi-join on bin + a residual containment
+  * filter. Because the point side is never replicated, a matching
+  * (window, point) pair meets in exactly one bin — no post-join
+  * dedup, no blowup. Shuffle keys are uniform time bins, so the
+  * exchange is skew-free and sized O(|windows|·2 + |points|), not
+  * O(n²).
+  *
+  * At 100 TB the bin also becomes the storage partition key: windows
+  * and points co-partition by bin and the join runs zero-exchange —
+  * the same promotion path as the bucketed equi-join (q57).
+  */
+object RangeJoin {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Window width = bin width, in days. Bins wider than the widest
+    * interval keep per-interval replication ≤ 2.
+    */
+  final val WindowDays = 7
+
+  // ---------------------------------------------------------------
+  // q82_range_join_binned — per urgent 1995-Q1 order: how many
+  // lineitems (any order) shipped inside [o_orderdate, +7d), and
+  // their quantity total. Half-open containment, no equi-key.
+  // ---------------------------------------------------------------
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val day = lit(86400)
+    val wins = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("s"))
+      .withColumn("e", col("s") + lit(WindowDays) * day)
+      // explode the INTERVAL side to its covered bins (point side
+      // stays 1 row → pairs meet exactly once, dedup-free)
+      .withColumn("bin", explode(sequence(
+        floor(col("s") / (day * WindowDays)),
+        floor((col("e") - 1) / (day * WindowDays)))))
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"),
+        unix_timestamp(col("l_shipdate")).as("d"))
+      .withColumn("bin", floor(col("d") / (day * WindowDays)))
+    wins.join(pts, Seq("bin"))
+      .where(col("d") >= col("s") && col("d") < col("e"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q82Sql: String =
+    s"""WITH w AS (
+       |  SELECT o_orderkey, o_orderdate AS s,
+       |    o_orderdate + INTERVAL $WindowDays DAY AS e
+       |  FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'
+       |    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01')
+       |SELECT w.o_orderkey, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM w JOIN lineitem l
+       |  ON l.l_shipdate >= w.s AND l.l_shipdate < w.e
+       |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
+
+  def queries: Map[String, Q] = Map("q82_range_join_binned" -> (q82 _))
+
+  def oracles: Map[String, String] = Map("q82_range_join_binned" -> q82Sql)
+}

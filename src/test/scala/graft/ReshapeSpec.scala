@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.queries.{RangeJoin, Reshape}
+
+/** Reshape family (pivot / unpivot / grouping sets / shift windows)
+  * and the bin-bucketed range join: result sanity at sf0.001 plus the
+  * plan properties their Scaladocs promise.
+  */
+class ReshapeSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE plan strings repeat the whole tree under "== Initial Plan ==";
+    * counting nodes must stop at the final section's end.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
+  test("q78: explicit-values pivot is one aggregate pass, static schema") {
+    val df = Reshape.q78(spark, Sf)
+    // cohort + 5 types × (cnt, val)
+    assert(df.columns.length == 11)
+    assert(df.columns.contains("click_cnt") && df.columns.contains("view_val"))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    // no distinct-scan job: the pivot values were given, so the plan
+    // is the (cohort,type) pre-aggregate + pivotfirst pair — both
+    // exchanges carry O(groups × values), and no separate job ran to
+    // discover the pivot values
+    val exchanges = finalPlan(df).split('\n')
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"pivot should be two skinny aggregates:\n${plan(df)}")
+    assert(plan(df).contains("pivotfirst"), "expected pivotfirst aggregate")
+  }
+
+  test("q79: unpivot emits measures × groups rows via Expand, no extra shuffle") {
+    val df = Reshape.q79(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length == 3 * 3) // 3 flags × 3 measures
+    assert(plan(df).contains("Expand"), "unpivot should plan an Expand generator")
+  }
+
+  test("q80: grouping sets levels disambiguated by gid in one pass") {
+    val df = Reshape.q80(spark, Sf).cache()
+    try {
+      val gids = df.select("gid").distinct().collect().map(_.getInt(0)).sorted
+      assert(gids.sameElements(Array(0, 1, 3)), gids.mkString(","))
+      // grand total row aggregates everything
+      val total = df.where("gid = 3").collect()
+      assert(total.length == 1)
+      // detail rows sum to the grand total
+      val detail = df.where("gid = 0")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      assert(detail == total(0).getAs[Long]("n"))
+    } finally df.unpersist()
+  }
+
+  test("q81: lag/lead/ntile share one hash exchange") {
+    val df = Reshape.q81(spark, Sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // first row per user has null delta
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      assert(rs.head.isNullAt(3), "first day's delta must be null")
+      assert(rs.last.isNullAt(4), "last day's lead must be null")
+    }
+    // the aggregate exchanges O(groups) on (user_id, day); lag, lead
+    // and ntile then share ONE user_id exchange (two Window nodes,
+    // one partitioning) — 2 hash exchanges total, neither O(rows)
+    val hashEx = finalPlan(df).split('\n')
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"agg + shared window exchange expected:\n${plan(df)}")
+  }
+
+  test("q82: range join plans as equi-join on bin, never nested-loop") {
+    val df = RangeJoin.q82(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"bin join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degrade to nested-loop:\n$p")
+    val rows = df.collect()
+    // every window's count ≥ 1 (inner join) and pairs met exactly once:
+    // total n_items equals the direct containment count
+    val direct = {
+      import org.apache.spark.sql.functions._
+      val wins = graft.sources.Tables.orders(spark, Sf)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderkey"), col("o_orderdate").as("s"))
+      val pts = graft.sources.Tables.lineitem(spark, Sf).select(col("l_shipdate"))
+      wins.crossJoin(pts)
+        .where(col("l_shipdate") >= col("s") &&
+          col("l_shipdate") < col("s") + org.apache.spark.sql.functions.expr(
+            s"INTERVAL ${RangeJoin.WindowDays} DAYS"))
+        .count()
+    }
+    assert(rows.map(_.getAs[Long]("n_items")).sum == direct,
+      "binned join must produce exactly the containment pairs")
+  }
+
+  test("q78/q80 row parity against direct computation") {
+    val pivotTotal = Reshape.q78(spark, Sf).collect()
+      .map(r => (1 to 10 by 2).map(i => r.getLong(i)).sum).sum
+    val events = graft.sources.Tables.events(spark, Sf).count()
+    assert(pivotTotal == events, "pivot cells must partition the event set")
+  }
+}
