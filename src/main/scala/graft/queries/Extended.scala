@@ -157,17 +157,54 @@ object Extended {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q83_topk_heap — exact per-group top-k WITHOUT a sort: the
+  // bounded-heap aggregate (functions/TopKAgg) keeps each group's k
+  // best (price, orderkey, linenumber) triples through partial+final
+  // hash aggregation, so the exchange carries O(groups × k) and no
+  // group is ever sorted — the scale path where q17's window-rank
+  // (sort per group) stops fitting. posexplode turns the best-first
+  // array back into ranked rows.
+  // ---------------------------------------------------------------
+  final val TopK = 3
+
+  def q83(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), TopK).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("l_returnflag"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.id1").as("l_orderkey"),
+        col("t.id2").cast("int").as("l_linenumber"),
+        col("t.score").as("price"))
+      .orderBy(col("l_returnflag"), col("rank"))
+
+  val q83Sql: String =
+    s"""SELECT l_returnflag, CAST(rk AS INT) AS rank, l_orderkey,
+       |  l_linenumber, l_extendedprice AS price
+       |FROM (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+       |  FROM lineitem)
+       |WHERE rk <= $TopK ORDER BY l_returnflag, rank""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q53_correlated_subquery" -> (q53 _),
     "q54_map_functions" -> (q54 _),
     "q55_sliding_windows" -> (q55 _),
     "q56_tf_embedding" -> (q56 _),
-    "q64_stratified_sample" -> (q64 _))
+    "q64_stratified_sample" -> (q64 _),
+    "q83_topk_heap" -> (q83 _))
 
   def oracles: Map[String, String] = Map(
     "q53_correlated_subquery" -> q53Sql,
     "q54_map_functions" -> q54Sql,
     "q55_sliding_windows" -> q55Sql,
     "q56_tf_embedding" -> q56Sql,
-    "q64_stratified_sample" -> q64Sql)
+    "q64_stratified_sample" -> q64Sql,
+    "q83_topk_heap" -> q83Sql)
 }

@@ -130,13 +130,37 @@ object StreamingQueries {
        |GROUP BY 1 ORDER BY hour_start""".stripMargin
   }
 
+  // q84_stream_outer_join — the LEFT OUTER form of q63: purchases
+  // with no preceding-hour click surface as NULL rows once the right
+  // watermark passes their match interval
+  // (EventStreams.purchaseClickLeftJoin). Oracle: the batch LEFT JOIN.
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_ssouter_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.purchaseClickLeftJoin(spark, dir),
+      name, OutputMode.Append(), Some(2))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  val q84Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id,
+      |  CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000) AS BIGINT) AS gap_s
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'purchase' AND ts < '2024-01-28') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY user_id, purchase_id, click_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q42_stream_tumbling" -> (q42 _),
     "q43_stream_sessions" -> (q43 _),
     "q60_stream_dedup" -> (q60 _),
     "q63_stream_interval_join" -> (q63 _),
     "q72_stream_static_join" -> (q72 _),
-    "q74_stream_kmv" -> (q74 _))
+    "q74_stream_kmv" -> (q74 _),
+    "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
     "q42_stream_tumbling" -> EventsOps.q40Sql,
@@ -144,5 +168,6 @@ object StreamingQueries {
     "q60_stream_dedup" -> q60Sql,
     "q63_stream_interval_join" -> q63Sql,
     "q72_stream_static_join" -> q72Sql,
-    "q74_stream_kmv" -> q74Sql)
+    "q74_stream_kmv" -> q74Sql,
+    "q84_stream_outer_join" -> q84Sql)
 }

@@ -98,6 +98,47 @@ object EventStreams {
           .cast("long").as("gap_s"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, with its
+    * preceding-hour clicks when they exist and NULLs when they don't.
+    * Outer emission is watermark-driven: a buffered left row can only
+    * be declared match-less once the right watermark has passed its
+    * whole match interval, so unmatched results trail by the
+    * watermark delay — the price of correctness on an unbounded
+    * stream. The left side is bounded away from the stream's tail
+    * (purchases before Jan 28 in a Jan 1–30 corpus) so a bounded
+    * replay flushes every pending outer row before the source dries
+    * up; a continuous deployment needs no such bound — the watermark
+    * keeps moving. State stays evicted on both sides exactly as in
+    * the inner form.
+    *
+    * Watermark-before-filter matters: the global watermark is the MIN
+    * over both sides, and a watermark computed on the filtered left
+    * stream would stall 2 h short of the cutoff — the trailing
+    * unmatched purchases would never be declared match-less. Tagging
+    * `ts` before the filter keeps the left clock fed by the FULL
+    * stream (the event-time tag survives the rename), so the left
+    * watermark advances to the stream's end.
+    */
+  def purchaseClickLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .filter(col("event_type") === "purchase" && col("ts") < lit("2024-01-28"))
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    purchases.join(clicks,
+      expr("""user_id = c_user AND
+             |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin),
+      "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        floor((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000L)
+          .cast("long").as("gap_s"))
+  }
+
   /** Stream-static enrichment join: the event stream joined to the
     * (batch) customer dimension, then windowed per market segment —
     * the canonical "enrich the stream with reference data" shape.

@@ -19,6 +19,28 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("stream-stream LEFT OUTER join == batch left join, nulls included") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingQueries.q84(spark, Sf).collect()
+    // unmatched purchases must surface as null click rows — the whole
+    // point of the outer form (and the rows a stalled watermark loses)
+    assert(stream.exists(_.isNullAt(2)), "expected watermark-flushed null rows")
+    val batch = graft.sources.Tables.events(spark, Sf).alias("p")
+      .where(col("p.event_type") === "purchase" && col("p.ts") < lit("2024-01-28"))
+      .join(graft.sources.Tables.events(spark, Sf).alias("c")
+          .where(col("c.event_type") === "click"),
+        expr("""p.user_id = c.user_id AND
+               |c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin),
+        "leftOuter")
+      .select(col("p.user_id"), col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        floor((unix_micros(col("p.ts")) - unix_micros(col("c.ts"))) / 1000000L)
+          .cast("long").as("gap_s"))
+      .collect()
+    assert(stream.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+    assert(stream.length == batch.length)
+  }
+
   test("watermark column is set on the tumbling stream") {
     val df = EventStreams.tumblingHourly(EventStreams.readEvents(spark, Sf))
     assert(df.isStreaming)
