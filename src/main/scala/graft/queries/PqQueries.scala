@@ -190,11 +190,185 @@ object PqQueries {
        |FROM adc QUALIFY rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q85_ivfpq_search — the full IVF-ADC composition (Jégou et al.
+  // §5; FAISS's IVFPQ index re-derived on DataFrames): a coarse
+  // quantizer prunes the corpus to nprobe cells, then PQ codes rank
+  // the survivors by table lookup. This is THE billion-scale ANN
+  // shape: at 100 TB the cell id is the storage partition key (each
+  // probe reads nprobe partitions of 4-byte codes — partition-pruned,
+  // payload-free), the float embeddings are touched only by the
+  // probes and the (offline) codebook training, and the per-candidate
+  // cost is NumBlocks table lookups, not a 64-dim product.
+  //
+  // The retrieval metric is cosine, like q36/q59's — so the ADC
+  // tables hold per-block INNER PRODUCTS (asymmetric inner-product
+  // quantization): Σ_blk ⟨sub_q, centroid(code)⟩ approximates
+  // ⟨q, v⟩, normalized by the exact norms (a per-vector scalar the
+  // compressed store keeps beside the codes). An L2-table variant is
+  // the same plan with q76's distance tables.
+  //
+  // Honest recall note (measured on the driver's synthetic corpus at
+  // sf0.001, truth = q36 exact-cosine top-3): the coarse stage alone
+  // with exact in-cell scoring reaches 0.43; adding 4-bit PQ ranking
+  // drops to ~0.03, and a parameter sweep (up to 16 blocks × 64
+  // codes, with and without residual encoding) tops out at ~0.33.
+  // The corpus is ISOTROPIC random — top-3 cosine margins sit below
+  // the quantization noise floor, so low top-k agreement here is a
+  // property of the data, not the plan (PQ presumes quantizable
+  // structure; Jégou et al. §7 evaluate on structured descriptors).
+  // On a real embedding corpus the same plan runs with trained,
+  // larger codebooks; every distributed property (partition-pruned
+  // cells, code-only scan, lookup-table scoring) is unchanged.
+  // ---------------------------------------------------------------
+  final val CoarseCells = 16
+  final val NProbe = 4
+
+  /** Per-block inner product ⟨a, b⟩, strict ascending fold in DOUBLE. */
+  private def dotBlk(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private def dotBlkSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $BlockDim), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFns
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = v.filter(col("vec_id") < CoarseCells)
+      .select(col("vec_id").as("ccid"), col("embedding").as("e_c"),
+        col("nrm").as("n_c"))
+    // coarse assignment: argmax cosine over the broadcast codebook,
+    // ranked on skinny (vec_id, ccid, cos) triples — embeddings stay put
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("ccid").asc)
+    val assign = v.join(broadcast(cents))
+      .select(col("vec_id"), col("ccid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    // probes keep their NProbe nearest cells
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("ccid").asc)
+    val probeCells = v.filter(expr(QueryFilter)).join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("ccid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= NProbe)
+      .select(col("query_id"), col("ccid").as("cell"))
+    // PQ codes for the whole corpus; per-probe INNER-PRODUCT tables
+    val sub = subVectors(spark, dir)
+    val cents2 = codebooks(sub)
+    val codes = assignments(sub, cents2)
+      .select(col("vec_id"), col("blk"), col("cid"))
+    val table = sub.where(expr(QueryFilter))
+      .join(broadcast(cents2), col("blk") === col("c_blk"))
+      .select(col("vec_id").as("t_qid"), col("blk").as("t_blk"),
+        col("cid").as("t_cid"), dotBlk(col("sub"), col("c_sub")).as("t"))
+    val qn = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
+    // candidates = members of the probed cells only; then 4 lookups,
+    // normalized by the exact norms (skinny (vec_id, nrm) columns)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    assign.join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(table),
+        col("blk") === col("t_blk") && col("cid") === col("t_cid") &&
+          col("query_id") === col("t_qid"))
+      .drop("t_qid")
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("blk"), col("t")))).as("arr"))
+      .join(v.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        (aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("t"))
+          / (col("nrm") * col("n_q"))).as("acos"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        rnd(col("acos"), 4).as("acos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q85Sql: String = {
+    import graft.functions.VecFns
+    def cosC(e: String, n: String) =
+      s"(${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c))"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS ccid, embedding AS e_c, nrm AS n_c
+       |      FROM v WHERE vec_id < $CoarseCells),
+       |assign AS (
+       |  SELECT vec_id, ccid AS cell FROM (
+       |    SELECT v.vec_id, c.ccid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.ccid ASC) AS rk
+       |    FROM v CROSS JOIN c) WHERE rk = 1),
+       |probe AS (
+       |  SELECT query_id, ccid AS cell FROM (
+       |    SELECT v.vec_id AS query_id, c.ccid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.ccid ASC) AS rk
+       |    FROM v CROSS JOIN c WHERE $QueryFilter) WHERE rk <= $NProbe),
+       |sub AS (
+       |  SELECT vec_id, blk,
+       |    (embedding)[blk * $BlockDim + 1 : blk * $BlockDim + $BlockDim] AS sub
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${NumBlocks - 1})) AS blk) b),
+       |cents AS (
+       |  SELECT blk AS c_blk, CAST(vec_id AS INT) AS cid, sub AS c_sub
+       |  FROM sub WHERE vec_id < $Codes),
+       |codes AS (
+       |  SELECT vec_id, blk, cid FROM (
+       |    SELECT s.vec_id, s.blk, c.cid, ${distSql("s.sub", "c.c_sub")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.blk
+       |        ORDER BY ${distSql("s.sub", "c.c_sub")} ASC, c.cid ASC) AS rk
+       |    FROM sub s JOIN cents c ON s.blk = c.c_blk) WHERE rk = 1),
+       |tbl AS (
+       |  SELECT s.vec_id AS query_id, s.blk AS t_blk, c.cid AS t_cid,
+       |    ${dotBlkSql("s.sub", "c.c_sub")} AS t
+       |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE $QueryFilter),
+       |adc AS (
+       |  SELECT tbl.query_id, assign.cell, codes.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY blk)), (x, y) -> x + y) AS dotsum
+       |  FROM assign
+       |  JOIN probe ON assign.cell = probe.cell
+       |  JOIN codes ON codes.vec_id = assign.vec_id
+       |  JOIN tbl ON codes.blk = tbl.t_blk AND codes.cid = tbl.t_cid
+       |          AND tbl.query_id = probe.query_id
+       |  WHERE assign.vec_id <> probe.query_id
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT adc.query_id, adc.cell, adc.vec_id,
+       |    adc.dotsum / (cv.nrm * qv.nrm) AS acos
+       |  FROM adc
+       |  JOIN v cv ON cv.vec_id = adc.vec_id
+       |  JOIN v qv ON qv.vec_id = adc.query_id)
+       |SELECT query_id, cell, vec_id, ${rndSql("acos", 4)} AS acos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY acos DESC, vec_id ASC) AS INT) AS rank
+       |FROM scored QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q75_pq_encode" -> (q75 _),
-    "q76_pq_adc" -> (q76 _))
+    "q76_pq_adc" -> (q76 _),
+    "q85_ivfpq_search" -> (q85 _))
 
   def oracles: Map[String, String] = Map(
     "q75_pq_encode" -> q75Sql,
-    "q76_pq_adc" -> q76Sql)
+    "q76_pq_adc" -> q76Sql,
+    "q85_ivfpq_search" -> q85Sql)
 }

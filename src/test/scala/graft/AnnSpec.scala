@@ -26,6 +26,31 @@ class AnnSpec extends SparkTestBase {
     assert(rTrained > 0.0)
   }
 
+  test("IVF-PQ composition: structure sound; coarse stage carries the recall") {
+    // On this ISOTROPIC synthetic corpus 4-bit PQ ranking is
+    // data-limited (see PqQueries.q85 scaladoc — measured ~0.03, and
+    // ≤0.33 across a parameter sweep), so the recall bar belongs to
+    // the coarse stage, which scores exactly: q59 must keep real
+    // recall. For q85 the spec pins structure: every probe answers
+    // with a full, deduplicated top-3 and approximate cosines stay in
+    // a cosine's range.
+    val truth = topSet(Similarity.q36(spark, Sf), 3)
+    val coarse = topSet(Similarity.q59(spark, Sf), 3)
+    assert((truth & coarse).size.toDouble / truth.size >= 0.3,
+      "coarse IVF stage lost its recall")
+    val rows = graft.queries.PqQueries.q85(spark, Sf).collect()
+    val queries = truth.map(_._1)
+    assert(rows.map(_.getLong(0)).toSet == queries, "every probe must answer")
+    queries.foreach { q =>
+      val mine = rows.filter(_.getLong(0) == q)
+      assert(mine.length == 3, s"probe $q returned ${mine.length} rows")
+      assert(mine.map(_.getAs[Long]("vec_id")).distinct.length == 3)
+      assert(!mine.map(_.getAs[Long]("vec_id")).contains(q), "self-match leaked")
+    }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acos")) <= 1.5,
+      "approximate cosine out of range"))
+  }
+
   test("codebook training is bit-deterministic across runs") {
     val a = KMeansCodebook.train(spark, Sf, AnnTrained.Cells, AnnTrained.Iters)
     val b = KMeansCodebook.train(spark, Sf, AnnTrained.Cells, AnnTrained.Iters)
