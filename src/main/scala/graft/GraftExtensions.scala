@@ -78,5 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_countmin",
       "_FUNC_(hash) - Count-Min sketch (row-major d*w counter array)",
       e => CountMinSketch(e)))
+    // binary: fully codegen'd (doGenCode) Morton interleave
+    ext.injectFunction((FunctionIdentifier("graft_zorder"),
+      info("graft_zorder",
+        "_FUNC_(a, b) - Z-order (Morton) interleave of two BIGINT keys (low 31 bits each)"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_zorder expects exactly 2 arguments")
+        org.apache.spark.sql.graftbridge.ZOrderLong(args(0), args(1))
+      }))
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ZOrderLong
+import graft.queries.Layout
+
+/** Z-order interleave: bit-level correctness, codegen containment,
+  * and the rectangle property that makes it a layout primitive.
+  */
+class ZOrderSpec extends SparkTestBase {
+
+  /** Slow reference: interleave bits positionally. */
+  private def refInterleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("mask-ladder interleave == positional reference (boundaries + random)") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7fffffffL, 0x7fffffffL),
+      (0x7fffffffL, 0L), (12345L, 67890L)) ++
+      Seq.fill(500)((rnd.nextLong().abs & 0x7fffffffL, rnd.nextLong().abs & 0x7fffffffL))
+    cases.foreach { case (x, y) =>
+      assert(ZOrderLong.interleave(x, y) == refInterleave(x, y), s"($x, $y)")
+    }
+    // inputs beyond 31 bits are masked, never corrupt high bits
+    assert(ZOrderLong.interleave(Long.MaxValue, Long.MaxValue) ==
+      refInterleave(0x7fffffffL, 0x7fffffffL))
+  }
+
+  test("codegen path == interpreted path == SQL surface") {
+    val df = spark.range(1000).select(
+      (col("id") * 2654435761L % 100000).as("x"),
+      (col("id") * 40503L % 100000).as("y"))
+    val gen = df.select(ZOrderLong.zorder2(col("x"), col("y")).as("z")).collect()
+    val viaSql = {
+      df.createOrReplaceTempView("zpts")
+      val r = spark.sql("SELECT graft_zorder(x, y) AS z FROM zpts").collect()
+      spark.catalog.dropTempView("zpts")
+      r
+    }
+    val interp = df.collect().map(r =>
+      ZOrderLong.interleave(r.getLong(0), r.getLong(1)))
+    assert(gen.map(_.getLong(0)).sameElements(interp))
+    assert(viaSql.map(_.getLong(0)).sameElements(interp))
+  }
+
+  test("zorder stays inside WholeStageCodegen") {
+    val df = graft.sources.Tables.lineitem(spark, Sf)
+      .select(ZOrderLong.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.split('\n').find(_.contains("graft_zorder")).getOrElse("")
+    assert(projLine.trim.startsWith("*"),
+      s"zorder project must carry the codegen star:\n$p")
+  }
+
+  test("q86 rectangle property: every 2^18 z-bucket spans < 512 in BOTH keys") {
+    val rows = Layout.q86(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pMin, pMax) = (r.getAs[Long]("p_min"), r.getAs[Long]("p_max"))
+      val (sMin, sMax) = (r.getAs[Long]("s_min"), r.getAs[Long]("s_max"))
+      assert(pMax - pMin < 512, s"part span leaked the rectangle: $r")
+      assert(sMax - sMin < 512, s"supp span leaked the rectangle: $r")
+    }
+    // and the buckets partition the table
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.sources.Tables.lineitem(spark, Sf).count())
+  }
+}
