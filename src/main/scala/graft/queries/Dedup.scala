@@ -384,6 +384,84 @@ object Dedup {
        |  ON cc.cluster_id = sz.cluster_id
        |ORDER BY cc.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q87_incremental_dedup — the daily-ingest shape: a NEW BATCH
+  // (10% of the corpus by doc_id hash) admitted against the HISTORY
+  // (the other 90%). A new doc is rejected as `exact_dup` when its
+  // content hash exists in history, else as `near_dup` when any
+  // history doc shares a 15-bit SimHash band AND sits within Hamming
+  // ≤ 8, else admitted as `new`.
+  //
+  // Scale shape: both checks are joins KEYED BY HASHES (content hash;
+  // band keys) — uniform keys, no skew, and the history side is a
+  // precomputable INDEX (hash + 4 band keys per doc — tens of bytes,
+  // not the text). At 100 TB the index is a bucketed table on the
+  // band key, so a daily batch probes partition-pruned buckets and
+  // never touches history text; the batch side (the small side) is
+  // what broadcasts. Nothing rescans history per ingest.
+  // ---------------------------------------------------------------
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("h"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sh", TextKernels.simhash60Col(col("text")))
+    val isBatch = col("doc_id") % 10 === 7
+    val hist = docs.where(!isBatch)
+    val batch = docs.where(isBatch)
+    val bandsOf = (d: DataFrame) => {
+      val arr = array((0 until SimBands).map { b =>
+        shiftright(col("sh"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1))
+      }: _*)
+      d.select(col("doc_id"), col("sh"), posexplode(arr).as(Seq("band", "key")))
+    }
+    val exactDup = batch.join(hist.select(col("h").as("hh")).distinct(),
+        col("h") === col("hh"), "leftSemi")
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    val nearDup = bandsOf(batch).as("b")
+      .join(bandsOf(hist).as("x"),
+        col("b.band") === col("x.band") && col("b.key") === col("x.key"))
+      .where(bit_count(col("b.sh").bitwiseXOR(col("x.sh"))) <= SimHammingMax)
+      .select(col("b.doc_id").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("is_near"))
+    batch.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "leftOuter")
+      .join(nearDup, Seq("doc_id"), "leftOuter")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String = {
+    val mask = (1L << SimBandBits) - 1
+    val bandSelects = (0 until SimBands).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * SimBandBits}) & $mask AS key FROM docs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, md5(text) AS h,
+       |  ${simhashNSql("string_split(text, ' ')", SimBits)} AS sh FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |batch AS (SELECT * FROM docs WHERE doc_id % 10 = 7),
+       |hist AS (SELECT * FROM docs WHERE doc_id % 10 <> 7)
+       |SELECT b.doc_id AS doc_id,
+       |  CASE
+       |    WHEN EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h) THEN 'exact_dup'
+       |    WHEN EXISTS (
+       |      SELECT 1 FROM bands x JOIN bands y
+       |        ON x.band = y.band AND x.key = y.key
+       |      WHERE x.doc_id = b.doc_id AND y.doc_id % 10 <> 7
+       |        AND bit_count(xor(x.sh, y.sh)) <= $SimHammingMax)
+       |      THEN 'near_dup'
+       |    ELSE 'new'
+       |  END AS verdict
+       |FROM batch b ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q32_dedup_exact_docs" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
@@ -392,7 +470,8 @@ object Dedup {
     "q52_ngram_jaccard" -> (q52 _),
     "q58_simhash_neardup" -> (q58 _),
     "q61_dedup_clusters" -> (q61 _),
-    "q71_dedup_clusters_star" -> (q71 _))
+    "q71_dedup_clusters_star" -> (q71 _),
+    "q87_incremental_dedup" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
     "q32_dedup_exact_docs" -> q32Sql,
@@ -402,5 +481,6 @@ object Dedup {
     "q52_ngram_jaccard" -> q52Sql,
     "q58_simhash_neardup" -> q58Sql,
     "q61_dedup_clusters" -> q61Sql,
-    "q71_dedup_clusters_star" -> q61Sql)
+    "q71_dedup_clusters_star" -> q61Sql,
+    "q87_incremental_dedup" -> q87Sql)
 }
