@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: AsOfJoinPlan → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer rewrite: pure range-containment inner join → binned
+    // equi-join (enabled by spark.graft.rangejoin.binWidth > 0)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // builders construct catalyst expressions DIRECTLY (the Column
     // API would leave unresolved column nodes behind the analyzer)
     ext.injectFunction(unary("graft_hash60",

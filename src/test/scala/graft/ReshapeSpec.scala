@@ -104,6 +104,24 @@ class ReshapeSpec extends SparkTestBase {
       "binned join must produce exactly the containment pairs")
   }
 
+  test("q88: optimizer rule turns the naive range join into an equi-join") {
+    // without the rule (width unset) the naive join is a nested loop
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val naive = RangeJoin.naiveRangeJoin(spark, Sf)
+    val pNaive = plan(naive)
+    assert(pNaive.contains("BroadcastNestedLoopJoin") ||
+      pNaive.contains("CartesianProduct"),
+      s"expected the naive plan to nested-loop:\n$pNaive")
+    // with the rule: equi-join on bins, same rows as the manual q82
+    val auto = RangeJoin.q88(spark, Sf)
+    val pAuto = plan(auto)
+    assert(!pAuto.contains("BroadcastNestedLoopJoin") &&
+      !pAuto.contains("CartesianProduct"),
+      s"rule did not rewrite:\n$pAuto")
+    assert(pAuto.contains("HashJoin") || pAuto.contains("SortMergeJoin"))
+    assert(auto.collect().toSeq == RangeJoin.q82(spark, Sf).collect().toSeq)
+  }
+
   test("q78/q80 row parity against direct computation") {
     val pivotTotal = Reshape.q78(spark, Sf).collect()
       .map(r => (1 to 10 by 2).map(i => r.getLong(i)).sum).sum
