@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * seconds/numeric domains) with no existing cross-side equi
   * conjunct; anything else is left untouched. Empty intervals
   * (hi ≤ lo) clamp to one bin and are removed by the residual.
+  *
+  * Width selection: when the upper bound is structurally
+  * `lo + literal` (the fixed-width-window case — q82's
+  * `e = s + 7 days`), the width IS that literal and the rewrite
+  * self-configures; `spark.graft.rangejoin.binWidth` covers
+  * variable-width intervals (set it ≥ the widest interval — wider
+  * bins mean more residual-filtered candidates, never wrong rows).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -92,14 +99,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def floorDiv(e: Expression, w: Long): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
 
+  /** `hi = lo + c` (either operand order) fixes the interval width. */
+  private def derivedWidth(lo: Expression, hi: Expression): Option[Long] =
+    hi match {
+      case Add(a, Literal(c: Long, LongType), _) if a.semanticEquals(lo) => Some(c)
+      case Add(Literal(c: Long, LongType), a, _) if a.semanticEquals(lo) => Some(c)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
-    if (width <= 0) return plan
+    val confWidth = conf.getConfString(WidthConf, "0").toLong
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !left.isStreaming && !right.isStreaming =>
         matchRange(cond, left, right) match {
-          case Some((p, lo, hi, strict, pointOnLeft)) =>
+          case Some((p, lo, hi, strict, pointOnLeft))
+              if derivedWidth(lo, hi).getOrElse(confWidth) > 0 =>
+            val width = derivedWidth(lo, hi).getOrElse(confWidth)
             val hiAdj = if (strict) Subtract(hi, Literal(1L)) else hi
             val loBin = floorDiv(lo, width)
             val hiBin = floorDiv(hiAdj, width)
@@ -123,7 +139,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               if (pointOnLeft) Join(proj, gen, Inner, Some(newCond), hint)
               else Join(gen, proj, Inner, Some(newCond), hint)
             Project(j.output, newJoin)
-          case None => j
+          case _ => j
         }
     }
   }

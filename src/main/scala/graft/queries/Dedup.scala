@@ -441,25 +441,35 @@ object Dedup {
     val bandSelects = (0 until SimBands).map { b =>
       s"SELECT doc_id, sh, $b AS band, (sh >> ${b * SimBandBits}) & $mask AS key FROM docs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id, md5(text) AS h,
+    // docs is MATERIALIZED and the dup sets are built by plain joins
+    // (no correlated EXISTS): the per-doc simhash is the dominant cost
+    // and a correlated form tempts the optimizer into re-inlining it
+    // per reference — measured minutes-vs-seconds at sf0.1
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, md5(text) AS h,
        |  ${simhashNSql("string_split(text, ' ')", SimBits)} AS sh FROM documents),
        |bands AS (
        |  $bandSelects
        |),
-       |batch AS (SELECT * FROM docs WHERE doc_id % 10 = 7),
-       |hist AS (SELECT * FROM docs WHERE doc_id % 10 <> 7)
-       |SELECT b.doc_id AS doc_id,
+       |exact_dup AS (
+       |  SELECT DISTINCT d.doc_id FROM docs d
+       |  JOIN docs o ON d.h = o.h AND o.doc_id % 10 <> 7
+       |  WHERE d.doc_id % 10 = 7),
+       |near_dup AS (
+       |  SELECT DISTINCT x.doc_id FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.key = y.key
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+       |    AND bit_count(xor(x.sh, y.sh)) <= $SimHammingMax)
+       |SELECT d.doc_id AS doc_id,
        |  CASE
-       |    WHEN EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h) THEN 'exact_dup'
-       |    WHEN EXISTS (
-       |      SELECT 1 FROM bands x JOIN bands y
-       |        ON x.band = y.band AND x.key = y.key
-       |      WHERE x.doc_id = b.doc_id AND y.doc_id % 10 <> 7
-       |        AND bit_count(xor(x.sh, y.sh)) <= $SimHammingMax)
-       |      THEN 'near_dup'
+       |    WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
        |    ELSE 'new'
        |  END AS verdict
-       |FROM batch b ORDER BY doc_id""".stripMargin
+       |FROM docs d
+       |LEFT JOIN exact_dup e ON d.doc_id = e.doc_id
+       |LEFT JOIN near_dup n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id % 10 = 7
+       |ORDER BY doc_id""".stripMargin
   }
 
   def queries: Map[String, Q] = Map(

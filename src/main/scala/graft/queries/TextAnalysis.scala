@@ -211,7 +211,47 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q89_doc_chunking — fixed-size overlapping token windows: the
+  // chunk-for-embedding step every RAG/pretraining pipeline runs
+  // between curation and the embedding job. ChunkSize-token windows
+  // every Stride tokens (overlap = ChunkSize − Stride keeps context
+  // across boundaries); short tails are kept (the embedding model
+  // pads). Pure map-side generate — chunking 100 TB is exactly one
+  // scan, no shuffle, and the (doc_id, chunk_id) output is the
+  // embedding job's input table.
+  // ---------------------------------------------------------------
+  final val ChunkSize = 32
+  final val ChunkStride = 24
+
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("tok")) - 1, lit(0)), lit(ChunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tok"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("chunk_len"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q89Sql: String =
+    s"""WITH tokd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |starts AS (
+       |  SELECT doc_id, tok,
+       |    unnest(generate_series(0, len(tok) - 1, $ChunkStride)) AS start
+       |  FROM tokd)
+       |SELECT doc_id, CAST(start / $ChunkStride AS INT) AS chunk_id,
+       |  CAST(len(tok[start + 1 : start + $ChunkSize]) AS INT) AS chunk_len,
+       |  array_to_string(tok[start + 1 : start + $ChunkSize], ' ') AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q89_doc_chunking" -> (q89 _),
     "q26_lang_id" -> (q26 _),
     "q27_quality_score" -> (q27 _),
     "q28_token_stats" -> (q28 _),
@@ -220,6 +260,7 @@ object TextAnalysis {
     "q31_clean_sentiment" -> (q31 _))
 
   def oracles: Map[String, String] = Map(
+    "q89_doc_chunking" -> q89Sql,
     "q26_lang_id" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_token_stats" -> q28Sql,

@@ -122,6 +122,32 @@ class ReshapeSpec extends SparkTestBase {
     assert(auto.collect().toSeq == RangeJoin.q82(spark, Sf).collect().toSeq)
   }
 
+  test("range rule self-configures from an inline 'lo + literal' upper bound") {
+    import org.apache.spark.sql.functions._
+    // width conf OFF: only the structural derivation can fire
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val wins = graft.sources.Tables.orders(spark, Sf)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("s"))
+    val pts = graft.sources.Tables.lineitem(spark, Sf)
+      .select(unix_timestamp(col("l_shipdate")).as("d"))
+    val inline = wins.join(pts,
+      col("d") >= col("s") &&
+        col("d") < col("s") + lit(RangeJoin.WindowDays * 86400L))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_items"))
+    val p = plan(inline)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"derived-width rewrite did not fire:\n$p")
+    // and the rows match the manual binned join's counts
+    val manual = RangeJoin.q82(spark, Sf)
+      .select(col("o_orderkey"), col("n_items")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == manual)
+  }
+
   test("q78/q80 row parity against direct computation") {
     val pivotTotal = Reshape.q78(spark, Sf).collect()
       .map(r => (1 to 10 by 2).map(i => r.getLong(i)).sum).sum

@@ -59,4 +59,32 @@ class TextFnsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 0.09 || r.getDouble(1) == 0.08) // fp of 0.085*100
     assert(r.getDouble(2) == -0.08 || r.getDouble(2) == -0.09)
   }
+  test("q89 chunking: coverage, overlap, and tail semantics") {
+    val rows = graft.queries.TextAnalysis.q89(spark, Sf).collect()
+    val docs = rows.groupBy(_.getLong(0))
+    assert(docs.nonEmpty)
+    import graft.queries.TextAnalysis.{ChunkSize, ChunkStride}
+    docs.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      // chunk ids are dense from 0
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq)
+      // chunk i holds exactly min(ChunkSize, n - i*Stride) tokens,
+      // where n is recovered from the last chunk
+      val last = sorted.last
+      val n = last.getInt(1) * ChunkStride + last.getInt(2)
+      sorted.foreach { r =>
+        val expect = math.min(ChunkSize, n - r.getInt(1) * ChunkStride)
+        assert(r.getInt(2) == expect, s"chunk ${r.getInt(1)} of n=$n")
+      }
+      // consecutive chunks overlap by ChunkSize - Stride tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val ta = a.getString(3).split(" ")
+          val tb = b.getString(3).split(" ")
+          val overlap = ta.drop(ChunkStride).toSeq
+          assert(tb.toSeq.startsWith(overlap), "chunks must overlap by size - stride")
+        case _ => ()
+      }
+    }
+  }
 }
