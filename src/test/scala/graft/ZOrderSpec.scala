@@ -60,6 +60,46 @@ class ZOrderSpec extends SparkTestBase {
       s"zorder project must carry the codegen star:\n$p")
   }
 
+  test("z-sorted layout prunes row groups on BOTH keys (measured, not claimed)") {
+    // same rows, two layouts, small row groups so statistics have
+    // resolution; then the same two selective predicates against each
+    // and the scan's actual output-row metric decides. Keys need real
+    // domains: lineitem's l_suppkey spans 0–9 at this SF, so every
+    // row group contains every value and NO layout could prune it —
+    // use two 512-value keys instead (one full aligned z-square).
+    val base = spark.range(50000).select(
+      (col("id") * 2654435761L % 512).as("x"),
+      (col("id") * 40503L % 512).as("y"),
+      col("id"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    base.withColumn("z", ZOrderLong.zorder2(col("x"), col("y")))
+      .repartition(1).sortWithinPartitions(col("z")).drop("z")
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(s"$dir/zsorted")
+    base.repartition(1)
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(s"$dir/unsorted")
+    def scannedRows(path: String, cond: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).where(cond)
+      val kept = df.count()
+      val df2 = spark.read.parquet(path).where(cond)
+      df2.collect()
+      val scan = df2.queryExecution.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    for (cond <- Seq(col("x") <= 25, col("y") <= 25)) {
+      val (z, zKept) = scannedRows(s"$dir/zsorted", cond)
+      val (u, uKept) = scannedRows(s"$dir/unsorted", cond)
+      assert(zKept == uKept, "layouts must agree on the answer")
+      // numOutputRows of the scan counts rows SURVIVING row-group
+      // pruning; identical answers, so any gap is pure data skipping.
+      // Demand a ≥2x scan reduction on BOTH dimensions from the ONE
+      // z layout (a single-key sort can win one dimension only).
+      assert(z * 2 <= u,
+        s"z-layout should skip >=half the scan for $cond: scanned $z vs $u")
+    }
+  }
+
   test("q86 rectangle property: every 2^18 z-bucket spans < 512 in BOTH keys") {
     val rows = Layout.q86(spark, Sf).collect()
     assert(rows.nonEmpty)
