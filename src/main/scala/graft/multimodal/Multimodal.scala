@@ -98,6 +98,32 @@ object Multimodal {
         if (meta.getAs[String]("kind") == "video") 1f else 0f)
     }
 
+  /** Nearest-neighbor resize over the payload byte-grid: output pixel
+    * (x, y) samples source position
+    * (floor(y·H/outH) · W + floor(x·W/outW)) mod len — the standard
+    * 2-D nearest-neighbor index map, with the mod-len wrap standing in
+    * for a real pixel buffer (the stub payload is shorter than W×H;
+    * a real decoder's buffer drops in by deleting the pmod). Pure
+    * expressions, no UDF: resize of 100 TB of thumbnails is one
+    * map-side pass at scan parallelism. Emits the resized byte-value
+    * grid plus meta with the new dimensions.
+    */
+  def resizeGrid(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val chars = split(decode(col("payload"), "UTF-8"), "")
+    val len = size(chars)
+    val src = transform(sequence(lit(0), lit(outW * outH - 1)), k => {
+      val y = floor(k.cast("double") / outW).cast("int")
+      val x = k % outW
+      val sy = floor(y.cast("double") * col("meta.height") / outH).cast("int")
+      val sx = floor(x.cast("double") * col("meta.width") / outW).cast("int")
+      pmod(sy * col("meta.width") + sx, len)
+    })
+    df.select(col("doc_id"),
+      transform(src, i => ascii(element_at(chars, i + 1))).as("grid"),
+      col("meta").withField("width", lit(outW))
+        .withField("height", lit(outH)).as("meta"))
+  }
+
   /** Batched decode/feature-extract: repartition before the CPU-heavy
     * stage (the corpus parquet is one row group locally; at scale the
     * scan is already split), then mapPartitions with the decoder

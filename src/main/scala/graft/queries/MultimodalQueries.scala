@@ -75,11 +75,58 @@ object MultimodalQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q90_resize_grid — nearest-neighbor thumbnail pass over the image
+  // rows (Multimodal.resizeGrid): every image resampled to 16×16,
+  // reported as new dims + byte-value stats of the resized grid.
+  // Map-side only; the oracle replays the exact 2-D index map
+  // (explicit floor() on both engines — DuckDB's double→int cast
+  // ROUNDS where Spark's truncates).
+  // ---------------------------------------------------------------
+  final val OutW = 16
+  final val OutH = 16
+
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val images = Multimodal.mediaTable(spark, dir)
+      .where(col("meta.kind") === "image")
+    Multimodal.resizeGrid(images, OutW, OutH)
+      .select(col("doc_id"),
+        col("meta.width").as("out_w"), col("meta.height").as("out_h"),
+        array_min(col("grid")).as("rmin"), array_max(col("grid")).as("rmax"),
+        rnd(aggregate(col("grid"), lit(0L), (a, v) => a + v).cast("double")
+          / (OutW * OutH), 4).as("rmean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90Sql: String = {
+    val h = hash60Sql("doc_id::VARCHAR")
+    val n = OutW * OutH
+    val src =
+      s"""list_transform(generate_series(0, ${n - 1}), k ->
+         |      CAST((floor(floor(k::DOUBLE / $OutW) * height / $OutH) * width
+         |            + floor((k % $OutW)::DOUBLE * width / $OutW)) AS BIGINT)
+         |        % strlen(text))""".stripMargin
+    s"""WITH imgs AS (
+       |  SELECT doc_id, text,
+       |    64 + ($h) % 192 AS width, 64 + ($h) % 128 AS height
+       |  FROM documents WHERE ($h) % 3 = 0),
+       |grids AS (
+       |  SELECT doc_id,
+       |    list_transform($src, i -> ord(substr(text, CAST(i AS INT) + 1, 1))) AS grid
+       |  FROM imgs)
+       |SELECT doc_id, $OutW AS out_w, $OutH AS out_h,
+       |  CAST(list_min(grid) AS INT) AS rmin, CAST(list_max(grid) AS INT) AS rmax,
+       |  ${rndSql(s"list_reduce(list_prepend(0::BIGINT, grid), (a, v) -> a + v)::DOUBLE / $n", 4)} AS rmean
+       |FROM grids ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q46_multimodal_meta" -> (q46 _),
-    "q47_multimodal_features" -> (q47 _))
+    "q47_multimodal_features" -> (q47 _),
+    "q90_resize_grid" -> (q90 _))
 
   def oracles: Map[String, String] = Map(
     "q46_multimodal_meta" -> q46Sql,
-    "q47_multimodal_features" -> q47Sql)
+    "q47_multimodal_features" -> q47Sql,
+    "q90_resize_grid" -> q90Sql)
 }

@@ -121,11 +121,23 @@ object Similarity {
   final val IvfCells = 16
   final val IvfProbe = 2
 
+  /** Deployment knobs (SCALE_NOTES deferred item): cells ≈ √n and
+    * nprobe trade recall for scan fraction. Defaults are the declared
+    * constants so the driver's oracle stays exact; a production
+    * session overrides per workload:
+    * `spark.graft.ann.ivf.cells` / `spark.graft.ann.ivf.nprobe`.
+    */
+  private def ivfCells(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.ivf.cells").map(_.toInt).getOrElse(IvfCells)
+  private def ivfProbe(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.ivf.nprobe").map(_.toInt).getOrElse(IvfProbe)
+
   def q59(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, nprobe) = (ivfCells(spark), ivfProbe(spark))
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.normK(col("embedding")).as("nrm"))
-    val cents = v.filter(col("vec_id") < IvfCells)
+    val cents = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("e_c"),
         col("nrm").as("n_c"))
     // nearest centroid per vector: broadcast the codebook, rank on the
@@ -147,7 +159,7 @@ object Similarity {
         (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
           .as("cos_c"))
       .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= IvfProbe)
+      .where(col("rk") <= nprobe)
       .select(col("query_id"), col("cid").as("cell"))
     val q = v.filter(expr(QueryFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),

@@ -51,6 +51,18 @@ class AnnSpec extends SparkTestBase {
       "approximate cosine out of range"))
   }
 
+  test("nprobe knob: probing every cell recovers brute-force exactly") {
+    // nprobe == cells ⇒ the candidate set is the whole corpus, so the
+    // IVF plan must return exactly the brute-force answer — the
+    // recall/cost dial's correctness anchor
+    spark.conf.set("spark.graft.ann.ivf.nprobe", Similarity.IvfCells.toString)
+    try {
+      val all = topSet(Similarity.q59(spark, Sf), 3)
+      val truth = topSet(Similarity.q36(spark, Sf), 3)
+      assert(all == truth, "full-probe IVF must equal brute force")
+    } finally spark.conf.unset("spark.graft.ann.ivf.nprobe")
+  }
+
   test("codebook training is bit-deterministic across runs") {
     val a = KMeansCodebook.train(spark, Sf, AnnTrained.Cells, AnnTrained.Iters)
     val b = KMeansCodebook.train(spark, Sf, AnnTrained.Cells, AnnTrained.Iters)
