@@ -59,17 +59,21 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
-    val kept = sequence(lit(0), nFrames - 1, lit(stride))
-    df.withColumn("payload",
-        TextFns.bind1(kept) { idx =>
-          // concat the selected frame windows
-          aggregate(
-            transform(idx, i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))),
-            lit(Array.emptyByteArray),
-            (acc, fr) => concat(acc, fr))
-        })
+    // materialize the kept-index list BEFORE replacing the payload: an
+    // expression referencing col("payload") after the withColumn swap
+    // would recompute frame counts from the already-sampled bytes
+    // (caught by the q91 oracle — quartering, not halving)
+    df.withColumn("__kept", sequence(lit(0), nFrames - 1, lit(stride)))
+      .withColumn("payload",
+        // concat the selected frame windows
+        aggregate(
+          transform(col("__kept"),
+            i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))),
+          lit(Array.emptyByteArray),
+          (acc, fr) => concat(acc, fr)))
       .withColumn("meta", col("meta").withField("n_frames",
-        size(kept).cast("int")))
+        size(col("__kept")).cast("int")))
+      .drop("__kept")
   }
 
   final val FeatureDim = 8

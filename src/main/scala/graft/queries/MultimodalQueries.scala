@@ -120,13 +120,64 @@ object MultimodalQueries {
        |FROM grids ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q91_frame_sample — the video half of the thumbnail pass: keep
+  // every 2nd 16-byte "frame" of each video payload
+  // (Multimodal.sampleFrames), report the retained frame count and
+  // byte stats of the sampled payload. Map-side only; the oracle
+  // rebuilds the kept-frame concatenation with DuckDB list slicing.
+  // ---------------------------------------------------------------
+  final val FrameBytes = 16
+  final val FrameStride = 2
+
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val videos = Multimodal.mediaTable(spark, dir)
+      .where(col("meta.kind") === "video")
+    Multimodal.sampleFrames(videos, FrameBytes, FrameStride)
+      .select(col("doc_id"),
+        col("meta.n_frames").as("kept_frames"),
+        length(col("payload")).as("kept_bytes"),
+        graft.functions.BinKernels.byteStatsCol(col("payload"))
+          .getField("bmean").as("raw_mean"))
+      .select(col("doc_id"), col("kept_frames"), col("kept_bytes"),
+        rnd(col("raw_mean"), 4).as("bmean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String = {
+    val h = hash60Sql("doc_id::VARCHAR")
+    // kept payload = concat of every FrameStride-th FrameBytes window
+    val keptIdx = s"list_transform(generate_series(0, " +
+      s"CAST(ceil(strlen(text)::DOUBLE / $FrameBytes) AS BIGINT) - 1, $FrameStride), i -> i)"
+    val keptText = s"list_reduce(list_prepend('', " +
+      s"list_transform($keptIdx, i -> substr(text, CAST(i * $FrameBytes AS INT) + 1, $FrameBytes))), " +
+      s"(a, x) -> a || x)"
+    val mean = graft.functions.BinKernels.byteStatsSql("b")._3
+    s"""WITH vids AS (
+       |  SELECT doc_id, text FROM documents WHERE ($h) % 3 = 2),
+       |kept AS (
+       |  SELECT doc_id, CAST(len($keptIdx) AS INT) AS kept_frames,
+       |    $keptText AS ktext
+       |  FROM vids)
+       |SELECT doc_id, kept_frames,
+       |  CAST(strlen(ktext) AS INT) AS kept_bytes,
+       |  ${rndSql(mean, 4)} AS bmean
+       |FROM (SELECT doc_id, kept_frames, ktext,
+       |        list_transform(generate_series(1, strlen(ktext)),
+       |          i -> ord(substr(ktext, i, 1))) AS b
+       |      FROM kept)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q46_multimodal_meta" -> (q46 _),
     "q47_multimodal_features" -> (q47 _),
-    "q90_resize_grid" -> (q90 _))
+    "q90_resize_grid" -> (q90 _),
+    "q91_frame_sample" -> (q91 _))
 
   def oracles: Map[String, String] = Map(
     "q46_multimodal_meta" -> q46Sql,
     "q47_multimodal_features" -> q47Sql,
-    "q90_resize_grid" -> q90Sql)
+    "q90_resize_grid" -> q90Sql,
+    "q91_frame_sample" -> q91Sql)
 }

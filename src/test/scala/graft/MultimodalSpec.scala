@@ -40,10 +40,19 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("sampleFrames halves the frame count with stride 2") {
+    val before = media.select(col("doc_id"),
+      ceil(length(col("payload")).cast("double") / 16).cast("int").as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val sampled = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
-    val r = sampled.select(length(col("payload")).as("len"), col("meta.n_frames"))
-      .head()
-    assert(r.getAs[Int]("n_frames") > 0)
-    assert(r.getAs[Int]("len") > 0)
+      .select(col("doc_id"), length(col("payload")).as("len"), col("meta.n_frames"))
+      .collect()
+    sampled.foreach { r =>
+      val nf = before(r.getLong(0))
+      val kept = r.getAs[Int]("n_frames")
+      // every 2nd frame of the ORIGINAL payload: ceil(nf / 2)
+      assert(kept == (nf + 1) / 2, s"doc ${r.getLong(0)}: $kept of $nf")
+      // and the sampled payload holds exactly those frames' bytes
+      assert(r.getAs[Int]("len") <= kept * 16 && r.getAs[Int]("len") > (kept - 1) * 16)
+    }
   }
 }
