@@ -25,7 +25,11 @@ import org.apache.spark.sql.types._
   *
   * Total order: score DESC, then (id1, id2) ASC — ties are broken by
   * identity so the result is deterministic and SQL-reproducible
-  * (ROW_NUMBER OVER (ORDER BY score DESC, id1, id2) ≤ k).
+  * (ROW_NUMBER OVER (ORDER BY score DESC, id1, id2) ≤ k). The heap is
+  * a MULTISET: fully identical triples are kept, exactly as
+  * ROW_NUMBER emits one row per duplicate input row. Rows with a null
+  * score are not candidates; a null id ranks as 0 (callers should
+  * pass non-null identity columns — q83 uses the lineitem PK).
   */
 case class TopKAgg(
   score: Expression,
@@ -34,23 +38,26 @@ case class TopKAgg(
   k: Int,
   override val mutableAggBufferOffset: Int = 0,
   override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long, Long)]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long, Long)]] {
 
-  private def ord: Comparator[(Double, Long, Long)] = TopKAgg.BestFirst
+  // the queue keeps the WORST kept triple at its head (reverse of the
+  // output order) so the bound check is an O(1) peek
+  private def worstFirst: Comparator[(Double, Long, Long)] =
+    TopKAgg.BestFirst.reversed()
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long, Long)] =
-    new java.util.TreeSet[(Double, Long, Long)](ord)
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long, Long)] =
+    new java.util.PriorityQueue[(Double, Long, Long)](k, worstFirst)
 
-  private def insert(buf: java.util.TreeSet[(Double, Long, Long)],
+  private def insert(buf: java.util.PriorityQueue[(Double, Long, Long)],
     t: (Double, Long, Long)): Unit = {
     if (buf.size < k) { buf.add(t); () }
-    else if (ord.compare(t, buf.last()) < 0) {
-      if (buf.add(t)) { buf.pollLast(); () }
+    else if (TopKAgg.BestFirst.compare(t, buf.peek()) < 0) {
+      buf.poll(); buf.add(t); ()
     }
   }
 
-  override def update(buf: java.util.TreeSet[(Double, Long, Long)],
-    input: InternalRow): java.util.TreeSet[(Double, Long, Long)] = {
+  override def update(buf: java.util.PriorityQueue[(Double, Long, Long)],
+    input: InternalRow): java.util.PriorityQueue[(Double, Long, Long)] = {
     val s = score.eval(input)
     if (s != null) {
       val a = id1.eval(input)
@@ -62,38 +69,41 @@ case class TopKAgg(
     buf
   }
 
-  override def merge(a: java.util.TreeSet[(Double, Long, Long)],
-    b: java.util.TreeSet[(Double, Long, Long)]): java.util.TreeSet[(Double, Long, Long)] = {
+  override def merge(a: java.util.PriorityQueue[(Double, Long, Long)],
+    b: java.util.PriorityQueue[(Double, Long, Long)]): java.util.PriorityQueue[(Double, Long, Long)] = {
     val it = b.iterator()
     while (it.hasNext) insert(a, it.next())
     a
   }
 
+  private def sortedBestFirst(
+    buf: java.util.PriorityQueue[(Double, Long, Long)]): Array[(Double, Long, Long)] = {
+    val arr = buf.toArray(new Array[(Double, Long, Long)](buf.size))
+    java.util.Arrays.sort(arr, TopKAgg.BestFirst)
+    arr
+  }
+
   /** Best-first array of struct(score, id1, id2). */
-  override def eval(buf: java.util.TreeSet[(Double, Long, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: java.util.PriorityQueue[(Double, Long, Long)]): Any = {
+    val arr = sortedBestFirst(buf)
+    val out = new Array[Any](arr.length)
     var i = 0
-    while (it.hasNext) {
-      val t = it.next()
-      out(i) = new GenericInternalRow(Array[Any](t._1, t._2, t._3))
+    while (i < arr.length) {
+      out(i) = new GenericInternalRow(Array[Any](arr(i)._1, arr(i)._2, arr(i)._3))
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 24)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) {
-      val t = it.next()
-      bb.putDouble(t._1); bb.putLong(t._2); bb.putLong(t._3)
-    }
+  override def serialize(buf: java.util.PriorityQueue[(Double, Long, Long)]): Array[Byte] = {
+    val arr = sortedBestFirst(buf)
+    val bb = ByteBuffer.allocate(4 + arr.length * 24)
+    bb.putInt(arr.length)
+    arr.foreach { t => bb.putDouble(t._1); bb.putLong(t._2); bb.putLong(t._3) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long, Long)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val s = createAggregationBuffer()
@@ -133,10 +143,14 @@ object TopKAgg {
   }
 
   /** Aggregate (score, id1, id2) rows into the group's best-first
-    * top-k array. score must be DOUBLE, ids LONG.
+    * top-k array. Inputs are cast to (DOUBLE, LONG, LONG) here — the
+    * aggregate's eval assumes those exact runtime types, and an
+    * uncast DECIMAL score would otherwise die with a
+    * ClassCastException inside executors.
     */
   def topK(score: Column, id1: Column, id2: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id1),
-        ColumnBridge.expression(id2), k).toAggregateExpression())
+      TopKAgg(ColumnBridge.expression(score.cast("double")),
+        ColumnBridge.expression(id1.cast("long")),
+        ColumnBridge.expression(id2.cast("long")), k).toAggregateExpression())
 }

@@ -63,7 +63,12 @@ object Multimodal {
     // expression referencing col("payload") after the withColumn swap
     // would recompute frame counts from the already-sampled bytes
     // (caught by the q91 oracle — quartering, not halving)
-    df.withColumn("__kept", sequence(lit(0), nFrames - 1, lit(stride)))
+    // the filter() guard keeps an empty payload EMPTY: a bare
+    // sequence(0, nFrames-1) throws on 0 → -1 bounds, and clamping to
+    // [0] would fabricate one phantom frame (oracle: empty list)
+    df.withColumn("__kept",
+        filter(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
+          i => i < nFrames))
       .withColumn("payload",
         // concat the selected frame windows
         aggregate(

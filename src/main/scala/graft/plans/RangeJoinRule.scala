@@ -49,9 +49,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** (point, lo, hi, strictUpper, pointOnLeft) for a pure range join. */
+  /** (point, lo, hi, strictLower, strictUpper, pointOnLeft) for a
+    * pure range join. Every comparison is read in BOTH orientations
+    * (`a >= b` is also `b <= a`), so `lo <= p AND p < hi` and
+    * `p > lo AND hi > p` match exactly like the canonical
+    * `p >= lo AND p < hi`.
+    */
   private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
-    : Option[(Expression, Expression, Expression, Boolean, Boolean)] = {
+    : Option[(Expression, Expression, Expression, Boolean, Boolean, Boolean)] = {
     val cs = conjuncts(cond)
     def sideOf(e: Expression): Option[Boolean] = {
       val refs = e.references
@@ -68,32 +73,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasEqui) return None
-    // normalize every cross-side comparison to (point cmp bound)
-    sealed trait Cmp; case object Ge extends Cmp; case object Lt extends Cmp
-    case object Le extends Cmp
-    def norm(c: Expression): Option[(Expression, Cmp, Expression)] = c match {
-      case GreaterThanOrEqual(a, b) => Some((a, Ge, b))
-      case LessThan(a, b) => Some((a, Lt, b))
-      case LessThanOrEqual(a, b) => Some((a, Le, b))
-      case GreaterThan(a, b) => Some((b, Lt, a))
-      case _ => None
+    // (point, isLower, strict, bound) readings of each comparison
+    def norm(c: Expression): Seq[(Expression, Boolean, Boolean, Expression)] = c match {
+      case GreaterThanOrEqual(a, b) => Seq((a, true, false, b), (b, false, false, a))
+      case GreaterThan(a, b) => Seq((a, true, true, b), (b, false, true, a))
+      case LessThan(a, b) => Seq((a, false, true, b), (b, true, true, a))
+      case LessThanOrEqual(a, b) => Seq((a, false, false, b), (b, true, false, a))
+      case _ => Nil
     }
-    val bounds = cs.flatMap(norm).flatMap { case (a, cmp, b) =>
-      for (sa <- sideOf(a); sb <- sideOf(b); if sa != sb;
-           if a.dataType == LongType && b.dataType == LongType;
-           if a.deterministic && b.deterministic)
-        yield (a, cmp, b, sa)
-    }
-    val lowers = bounds.collect { case (p, Ge, lo, s) => (p, lo, s) }
-    val uppers = bounds.collect {
-      case (p, Lt, hi, s) => (p, hi, true, s)
-      case (p, Le, hi, s) => (p, hi, false, s)
+    val bounds = cs.flatMap(norm).flatMap { case (p, isLower, strict, bound) =>
+      for (sp <- sideOf(p); sb <- sideOf(bound); if sp != sb;
+           if p.dataType == LongType && bound.dataType == LongType;
+           if p.deterministic && bound.deterministic)
+        yield (p, isLower, strict, bound, sp)
     }
     (for {
-      (p1, lo, s1) <- lowers
-      (p2, hi, strict, s2) <- uppers
+      (p1, true, sLo, lo, s1) <- bounds
+      (p2, false, sHi, hi, s2) <- bounds
       if s1 == s2 && p1.semanticEquals(p2)
-    } yield (p1, lo, hi, strict, s1)).headOption
+    } yield (p1, lo, hi, sLo, sHi, s1)).headOption
   }
 
   private def floorDiv(e: Expression, w: Long): Expression =
@@ -112,12 +110,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !left.isStreaming && !right.isStreaming =>
-        matchRange(cond, left, right) match {
-          case Some((p, lo, hi, strict, pointOnLeft))
-              if derivedWidth(lo, hi).getOrElse(confWidth) > 0 =>
-            val width = derivedWidth(lo, hi).getOrElse(confWidth)
-            val hiAdj = if (strict) Subtract(hi, Literal(1L)) else hi
-            val loBin = floorDiv(lo, width)
+        matchRange(cond, left, right)
+          .map { case (p, lo, hi, strictLo, strictHi, pointOnLeft) =>
+            ((p, lo, hi, strictLo, strictHi, pointOnLeft),
+              derivedWidth(lo, hi).getOrElse(confWidth))
+          } match {
+          case Some(((p, lo, hi, strictLo, strictHi, pointOnLeft), width))
+              if width > 0 =>
+            // half-open normalization on longs: p > lo ⇔ p >= lo+1,
+            // p <= hi covers through hi, p < hi through hi-1
+            val loAdj = if (strictLo) Add(lo, Literal(1L)) else lo
+            val hiAdj = if (strictHi) Subtract(hi, Literal(1L)) else hi
+            val loBin = floorDiv(loAdj, width)
             val hiBin = floorDiv(hiAdj, width)
             // clamp: an empty interval still yields one (dead) bin
             // rather than a descending sequence
@@ -130,7 +134,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             val binPAlias = Alias(floorDiv(p, width), "__graft_bin_p")()
             val (intervalSide, pointSide) =
               if (pointOnLeft) (right, left) else (left, right)
-            val gen = Generate(ExplodeBase(seq), unrequiredChildIndex = Nil,
+            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
               generatorOutput = Seq(binI), child = intervalSide)
             val proj = Project(pointSide.output :+ binPAlias, pointSide)
@@ -143,7 +147,4 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         }
     }
   }
-
-  /** Explode without the codegen fallback ambiguity. */
-  private def ExplodeBase(e: Expression): Explode = Explode(e)
 }

@@ -224,17 +224,14 @@ object PqQueries {
   final val CoarseCells = 16
   final val NProbe = 4
 
-  /** Per-block inner product ⟨a, b⟩, strict ascending fold in DOUBLE. */
+  // per-block inner products route through the same codegen'd
+  // dot-product expression (and its SQL twin) as every other cosine
+  // path — ONE numeric contract, pinned once by KernelSpec
   private def dotBlk(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VecFns.dotCol(a, b)
 
   private def dotBlkSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(generate_series(1, $BlockDim), " +
-      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+    graft.functions.VecFns.dotSql(a, b)
 
   def q85(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VecFns

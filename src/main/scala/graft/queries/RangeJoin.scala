@@ -78,7 +78,10 @@ object RangeJoin {
        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
 
   /** The windows and points of q82 WITHOUT manual binning — the naive
-    * containment join a user would actually write.
+    * containment join a user would actually write. The upper bound is
+    * a PRE-COMPUTED column, so only the binWidth conf can enable the
+    * rewrite for this form (the rule can't see the interval width
+    * through the attribute).
     */
   private[graft] def naiveRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val day = lit(86400)
@@ -101,17 +104,30 @@ object RangeJoin {
 
   // ---------------------------------------------------------------
   // q88_range_join_auto — identical semantics to q82, but written
-  // NAIVELY (`d >= s AND d < e`, no equi key) and planned through the
-  // RangeJoinRewrite optimizer rule (plans/RangeJoinRule), which
-  // injects the bin equi-key automatically. Shares q82's oracle —
-  // same contract, different derivation: q82 proves the composition,
-  // q88 proves users don't have to know it.
+  // NAIVELY (`d >= s AND d < s + 7 days`, no equi key) and planned
+  // through the RangeJoinRewrite optimizer rule (plans/RangeJoinRule),
+  // which reads the interval width off the inline `lo + literal`
+  // bound and injects the bin equi-key automatically — no conf, no
+  // session mutation. Shares q82's oracle — same contract, different
+  // derivation: q82 proves the composition, q88 proves users don't
+  // have to know it.
   // ---------------------------------------------------------------
   def q88(spark: SparkSession, dir: String): DataFrame = {
-    // bin width = the q82 window width, in seconds
-    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
-      (WindowDays * 86400L).toString)
-    naiveRangeJoin(spark, dir)
+    val wins = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("s"))
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"),
+        unix_timestamp(col("l_shipdate")).as("d"))
+    wins.join(pts,
+        col("d") >= col("s") && col("d") < col("s") + lit(WindowDays * 86400L))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
   }
 
   def queries: Map[String, Q] = Map(

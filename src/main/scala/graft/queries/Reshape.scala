@@ -50,13 +50,21 @@ object Reshape {
   // ---------------------------------------------------------------
   private final val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  def q78(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
       .withColumn("cohort", col("user_id") % 4)
       .groupBy(col("cohort"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val"))
+    // a (cohort, type) cell with no rows is NULL from pivotfirst but 0
+    // from SQL's COUNT FILTER — pin the count cells to 0 (the sum
+    // cells stay NULL in both engines)
+    wide.select(col("cohort") +: EventTypes.flatMap { t =>
+      Seq(coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
+        col(s"${t}_val"))
+    }: _*)
       .orderBy(col("cohort"))
+  }
 
   val q78Sql: String = {
     val cells = EventTypes.map { t =>

@@ -105,14 +105,15 @@ class ReshapeSpec extends SparkTestBase {
   }
 
   test("q88: optimizer rule turns the naive range join into an equi-join") {
-    // without the rule (width unset) the naive join is a nested loop
+    // a precomputed-attribute bound with no conf width stays a nested
+    // loop — the rule has nothing to derive the bin width from
     spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
     val naive = RangeJoin.naiveRangeJoin(spark, Sf)
     val pNaive = plan(naive)
     assert(pNaive.contains("BroadcastNestedLoopJoin") ||
       pNaive.contains("CartesianProduct"),
       s"expected the naive plan to nested-loop:\n$pNaive")
-    // with the rule: equi-join on bins, same rows as the manual q82
+    // q88's inline 'lo + literal' bound self-configures — still no conf
     val auto = RangeJoin.q88(spark, Sf)
     val pAuto = plan(auto)
     assert(!pAuto.contains("BroadcastNestedLoopJoin") &&
@@ -122,7 +123,19 @@ class ReshapeSpec extends SparkTestBase {
     assert(auto.collect().toSeq == RangeJoin.q82(spark, Sf).collect().toSeq)
   }
 
-  test("range rule self-configures from an inline 'lo + literal' upper bound") {
+  test("binWidth conf enables the rewrite for precomputed-attribute bounds") {
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
+      (RangeJoin.WindowDays * 86400L).toString)
+    try {
+      val df = RangeJoin.naiveRangeJoin(spark, Sf)
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"conf-enabled rewrite did not fire:\n$p")
+      assert(df.collect().toSeq == RangeJoin.q82(spark, Sf).collect().toSeq)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+  }
+
+  test("range rule matches flipped orientations and strict lower bounds") {
     import org.apache.spark.sql.functions._
     // width conf OFF: only the structural derivation can fire
     spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
@@ -133,19 +146,34 @@ class ReshapeSpec extends SparkTestBase {
       .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("s"))
     val pts = graft.sources.Tables.lineitem(spark, Sf)
       .select(unix_timestamp(col("l_shipdate")).as("d"))
-    val inline = wins.join(pts,
-      col("d") >= col("s") &&
-        col("d") < col("s") + lit(RangeJoin.WindowDays * 86400L))
+    // the q82 oracle's own orientation: lo <= p AND hi > p — both
+    // comparisons written bound-first
+    val flipped = wins.join(pts,
+      col("s") <= col("d") &&
+        (col("s") + lit(RangeJoin.WindowDays * 86400L)) > col("d"))
       .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_items"))
-    val p = plan(inline)
+    val p = plan(flipped)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"derived-width rewrite did not fire:\n$p")
-    // and the rows match the manual binned join's counts
+      s"flipped-orientation rewrite did not fire:\n$p")
     val manual = RangeJoin.q82(spark, Sf)
       .select(col("o_orderkey"), col("n_items")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val got = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == manual)
+    assert(flipped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == manual)
+    // strict lower bound: p > lo-1 ⇔ p >= lo — same rows again. The
+    // lo-1 bound breaks the structural width derivation (hi is no
+    // longer lo + literal), so this form exercises the conf path.
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
+      (RangeJoin.WindowDays * 86400L).toString)
+    try {
+      val strictLo = wins.join(pts,
+        col("d") > col("s") - lit(1L) &&
+          col("d") < col("s") + lit(RangeJoin.WindowDays * 86400L))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_items"))
+      val p2 = plan(strictLo)
+      assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
+        s"strict-lower rewrite did not fire:\n$p2")
+      assert(strictLo.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == manual)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 
   test("q78/q80 row parity against direct computation") {

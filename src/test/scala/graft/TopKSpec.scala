@@ -1,10 +1,12 @@
 package graft
 
+import java.nio.ByteBuffer
 import graft.functions.TopKAgg
 import graft.queries.Extended
 
-/** Bounded-heap top-k aggregate: buffer bound, merge semantics, and
-  * end-to-end parity with the window-rank formulation.
+/** Bounded-heap top-k aggregate: buffer bound, multiset semantics,
+  * merge order-independence, and end-to-end parity with the
+  * window-rank formulation.
   */
 class TopKSpec extends SparkTestBase {
 
@@ -12,56 +14,58 @@ class TopKSpec extends SparkTestBase {
 
   private def newAgg = TopKAgg(null, null, null, k = 3)
 
+  /** Best-first contents via the (sorted) serialized form. */
+  private def contents(agg: TopKAgg,
+    buf: java.util.PriorityQueue[(Double, Long, Long)]): Seq[(Double, Long, Long)] = {
+    val bb = ByteBuffer.wrap(agg.serialize(buf))
+    val n = bb.getInt
+    (1 to n).map(_ => (bb.getDouble, bb.getLong, bb.getLong))
+  }
+
+  private def fold(agg: TopKAgg, items: Seq[(Double, Long, Long)]) = {
+    val acc = agg.createAggregationBuffer()
+    items.foreach { x =>
+      val s = agg.createAggregationBuffer(); s.add(x); agg.merge(acc, s)
+    }
+    acc
+  }
+
   test("buffer never exceeds k; keeps best by (score DESC, ids ASC)") {
     val agg = newAgg
-    val buf = agg.createAggregationBuffer()
-    val other = agg.createAggregationBuffer()
-    (1 to 100).foreach { i => other.add(t(i.toDouble, i.toLong, 0L)) }
-    // merge respects the bound even from an oversized peer set
-    val merged = agg.merge(buf, other)
-    // NB: other was built by raw add (simulating deserialized partials
-    // each ≤ k; here oversized on purpose) — merge must still bound
-    assert(merged.size == 3)
-    val best = merged.iterator()
-    assert(best.next()._1 == 100.0)
-    assert(best.next()._1 == 99.0)
-    assert(best.next()._1 == 98.0)
+    val buf = fold(agg, (1 to 100).map(i => t(i.toDouble, i.toLong, 0L)))
+    assert(buf.size == 3)
+    assert(contents(agg, buf) == Seq(t(100.0, 100, 0), t(99.0, 99, 0), t(98.0, 98, 0)))
+  }
+
+  test("identical triples are KEPT (multiset, like ROW_NUMBER), not deduped") {
+    val agg = newAgg
+    val buf = fold(agg, Seq(t(5.0, 1, 1), t(5.0, 1, 1), t(4.0, 2, 2), t(3.0, 9, 9)))
+    assert(contents(agg, buf) == Seq(t(5.0, 1, 1), t(5.0, 1, 1), t(4.0, 2, 2)))
   }
 
   test("tie scores break by (id1, id2) ascending") {
     val agg = newAgg
-    val buf = agg.createAggregationBuffer()
-    Seq(t(5.0, 9, 9), t(5.0, 1, 2), t(5.0, 1, 1), t(5.0, 3, 0)).foreach { x =>
-      val b2 = agg.createAggregationBuffer(); b2.add(x); agg.merge(buf, b2)
-    }
-    val it = buf.iterator()
-    assert(it.next() == t(5.0, 1, 1))
-    assert(it.next() == t(5.0, 1, 2))
-    assert(it.next() == t(5.0, 3, 0))
+    val buf = fold(agg, Seq(t(5.0, 9, 9), t(5.0, 1, 2), t(5.0, 1, 1), t(5.0, 3, 0)))
+    assert(contents(agg, buf) == Seq(t(5.0, 1, 1), t(5.0, 1, 2), t(5.0, 3, 0)))
   }
 
   test("merge is order-independent (associative + commutative)") {
     val agg = newAgg
     val items = (1 to 40).map(i => t((i * 7 % 13).toDouble, i.toLong, (i % 3).toLong))
     def run(order: Seq[(Double, Long, Long)]) = {
-      val groups = order.grouped(10).map { g =>
-        val b = agg.createAggregationBuffer()
-        g.foreach { x => val s = agg.createAggregationBuffer(); s.add(x); agg.merge(b, s) }
-        b
-      }.toSeq
+      val groups = order.grouped(10).map(g => fold(agg, g)).toSeq
       val acc = agg.createAggregationBuffer()
       groups.foreach(g => agg.merge(acc, g))
-      agg.serialize(acc).toSeq
+      contents(agg, acc)
     }
     assert(run(items) == run(items.reverse))
   }
 
   test("serialize/deserialize round-trips") {
     val agg = newAgg
-    val buf = agg.createAggregationBuffer()
-    Seq(t(3.5, 1, 2), t(-1.0, 4, 5)).foreach(buf.add(_))
+    val buf = fold(agg, Seq(t(3.5, 1, 2), t(-1.0, 4, 5)))
     val back = agg.deserialize(agg.serialize(buf))
-    assert(back.size == 2 && back.first() == t(3.5, 1, 2))
+    assert(contents(agg, back) == Seq(t(3.5, 1, 2), t(-1.0, 4, 5)))
   }
 
   test("q83 equals the window-rank formulation") {
@@ -86,5 +90,20 @@ class TopKSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"heap top-k must not plan a window:\n$p")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"expected the TypedImperativeAggregate:\n$p")
+  }
+
+  test("duplicate rows survive end-to-end (multiset contract on a real frame)") {
+    import org.apache.spark.sql.functions._
+    val dup = spark.range(1).select(lit("X").as("g"), lit(5.0).as("s"),
+      lit(1L).as("a"), lit(1L).as("b"))
+    val df = dup.union(dup).union(
+      spark.range(1).select(lit("X").as("g"), lit(4.0).as("s"),
+        lit(2L).as("a"), lit(2L).as("b")))
+      .groupBy(col("g"))
+      .agg(TopKAgg.topK(col("s"), col("a"), col("b"), 3).as("top"))
+      .select(explode(col("top")).as("t"))
+    val rows = df.collect().map(r => r.getStruct(0))
+    assert(rows.length == 3)
+    assert(rows.count(s => s.getDouble(0) == 5.0) == 2, "duplicate kept")
   }
 }
