@@ -26,4 +26,32 @@ object Writers {
     */
   def partitionedJson(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
+
+  /** Z-ordered parquet: range-partition and sort by the Morton
+    * interleave of two keys, so every output file and row group gets
+    * a min/max envelope tight in BOTH keys — predicates on either
+    * dimension skip data (ZOrderSpec measures ≥2× scan reduction per
+    * key from the scan's own metrics). This is the write-side half of
+    * the layout story: one extra sort at write time buys two pruning
+    * dimensions for every read after it. The z column is dropped
+    * before writing — the layout, not the value, is the product.
+    *
+    * `repartitionByRange` samples z to build balanced ranges, so file
+    * sizes track data volume; at 100 TB set
+    * `spark.sql.shuffle.partitions` (or pass `numFiles`) to the
+    * target file count.
+    */
+  def zOrderedParquet(df: DataFrame, path: String,
+    keyA: org.apache.spark.sql.Column, keyB: org.apache.spark.sql.Column,
+    numFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.graftbridge.ZOrderLong
+    val z = ZOrderLong.zorder2(keyA, keyB)
+    val zed = df.withColumn("__z", z)
+    val ranged = numFiles
+      .map(n => zed.repartitionByRange(n, org.apache.spark.sql.functions.col("__z")))
+      .getOrElse(zed.repartitionByRange(org.apache.spark.sql.functions.col("__z")))
+    ranged.sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -100,6 +100,31 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("Writers.zOrderedParquet: every output file is key-local in both dimensions") {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = spark.range(50000).select(
+      (col("id") * 2654435761L % 512).as("x"),
+      (col("id") * 40503L % 512).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zwriter").toString
+    graft.io.Writers.zOrderedParquet(base, s"$dir/out", col("x"), col("y"),
+      numFiles = Some(64))
+    val perFile = spark.read.parquet(s"$dir/out")
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .collect()
+    assert(perFile.map(_.getAs[Long]("n")).sum == 50000L, "rows preserved")
+    assert(perFile.length > 16, "range partitioner should spread files")
+    // a contiguous z-interval of ~domain/64 codes bounds each file's
+    // (x, y) box far below the 512x512 domain; an unsorted writer
+    // gives every file the full domain (area 262144)
+    perFile.foreach { r =>
+      val area = (r.getAs[Long]("sx") + 1) * (r.getAs[Long]("sy") + 1)
+      assert(area <= 65536, s"file not key-local: $r")
+    }
+  }
+
   test("q86 rectangle property: every 2^18 z-bucket spans < 512 in BOTH keys") {
     val rows = Layout.q86(spark, Sf).collect()
     assert(rows.nonEmpty)
