@@ -89,5 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_zorder expects exactly 2 arguments")
         org.apache.spark.sql.graftbridge.ZOrderLong(args(0), args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_zorder3"),
+      info("graft_zorder3",
+        "_FUNC_(a, b, c) - Z-order (Morton) interleave of three BIGINT keys (low 21 bits each)"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "graft_zorder3 expects exactly 3 arguments")
+        org.apache.spark.sql.graftbridge.ZOrderLong3(args(0), args(1), args(2))
+      }))
   }
 }

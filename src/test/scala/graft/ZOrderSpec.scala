@@ -34,6 +34,40 @@ class ZOrderSpec extends SparkTestBase {
       refInterleave(0x7fffffffL, 0x7fffffffL))
   }
 
+  test("3-key interleave == positional reference; codegen == SQL surface") {
+    def ref3(x: Long, y: Long, z: Long): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 21) {
+        out |= ((x >> i) & 1L) << (3 * i)
+        out |= ((y >> i) & 1L) << (3 * i + 1)
+        out |= ((z >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      out
+    }
+    val rnd = new scala.util.Random(11)
+    (Seq((0L, 0L, 0L), (0x1fffffL, 0x1fffffL, 0x1fffffL), (1L, 2L, 4L)) ++
+      Seq.fill(300)((rnd.nextLong().abs & 0x1fffffL,
+        rnd.nextLong().abs & 0x1fffffL, rnd.nextLong().abs & 0x1fffffL)))
+      .foreach { case (x, y, z) =>
+        assert(ZOrderLong.interleave3(x, y, z) == ref3(x, y, z), s"($x,$y,$z)")
+      }
+    // masked beyond 21 bits
+    assert(ZOrderLong.interleave3(Long.MaxValue, 0, 0) == ref3(0x1fffffL, 0, 0))
+    val df = spark.range(500).select(
+      (col("id") * 7919 % 100000).as("a"), (col("id") * 104729 % 100000).as("b"),
+      (col("id") * 1299709 % 100000).as("c"))
+    df.createOrReplaceTempView("z3pts")
+    val viaSql = spark.sql("SELECT graft_zorder3(a, b, c) AS z FROM z3pts").collect()
+    spark.catalog.dropTempView("z3pts")
+    val gen = df.select(ZOrderLong.zorder3(col("a"), col("b"), col("c"))).collect()
+    val interp = df.collect().map(r =>
+      ZOrderLong.interleave3(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gen.map(_.getLong(0)).sameElements(interp))
+    assert(viaSql.map(_.getLong(0)).sameElements(interp))
+  }
+
   test("codegen path == interpreted path == SQL surface") {
     val df = spark.range(1000).select(
       (col("id") * 2654435761L % 100000).as("x"),
