@@ -130,11 +130,67 @@ object RangeJoin {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------
+  // q92_spatial_join — 2-D containment (points in rectangles): the
+  // q82 bin trick lifted to two dimensions. Rectangles (derived
+  // deterministically from orders) explode to the ≤ 2×2 grid cells
+  // they cover (cell size ≥ rect size per axis); each point maps to
+  // exactly ONE cell; the join is an equi-join on (cx, cy) plus the
+  // residual containment filter — pairs meet exactly once, no dedup.
+  // At 100 TB the cell pair (or its Morton code, q86) is the storage
+  // partition key: a spatial probe reads only its covered cells. The
+  // naive plan is a nested loop over |rects| × |points|.
+  // ---------------------------------------------------------------
+  final val CellX = 16
+  final val CellY = 4
+
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val rects = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("rect_id"),
+        (col("o_orderkey") % 180).as("x_lo"),
+        (col("o_orderkey") % 180 + (CellX - 1)).as("x_hi"),
+        (col("o_custkey") % 6).as("y_lo"),
+        (col("o_custkey") % 6 + (CellY - 1)).as("y_hi"))
+      // explode the RECTANGLE side to its covered cells
+      .withColumn("cx", explode(sequence(
+        floor(col("x_lo") / CellX), floor(col("x_hi") / CellX))))
+      .withColumn("cy", explode(sequence(
+        floor(col("y_lo") / CellY), floor(col("y_hi") / CellY))))
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("px"), col("l_suppkey").as("py"),
+        col("l_quantity"))
+      .withColumn("cx", floor(col("px") / CellX))
+      .withColumn("cy", floor(col("py") / CellY))
+    rects.join(pts, Seq("cx", "cy"))
+      .where(col("px") >= col("x_lo") && col("px") <= col("x_hi") &&
+        col("py") >= col("y_lo") && col("py") <= col("y_hi"))
+      .groupBy(col("rect_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("rect_id"))
+  }
+
+  val q92Sql: String =
+    s"""WITH r AS (
+       |  SELECT o_orderkey AS rect_id,
+       |    o_orderkey % 180 AS x_lo, o_orderkey % 180 + ${CellX - 1} AS x_hi,
+       |    o_custkey % 6 AS y_lo, o_custkey % 6 + ${CellY - 1} AS y_hi
+       |  FROM orders WHERE o_orderkey % 100 = 0)
+       |SELECT r.rect_id, COUNT(*) AS n_points,
+       |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM r JOIN lineitem l
+       |  ON l.l_partkey BETWEEN r.x_lo AND r.x_hi
+       | AND l.l_suppkey BETWEEN r.y_lo AND r.y_hi
+       |GROUP BY 1 ORDER BY rect_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q82_range_join_binned" -> (q82 _),
-    "q88_range_join_auto" -> (q88 _))
+    "q88_range_join_auto" -> (q88 _),
+    "q92_spatial_join" -> (q92 _))
 
   def oracles: Map[String, String] = Map(
     "q82_range_join_binned" -> q82Sql,
-    "q88_range_join_auto" -> q82Sql)
+    "q88_range_join_auto" -> q82Sql,
+    "q92_spatial_join" -> q92Sql)
 }

@@ -176,6 +176,31 @@ class ReshapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 
+  test("q92: 2-D spatial join is an equi-join on cells, pairs meet exactly once") {
+    val df = RangeJoin.q92(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"cell join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatial join must not nested-loop:\n$p")
+    // exactly-once: total matched points equals the direct 2-D
+    // containment count (the point side is never replicated)
+    import org.apache.spark.sql.functions._
+    val rects = graft.sources.Tables.orders(spark, Sf)
+      .where(col("o_orderkey") % 100 === 0)
+      .select((col("o_orderkey") % 180).as("x_lo"),
+        (col("o_orderkey") % 180 + (RangeJoin.CellX - 1)).as("x_hi"),
+        (col("o_custkey") % 6).as("y_lo"),
+        (col("o_custkey") % 6 + (RangeJoin.CellY - 1)).as("y_hi"))
+    val direct = rects.crossJoin(
+        graft.sources.Tables.lineitem(spark, Sf)
+          .select(col("l_partkey"), col("l_suppkey")))
+      .where(col("l_partkey") >= col("x_lo") && col("l_partkey") <= col("x_hi") &&
+        col("l_suppkey") >= col("y_lo") && col("l_suppkey") <= col("y_hi"))
+      .count()
+    assert(df.collect().map(_.getAs[Long]("n_points")).sum == direct)
+  }
+
   test("q78/q80 row parity against direct computation") {
     val pivotTotal = Reshape.q78(spark, Sf).collect()
       .map(r => (1 to 10 by 2).map(i => r.getLong(i)).sum).sum
