@@ -40,6 +40,8 @@ case class TopKAgg(
   override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long, Long)]] {
 
+  require(k >= 1, s"TopKAgg requires k >= 1, got $k")
+
   // the queue keeps the WORST kept triple at its head (reverse of the
   // output order) so the bound check is an O(1) peek
   private def worstFirst: Comparator[(Double, Long, Long)] =

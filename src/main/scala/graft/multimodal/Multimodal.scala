@@ -120,6 +120,12 @@ object Multimodal {
   def resizeGrid(df: DataFrame, outW: Int, outH: Int): DataFrame = {
     val chars = split(decode(col("payload"), "UTF-8"), "")
     val len = size(chars)
+    // Zero-length payloads have no pixels to sample: pmod(_, 0) would
+    // yield null grid cells here while the oracle's `% strlen` raises —
+    // drop them on both engines. Char-indexed sampling assumes the
+    // ASCII stub payloads (1 byte = 1 char); a real decoder's byte
+    // buffer replaces `chars` wholesale.
+    val nonEmpty = df.where(length(col("payload")) > 0)
     val src = transform(sequence(lit(0), lit(outW * outH - 1)), k => {
       val y = floor(k.cast("double") / outW).cast("int")
       val x = k % outW
@@ -127,7 +133,7 @@ object Multimodal {
       val sx = floor(x.cast("double") * col("meta.width") / outW).cast("int")
       pmod(sy * col("meta.width") + sx, len)
     })
-    df.select(col("doc_id"),
+    nonEmpty.select(col("doc_id"),
       transform(src, i => ascii(element_at(chars, i + 1))).as("grid"),
       col("meta").withField("width", lit(outW))
         .withField("height", lit(outH)).as("meta"))

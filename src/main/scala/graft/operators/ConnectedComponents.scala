@@ -53,32 +53,40 @@ object ConnectedComponents {
       // analysis/stringification cost by iteration ~10 even though the
       // data is tiny. Checkpointing truncates lineage to a LogicalRDD
       // leaf each round, the standard iterative-algorithm discipline
-      // (GraphX/ALS do the same).
+      // (GraphX/ALS do the same). The checkpoint is LAZY: the
+      // changed-label count below is what materializes (and caches)
+      // each round's frame, so a round costs ONE job, not an eager
+      // checkpoint job plus a convergence job — at small edge counts
+      // the loop is pure per-job latency, so halving the job count
+      // halves the wall time. (Safe because count() computes every
+      // partition; a limit-style first action would checkpoint only
+      // some.)
       var labels = both.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
         .localCheckpoint(true)
-      var checksum = labels.agg(sum("lbl")).head().getLong(0)
       var iter = 0
-      var converged = false
+      var converged = nEdges == 0L // no edges → every node labels itself
       while (!converged && iter < maxIters) {
         val neighborMin = both.join(labels, col("dst") === col("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
         val propagated = labels.join(neighborMin, col("id") === col("src"), "left")
-          .select(col("id"),
+          .select(col("id"), col("lbl").as("prev"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         // pointer jumping: follow the label's label to collapse chains
         val next = propagated.as("p")
           .join(propagated.select(col("id").as("lid"), col("lbl").as("llbl")).as("q"),
             col("p.lbl") === col("q.lid"), "left")
-          .select(col("p.id").as("id"),
+          .select(col("p.id").as("id"), col("p.prev").as("prev"),
             least(col("p.lbl"), coalesce(col("llbl"), col("p.lbl"))).as("lbl"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(sum("lbl")).head().getLong(0)
+          .localCheckpoint(false)
+        // min-label propagation only lowers labels, so "no label moved
+        // this round" IS the fixpoint — counted directly, no separate
+        // checksum pass
+        val nChanged = next.where(col("lbl") =!= col("prev")).count()
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(f"[cc] iter=$iter sum=$nextSum")
-        labels = next
-        converged = nextSum == checksum
-        checksum = nextSum
+          println(s"[cc] iter=$iter changed=$nChanged")
+        labels = next.select(col("id"), col("lbl"))
+        converged = nChanged == 0L
         iter += 1
       }
       both.unpersist()
@@ -116,9 +124,11 @@ object ConnectedComponents {
     * the shallow clique-like graphs LSH thresholds produce.
     */
   def runStarWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    // evaluated once, inside the final labels query — an upfront
+    // eager checkpoint would spend a whole job on a single-use frame
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
 
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("src"), col("dst")).as("src"),
@@ -156,12 +166,15 @@ object ConnectedComponents {
       (r.getAs[Long]("n"), r.getAs[Long]("h"))
     }
 
-    var e = canon(edges).localCheckpoint(true)
+    // lazy checkpoints: each round's checksum() is the action that
+    // materializes (and caches) the round's edge frame — one job per
+    // round instead of an eager-checkpoint job plus a checksum job
+    var e = canon(edges).localCheckpoint(false)
     var cs = checksum(e)
     var rounds = 0
-    var converged = false
+    var converged = cs._1 == 0L // empty edge set is already a star forest
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val ncs = checksum(next)
       e = next
       rounds += 1

@@ -94,8 +94,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     } yield (p1, lo, hi, sLo, sHi, s1)).headOption
   }
 
-  private def floorDiv(e: Expression, w: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
+  /** Exact `Math.floorDiv(e, w)` for w > 0 on longs — built from
+    * truncating [[IntegralDivide]] with the negative-operand
+    * correction, never a double cast (which silently loses precision
+    * above 2^53 and could put a point and its covering interval in
+    * different bins).
+    */
+  private def floorDiv(e: Expression, w: Long): Expression = {
+    val wl = Literal(w)
+    If(GreaterThanOrEqual(e, Literal(0L)),
+      IntegralDivide(e, wl),
+      Subtract(IntegralDivide(Add(e, Literal(1L)), wl), Literal(1L)))
+  }
 
   /** `hi = lo + c` (either operand order) fixes the interval width. */
   private def derivedWidth(lo: Expression, hi: Expression): Option[Long] =
@@ -106,7 +116,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val confWidth = conf.getConfString(WidthConf, "0").toLong
+    // malformed conf must disable the rewrite, not throw mid-optimization
+    val confWidth = conf.getConfString(WidthConf, "0").toLongOption.getOrElse(0L)
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !left.isStreaming && !right.isStreaming =>
@@ -118,9 +129,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           case Some(((p, lo, hi, strictLo, strictHi, pointOnLeft), width))
               if width > 0 =>
             // half-open normalization on longs: p > lo ⇔ p >= lo+1,
-            // p <= hi covers through hi, p < hi through hi-1
-            val loAdj = if (strictLo) Add(lo, Literal(1L)) else lo
-            val hiAdj = if (strictHi) Subtract(hi, Literal(1L)) else hi
+            // p <= hi covers through hi, p < hi through hi-1.
+            // The ±1 clamps at Long.MaxValue/MinValue: those intervals
+            // are empty anyway, and wrapping (non-ANSI eval) would bin
+            // them at the wrong end of the domain instead of yielding
+            // the dead bin the residual filter removes.
+            val loAdj =
+              if (strictLo)
+                If(EqualTo(lo, Literal(Long.MaxValue)), lo, Add(lo, Literal(1L)))
+              else lo
+            val hiAdj =
+              if (strictHi)
+                If(EqualTo(hi, Literal(Long.MinValue)), hi, Subtract(hi, Literal(1L)))
+              else hi
             val loBin = floorDiv(loAdj, width)
             val hiBin = floorDiv(hiAdj, width)
             // clamp: an empty interval still yields one (dead) bin

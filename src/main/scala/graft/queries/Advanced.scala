@@ -68,6 +68,73 @@ object Advanced {
        |ORDER BY o_orderpriority, h""".stripMargin
 
   // ---------------------------------------------------------------
+  // q93_forecast_seasonal — q44's daily counts through the trend +
+  // weekly-seasonality fit (Forecast.seasonalForecast): Prophet's
+  // trend+weekly decomposition re-derived as two-stage closed-form
+  // least squares, 14-day horizon so the weekly phase repeats once in
+  // the output. The oracle replays the identical normal equations
+  // (integer sums, pinned double-op order).
+  // ---------------------------------------------------------------
+  final val SeasonalHorizon = 14
+
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("key"),
+        expr(s"unix_micros(cast(o_orderdate AS timestamp)) DIV $UsPerDay")
+          .as("t"))
+      .agg(count(lit(1)).as("y"))
+      .as[Forecast.TrendPoint]
+    Forecast.seasonalForecast(daily, SeasonalHorizon).toDF()
+      .select(col("key").as("o_orderpriority"), col("n_days"),
+        rnd(col("slope"), 6).as("slope"),
+        rnd(col("intercept"), 4).as("intercept"),
+        col("h"), col("t"), col("dow"),
+        rnd(col("seasonal"), 4).as("seasonal"),
+        rnd(col("yhat"), 4).as("yhat"))
+      .orderBy(col("o_orderpriority"), col("h"))
+  }
+
+  val q93Sql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS key, epoch_us(o_orderdate) // $UsPerDay AS t,
+       |         COUNT(*) AS y
+       |  FROM orders GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT key, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+       |         SUM(t*y) AS sty, SUM(t*t) AS st2, MAX(t) AS tmax
+       |  FROM daily GROUP BY key),
+       |fit AS (
+       |  SELECT key, n, tmax,
+       |    (n*sty - st*sy)::DOUBLE / (n*st2 - st*st)::DOUBLE AS slope
+       |  FROM sums WHERE n >= 2 AND (n*st2 - st*st) <> 0),
+       |fit2 AS (
+       |  SELECT f.key, f.n, f.tmax, f.slope,
+       |    (s.sy::DOUBLE - f.slope * s.st::DOUBLE) / s.n::DOUBLE AS intercept
+       |  FROM fit f JOIN sums s ON f.key = s.key),
+       |dsums AS (
+       |  SELECT key, ((t % 7) + 7) % 7 AS dow, COUNT(*) AS nd,
+       |         SUM(t) AS std, SUM(y) AS syd
+       |  FROM daily GROUP BY 1, 2),
+       |seas AS (
+       |  SELECT f.key, d.dow,
+       |    (d.syd::DOUBLE - f.intercept * d.nd::DOUBLE - f.slope * d.std::DOUBLE)
+       |      / d.nd::DOUBLE AS s
+       |  FROM fit2 f JOIN dsums d ON f.key = d.key),
+       |fc AS (
+       |  SELECT key, n, slope, intercept, h, tmax + h AS t,
+       |         ((tmax + h) % 7 + 7) % 7 AS dow
+       |  FROM fit2 CROSS JOIN (SELECT unnest(generate_series(1, $SeasonalHorizon)) AS h) hs)
+       |SELECT fc.key AS o_orderpriority, fc.n AS n_days,
+       |  ${rndSql("fc.slope", 6)} AS slope,
+       |  ${rndSql("fc.intercept", 4)} AS intercept,
+       |  fc.h, fc.t, fc.dow,
+       |  ${rndSql("COALESCE(seas.s, 0.0)", 4)} AS seasonal,
+       |  ${rndSql("fc.intercept + fc.slope * fc.t::DOUBLE + COALESCE(seas.s, 0.0)", 4)} AS yhat
+       |FROM fc LEFT JOIN seas ON fc.key = seas.key AND fc.dow = seas.dow
+       |ORDER BY o_orderpriority, h""".stripMargin
+
+  // ---------------------------------------------------------------
   // q45_byte_stats — the fused single-pass byte-stats kernel over the
   // utf-8 bytes of each document (ASCII corpus ⇒ DuckDB codepoint
   // twin is exact). Replaces the reference's 4 separate per-row UDF
@@ -92,9 +159,11 @@ object Advanced {
 
   def queries: Map[String, Q] = Map(
     "q44_forecast_trend" -> (q44 _),
-    "q45_byte_stats" -> (q45 _))
+    "q45_byte_stats" -> (q45 _),
+    "q93_forecast_seasonal" -> (q93 _))
 
   def oracles: Map[String, String] = Map(
     "q44_forecast_trend" -> q44Sql,
-    "q45_byte_stats" -> q45Sql)
+    "q45_byte_stats" -> q45Sql,
+    "q93_forecast_seasonal" -> q93Sql)
 }

@@ -126,7 +126,26 @@ object Dedup {
           TextKernels.minhashSigCol(col("text")).as("sig"))
         .localCheckpoint())
 
-  private[graft] def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored-pair frame is shared by q34 (top-k), q61 and q71
+    * (threshold → duplicate graph) — and it is TINY (one row per
+    * candidate pair, not per doc), so materializing it once per
+    * (session, dir) turns the band self-join + exact-Jaccard work into
+    * a one-time cost exactly like [[lshBase]]. In a production
+    * pipeline this is the persisted `near_dup_pairs` table every
+    * downstream dedup job reads.
+    */
+  private val scoredPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  graft.CacheRegistry.register("dedup.scoredPairs") { sid =>
+    scoredPairsCache.keys.filter(_._1 == sid).foreach(scoredPairsCache.remove)
+  }
+
+  private[graft] def lshScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredPairsCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      lshScoredPairsUncached(spark, dir).localCheckpoint())
+
+  private[graft] def lshScoredPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = lshBase(spark, dir)
     val bandsArr = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),

@@ -109,7 +109,7 @@ object MultimodalQueries {
     s"""WITH imgs AS (
        |  SELECT doc_id, text,
        |    64 + ($h) % 192 AS width, 64 + ($h) % 128 AS height
-       |  FROM documents WHERE ($h) % 3 = 0),
+       |  FROM documents WHERE ($h) % 3 = 0 AND strlen(text) > 0),
        |grids AS (
        |  SELECT doc_id,
        |    list_transform($src, i -> ord(substr(text, CAST(i AS INT) + 1, 1))) AS grid

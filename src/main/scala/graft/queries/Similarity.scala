@@ -128,9 +128,11 @@ object Similarity {
     * `spark.graft.ann.ivf.cells` / `spark.graft.ann.ivf.nprobe`.
     */
   private def ivfCells(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.ann.ivf.cells").map(_.toInt).getOrElse(IvfCells)
+    spark.conf.getOption("spark.graft.ann.ivf.cells")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(IvfCells)
   private def ivfProbe(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.ann.ivf.nprobe").map(_.toInt).getOrElse(IvfProbe)
+    spark.conf.getOption("spark.graft.ann.ivf.nprobe")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(IvfProbe)
 
   def q59(spark: SparkSession, dir: String): DataFrame = {
     val (cells, nprobe) = (ivfCells(spark), ivfProbe(spark))

@@ -260,7 +260,9 @@ object SketchQueries {
       .withColumn("cum", sum(col("c")).over(flagW.orderBy(col("bin"))))
       .withColumn("n", sum(col("c")).over(flagW))
     val qsDf = spark.range(1).select(explode(array(HistQs.map(lit): _*)).as("q"))
-    val r = t.crossJoin(qsDf)
+    // broadcast-pinned: a 3-row literal today, but without the hint a
+    // grown quantile list could degrade to a shuffled cartesian
+    val r = t.crossJoin(broadcast(qsDf))
       .withColumn("rank", ceil(col("q") * col("n").cast("double")).cast("long"))
       .where(col("cum") >= col("rank"))
     val first = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("bin"))

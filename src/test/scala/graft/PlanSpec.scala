@@ -41,7 +41,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q34: LSH band self-join is a hash join, never nested-loop") {
-    val p = plan(Dedup.q34(spark, Sf))
+    // the cached q34 plan is a LogicalRDD leaf (scored pairs are
+    // materialized once per session); the assertion targets the
+    // underlying pipeline that materialization runs
+    val p = plan(Dedup.lshScoredPairsUncached(spark, Sf))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"),
       "band join must not degrade to a cartesian product")
@@ -81,5 +84,36 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Relational.q01(spark, Sf))
     val hashAggs = p.split('\n').count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, "expected partial + final HashAggregate")
+  }
+
+  /** Queries whose plan legitimately contains a
+    * BroadcastNestedLoopJoin: the loop side is a BROADCAST of a
+    * bounded O(k) frame (ANN probe sets, the 3-row quantile literal),
+    * so each corpus partition loops over a handful of broadcast rows —
+    * map-side work, corpus never shuffles or replicates. Any query NOT
+    * on this list that plans a BNLJ fails the sweep.
+    */
+  private val BoundedBroadcastLoop = Set(
+    "q36_ann_bruteforce",     // ProbeN probe vectors × corpus
+    "q59_ann_ivf",            // probe × broadcast centroids
+    "q65_countmin_freq",      // heavy-hitter candidate literal
+    "q70_ann_ivf_kmeans",     // probe × trained codebook
+    "q73_histogram_quantiles", // 3-row quantile literal
+    "q85_ivfpq_search")       // probe × ADC tables
+
+  test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
+    // every declared query's physical plan — a shuffled cartesian that
+    // sneaks into ANY of them is a 100 TB scale-killer, so the whole
+    // inventory is gated, not just the joins we remembered to check
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val p = plan(q(spark, Sf))
+        if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else if (p.contains("BroadcastNestedLoopJoin") &&
+          !BoundedBroadcastLoop(name)) Some(s"$name: BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
   }
 }

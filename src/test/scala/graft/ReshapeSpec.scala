@@ -176,6 +176,39 @@ class ReshapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 
+  test("range rule bins exactly for negative and >2^53 long domains") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values where a double-cast floor(p/w) loses exactness (2^53+k is
+    // not representable) plus a negative (pre-epoch) band — the bins
+    // must come from exact integer floor division
+    val big = (1L << 53)
+    val pts = Seq(-1000003L, -7L, -1L, 0L, 5L, big + 1, big + 255, big + 1001)
+      .toDF("p")
+    val wins = Seq(-1000005L, -10L, 0L, big + 1, big + 1000).toDF("lo")
+      .select(col("lo"), (col("lo") + lit(7L)).as("hi"))
+    def joined() = wins.join(pts, col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("lo"), col("p"))
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val truth = joined().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "7")
+    try {
+      val rewritten = joined()
+      val p = plan(rewritten)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rewrite did not fire on the long-domain join:\n$p")
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+  }
+
+  test("malformed binWidth conf disables the rewrite instead of throwing") {
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "not-a-number")
+    try {
+      val df = RangeJoin.naiveRangeJoin(spark, Sf)
+      assert(df.collect().nonEmpty) // optimization must not throw
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+  }
+
   test("q92: 2-D spatial join is an equi-join on cells, pairs meet exactly once") {
     val df = RangeJoin.q92(spark, Sf)
     val p = plan(df)
