@@ -24,7 +24,8 @@ object SparkEntry {
       Similarity.queries ++ EventsOps.queries ++ StreamingQueries.queries ++
       Advanced.queries ++ MultimodalQueries.queries ++ SketchQueries.queries ++
       Extended.queries ++ Bucketed.queries ++ BinaryFiles.queries ++ AnnTrained.queries ++ PqQueries.queries ++
-      Reshape.queries ++ RangeJoin.queries ++ Layout.queries // q85 rides in PqQueries.queries
+      Reshape.queries ++ RangeJoin.queries ++ Layout.queries ++ // q85 rides in PqQueries.queries
+      JobCores.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       Similarity.oracles ++ EventsOps.oracles ++ StreamingQueries.oracles ++
       Advanced.oracles ++ MultimodalQueries.oracles ++ SketchQueries.oracles ++
       Extended.oracles ++ Bucketed.oracles ++ BinaryFiles.oracles ++ AnnTrained.oracles ++ PqQueries.oracles ++
-      Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles
+      Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles ++
+      JobCores.oracles
 }

@@ -142,6 +142,46 @@ object RadiographyAnalysis {
       "data", batchSize)(BatchInference.stubModel _)
       .select("prediction")
 
+  /** M8 — the reference's transfer-learning shape end-to-end
+    * (radiography_analysis.py:226–310): distributed byte-stat feature
+    * pass → BOUNDED collect of the fine-tune sample → driver-side fit
+    * of the softmax head (the Keras-head stand-in,
+    * operators/TransferHead) → save + reload the model artifact (K4,
+    * py:285) → broadcast-score the corpus via the load-once batched
+    * scorer (D12, py:307–326). Returns one row per scored image:
+    * (label, predicted, prediction probabilities).
+    *
+    * Determinism: the collected sample is sorted (label, features)
+    * before the fit, so the trained weights are independent of
+    * partition arrival order.
+    */
+  def transferLearning(df: DataFrame, modelPath: String,
+    sampleN: Int = 256, batchSize: Int = 64): DataFrame = {
+    import graft.operators.TransferHead
+    val sample = df
+      .withColumn("s", BinKernels.byteStatsCol(col("image.data")))
+      .select(col("label"),
+        col("s.bmin").cast("double"), col("s.bmax").cast("double"),
+        col("s.bmean"), col("s.bstd"))
+      .limit(sampleN) // the fine-tune sample, never the corpus
+      .collect()
+      .map(r => (r.getInt(0), Array(r.getDouble(1) / 255.0,
+        r.getDouble(2) / 255.0, r.getDouble(3) / 255.0,
+        r.getDouble(4) / 255.0)))
+      .sortBy { case (y, x) => (y, x.mkString(",")) }
+    val head = TransferHead.fit(sample.map(_._2), sample.map(_._1),
+      classNames.length)
+    TransferHead.save(head, modelPath)
+    val loaded = TransferHead.load(modelPath) // artifact round-trip (K4)
+    BatchInference.inferBinary(
+      df.select(col("label"), col("image.data").as("data")),
+      "data", batchSize)(() => TransferHead.scorer(loaded))
+      .select(col("label"), col("prediction"))
+      .withColumn("predicted",
+        expr("array_position(prediction, array_max(prediction)) - 1")
+          .cast("int"))
+  }
+
   def run(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val df = transform(extract(spark, baseDir)).cache()
     Writers.singleFileJson(percentageOfSamples(df), s"$outDir/percentage_of_samples")

@@ -88,6 +88,31 @@ class RadiographyJobSpec extends SparkTestBase {
     assert(statsOf(dfBin) == statsOf(df))
   }
 
+  test("transferLearning: fit -> save -> load -> broadcast score, pinned metrics (M8/K4)") {
+    val modelPath = java.nio.file.Files.createTempDirectory("head").toString + "/head.txt"
+    val scored = transferLearning(df, modelPath).cache()
+    try {
+      val rows = scored.collect()
+      assert(rows.length == 48)
+      // the fixture classes are linearly separable on byte-mean, so
+      // the fitted head must classify its own training set perfectly —
+      // a pinned metric, not a threshold
+      val correct = rows.count(r => r.getAs[Int]("predicted") == r.getAs[Int]("label"))
+      assert(correct == 48, s"expected 48/48 correct, got $correct")
+      rows.foreach { r =>
+        val p = r.getAs[scala.collection.Seq[Float]]("prediction")
+        assert(p.length == 4 && math.abs(p.sum - 1.0f) < 1e-5)
+      }
+      // artifact round-trip is bit-exact and the fit is deterministic:
+      // a second end-to-end run writes the identical artifact
+      val saved = graft.operators.TransferHead.load(modelPath)
+      val modelPath2 = modelPath + ".rerun"
+      transferLearning(df, modelPath2).count()
+      assert(graft.operators.TransferHead.load(modelPath2) == saved,
+        "refit produced different weights — fit is not deterministic")
+    } finally scored.unpersist()
+  }
+
   test("dlInference: load-once batched stub scorer (D12)") {
     val preds = dlInference(df, sample = 10, batchSize = 4).collect()
     assert(preds.length == 10)
