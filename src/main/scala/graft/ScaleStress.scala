@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off scale audit (next SF up): runs the layout / range-join
+  * family (q82/q86/q88/q92) against a 10× replica of sf0.1 and
+  * re-measures the z-order row-group skipping ratio at that volume —
+  * confirming the bin widths and z-bucket envelopes self-configure
+  * off-profile rather than being tuned to the bench SF. Results are
+  * recorded in SCALE_NOTES.md.
+  *
+  * Usage: `runMain graft.ScaleStress [dir]` where dir holds
+  * orders.parquet/lineitem.parquet at the larger SF (default
+  * /tmp/sf1, a 10× key-shifted replica — generated outside the repo;
+  * the oracle-gated queries keep using the driver's testdata).
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = GraftSession.local("graft-scale-stress")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("q82_range_join_binned")(queries.RangeJoin.q82(spark, dir).count())
+    time("q86_zorder_layout")(queries.Layout.q86(spark, dir).count())
+    time("q88_range_join_auto")(queries.RangeJoin.q88(spark, dir).count())
+    time("q92_spatial_join")(queries.RangeJoin.q92(spark, dir).count())
+
+    // q86 envelope audit at 10x: the aligned-z-block rectangle bound
+    // (< 512 per key) is volume-independent — verify, don't assume
+    val envs = queries.Layout.q86(spark, dir)
+      .select(max(col("p_max") - col("p_min")).as("p_span"),
+        max(col("s_max") - col("s_min")).as("s_span"))
+      .head()
+    println(s"[stress] q86 max envelope spans at 10x: part=${envs.getLong(0)} supp=${envs.getLong(1)}")
+
+    // measured skipping at 6M rows: z-ordered vs unsorted layout of
+    // the same rows, same selective predicate on EACH key, scan
+    // numOutputRows = rows surviving row-group pruning
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+        col("l_quantity"))
+    val out = java.nio.file.Files.createTempDirectory("zstress").toString
+    graft.io.Writers.zOrderedParquet(base, s"$out/zsorted", col("x"), col("y"),
+      numFiles = Some(64))
+    base.repartition(8).write.mode("overwrite").parquet(s"$out/unsorted")
+    val xMax = base.agg(max("x")).head().getLong(0)
+    def scanned(path: String, cond: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).where(cond)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    for ((label, cond) <- Seq(
+      ("x<=2%dom", col("x") <= xMax / 50),
+      ("y<=2", col("y") <= 2))) {
+      val z = scanned(s"$out/zsorted", cond)
+      val u = scanned(s"$out/unsorted", cond)
+      println(f"[stress] skipping $label: zsorted scans $z rows, unsorted $u (${u.toDouble / z}%.1fx)")
+    }
+    spark.stop()
+  }
+}
