@@ -87,18 +87,24 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       val ss = collected(name)
       if (ss.forall(_.isDefined)) {
+        val walls = ss.flatten.map(_._1)
         val best = ss.flatten.minBy(_._1)
-        (name, best._1, best._2, ss.size)
-      } else (name, -1.0, -1.0, ss.size)
+        // max/min wall ratio across all samples: the variance evidence
+        // per query, in-band — a noisy sample reads as a high spread
+        // with min intact, a poisoned MIN reads as spread ~1 at an
+        // implausible level (cross-check against cpu/wall)
+        (name, best._1, best._2, walls.max / math.max(walls.min, 1e-9), ss.size)
+      } else (name, -1.0, -1.0, -1.0, ss.size)
     }
-    def jmap(f: ((String, Double, Double, Int)) => Double): String =
+    def jmap(f: ((String, Double, Double, Double, Int)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val cpus = jmap(_._3)
-    val total = results.collect { case (_, w, _, _) if w >= 0 => w }.sum
+    val spreads = jmap(r => math.rint(r._4 * 100) / 100)
+    val total = results.collect { case (_, w, _, _, _) if w >= 0 => w }.sum
     val nFailed = results.count(_._2 < 0)
-    val nResampled = results.count(_._4 > 3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus,"passes":3,"resampled":$nResampled,"sf":"$sfDir","failed":$nFailed}""")
+    val nResampled = results.count(_._5 > 3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir","failed":$nFailed}""")
     spark.stop()
   }
 }
