@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * self-configures; `spark.graft.rangejoin.binWidth` covers
   * variable-width intervals (set it ≥ the widest interval — wider
   * bins mean more residual-filtered candidates, never wrong rows).
+  *
+  * Multi-dimensional containment (point-in-rectangle/box, up to
+  * [[MaxDims]] axes): each distinct point expression with both
+  * bounds becomes its own bin dimension — the interval side nests one
+  * Generate per axis (≤ 2^D cells per box when widths bound the
+  * spans), the point side projects one bin key per axis, and the join
+  * keys on ALL of them — the automatic form of q92's manual grid-cell
+  * composition. Every width must be structurally derivable in the
+  * multi-dim case (the scalar conf cannot name two widths).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -49,14 +58,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** (point, lo, hi, strictLower, strictUpper, pointOnLeft) for a
-    * pure range join. Every comparison is read in BOTH orientations
+  /** One matched containment dimension: `p ∈ [lo, hi)`-style bounds
+    * with the point expression on side `pointOnLeft`.
+    */
+  private case class RangeDim(p: Expression, lo: Expression, hi: Expression,
+    strictLo: Boolean, strictHi: Boolean, pointOnLeft: Boolean)
+
+  /** ALL pure range-containment dimensions of a join condition — one
+    * per distinct point expression with both a lower and an upper
+    * cross-side bound. Every comparison is read in BOTH orientations
     * (`a >= b` is also `b <= a`), so `lo <= p AND p < hi` and
     * `p > lo AND hi > p` match exactly like the canonical
-    * `p >= lo AND p < hi`.
+    * `p >= lo AND p < hi`. A 2-D containment (point-in-rectangle)
+    * yields two dims and rewrites to a grid-cell equi-join.
     */
-  private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
-    : Option[(Expression, Expression, Expression, Boolean, Boolean, Boolean)] = {
+  private def matchRanges(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+    : Seq[RangeDim] = {
     val cs = conjuncts(cond)
     def sideOf(e: Expression): Option[Boolean] = {
       val refs = e.references
@@ -72,7 +89,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         (for (sa <- sideOf(a); sb <- sideOf(b)) yield sa != sb).getOrElse(false)
       case _ => false
     }
-    if (hasEqui) return None
+    if (hasEqui) return Nil
     // (point, isLower, strict, bound) readings of each comparison
     def norm(c: Expression): Seq[(Expression, Boolean, Boolean, Expression)] = c match {
       case GreaterThanOrEqual(a, b) => Seq((a, true, false, b), (b, false, false, a))
@@ -87,11 +104,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
            if p.deterministic && bound.deterministic)
         yield (p, isLower, strict, bound, sp)
     }
-    (for {
+    val all = for {
       (p1, true, sLo, lo, s1) <- bounds
       (p2, false, sHi, hi, s2) <- bounds
       if s1 == s2 && p1.semanticEquals(p2)
-    } yield (p1, lo, hi, sLo, sHi, s1)).headOption
+    } yield RangeDim(p1, lo, hi, sLo, sHi, s1)
+    // one dim per distinct point expression, all points on ONE side
+    // (a condition with point expressions on both sides is not a
+    // containment join — leave it alone)
+    val deduped = all.foldLeft(Seq.empty[RangeDim]) { (acc, d) =>
+      if (acc.exists(_.p.semanticEquals(d.p))) acc else acc :+ d
+    }
+    if (deduped.map(_.pointOnLeft).distinct.size > 1) Nil else deduped
   }
 
   /** Exact `Math.floorDiv(e, w)` for w > 0 on longs — built from
@@ -115,56 +139,83 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Keep the exploded-bin blowup bounded: D dims ≤ 2^D rows per
+    * interval when widths bound the spans. 3 matches the 3-key Morton
+    * layout (graft_zorder3); real conditions are 1-D or 2-D.
+    */
+  private final val MaxDims = 3
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // malformed conf must disable the rewrite, not throw mid-optimization
     val confWidth = conf.getConfString(WidthConf, "0").toLongOption.getOrElse(0L)
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !left.isStreaming && !right.isStreaming =>
-        matchRange(cond, left, right)
-          .map { case (p, lo, hi, strictLo, strictHi, pointOnLeft) =>
-            ((p, lo, hi, strictLo, strictHi, pointOnLeft),
-              derivedWidth(lo, hi).getOrElse(confWidth))
-          } match {
-          case Some(((p, lo, hi, strictLo, strictHi, pointOnLeft), width))
-              if width > 0 =>
-            // half-open normalization on longs: p > lo ⇔ p >= lo+1,
-            // p <= hi covers through hi, p < hi through hi-1.
-            // The ±1 clamps at Long.MaxValue/MinValue: those intervals
-            // are empty anyway, and wrapping (non-ANSI eval) would bin
-            // them at the wrong end of the domain instead of yielding
-            // the dead bin the residual filter removes.
-            val loAdj =
-              if (strictLo)
-                If(EqualTo(lo, Literal(Long.MaxValue)), lo, Add(lo, Literal(1L)))
-              else lo
-            val hiAdj =
-              if (strictHi)
-                If(EqualTo(hi, Literal(Long.MinValue)), hi, Subtract(hi, Literal(1L)))
-              else hi
-            val loBin = floorDiv(loAdj, width)
-            val hiBin = floorDiv(hiAdj, width)
-            // clamp: an empty interval still yields one (dead) bin
-            // rather than a descending sequence
-            // Sequence is TimeZoneAware — without an explicit zone the
-            // rewritten expression stays unresolved post-analysis
-            val seq = Sequence(loBin, Greatest(Seq(loBin, hiBin)), None,
-              Some(conf.sessionLocalTimeZone))
-            val binI = AttributeReference("__graft_bin", LongType,
-              nullable = false)()
-            val binPAlias = Alias(floorDiv(p, width), "__graft_bin_p")()
-            val (intervalSide, pointSide) =
-              if (pointOnLeft) (right, left) else (left, right)
-            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(binI), child = intervalSide)
-            val proj = Project(pointSide.output :+ binPAlias, pointSide)
-            val newCond = And(EqualTo(binI, binPAlias.toAttribute), cond)
-            val newJoin =
-              if (pointOnLeft) Join(proj, gen, Inner, Some(newCond), hint)
-              else Join(gen, proj, Inner, Some(newCond), hint)
-            Project(j.output, newJoin)
-          case _ => j
+        val dims = matchRanges(cond, left, right)
+        // widths: structural (`hi = lo + c`) per dim; the session conf
+        // is a single scalar, so it can only cover the 1-D case —
+        // multi-dim rewrites require every width to be derivable
+        val widths = dims.map(d => derivedWidth(d.lo, d.hi)
+          .orElse(if (dims.size == 1 && confWidth > 0) Some(confWidth) else None))
+        if (dims.isEmpty || dims.size > MaxDims || widths.exists(_.isEmpty) ||
+          widths.exists(_.exists(_ <= 0))) j
+        else {
+          val pointOnLeft = dims.head.pointOnLeft
+          val (intervalSide, pointSide) =
+            if (pointOnLeft) (right, left) else (left, right)
+          // one Generate per dimension, nested over the interval side;
+          // one bin projection per dimension on the point side
+          val (gen, binIs) = dims.zip(widths).zipWithIndex
+            .foldLeft((intervalSide, Seq.empty[AttributeReference])) {
+              case ((child, keys), ((d, Some(width)), i)) =>
+                // half-open normalization on longs: p > lo ⇔ p >= lo+1,
+                // p <= hi covers through hi, p < hi through hi-1.
+                // The ±1 clamps at Long.MaxValue/MinValue: those
+                // intervals are empty anyway, and wrapping (non-ANSI
+                // eval) would bin them at the wrong end of the domain
+                // instead of yielding the dead bin the residual filter
+                // removes.
+                val loAdj =
+                  if (d.strictLo)
+                    If(EqualTo(d.lo, Literal(Long.MaxValue)), d.lo,
+                      Add(d.lo, Literal(1L)))
+                  else d.lo
+                val hiAdj =
+                  if (d.strictHi)
+                    If(EqualTo(d.hi, Literal(Long.MinValue)), d.hi,
+                      Subtract(d.hi, Literal(1L)))
+                  else d.hi
+                val loBin = floorDiv(loAdj, width)
+                val hiBin = floorDiv(hiAdj, width)
+                // clamp: an empty interval still yields one (dead) bin
+                // rather than a descending sequence.
+                // Sequence is TimeZoneAware — without an explicit zone
+                // the rewritten expression stays unresolved
+                // post-analysis
+                val seq = Sequence(loBin, Greatest(Seq(loBin, hiBin)), None,
+                  Some(conf.sessionLocalTimeZone))
+                val binI = AttributeReference(s"__graft_bin_$i", LongType,
+                  nullable = false)()
+                (Generate(Explode(seq), unrequiredChildIndex = Nil,
+                  outer = false, qualifier = None,
+                  generatorOutput = Seq(binI), child = child), keys :+ binI)
+              case ((child, keys), ((_, None), _)) => (child, keys) // unreachable
+            }
+          val binPAliases = dims.zip(widths).zipWithIndex.map {
+            case ((d, Some(width)), i) =>
+              Alias(floorDiv(d.p, width), s"__graft_bin_p_$i")()
+            case ((d, None), i) => // unreachable
+              Alias(d.p, s"__graft_bin_p_$i")()
+          }
+          val proj = Project(pointSide.output ++ binPAliases, pointSide)
+          val eqs = binIs.zip(binPAliases).map { case (bi, bp) =>
+            EqualTo(bi, bp.toAttribute): Expression
+          }
+          val newCond = And(eqs.reduce(And), cond)
+          val newJoin =
+            if (pointOnLeft) Join(proj, gen, Inner, Some(newCond), hint)
+            else Join(gen, proj, Inner, Some(newCond), hint)
+          Project(j.output, newJoin)
         }
     }
   }

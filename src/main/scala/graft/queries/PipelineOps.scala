@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{rnd, rndSql, shinglesSql}
+import graft.functions.TextKernels
+import graft.sources.Tables
+
+/** Training-data-pipeline operators beyond dedup/similarity: benchmark
+  * decontamination (n-gram overlap against an eval set), intra-document
+  * repetition scoring (the Gopher-rule quality signal), and sequence
+  * packing (documents → fixed-token context windows). Each is the
+  * standard pretraining-corpus operation re-expressed as one or two
+  * keyed shuffles — no all-pairs work, no driver loops.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB twin of the distinct word-bigram shingle basis (same as
+    * Dedup's; parity with TextKernels.bigramSetCol pinned by
+    * KernelSpec).
+    */
+  private val shingleSetSql: String =
+    s"list_distinct(${shinglesSql("string_split(text, ' ')", 2)})"
+
+  // ---------------------------------------------------------------
+  // q100_decontamination — n-gram overlap against a benchmark set:
+  // the pre-training hygiene step that drops training documents
+  // sharing too many n-grams with an evaluation suite. A
+  // deterministic ~4% slice (doc_id % 23 = 1) stands in for the
+  // benchmark; its DISTINCT bigram set is the contamination index.
+  //
+  // Scale shape: the index is tiny relative to the corpus (eval
+  // suites are MBs, corpora are TBs) and BROADCASTS — the corpus
+  // explodes to (doc, gram) pairs map-side, hash-joins the broadcast
+  // index, and aggregates per doc. One shuffle (the groupBy), no
+  // corpus self-join. At 100 TB the index is a bloom-or-set file
+  // shipped to every executor, exactly this plan's shape.
+  // ---------------------------------------------------------------
+  final val ContaminationMin = 0.2
+
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+    val isBench = col("doc_id") % 23 === 1
+    val benchGrams = docs.where(isBench)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpus = docs.where(!isBench)
+      .select(col("doc_id"), size(col("sh")).as("total"),
+        explode(col("sh")).as("g"))
+    corpus.join(broadcast(benchGrams), "g")
+      // sh is a DISTINCT shingle set, so plain count = distinct overlap
+      .groupBy(col("doc_id"), col("total"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("doc_id"), col("overlap"), col("total"),
+        rnd(col("overlap").cast("double") / col("total").cast("double"), 4)
+          .as("contamination"))
+      .where(col("contamination") >= ContaminationMin)
+      .orderBy(desc("contamination"), col("doc_id")).limit(30)
+  }
+
+  val q100Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 23 = 1),
+       |corpus AS (
+       |  SELECT doc_id, len(sh) AS total, unnest(sh) AS g
+       |  FROM sh WHERE doc_id % 23 <> 1),
+       |hits AS (
+       |  SELECT doc_id, total, COUNT(*) AS overlap
+       |  FROM corpus JOIN bench USING (g) GROUP BY 1, 2)
+       |SELECT doc_id, overlap, total,
+       |  ${rndSql("overlap::DOUBLE / total::DOUBLE", 4)} AS contamination
+       |FROM hits
+       |WHERE ${rndSql("overlap::DOUBLE / total::DOUBLE", 4)} >= $ContaminationMin
+       |ORDER BY contamination DESC, doc_id LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q101_repetition_score — intra-document repetition (the
+  // Gopher-family quality rule "fraction of duplicate n-grams"):
+  // 1 − distinct_bigrams / total_bigrams per document. Pure map work
+  // (the bigram kernel) + a top-k — quality scoring at corpus scale
+  // is exactly a scan.
+  // ---------------------------------------------------------------
+  def q101(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).as("total_bigrams"),
+        size(TextKernels.bigramSetCol(col("text"))).as("distinct_bigrams"))
+      .where(col("total_bigrams") > 0)
+      .select(col("doc_id"), col("total_bigrams"), col("distinct_bigrams"),
+        rnd(lit(1.0) - col("distinct_bigrams").cast("double")
+          / col("total_bigrams").cast("double"), 4).as("rep_ratio"))
+      .orderBy(desc("rep_ratio"), col("doc_id")).limit(50)
+
+  val q101Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) - 1 AS total_bigrams,
+       |    len($shingleSetSql) AS distinct_bigrams
+       |  FROM documents)
+       |SELECT doc_id, total_bigrams, distinct_bigrams,
+       |  ${rndSql("1.0 - distinct_bigrams::DOUBLE / total_bigrams::DOUBLE", 4)} AS rep_ratio
+       |FROM b WHERE total_bigrams > 0
+       |ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q102_sequence_packing — documents → fixed-token context windows
+  // (the concatenate-and-chunk packing every pretraining loader
+  // runs): within a shard, documents are laid out in doc_id order,
+  // each document STARTS at its running-token offset, and its window
+  // is that offset ÷ context size. Emits per-window occupancy — the
+  // packing manifest a trainer reads.
+  //
+  // Scale shape: one hash shuffle on shard + one window cumsum per
+  // shard + one aggregate. Shards are the unit of parallelism (a real
+  // loader packs per input file); the cumsum never crosses shards, so
+  // adding shards scales the layout linearly.
+  // ---------------------------------------------------------------
+  final val ContextTokens = 4096
+  final val PackShards = 8
+
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // the document's start offset decides its window
+      .withColumn("window_id",
+        floor((col("cum") - col("n_tokens")) / ContextTokens))
+      .groupBy(col("shard"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("window_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("shard"), col("window_id"), col("n_docs"),
+        col("window_tokens"), col("first_doc"),
+        rnd(col("window_tokens").cast("double") / ContextTokens, 4)
+          .as("fill_ratio"))
+      .orderBy(col("shard"), col("window_id"))
+  }
+
+  val q102Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t),
+       |wd AS (
+       |  SELECT *, (cum - n_tokens) // $ContextTokens AS window_id FROM c)
+       |SELECT shard, window_id, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS window_tokens, MIN(doc_id) AS first_doc,
+       |  ${rndSql(s"SUM(n_tokens)::DOUBLE / $ContextTokens", 4)} AS fill_ratio
+       |FROM wd GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q103_semantic_dedup — SemDeDup-shaped embedding dedup: k-means
+  // cells as the BLOCKING stage (the trained q70 codebook, shared
+  // from the session cache), exact pairwise cosine only WITHIN a
+  // cell, and keep-lowest-id per duplicate pair. Reports the per-cell
+  // dedup manifest (members, dup pairs, dropped, keep rate).
+  //
+  // Scale shape: the O(m²) step runs per cell with m ≈ n/k — at
+  // corpus scale k grows with n (cells ≈ √n, same dial as IVF), so
+  // per-cell work stays bounded and the only shuffles are the cell
+  // assignment and the per-cell aggregate. The codebook is k×dim
+  // driver state, trained once per session with fixed-point updates
+  // so the DuckDB oracle replays it bit-identically.
+  // ---------------------------------------------------------------
+  final val SemTau = 0.25
+
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansCodebook
+    import graft.functions.VecFns
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.trained(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
+    val m = KMeansCodebook.assignCells(v, cents).join(v, "vec_id")
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cell").as("cell"),
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        (VecFns.dotCol(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .where(col("cosine") >= SemTau)
+    val dupStats = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+    m.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(dupStats, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        rnd((col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+          .cast("double") / col("n_members").cast("double"), 4).as("keep_rate"))
+      .orderBy(col("cell"))
+  }
+
+  val q103Sql: String = {
+    import graft.operators.KMeansCodebook
+    import graft.functions.VecFns
+    val cents = s"cents${AnnTrained.Iters}"
+    def cosC(e: String, n: String) = s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |${KMeansCodebook.centsSql(AnnTrained.Cells, AnnTrained.Iters, AnnTrained.Dim)},
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN $cents c) WHERE rk = 1),
+       |m AS (SELECT a.cell, v.vec_id, v.embedding, v.nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |pairs AS (
+       |  SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${VecFns.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+       |    >= $SemTau),
+       |dup AS (
+       |  SELECT cell, COUNT(*) AS n_dup_pairs,
+       |    COUNT(DISTINCT id_b) AS n_dropped
+       |  FROM pairs GROUP BY cell),
+       |sz AS (SELECT cell, COUNT(*) AS n_members FROM m GROUP BY cell)
+       |SELECT sz.cell, sz.n_members,
+       |  COALESCE(dup.n_dup_pairs, 0) AS n_dup_pairs,
+       |  COALESCE(dup.n_dropped, 0) AS n_dropped,
+       |  ${rndSql("(sz.n_members - COALESCE(dup.n_dropped, 0))::DOUBLE / sz.n_members::DOUBLE", 4)} AS keep_rate
+       |FROM sz LEFT JOIN dup ON sz.cell = dup.cell
+       |ORDER BY sz.cell""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q100_decontamination" -> (q100 _),
+    "q101_repetition_score" -> (q101 _),
+    "q102_sequence_packing" -> (q102 _),
+    "q103_semantic_dedup" -> (q103 _))
+
+  def oracles: Map[String, String] = Map(
+    "q100_decontamination" -> q100Sql,
+    "q101_repetition_score" -> q101Sql,
+    "q102_sequence_packing" -> q102Sql,
+    "q103_semantic_dedup" -> q103Sql)
+}

@@ -184,13 +184,42 @@ object RangeJoin {
        | AND l.l_suppkey BETWEEN r.y_lo AND r.y_hi
        |GROUP BY 1 ORDER BY rect_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99_spatial_join_auto — q92's 2-D containment written NAIVELY
+  // (`px >= x_lo AND px < x_lo + 16 AND py >= y_lo AND py < y_lo + 4`,
+  // no equi keys, no manual cells) and planned through the
+  // multi-dimensional RangeJoinRewrite, which derives both cell
+  // widths structurally and injects the (cx, cy) grid equi-keys
+  // automatically. Shares q92's oracle — q92 proves the composition,
+  // q99 proves users don't have to know it in 2-D either.
+  // ---------------------------------------------------------------
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val rects = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("rect_id"),
+        (col("o_orderkey") % 180).as("x_lo"),
+        (col("o_custkey") % 6).as("y_lo"))
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("px"), col("l_suppkey").as("py"),
+        col("l_quantity"))
+    rects.join(pts,
+        col("px") >= col("x_lo") && col("px") < col("x_lo") + lit(CellX.toLong) &&
+          col("py") >= col("y_lo") && col("py") < col("y_lo") + lit(CellY.toLong))
+      .groupBy(col("rect_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("rect_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q82_range_join_binned" -> (q82 _),
     "q88_range_join_auto" -> (q88 _),
-    "q92_spatial_join" -> (q92 _))
+    "q92_spatial_join" -> (q92 _),
+    "q99_spatial_join_auto" -> (q99 _))
 
   def oracles: Map[String, String] = Map(
     "q82_range_join_binned" -> q82Sql,
     "q88_range_join_auto" -> q82Sql,
-    "q92_spatial_join" -> q92Sql)
+    "q92_spatial_join" -> q92Sql,
+    "q99_spatial_join_auto" -> q92Sql)
 }

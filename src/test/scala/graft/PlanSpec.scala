@@ -99,7 +99,8 @@ class PlanSpec extends SparkTestBase {
     "q65_countmin_freq",      // heavy-hitter candidate literal
     "q70_ann_ivf_kmeans",     // probe × trained codebook
     "q73_histogram_quantiles", // 3-row quantile literal
-    "q85_ivfpq_search")       // probe × ADC tables
+    "q85_ivfpq_search",       // probe × ADC tables
+    "q103_semantic_dedup")    // cell assignment × trained codebook
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that

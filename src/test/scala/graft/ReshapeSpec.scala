@@ -209,6 +209,17 @@ class ReshapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 
+  test("q99: 2-D containment rewrites automatically, equals the manual q92 cells") {
+    // width conf OFF: both cell widths must derive structurally
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val auto = RangeJoin.q99(spark, Sf)
+    val p = plan(auto)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"2-D rule did not rewrite:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(auto.collect().toSeq == RangeJoin.q92(spark, Sf).collect().toSeq)
+  }
+
   test("q92: 2-D spatial join is an equi-join on cells, pairs meet exactly once") {
     val df = RangeJoin.q92(spark, Sf)
     val p = plan(df)
