@@ -238,13 +238,80 @@ object PipelineOps {
        |ORDER BY sz.cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q104_mixture_rebalance — hit a TARGET language mix by pure
+  // downsampling (the pretraining data-mixing step): q64 samples at
+  // fixed per-stratum rates; here the rates are DERIVED from the
+  // corpus so the kept set lands on the target shares (en 40%, tail
+  // 15% each, in basis points). The max feasible kept-total under
+  // downsampling is T = min_l(n_l · 10000 ÷ target_l); each stratum
+  // keeps hash(doc) mod 10000 < target_l · T ÷ n_l. All integer
+  // math — the thresholds replay exactly in the oracle.
+  //
+  // Scale shape: one tiny per-stratum aggregate (broadcast back), one
+  // map-side hash filter, one re-aggregate. No sort, no RNG state,
+  // reproducible under repartitioning — q64's properties, plus the
+  // mixture solve in-frame (window-min over the stratum frame, no
+  // driver round-trip).
+  // ---------------------------------------------------------------
+  final val EnTargetBp = 4000L
+  final val TailTargetBp = 1500L
+
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.hash60
+    val target = when(col("lang") === "en", lit(EnTargetBp))
+      .otherwise(lit(TailTargetBp))
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_bp", target)
+    val thresh = counts
+      .withColumn("t_max",
+        min(expr("n_docs * 10000 DIV target_bp")).over(Window.partitionBy()))
+      .withColumn("keep_thresh", expr("target_bp * t_max DIV n_docs"))
+    val kept = Tables.documents(spark, dir)
+      .join(broadcast(thresh.select(col("lang"), col("keep_thresh"))), "lang")
+      .where(hash60(col("doc_id").cast("string")) % 10000 < col("keep_thresh"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    thresh.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target_bp"), col("keep_thresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("achieved_share",
+        rnd(col("n_kept").cast("double")
+          / sum(col("n_kept")).over(Window.partitionBy()).cast("double"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val q104Sql: String = {
+    import graft.functions.TextFns.hash60Sql
+    val target = s"CASE WHEN lang = 'en' THEN $EnTargetBp ELSE $TailTargetBp END"
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n_docs, $target AS target_bp
+       |  FROM documents GROUP BY lang),
+       |t AS (
+       |  SELECT *, MIN(n_docs * 10000 // target_bp) OVER () AS t_max FROM counts),
+       |th AS (
+       |  SELECT *, target_bp * t_max // n_docs AS keep_thresh FROM t),
+       |k AS (
+       |  SELECT d.lang, COUNT(*) AS n_kept
+       |  FROM documents d JOIN th ON d.lang = th.lang
+       |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_thresh
+       |  GROUP BY d.lang)
+       |SELECT th.lang, th.n_docs, CAST(th.target_bp AS BIGINT) AS target_bp,
+       |  th.keep_thresh, COALESCE(k.n_kept, 0) AS n_kept,
+       |  ${rndSql("COALESCE(k.n_kept, 0)::DOUBLE / (SUM(COALESCE(k.n_kept, 0)) OVER ())::DOUBLE", 4)} AS achieved_share
+       |FROM th LEFT JOIN k ON th.lang = k.lang ORDER BY th.lang""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q104_mixture_rebalance" -> (q104 _),
     "q100_decontamination" -> (q100 _),
     "q101_repetition_score" -> (q101 _),
     "q102_sequence_packing" -> (q102 _),
     "q103_semantic_dedup" -> (q103 _))
 
   def oracles: Map[String, String] = Map(
+    "q104_mixture_rebalance" -> q104Sql,
     "q100_decontamination" -> q100Sql,
     "q101_repetition_score" -> q101Sql,
     "q102_sequence_packing" -> q102Sql,

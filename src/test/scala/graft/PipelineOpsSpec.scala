@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineOps
+import graft.sources.Tables
+
+/** Structural properties of the training-pipeline operators that the
+  * value-hash oracle can't express: conservation, exclusions, and
+  * bound invariants.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("q102 packing conserves every token and starts each shard at window 0") {
+    val rows = PipelineOps.q102(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("window_tokens")).sum == total,
+      "packing must conserve the token count exactly")
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("window_id")).min == 0,
+        "first document of a shard starts at offset 0 → window 0")
+      rs.foreach(r => assert(r.getAs[Long]("n_docs") > 0))
+    }
+  }
+
+  test("q100 never flags a benchmark document (index side excluded from corpus)") {
+    val flagged = PipelineOps.q100(spark, Sf).collect()
+    assert(flagged.forall(_.getAs[Long]("doc_id") % 23 != 1))
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("overlap") <= r.getAs[Int]("total").toLong,
+        "overlap is a subset of the doc's shingles")
+    }
+  }
+
+  test("q104 thresholds are valid probabilities and kept mix lands near target") {
+    val rows = PipelineOps.q104(spark, Sf).collect()
+    rows.foreach { r =>
+      val th = r.getAs[Long]("keep_thresh")
+      assert(th >= 0 && th <= 10000, s"threshold $th out of [0, 10000]")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    // basis-point thresholds on a small corpus: coarse but unbiased
+    assert(math.abs(en.getAs[Double]("achieved_share") - 0.40) < 0.1,
+      s"en share ${en.getAs[Double]("achieved_share")} far from target 0.40")
+  }
+
+  test("q103 dedup manifest is internally consistent") {
+    PipelineOps.q103(spark, Sf).collect().foreach { r =>
+      val m = r.getAs[Long]("n_members")
+      val d = r.getAs[Long]("n_dropped")
+      assert(d <= math.max(0L, m - 1), "at least one member per cell survives")
+      assert(r.getAs[Long]("n_dup_pairs") >= d,
+        "every dropped id is witnessed by at least one pair")
+    }
+  }
+}
