@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{hash60, hash60Sql, rnd, rndSql, shingles, shinglesSql, tokens}
+import graft.functions.{TextKernels, TopKAgg}
+import graft.sources.Tables
+
+/** Corpus-curation operators rounding out the training-data pipeline
+  * (see PipelineOps for decontamination / repetition / packing /
+  * semantic dedup / mixture): a corpus-derived boilerplate index,
+  * deterministic train/val/test splitting, per-domain caps, the
+  * quality-filter funnel manifest, and the first BPE merge step of
+  * tokenizer training. Each is one or two keyed shuffles; nothing
+  * scans the corpus more than the production shape would.
+  */
+object CorpusOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val trigramSetSql: String =
+    s"list_distinct(${shinglesSql("string_split(text, ' ')", 3)})"
+
+  private def trigramSet(text: Column): Column =
+    array_distinct(shingles(tokens(text), 3))
+
+  // ---------------------------------------------------------------
+  // q105_boilerplate_ngrams — corpus-derived boilerplate detection
+  // (the C4-style "repeated span" hygiene step): a trigram whose
+  // document frequency exceeds 2% of the corpus is boilerplate; each
+  // document reports what fraction of its distinct trigrams are
+  // boilerplate, worst offenders first.
+  //
+  // Scale shape: the df aggregate is the only corpus-sized shuffle
+  // and it is map-side-combinable (distinct per-doc sets mean plain
+  // count = doc frequency). The resulting index is high-df grams
+  // only — small BY CONSTRUCTION (df > 2% caps it at 50/corpus-share
+  // distinct grams) — so it BROADCASTS back, and the per-doc score is
+  // a map-side hash probe + one doc-keyed aggregate. At 100 TB the
+  // index is built once and persisted; this is the build+apply pair.
+  // ---------------------------------------------------------------
+  final val BoilerDfOver = 50L // boilerplate ⇔ df * 50 > n_docs (2%)
+  final val BoilerTopK = 50
+
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), trigramSet(col("text")).as("sh"))
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    // 1-row corpus count attached by broadcast loop (q73's pattern):
+    // each df-frame partition loops over ONE broadcast row — map-side
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * BoilerDfOver > col("n_docs"))
+      .select(col("g"))
+    val perDoc = grams.join(broadcast(boiler), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), size(col("sh")).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        rnd(col("n_boiler").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy(desc("boiler_ratio"), col("doc_id")).limit(BoilerTopK)
+  }
+
+  val q105Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $trigramSetSql AS sh FROM documents),
+       |grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |n AS (SELECT COUNT(*) AS n_docs FROM sh),
+       |boiler AS (
+       |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM grams GROUP BY g), n
+       |  WHERE df * $BoilerDfOver > n_docs),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_boiler
+       |  FROM grams JOIN boiler USING (g) GROUP BY doc_id)
+       |SELECT sh.doc_id, len(sh.sh) AS n_grams,
+       |  COALESCE(per_doc.n_boiler, 0) AS n_boiler,
+       |  ${rndSql("COALESCE(per_doc.n_boiler, 0)::DOUBLE / len(sh.sh)::DOUBLE", 4)} AS boiler_ratio
+       |FROM sh LEFT JOIN per_doc ON sh.doc_id = per_doc.doc_id
+       |ORDER BY boiler_ratio DESC, sh.doc_id LIMIT $BoilerTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q106_hash_split — deterministic train/val/test assignment
+  // (96/2/2) by content-stable hash, reported as the per-(split,
+  // lang) manifest a data loader consumes. hash60(doc_id) % 100
+  // decides the split, so membership is reproducible under
+  // repartitioning, re-runs, and incremental ingest — no RNG state,
+  // no sort, no shuffle before the single manifest aggregate.
+  // ---------------------------------------------------------------
+  final val ValCut = 96L
+  final val TestCut = 98L
+
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = hash60(col("doc_id").cast("string")) % 100
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(bucket < ValCut, "train").when(bucket < TestCut, "val")
+          .otherwise("test").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q106Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $ValCut THEN 'train'
+       |         WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $TestCut THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents)
+       |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+       |FROM t GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q107_domain_cap — cap each source domain at K documents, chosen
+  // by deterministic hash order (the anti-overrepresentation step
+  // every web-scale corpus runs). Uses the bounded-heap TopKAgg
+  // (q83's aggregate), NOT a window rank: a pathological domain with
+  // a billion documents would make ROW_NUMBER sort a billion rows in
+  // one reducer, while the heap carries exactly K candidates through
+  // partial+final aggregation — per-domain state is O(K) no matter
+  // how skewed the domain distribution is, and n_docs/kept_tokens
+  // ride the same single aggregate.
+  // ---------------------------------------------------------------
+  final val DomainCap = 15
+
+  def q107(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (-(hash60(col("doc_id").cast("string")) % 10000)).cast("double").as("pri"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        TopKAgg.topK(col("pri"), col("doc_id"), col("n_tokens"), DomainCap).as("top"))
+      .select(col("source"), col("n_docs"),
+        size(col("top")).cast("long").as("n_kept"),
+        aggregate(col("top"), lit(0L), (acc, t) => acc + t.getField("id2"))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+
+  val q107Sql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (rk <= $DomainCap) AS n_kept,
+       |  COALESCE(SUM(n_tokens) FILTER (rk <= $DomainCap), 0) AS kept_tokens
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q108_quality_funnel — the filter-funnel manifest: how many
+  // documents of each language survive the length gate, then the
+  // repetition gate (Gopher-style duplicate-bigram ratio), then the
+  // language allowlist — with per-stage survivor counts so a pipeline
+  // owner sees WHERE the corpus is lost. ONE scan: the stages are
+  // nested conditional aggregates, not three passes over the corpus.
+  // ---------------------------------------------------------------
+  final val MinTokens = 30
+  final val MaxRepRatio = 0.06
+
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("n_tok"),
+        (size(split(col("text"), " ")) - 1).as("tb"),
+        size(TextKernels.bigramSetCol(col("text"))).as("db"))
+      .select(col("lang"), col("n_tok"),
+        (lit(1.0) - col("db").cast("double") / col("tb").cast("double")).as("rep"))
+    val s1 = col("n_tok") >= MinTokens
+    val s2 = s1 && col("rep") <= MaxRepRatio
+    val s3 = s2 && col("lang") =!= "zh"
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(s1, 1)).as("pass_length"),
+        count(when(s2, 1)).as("pass_repetition"),
+        count(when(s3, 1)).as("pass_lang"))
+      .withColumn("keep_rate",
+        rnd(col("pass_lang").cast("double") / col("n_total").cast("double"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val q108Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS n_tok,
+       |    1.0 - len(list_distinct(${shinglesSql("string_split(text, ' ')", 2)}))::DOUBLE
+       |      / (len(string_split(text, ' ')) - 1)::DOUBLE AS rep
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_total,
+       |  COUNT(*) FILTER (n_tok >= $MinTokens) AS pass_length,
+       |  COUNT(*) FILTER (n_tok >= $MinTokens AND rep <= $MaxRepRatio) AS pass_repetition,
+       |  COUNT(*) FILTER (n_tok >= $MinTokens AND rep <= $MaxRepRatio
+       |    AND lang <> 'zh') AS pass_lang,
+       |  ${rndSql(s"(COUNT(*) FILTER (n_tok >= $MinTokens AND rep <= $MaxRepRatio AND lang <> 'zh'))::DOUBLE / COUNT(*)::DOUBLE", 4)} AS keep_rate
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q109_bpe_pairs — the first merge step of BPE tokenizer training:
+  // count adjacent character pairs across the corpus, weighted by
+  // word occurrences. The load-bearing scale move is aggregating to
+  // the DISTINCT-WORD frame first (vocabulary ≪ corpus): the
+  // char-pair explode runs over the vocabulary weighted by counts,
+  // not over every corpus token — exactly how production BPE trainers
+  // pre-aggregate. Two map-side-combinable shuffles, both on frames
+  // that shrink as they aggregate.
+  // ---------------------------------------------------------------
+  final val BpeTopK = 20
+
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .where(length(col("w")) >= 2)
+    vocab
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair")).limit(BpeTopK)
+  }
+
+  val q109Sql: String =
+    s"""WITH v AS (
+       |  SELECT w, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w HAVING length(w) >= 2),
+       |p AS (
+       |  SELECT cnt, unnest(list_transform(generate_series(1, length(w) - 1),
+       |    i -> substr(w, i, 2))) AS pair
+       |  FROM v)
+       |SELECT pair, SUM(cnt) AS pair_count FROM p GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q105_boilerplate_ngrams" -> (q105 _),
+    "q106_hash_split" -> (q106 _),
+    "q107_domain_cap" -> (q107 _),
+    "q108_quality_funnel" -> (q108 _),
+    "q109_bpe_pairs" -> (q109 _))
+
+  def oracles: Map[String, String] = Map(
+    "q105_boilerplate_ngrams" -> q105Sql,
+    "q106_hash_split" -> q106Sql,
+    "q107_domain_cap" -> q107Sql,
+    "q108_quality_funnel" -> q108Sql,
+    "q109_bpe_pairs" -> q109Sql)
+}

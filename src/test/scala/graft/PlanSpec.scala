@@ -100,7 +100,8 @@ class PlanSpec extends SparkTestBase {
     "q70_ann_ivf_kmeans",     // probe × trained codebook
     "q73_histogram_quantiles", // 3-row quantile literal
     "q85_ivfpq_search",       // probe × ADC tables
-    "q103_semantic_dedup")    // cell assignment × trained codebook
+    "q103_semantic_dedup",    // cell assignment × trained codebook
+    "q105_boilerplate_ngrams") // 1-row corpus count × df frame
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
