@@ -51,7 +51,12 @@ object Plans {
       "q100_decontamination" -> "broadcast n-gram index vs map-side corpus explode: one aggregate, no self-join",
       "q102_sequence_packing" -> "per-shard token cumsum into context windows: one hash exchange + one window",
       "q103_semantic_dedup" -> "k-means cell blocking + within-cell cosine pairs: per-cell bounded quadratic work",
-      "q104_mixture_rebalance" -> "derived per-stratum thresholds (window-min in-frame), map-side hash filter")
+      "q104_mixture_rebalance" -> "derived per-stratum thresholds (window-min in-frame), map-side hash filter",
+      "q105_boilerplate_ngrams" -> "df index built by one combinable aggregate, applied as broadcast probe",
+      "q107_domain_cap" -> "bounded-heap top-k per source: O(cap) state, no per-domain sort",
+      "q109_bpe_pairs" -> "char-pair explode over the VOCAB frame, not the corpus",
+      "q110_epoch_weighting" -> "map-side bounded fan-out explode + one manifest aggregate",
+      "q111_ann_recall" -> "recall join over probe x k frames; cost lives in the composed indexes")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

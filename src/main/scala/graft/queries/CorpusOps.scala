@@ -236,17 +236,81 @@ object CorpusOps {
        |SELECT pair, SUM(cnt) AS pair_count FROM p GROUP BY pair
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q110_epoch_weighting — UPSAMPLING by per-source epoch weights
+  // (the "N epochs over the high-quality slice" mixing move; q104 is
+  // the downsampling dual). A weight of 2.75 epochs means every doc
+  // is emitted twice and a deterministic hash-selected 75% get a
+  // third copy — so the emitted stream hits the target epoch count
+  // exactly in expectation with zero RNG state. Emits the exploded
+  // copy stream (what a trainer would shuffle-shard), then folds it
+  // into the per-source achieved-epochs manifest.
+  //
+  // Scale shape: pure map-side fan-out (explode of a <=3-element
+  // sequence — bounded by the epoch weight), one manifest aggregate.
+  // At 100 TB the copy stream goes straight to the sink with copy_idx
+  // as the shard salt so replicas land in different output shards.
+  // ---------------------------------------------------------------
+  final val HqEpochBp = 27500L // sources src0/src1: 2.75 epochs
+  final val BaseEpochBp = 10000L
+
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val wBp = when(col("source").isin("src0", "src1"), lit(HqEpochBp))
+      .otherwise(lit(BaseEpochBp))
+    val copies = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), wBp.as("w_bp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_copies",
+        expr("w_bp DIV 10000") +
+          when(hash60(col("doc_id").cast("string")) % 10000 < col("w_bp") % 10000,
+            1L).otherwise(0L))
+      .select(col("source"), col("doc_id"), col("w_bp"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+    copies.groupBy(col("source"), col("w_bp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        sum(col("n_tokens")).as("emitted_tokens"))
+      .select(col("source"), col("w_bp"), col("n_docs"), col("n_emitted"),
+        col("emitted_tokens"),
+        rnd(col("n_emitted").cast("double") / col("n_docs").cast("double"), 4)
+          .as("achieved_epochs"))
+      .orderBy(col("source"))
+  }
+
+  val q110Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN source IN ('src0', 'src1') THEN $HqEpochBp
+       |         ELSE $BaseEpochBp END AS w_bp,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, w_bp // 10000
+       |    + CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000
+       |        < w_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM d),
+       |e AS (
+       |  SELECT source, doc_id, w_bp, n_tokens,
+       |    unnest(generate_series(1, n_copies)) AS copy_idx
+       |  FROM c)
+       |SELECT source, w_bp, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_emitted, SUM(n_tokens) AS emitted_tokens,
+       |  ${rndSql("COUNT(*)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE", 4)} AS achieved_epochs
+       |FROM e GROUP BY source, w_bp ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q105_boilerplate_ngrams" -> (q105 _),
     "q106_hash_split" -> (q106 _),
     "q107_domain_cap" -> (q107 _),
     "q108_quality_funnel" -> (q108 _),
-    "q109_bpe_pairs" -> (q109 _))
+    "q109_bpe_pairs" -> (q109 _),
+    "q110_epoch_weighting" -> (q110 _))
 
   def oracles: Map[String, String] = Map(
     "q105_boilerplate_ngrams" -> q105Sql,
     "q106_hash_split" -> q106Sql,
     "q107_domain_cap" -> q107Sql,
     "q108_quality_funnel" -> q108Sql,
-    "q109_bpe_pairs" -> q109Sql)
+    "q109_bpe_pairs" -> q109Sql,
+    "q110_epoch_weighting" -> q110Sql)
 }

@@ -215,13 +215,63 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q111_ann_recall — the ANN evaluation harness as a query: recall@3
+  // of the LSH (q37) and IVF (q59) paths against the brute-force
+  // ground truth (q36), per probe. This is the measurement every
+  // embedding pipeline runs before trusting an index; here it is a
+  // composition of the three declared queries (its oracle literally
+  // nests their SQL), so the eval stays in lock-step with the indexes
+  // it grades.
+  //
+  // Scale shape: the inputs are top-k frames (probes × k rows) — the
+  // recall join is trivially small; the cost lives in the underlying
+  // index scans, which carry their own scale audits. At 100 TB the
+  // truth side comes from a sampled probe set, exactly QueryFilter.
+  // ---------------------------------------------------------------
+  final val RecallK = 3
+
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q36(spark, dir).where(col("rank") <= RecallK)
+      .select(col("query_id"), col("vec_id"))
+    val lsh = q37(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1).as("lsh_hit"))
+    val ivf = q59(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1).as("ivf_hit"))
+    truth.join(lsh, Seq("query_id", "vec_id"), "left")
+      .join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("lsh_hit")).as("lsh_hits"),
+        count(col("ivf_hit")).as("ivf_hits"))
+      .select(col("query_id"), col("lsh_hits"), col("ivf_hits"),
+        rnd(col("lsh_hits").cast("double") / RecallK, 4).as("lsh_recall"),
+        rnd(col("ivf_hits").cast("double") / RecallK, 4).as("ivf_recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val q111Sql: String =
+    s"""WITH bf AS ($q36Sql),
+       |truth AS (SELECT query_id, vec_id FROM bf WHERE rank <= $RecallK),
+       |lsh AS ($q37Sql),
+       |ivf AS ($q59Sql)
+       |SELECT t.query_id, COUNT(l.vec_id) AS lsh_hits,
+       |  COUNT(i.vec_id) AS ivf_hits,
+       |  ${rndSql(s"COUNT(l.vec_id)::DOUBLE / $RecallK", 4)} AS lsh_recall,
+       |  ${rndSql(s"COUNT(i.vec_id)::DOUBLE / $RecallK", 4)} AS ivf_recall
+       |FROM truth t
+       |LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+       |LEFT JOIN ivf i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh" -> (q37 _),
-    "q59_ann_ivf" -> (q59 _))
+    "q59_ann_ivf" -> (q59 _),
+    "q111_ann_recall" -> (q111 _))
 
   def oracles: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
     "q37_ann_lsh" -> q37Sql,
-    "q59_ann_ivf" -> q59Sql)
+    "q59_ann_ivf" -> q59Sql,
+    "q111_ann_recall" -> q111Sql)
 }

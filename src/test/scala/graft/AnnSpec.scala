@@ -26,6 +26,20 @@ class AnnSpec extends SparkTestBase {
     assert(rTrained > 0.0)
   }
 
+  test("q111 recall harness agrees with the independently computed set intersection") {
+    val truth = topSet(Similarity.q36(spark, Sf), Similarity.RecallK)
+    val lsh = Similarity.q37(spark, Sf).select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (truth & lsh).size
+    val rows = Similarity.q111(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("lsh_hits")).sum == expected.toLong,
+      "q111's per-probe hit counts must sum to the set-intersection size")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lsh_recall") >= 0.0 && r.getAs[Double]("lsh_recall") <= 1.0)
+      assert(r.getAs[Double]("ivf_recall") >= 0.0 && r.getAs[Double]("ivf_recall") <= 1.0)
+    }
+  }
+
   test("IVF-PQ composition: structure sound; coarse stage carries the recall") {
     // On this ISOTROPIC synthetic corpus 4-bit PQ ranking is
     // data-limited (see PqQueries.q85 scaladoc — measured ~0.03, and

@@ -51,6 +51,19 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q110 upsampling: integer-epoch sources replicate exactly, fractional in range") {
+    CorpusOps.q110(spark, Sf).collect().foreach { r =>
+      val epochs = r.getAs[Double]("achieved_epochs")
+      if (r.getAs[Long]("w_bp") == CorpusOps.BaseEpochBp)
+        assert(epochs == 1.0, "1.0-epoch source must emit exactly one copy per doc")
+      else {
+        assert(epochs >= 2.0 && epochs <= 3.0,
+          s"2.75-epoch source outside [2,3]: $epochs")
+        assert(r.getAs[Long]("n_emitted") >= 2 * r.getAs[Long]("n_docs"))
+      }
+    }
+  }
+
   test("q109 pair counts conserve: sum of pair weights = sum over vocab of cnt*(len-1)") {
     val vocab = Tables.documents(spark, Sf)
       .select(explode(split(col("text"), " ")).as("w"))
