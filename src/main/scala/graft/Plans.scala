@@ -56,7 +56,8 @@ object Plans {
       "q107_domain_cap" -> "bounded-heap top-k per source: O(cap) state, no per-domain sort",
       "q109_bpe_pairs" -> "char-pair explode over the VOCAB frame, not the corpus",
       "q110_epoch_weighting" -> "map-side bounded fan-out explode + one manifest aggregate",
-      "q111_ann_recall" -> "recall join over probe x k frames; cost lives in the composed indexes")
+      "q111_ann_recall" -> "recall join over probe x k frames; cost lives in the composed indexes",
+      "q112_trade_pagerank" -> "star-join edge build; per-iteration broadcast score join + combinable dst aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

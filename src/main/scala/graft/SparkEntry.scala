@@ -25,7 +25,8 @@ object SparkEntry {
       Advanced.queries ++ MultimodalQueries.queries ++ SketchQueries.queries ++
       Extended.queries ++ Bucketed.queries ++ BinaryFiles.queries ++ AnnTrained.queries ++ PqQueries.queries ++
       Reshape.queries ++ RangeJoin.queries ++ Layout.queries ++ // q85 rides in PqQueries.queries
-      JobCores.queries ++ PipelineOps.queries ++ CorpusOps.queries
+      JobCores.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -36,5 +37,6 @@ object SparkEntry {
       Advanced.oracles ++ MultimodalQueries.oracles ++ SketchQueries.oracles ++
       Extended.oracles ++ Bucketed.oracles ++ BinaryFiles.oracles ++ AnnTrained.oracles ++ PqQueries.oracles ++
       Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles ++
-      JobCores.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles
+      JobCores.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
+      GraphOps.oracles
 }

@@ -24,6 +24,29 @@ object CorpusOps {
   private def trigramSet(text: Column): Column =
     array_distinct(shingles(tokens(text), 3))
 
+  /** q105's per-doc distinct-trigram frame, materialized ONCE per
+    * (session, dir) — the build side (df index), the probe side, and
+    * the per-doc totals all read it, and without the checkpoint each
+    * reader re-runs the shingle kernel over the whole corpus
+    * (measured 7.3 s → the kernel dominating 3× over). Same
+    * discipline as Dedup.lshBase: at 100 TB this frame is the
+    * persisted tokenization output the index build and the scorer
+    * both consume.
+    */
+  private val triBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  graft.CacheRegistry.register("corpus.triBase") { sid =>
+    triBaseCache.keys.filter(_._1 == sid).foreach(triBaseCache.remove)
+  }
+
+  private def triBase(spark: SparkSession, dir: String): DataFrame =
+    triBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), trigramSet(col("text")).as("sh"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint())
+
   // ---------------------------------------------------------------
   // q105_boilerplate_ngrams — corpus-derived boilerplate detection
   // (the C4-style "repeated span" hygiene step): a trigram whose
@@ -43,8 +66,7 @@ object CorpusOps {
   final val BoilerTopK = 50
 
   def q105(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), trigramSet(col("text")).as("sh"))
+    val docs = triBase(spark, dir)
     val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     // 1-row corpus count attached by broadcast loop (q73's pattern):
     // each df-frame partition loops over ONE broadcast row — map-side

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics as declared queries. Companion to the
+  * connected-components operators (queries/Dedup q61/q71): where CC
+  * labels undirected near-dup graphs, this family ranks directed
+  * weighted graphs by power iteration.
+  */
+object GraphOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q112_trade_pagerank — weighted PageRank over the nation-level
+  // trade graph (customer's nation → supplier's nation, weight =
+  // lineitem count), 3 power iterations, damping 0.85.
+  //
+  // Determinism: the whole iteration runs in FIXED-POINT INTEGER
+  // arithmetic. Edge weights are first normalized to parts-per-10^6
+  // of their source's out-weight (w_ppm = w*10^6 DIV out_w, so
+  // w_ppm <= 10^6 bounds every later product: score*w_ppm <=
+  // 10^12 * 10^6 < 2^63 NO MATTER how large the corpus grows — the
+  // overflow analysis is volume-independent). Per-edge contribution
+  // is score*w_ppm DIV 10^6, damping is *85 DIV 100. Long sums are
+  // associative and commutative, so Spark's partial aggregation
+  // order cannot change a single bit vs DuckDB's sequential replay —
+  // the same trick KMeansCodebook uses to make distributed training
+  // oracle-replayable. Doubles would drift ULPs per shuffle order.
+  //
+  // Scale shape: the edge build is the usual star join (dims
+  // broadcast, one shuffle on orderkey); each iteration is one
+  // broadcast of the score frame (nodes ≪ edges — 25 nations here, a
+  // host list at web scale) against the edge frame plus one dst-keyed
+  // combinable aggregate. Iterations are a fixed small count; at a
+  // scale where the score frame stops broadcasting, the join flips to
+  // a bucketed equi-join on src and per-iteration localCheckpoint
+  // truncates lineage (the ConnectedComponents discipline). The
+  // single driver-side scalar is the node COUNT (one long — the
+  // teleport term's denominator), the same driver-sized-state budget
+  // as MLlib.
+  // ---------------------------------------------------------------
+  final val PrScale = 1000000000000L // 10^12 fixed-point
+  final val PrIters = 3
+
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val wEdges = edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr("w * 1000000 DIV ow").as("w_ppm"))
+
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    // one driver-sized scalar: the teleport denominator
+    val nN = nodes.count()
+    val base = (PrScale * 15L / 100L) / nN
+
+    var score = nodes.select(col("n"), lit(PrScale / nN).as("score"))
+    for (_ <- 1 to PrIters) {
+      val contrib = wEdges.join(broadcast(score), col("src") === col("n"))
+        .select(col("dst"), expr("score * w_ppm DIV 1000000").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      score = nodes.join(contrib, col("n") === col("dst"), "left")
+        .select(col("n"),
+          (lit(base) + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) DIV 100"))
+            .as("score"))
+    }
+    score.join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("score"))
+      .orderBy(desc("score"), col("nation"))
+  }
+
+  /** The oracle unrolls the 3 iterations as CTEs — same integer ops,
+    * same truncating DIVs, so every score matches to the last digit.
+    */
+  val q112Sql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.n,
+         |    (($PrScale * 15 // 100) // (SELECT COUNT(*) FROM nodes))
+         |      + 85 * COALESCE(SUM(($prev.score * e.w_ppm) // 1000000), 0) // 100 AS score
+         |  FROM nodes n
+         |  LEFT JOIN we e ON e.dst = n.n
+         |  LEFT JOIN $prev ON $prev.n = e.src
+         |  GROUP BY n.n)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |we AS (SELECT e.src, e.dst, e.w * 1000000 // o.ow AS w_ppm
+       |       FROM edges e JOIN outw o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT src AS n FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |s0 AS (SELECT n, $PrScale // (SELECT COUNT(*) FROM nodes) AS score FROM nodes),
+       |${iter("s0", "s1")},
+       |${iter("s1", "s2")},
+       |${iter("s2", "s3")}
+       |SELECT nn.n_name AS nation, s3.score
+       |FROM s3 JOIN nation nn ON s3.n = nn.n_nationkey
+       |ORDER BY s3.score DESC, nation""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map("q112_trade_pagerank" -> (q112 _))
+
+  def oracles: Map[String, String] = Map("q112_trade_pagerank" -> q112Sql)
+}

@@ -101,7 +101,8 @@ class PlanSpec extends SparkTestBase {
     "q73_histogram_quantiles", // 3-row quantile literal
     "q85_ivfpq_search",       // probe × ADC tables
     "q103_semantic_dedup",    // cell assignment × trained codebook
-    "q105_boilerplate_ngrams") // 1-row corpus count × df frame
+    "q105_boilerplate_ngrams", // 1-row corpus count × df frame
+    "q111_ann_recall")        // composes q36/q59 → inherits their probe loops
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
