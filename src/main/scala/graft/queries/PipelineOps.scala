@@ -303,17 +303,80 @@ object PipelineOps {
        |FROM th LEFT JOIN k ON th.lang = k.lang ORDER BY th.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q113_temperature_mixture — temperature-scaled language
+  // rebalancing (the multilingual τ-sampling move: target share ∝
+  // n^(1/τ), here τ = 2): high-resource languages are down-weighted
+  // toward the tail without a hand-written target mix. Targets are
+  // derived IN INTEGERS — t_l = floor(sqrt(n_l)) (IEEE sqrt is
+  // correctly rounded, so floor∘sqrt is bit-identical across
+  // engines), target_bp_l = t_l·10000 DIV Σt — then q104's exact
+  // threshold solve downsamples to land on them. Zero RNG state,
+  // reproducible under repartitioning.
+  //
+  // Scale shape: identical to q104 — one tiny per-stratum aggregate,
+  // window-min over the 5-row stratum frame, one map-side hash
+  // filter, one re-aggregate.
+  // ---------------------------------------------------------------
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.hash60
+    val wAll = Window.partitionBy()
+    val thresh = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("t_l", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("sum_t", sum(col("t_l")).over(wAll))
+      .withColumn("target_bp", expr("t_l * 10000 DIV sum_t"))
+      .withColumn("t_max",
+        min(expr("n_docs * 10000 DIV target_bp")).over(wAll))
+      .withColumn("keep_thresh", expr("target_bp * t_max DIV n_docs"))
+    val kept = Tables.documents(spark, dir)
+      .join(broadcast(thresh.select(col("lang"), col("keep_thresh"))), "lang")
+      .where(hash60(col("doc_id").cast("string")) % 10000 < col("keep_thresh"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    thresh.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("t_l"), col("target_bp"),
+        col("keep_thresh"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("achieved_share",
+        rnd(col("n_kept").cast("double")
+          / sum(col("n_kept")).over(wAll).cast("double"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val q113Sql: String = {
+    import graft.functions.TextFns.hash60Sql
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(COUNT(*)::DOUBLE)) AS BIGINT) AS t_l
+       |  FROM documents GROUP BY lang),
+       |w1 AS (SELECT *, SUM(t_l) OVER () AS sum_t FROM counts),
+       |w2 AS (SELECT *, t_l * 10000 // sum_t AS target_bp FROM w1),
+       |w3 AS (SELECT *, MIN(n_docs * 10000 // target_bp) OVER () AS t_max FROM w2),
+       |th AS (SELECT *, target_bp * t_max // n_docs AS keep_thresh FROM w3),
+       |k AS (
+       |  SELECT d.lang, COUNT(*) AS n_kept
+       |  FROM documents d JOIN th ON d.lang = th.lang
+       |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_thresh
+       |  GROUP BY d.lang)
+       |SELECT th.lang, th.n_docs, th.t_l, th.target_bp, th.keep_thresh,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  ${rndSql("COALESCE(k.n_kept, 0)::DOUBLE / (SUM(COALESCE(k.n_kept, 0)) OVER ())::DOUBLE", 4)} AS achieved_share
+       |FROM th LEFT JOIN k ON th.lang = k.lang ORDER BY th.lang""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q104_mixture_rebalance" -> (q104 _),
     "q100_decontamination" -> (q100 _),
     "q101_repetition_score" -> (q101 _),
     "q102_sequence_packing" -> (q102 _),
-    "q103_semantic_dedup" -> (q103 _))
+    "q103_semantic_dedup" -> (q103 _),
+    "q113_temperature_mixture" -> (q113 _))
 
   def oracles: Map[String, String] = Map(
     "q104_mixture_rebalance" -> q104Sql,
     "q100_decontamination" -> q100Sql,
     "q101_repetition_score" -> q101Sql,
     "q102_sequence_packing" -> q102Sql,
-    "q103_semantic_dedup" -> q103Sql)
+    "q103_semantic_dedup" -> q103Sql,
+    "q113_temperature_mixture" -> q113Sql)
 }

@@ -46,6 +46,20 @@ class PipelineOpsSpec extends SparkTestBase {
       s"en share ${en.getAs[Double]("achieved_share")} far from target 0.40")
   }
 
+  test("q113 temperature flattens the mix: kept max-share <= raw max-share, thresholds valid") {
+    val rows = PipelineOps.q113(spark, Sf).collect()
+    val rawTotal = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val rawMax = rows.map(_.getAs[Long]("n_docs")).max / rawTotal
+    val keptMax = rows.map(_.getAs[Double]("achieved_share")).max
+    assert(keptMax <= rawMax + 1e-9,
+      s"tau=2 must not make the dominant language MORE dominant ($keptMax > $rawMax)")
+    rows.foreach { r =>
+      val th = r.getAs[Long]("keep_thresh")
+      assert(th >= 0 && th <= 10000)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q103 dedup manifest is internally consistent") {
     PipelineOps.q103(spark, Sf).collect().foreach { r =>
       val m = r.getAs[Long]("n_members")
