@@ -22,6 +22,23 @@ object Readers {
       .option("dateFormat", "yyyy-MM-dd")
       .csv(path)
 
+  /** JSONL scan — line-delimited JSON (the corpus exchange format
+    * Writers.shardedJsonl produces). multiLine stays false (the
+    * default) so every line is an independent record and the scan
+    * SPLITS: a 100 TB JSONL directory reads at full parallelism,
+    * which multiLine JSON structurally cannot. Explicit schema for
+    * the same reason as nestedJson — no inference pass.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC scan — columnar twin of the parquet sources; predicate
+    * pushdown and column pruning work identically (Catalyst emits
+    * PushedFilters/ReadSchema for ORC scans too).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2 — multi-line JSON with an explicit nested schema, tagged with
     * a source label (research_challenge_analysis.py:39-69). At scale
     * the explicit schema is mandatory: inference would scan the

@@ -27,6 +27,25 @@ object Writers {
   def partitionedJson(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
 
+  /** Sharded JSONL — the training-corpus exchange format (one JSON
+    * object per line, N shard files). Shard routing hashes `by`, so
+    * re-runs produce identical doc→shard placement and downstream
+    * loaders can address shards deterministically; within a shard,
+    * line order is task order (consumers treat shards as sets, as
+    * every JSONL loader does). At 100 TB `shards` is the loader's
+    * parallelism, not a coalesce bottleneck — each shard writes from
+    * its own task.
+    */
+  def shardedJsonl(df: DataFrame, dir: String, shards: Int,
+    by: org.apache.spark.sql.Column): Unit =
+    df.repartition(shards, by).write.mode("overwrite").json(dir)
+
+  /** ORC sink — columnar twin of K2 for warehouses standardized on
+    * ORC; same writer discipline (overwrite, no coalesce).
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Z-ordered parquet: range-partition and sort by the Morton
     * interleave of two keys, so every output file and row group gets
     * a min/max envelope tight in BOTH keys — predicates on either
