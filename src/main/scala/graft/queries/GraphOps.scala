@@ -49,6 +49,13 @@ object GraphOps {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    // the aggregated edge frame is nations² ≤ 625 rows, but its
+    // LINEAGE is the full lineitem star join — without a checkpoint
+    // every downstream reader (nodes, out-weights, the node count,
+    // and EACH power iteration) re-executes that join. One eager
+    // materialization makes the corpus-sized work run exactly once;
+    // at web scale this is the persisted edge table every iterative
+    // graph job starts from.
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -56,6 +63,7 @@ object GraphOps {
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val wEdges = edges.join(outw, "src")
       .select(col("src"), col("dst"), expr("w * 1000000 DIV ow").as("w_ppm"))
