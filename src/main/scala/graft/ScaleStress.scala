@@ -63,6 +63,37 @@ object ScaleStress {
       val u = scanned(s"$out/unsorted", cond)
       println(f"[stress] skipping $label: zsorted scans $z rows, unsorted $u (${u.toDouble / z}%.1fx)")
     }
+
+    // ---- corpus family at 10x (self-generated replica) ----
+    // 10 doc_id-shifted copies of the sf0.1 corpus (50k docs). Text
+    // payloads repeat, which only makes the dedup paths WORK HARDER
+    // (every doc gains 9 exact near-duplicates), so these timings are
+    // an upper bound on organic 10x growth.
+    val srcDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val nDocs = srcDocs.count()
+    val cdir = java.nio.file.Files.createTempDirectory("corpus10x").toString
+    srcDocs
+      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .select((col("doc_id") + col("k") * nDocs).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    time("q105_boilerplate_ngrams@10x")(queries.CorpusOps.q105(spark, cdir).count())
+    time("q100_decontamination@10x")(queries.PipelineOps.q100(spark, cdir).count())
+    time("q109_bpe_pairs@10x")(queries.CorpusOps.q109(spark, cdir).count())
+    time("q102_sequence_packing@10x")(queries.PipelineOps.q102(spark, cdir).count())
+    time("q32_dedup_exact_docs@10x")(queries.Dedup.q32(spark, cdir).count())
+    // graph: the 10x lineitem replica in `dir` feeds the edge build;
+    // dimensions are volume-invariant, so the sf0.1 dims complete the
+    // star (replica fact keys verified in-range)
+    for (t <- Seq("customer", "supplier", "nation")) {
+      val dst = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get("/root/testdata/sf0.1", s"$t.parquet"), dst)
+    }
+    time("q112_trade_pagerank@10x")(queries.GraphOps.q112(spark, dir).count())
     spark.stop()
   }
 }
