@@ -36,6 +36,37 @@ object CacheRegistry {
   def evict(sessionIdentity: Int): Unit = hooks.values.foreach(_(sessionIdentity))
 }
 
+/** The one session-scoped DataFrame memoizer: build once per
+  * (name, session, dir), localCheckpoint so every reader shares the
+  * materialization instead of replaying corpus-sized lineage, and
+  * evict with the session. Replaces the previously hand-rolled
+  * TrieMap-per-owner copies (Dedup's LSH base + scored pairs,
+  * CorpusOps' trigram base); non-DataFrame caches (Bucketed layouts,
+  * KMeansCodebook state) keep their own typed maps but share
+  * [[CacheRegistry]] eviction.
+  */
+object FrameCache {
+
+  private val frames =
+    TrieMap.empty[(String, Int, String), org.apache.spark.sql.DataFrame]
+
+  CacheRegistry.register("framecache") { sid =>
+    frames.keys.filter(_._2 == sid).foreach(frames.remove)
+  }
+
+  /** Build-or-reuse the named frame for (session, dir). The build is
+    * localCheckpoint'd: eager, lineage-truncated, executor-resident.
+    */
+  def memoize(name: String, spark: SparkSession, dir: String)(
+    build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    frames.getOrElseUpdate((name, CacheRegistry.sessionKey(spark), dir),
+      build.localCheckpoint())
+
+  /** Test/introspection hook: is the named frame cached? */
+  private[graft] def cached(name: String, spark: SparkSession, dir: String): Boolean =
+    frames.contains((name, CacheRegistry.sessionKey(spark), dir))
+}
+
 /** Spark listener bound to one session's identity: evicts that
   * session's cache entries when the context ends.
   */

@@ -66,9 +66,14 @@ object TextFns {
     * `list_transform(generate_series(1, len(t)-(n-1)), i -> t[i] || ' ' || ... t[i+n-1])`.
     */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // Guard: for size < n, sequence(0, size-n) would DESCEND (Spark
+    // picks step -1) and index out of bounds — ANSI throws. DuckDB's
+    // generate_series(1, len-(n-1)) returns [] for short docs; match it.
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   def shinglesSql(toksExpr: String, n: Int): String = {
     val parts = (0 until n).map(j => if (j == 0) s"$toksExpr[i]" else s"$toksExpr[i+$j]")

@@ -160,10 +160,14 @@ object RadiographyAnalysis {
     import graft.operators.TransferHead
     val sample = df
       .withColumn("s", BinKernels.byteStatsCol(col("image.data")))
-      .select(col("label"),
+      .select(col("label"), col("image.origin").as("origin"),
         col("s.bmin").cast("double"), col("s.bmax").cast("double"),
         col("s.bmean"), col("s.bstd"))
+      // ordered limit (TakeOrderedAndProject, no full sort): sample
+      // MEMBERSHIP must not depend on partition arrival order
+      .orderBy(col("origin"))
       .limit(sampleN) // the fine-tune sample, never the corpus
+      .drop("origin")
       .collect()
       .map(r => (r.getInt(0), Array(r.getDouble(1) / 255.0,
         r.getDouble(2) / 255.0, r.getDouble(3) / 255.0,

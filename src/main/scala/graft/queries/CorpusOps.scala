@@ -33,19 +33,11 @@ object CorpusOps {
     * persisted tokenization output the index build and the scorer
     * both consume.
     */
-  private val triBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
-
-  graft.CacheRegistry.register("corpus.triBase") { sid =>
-    triBaseCache.keys.filter(_._1 == sid).foreach(triBaseCache.remove)
-  }
-
   private def triBase(spark: SparkSession, dir: String): DataFrame =
-    triBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+    graft.FrameCache.memoize("corpus.triBase", spark, dir)(
       Tables.documents(spark, dir)
         .select(col("doc_id"), trigramSet(col("text")).as("sh"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint())
+        .repartition(spark.sparkContext.defaultParallelism))
 
   // ---------------------------------------------------------------
   // q105_boilerplate_ngrams — corpus-derived boilerplate detection
@@ -82,7 +74,10 @@ object CorpusOps {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
-        rnd(col("n_boiler").cast("double") / col("n_grams").cast("double"), 4))
+        // < 3-token doc: 0 grams — null ratio like the oracle's
+        // NULL-on-zero-divide, not an ANSI error
+        when(col("n_grams") > 0,
+          rnd(col("n_boiler").cast("double") / col("n_grams").cast("double"), 4)))
       .orderBy(desc("boiler_ratio"), col("doc_id")).limit(BoilerTopK)
   }
 
@@ -193,7 +188,11 @@ object CorpusOps {
         (size(split(col("text"), " ")) - 1).as("tb"),
         size(TextKernels.bigramSetCol(col("text"))).as("db"))
       .select(col("lang"), col("n_tok"),
-        (lit(1.0) - col("db").cast("double") / col("tb").cast("double")).as("rep"))
+        // tb = 0 (single-token doc): null rep, matching DuckDB's
+        // NULL-on-zero-divide; ANSI Spark would throw instead.
+        when(col("tb") > 0,
+          lit(1.0) - col("db").cast("double") / col("tb").cast("double"))
+          .as("rep"))
     val s1 = col("n_tok") >= MinTokens
     val s2 = s1 && col("rep") <= MaxRepRatio
     val s3 = s2 && col("lang") =!= "zh"

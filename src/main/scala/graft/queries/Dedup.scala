@@ -104,27 +104,18 @@ object Dedup {
     * of the bucketed/materialized table a multi-job production
     * pipeline would keep.
     */
-  private val lshBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  // session stops drop that session's checkpointed base frames
-  graft.CacheRegistry.register("dedup.lshBase") { sid =>
-    lshBaseCache.keys.filter(_._1 == sid).foreach(lshBaseCache.remove)
-  }
-
   /** Test/introspection hook: is a base frame cached for (session, dir)? */
   private[graft] def lshBaseCached(spark: SparkSession, dir: String): Boolean =
-    lshBaseCache.contains((System.identityHashCode(spark), dir))
+    graft.FrameCache.cached("dedup.lshBase", spark, dir)
 
   private def lshBase(spark: SparkSession, dir: String): DataFrame =
-    lshBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+    graft.FrameCache.memoize("dedup.lshBase", spark, dir)(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           TextKernels.bigramSetCol(col("text")).as("sh"),
-          TextKernels.minhashSigCol(col("text")).as("sig"))
-        .localCheckpoint())
+          TextKernels.minhashSigCol(col("text")).as("sig")))
 
   /** The scored-pair frame is shared by q34 (top-k), q61 and q71
     * (threshold → duplicate graph) — and it is TINY (one row per
@@ -134,16 +125,9 @@ object Dedup {
     * pipeline this is the persisted `near_dup_pairs` table every
     * downstream dedup job reads.
     */
-  private val scoredPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  graft.CacheRegistry.register("dedup.scoredPairs") { sid =>
-    scoredPairsCache.keys.filter(_._1 == sid).foreach(scoredPairsCache.remove)
-  }
-
   private[graft] def lshScoredPairs(spark: SparkSession, dir: String): DataFrame =
-    scoredPairsCache.getOrElseUpdate((System.identityHashCode(spark), dir),
-      lshScoredPairsUncached(spark, dir).localCheckpoint())
+    graft.FrameCache.memoize("dedup.scoredPairs", spark, dir)(
+      lshScoredPairsUncached(spark, dir))
 
   private[graft] def lshScoredPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = lshBase(spark, dir)

@@ -265,10 +265,14 @@ object PipelineOps {
     val counts = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("target_bp", target)
+    // materialized once (per-stratum rows, driver-tiny): both the
+    // broadcast filter probe and the final manifest join read it, and
+    // without the checkpoint each re-runs the full corpus count scan
     val thresh = counts
       .withColumn("t_max",
         min(expr("n_docs * 10000 DIV target_bp")).over(Window.partitionBy()))
       .withColumn("keep_thresh", expr("target_bp * t_max DIV n_docs"))
+      .localCheckpoint()
     val kept = Tables.documents(spark, dir)
       .join(broadcast(thresh.select(col("lang"), col("keep_thresh"))), "lang")
       .where(hash60(col("doc_id").cast("string")) % 10000 < col("keep_thresh"))
@@ -327,9 +331,15 @@ object PipelineOps {
       .withColumn("t_l", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
       .withColumn("sum_t", sum(col("t_l")).over(wAll))
       .withColumn("target_bp", expr("t_l * 10000 DIV sum_t"))
+      // target_bp can floor to 0 under extreme language skew; DuckDB's
+      // `// 0` yields NULL (ignored by MIN) while ANSI DIV throws —
+      // nullif matches the oracle and the zero-target stratum keeps 0.
       .withColumn("t_max",
-        min(expr("n_docs * 10000 DIV target_bp")).over(wAll))
+        min(expr("n_docs * 10000 DIV nullif(target_bp, 0)")).over(wAll))
       .withColumn("keep_thresh", expr("target_bp * t_max DIV n_docs"))
+      // same as q104: both readers share one materialization of the
+      // per-stratum frame instead of re-scanning the corpus count
+      .localCheckpoint()
     val kept = Tables.documents(spark, dir)
       .join(broadcast(thresh.select(col("lang"), col("keep_thresh"))), "lang")
       .where(hash60(col("doc_id").cast("string")) % 10000 < col("keep_thresh"))
