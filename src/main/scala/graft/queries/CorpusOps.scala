@@ -319,13 +319,89 @@ object CorpusOps {
        |  ${rndSql("COUNT(*)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE", 4)} AS achieved_epochs
        |FROM e GROUP BY source, w_bp ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q114_boilerplate_scrub — the APPLY side of boilerplate removal:
+  // where q105 builds the repeated-span index and scores documents,
+  // this rewrites them (the C4-style hygiene transform). The K
+  // highest-document-frequency trigrams are boilerplate (top-K, not a
+  // df threshold, so the op never degenerates on a low-repetition
+  // corpus); every token covered by an occurrence of a boilerplate
+  // trigram is dropped and the cleaned text re-assembled. Reports the
+  // most-scrubbed documents with an md5 of the cleaned text so the
+  // full rewrite is value-checked without hashing megabytes per row.
+  //
+  // Scale shape: the index is one map-side-combinable df aggregate +
+  // a global top-K (TakeOrdered — K rows cross the wire per
+  // partition); the scrub is a pure map over the corpus probing a
+  // BROADCAST K-element array. Token positions are matched with
+  // bound-once arrays (hits, keep) so the per-token work is
+  // O(|hits|) against a tiny list — no shuffle touches document
+  // text beyond the original scan. At 100 TB the cleaned corpus
+  // streams straight to a sink; the manifest here is the audit view.
+  // ---------------------------------------------------------------
+  final val ScrubTopK = 25
+  final val ScrubOutK = 30
+
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.bind1
+    val grams = triBase(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bgRow = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("g")).limit(ScrubTopK)
+      .agg(sort_array(collect_list(col("g"))).as("bg"))
+    val scrubbed = bind1(tokens(col("text"))) { tk =>
+      val n = size(tk)
+      val tri = (i: Column) => concat_ws(" ",
+        element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))
+      // positions whose trigram is boilerplate; empty below 3 tokens
+      // (sequence(1, n-2) would descend — same guard as shingles)
+      val hitsExpr = when(n >= 3,
+        filter(sequence(lit(1), n - 2), i => array_contains(col("bg"), tri(i))))
+        .otherwise(array().cast("array<int>"))
+      bind1(hitsExpr) { hits =>
+        bind1(filter(sequence(lit(1), n),
+          j => !exists(hits, h => h >= j - 2 && h <= j))) { keep =>
+          struct(n.as("n_tok"), (n - size(keep)).as("n_removed"),
+            md5(concat_ws(" ", transform(keep, j => element_at(tk, j))))
+              .as("clean_sig"))
+        }
+      }
+    }
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(bgRow))
+      .select(col("doc_id"), scrubbed.as("c"))
+      .select(col("doc_id"), col("c.n_tok").as("n_tok"),
+        col("c.n_removed").as("n_removed"), col("c.clean_sig").as("clean_sig"))
+      .orderBy(desc("n_removed"), col("doc_id")).limit(ScrubOutK)
+  }
+
+  val q114Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $trigramSetSql AS sh FROM documents),
+       |grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |boiler AS (SELECT g FROM (
+       |  SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+       |  ORDER BY df DESC, g LIMIT $ScrubTopK)),
+       |bg AS (SELECT COALESCE(list(g ORDER BY g), []) AS bg FROM boiler),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, t,
+       |  CASE WHEN len(t) >= 3 THEN list_filter(generate_series(1, len(t)-2),
+       |    i -> list_contains(bg.bg, t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  ELSE [] END AS hits FROM d, bg),
+       |k AS (SELECT doc_id, t, list_filter(generate_series(1, len(t)),
+       |  j -> len(list_filter(hits, x -> x >= j-2 AND x <= j)) = 0) AS keep
+       |  FROM h)
+       |SELECT doc_id, len(t) AS n_tok, len(t) - len(keep) AS n_removed,
+       |  md5(array_to_string(list_transform(keep, j -> t[j]), ' ')) AS clean_sig
+       |FROM k ORDER BY n_removed DESC, doc_id LIMIT $ScrubOutK""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q105_boilerplate_ngrams" -> (q105 _),
     "q106_hash_split" -> (q106 _),
     "q107_domain_cap" -> (q107 _),
     "q108_quality_funnel" -> (q108 _),
     "q109_bpe_pairs" -> (q109 _),
-    "q110_epoch_weighting" -> (q110 _))
+    "q110_epoch_weighting" -> (q110 _),
+    "q114_boilerplate_scrub" -> (q114 _))
 
   def oracles: Map[String, String] = Map(
     "q105_boilerplate_ngrams" -> q105Sql,
@@ -333,5 +409,6 @@ object CorpusOps {
     "q107_domain_cap" -> q107Sql,
     "q108_quality_funnel" -> q108Sql,
     "q109_bpe_pairs" -> q109Sql,
-    "q110_epoch_weighting" -> q110Sql)
+    "q110_epoch_weighting" -> q110Sql,
+    "q114_boilerplate_scrub" -> q114Sql)
 }

@@ -64,6 +64,25 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q114 scrub: removals bounded by 3x hit count; untouched docs keep their text verbatim") {
+    val rows = CorpusOps.q114(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val removed = r.getAs[Int]("n_removed")
+      assert(removed >= 0 && removed <= r.getAs[Int]("n_tok"))
+    }
+    // an untouched doc's cleaned signature is the md5 of its raw text
+    val untouched = rows.filter(_.getAs[Int]("n_removed") == 0).map(_.getAs[Long]("doc_id"))
+    if (untouched.nonEmpty) {
+      val sigs = rows.filter(_.getAs[Int]("n_removed") == 0)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_sig")).toMap
+      Tables.documents(spark, Sf)
+        .where(col("doc_id").isin(untouched: _*))
+        .select(col("doc_id"), md5(col("text")).as("m")).collect()
+        .foreach(r => assert(sigs(r.getLong(0)) == r.getString(1)))
+    }
+  }
+
   test("q109 pair counts conserve: sum of pair weights = sum over vocab of cnt*(len-1)") {
     val vocab = Tables.documents(spark, Sf)
       .select(explode(split(col("text"), " ")).as("w"))

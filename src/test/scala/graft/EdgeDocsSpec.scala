@@ -73,4 +73,11 @@ class EdgeDocsSpec extends SparkTestBase {
     assert(CorpusOps.q109(spark, dir).collect().nonEmpty)
     assert(CorpusOps.q110(spark, dir).collect().nonEmpty)
   }
+
+  test("q114 scrub passes short docs through unmodified") {
+    val rows = CorpusOps.q114(spark, dir).collect()
+    rows.filter(_.getLong(0) >= 9001L).foreach { r =>
+      assert(r.getAs[Int]("n_removed") == 0, "sub-trigram docs have nothing to scrub")
+    }
+  }
 }

@@ -102,7 +102,8 @@ class PlanSpec extends SparkTestBase {
     "q85_ivfpq_search",       // probe × ADC tables
     "q103_semantic_dedup",    // cell assignment × trained codebook
     "q105_boilerplate_ngrams", // 1-row corpus count × df frame
-    "q111_ann_recall")        // composes q36/q59 → inherits their probe loops
+    "q111_ann_recall",        // composes q36/q59 → inherits their probe loops
+    "q114_boilerplate_scrub") // 1-row top-K boilerplate array × corpus
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
