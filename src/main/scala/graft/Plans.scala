@@ -57,7 +57,9 @@ object Plans {
       "q109_bpe_pairs" -> "char-pair explode over the VOCAB frame, not the corpus",
       "q110_epoch_weighting" -> "map-side bounded fan-out explode + one manifest aggregate",
       "q111_ann_recall" -> "recall join over probe x k frames; cost lives in the composed indexes",
-      "q112_trade_pagerank" -> "star-join edge build; per-iteration broadcast score join + combinable dst aggregate")
+      "q112_trade_pagerank" -> "star-join edge build; per-iteration broadcast score join + combinable dst aggregate",
+      "q113_temperature_mixture" -> "per-language targets derived in one stratum aggregate, applied as a broadcast threshold filter",
+      "q114_boilerplate_scrub" -> "top-K df index via TakeOrdered, broadcast to a single pure-map rewrite pass over the corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")
