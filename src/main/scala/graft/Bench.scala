@@ -29,8 +29,16 @@ object Bench {
       : Option[(Double, Double)] = {
     val c0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
+    // noop sink, NOT count(): counting lets Catalyst prune every
+    // unreferenced projection (and drop sorts), so map-heavy queries
+    // would benchmark the bare scan — q90's real cost was 20.5 s while
+    // its count() read 0.13 s. The noop write materializes every
+    // output column through the full plan without driver transfer.
     val ok =
-      try { fn(spark, sfDir).count(); true }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }

@@ -153,6 +153,36 @@ object TextKernels {
     v
   }
 
+  /** Fused q30 kernel: rolling-hash fingerprint + 16-bit SimHash in
+    * ONE token pass with each token md5-hashed once. Returns
+    * [fp, simhash16]. Value-identical to the declarative pair
+    * `TextFns.fingerprint(toks)` / `TextFns.simhash16(toks)` (same
+    * tokenization, same hash60, same fold arithmetic) — those HOF
+    * folds allocate a boxed 16-wide array per token per row and
+    * hash every token twice (measured 2.4 s over 5000 docs at
+    * sf0.1); this loop is a single JIT'd pass.
+    */
+  def fpSimhash16(text: UTF8String): ArrayData = {
+    val toks = splitTokens(text)
+    val sums = new Array[Int](16)
+    var fp = 0L
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(toks(i).getBytes("UTF-8"))
+      fp = (fp * 131 + h % P) % P
+      var j = 0
+      while (j < 16) {
+        sums(j) += ((((h >>> j) & 1L) << 1) - 1).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 16) { if (sums(j) > 0) sh |= 1L << j; j += 1 }
+    ArrayData.toArrayData(Array(fp, sh))
+  }
+
   // -----------------------------------------------------------------
   // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
   // -----------------------------------------------------------------
@@ -203,4 +233,9 @@ object TextKernels {
 
   def simhash60Col(text: Column): Column =
     invoke("simhash60", LongType, text)
+
+  final val fpSimhash16Type: DataType = ArrayType(LongType, containsNull = false)
+
+  def fpSimhash16Col(text: Column): Column =
+    invoke("fpSimhash16", fpSimhash16Type, text)
 }

@@ -149,11 +149,16 @@ object TextAnalysis {
   // surface as duplicate fp values.
   // ---------------------------------------------------------------
   def q30(spark: SparkSession, dir: String): DataFrame =
+    // fused native kernel: one token pass, one md5 per token (the
+    // declarative fingerprint+simhash16 pair is value-identical but
+    // hashes twice and folds boxed arrays — kept in TextFns as the
+    // reference semantics; PropertySpec pins kernel == declarative)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
-        fingerprint(col("t")).as("fp"),
-        simhash16(col("t")).as("simhash"))
+        graft.functions.TextKernels.fpSimhash16Col(col("text")).as("fs"))
+      .select(col("doc_id"),
+        element_at(col("fs"), 1).as("fp"),
+        element_at(col("fs"), 2).as("simhash"))
       .orderBy(col("doc_id"))
 
   val q30Sql: String =

@@ -31,6 +31,16 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("fpSimhash16 kernel == declarative fingerprint + simhash16") {
+    val mismatch = docs.select(
+        TextKernels.fpSimhash16Col(col("text")).as("k"),
+        array(TextFns.fingerprint(tokens(col("text"))),
+          TextFns.simhash16(tokens(col("text")))).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("dot product: declarative == StaticInvoke kernel == codegen expression (bitwise)") {
     val emb = Tables.embeddings(spark, Sf)
     val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
