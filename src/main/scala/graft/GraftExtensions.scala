@@ -17,6 +17,7 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_minhash_sig(str)`   — k=16 MinHash signature
   *   - `graft_tf_embedding(str)`  — L2-normalized hashing-trick TF vector
   *   - `graft_byte_stats(bin)`    — fused min/max/mean/std over bytes
+  *   - `graft_fp_simhash16(str)`  — [rolling fingerprint, 16-bit SimHash]
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
@@ -62,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_simhash60",
       "_FUNC_(str) - 60-bit SimHash over the whitespace token stream",
       e => TextKernels.invokeExpr("simhash60", LongType, e)))
+    ext.injectFunction(unary("graft_fp_simhash16",
+      "_FUNC_(str) - [rolling fingerprint, 16-bit SimHash], one token pass",
+      e => TextKernels.invokeExpr("fpSimhash16", TextKernels.fpSimhash16Type, e)))
     // binary: fully codegen'd (doGenCode) float-vector dot product
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot",

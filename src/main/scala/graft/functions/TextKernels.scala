@@ -46,6 +46,13 @@ object TextKernels {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** [[hash60]] of a string's UTF-8 bytes — value-identical to the
+    * declarative `conv(substring(md5(s),1,15),16,10)` chain but skips
+    * its hex-string round-trip (md5 → 32-char hex → substring →
+    * base-16 string parse) per row.
+    */
+  def hash60Str(text: UTF8String): Long = hash60(text.getBytes)
+
   private def splitTokens(text: UTF8String): Array[String] =
     text.toString.split(" ", -1)
 
@@ -238,4 +245,7 @@ object TextKernels {
 
   def fpSimhash16Col(text: Column): Column =
     invoke("fpSimhash16", fpSimhash16Type, text)
+
+  def hash60StrCol(text: Column): Column =
+    invoke("hash60Str", LongType, text)
 }

@@ -243,11 +243,15 @@ object Dedup {
       col("sh").as("sh_a"))
     val y = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
       col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // intersection bound ONCE per pair: referenced naked in both the
+    // numerator and the union-size denominator it would run the
+    // hash-set intersect twice per candidate pair
+    val jac = bind1(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")) { i =>
+      rnd(i / (size(col("sh_a")) + size(col("sh_b")) - i), 4)
+    }
     x.join(y, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-      .select(col("lang"), col("id_a"), col("id_b"),
-        rnd(inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .select(col("lang"), col("id_a"), col("id_b"), jac.as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
   }

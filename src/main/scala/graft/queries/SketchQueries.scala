@@ -312,16 +312,21 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q77(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomSketch
+    // native hash60 kernel on BOTH sides (build + probe must agree;
+    // the declarative chain's hex-string round-trip costs ~2x per row
+    // and the probe side runs it over every orders row)
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"),
-        (TextFns.hash60(col("c_custkey").cast("string")) % TextFns.P).as("h"))
+        (graft.functions.TextKernels.hash60StrCol(
+          col("c_custkey").cast("string")) % TextFns.P).as("h"))
     // the sketch is NumWords longs — driver-held like any broadcast
     // (Spark's runtime bloom join materializes the same way)
     val sketch = cust.agg(BloomSketch.bloomAgg(col("h")))
       .head().getAs[scala.collection.Seq[Long]](0).toArray
     val pruned = Tables.orders(spark, dir)
-      .withColumn("h", TextFns.hash60(col("o_custkey").cast("string")) % TextFns.P)
+      .withColumn("h", graft.functions.TextKernels.hash60StrCol(
+        col("o_custkey").cast("string")) % TextFns.P)
       .filter(BloomSketch.mightContain(col("h"), sketch))
       .drop("h")
     pruned.join(cust.select(col("c_custkey")),

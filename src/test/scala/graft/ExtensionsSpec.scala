@@ -43,6 +43,12 @@ class ExtensionsSpec extends SparkTestBase {
       TextKernels.simhash60Col(col("text")).as("sh"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
 
+    val fsSql = spark.sql(
+      "SELECT doc_id, graft_fp_simhash16(text) AS fs FROM ext_docs")
+    val fsCol = docs.select(col("doc_id"),
+      TextKernels.fpSimhash16Col(col("text")).as("fs"))
+    assert(fsSql.exceptAll(fsCol).isEmpty && fsCol.exceptAll(fsSql).isEmpty)
+
     Tables.documents(spark, Sf)
       .select(col("source"), (TextFns.hash60(col("text")) % TextFns.P).as("h"))
       .createOrReplaceTempView("ext_hashes")

@@ -31,6 +31,15 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("hash60Str kernel == declarative conv(substring(md5)) chain") {
+    val mismatch = docs.select(
+        TextKernels.hash60StrCol(col("text")).as("k"),
+        TextFns.hash60(col("text")).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("fpSimhash16 kernel == declarative fingerprint + simhash16") {
     val mismatch = docs.select(
         TextKernels.fpSimhash16Col(col("text")).as("k"),
