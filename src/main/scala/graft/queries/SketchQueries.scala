@@ -150,7 +150,8 @@ object SketchQueries {
   def q62(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("source"), (TextFns.hash60(col("tok")) % TextFns.P).as("h"))
+      // native hash60 kernel: ~250k exploded tokens hashed per pass
+      .select(col("source"), (graft.functions.TextKernels.hash60StrCol(col("tok")) % TextFns.P).as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("h")).as("exact_distinct"),
@@ -206,7 +207,7 @@ object SketchQueries {
     import graft.functions.CountMinSketch
     val toks = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
-      .select(col("token"), (TextFns.hash60(col("token")) % TextFns.P).as("h"))
+      .select(col("token"), (graft.functions.TextKernels.hash60StrCol(col("token")) % TextFns.P).as("h"))
     val cms = toks.agg(CountMinSketch.countMin(col("h")).as("cms"))
     val top = toks.groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("exact_n"))
