@@ -84,6 +84,16 @@ object ScaleStress {
     time("q109_bpe_pairs@10x")(queries.CorpusOps.q109(spark, cdir).count())
     time("q102_sequence_packing@10x")(queries.PipelineOps.q102(spark, cdir).count())
     time("q32_dedup_exact_docs@10x")(queries.Dedup.q32(spark, cdir).count())
+    // map-heavy kernels through the noop sink (count() would prune the
+    // very projections under audit): the fused fingerprint+simhash
+    // pass and the per-pixel resize over 500k docs
+    def timeNoop(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[stress] $name wall=${(System.nanoTime() - t0) / 1e9}%.2f s (noop sink)")
+    }
+    timeNoop("q30_fingerprint@10x")(queries.TextAnalysis.q30(spark, cdir))
+    timeNoop("q90_resize_grid@10x")(queries.MultimodalQueries.q90(spark, cdir))
     // graph: the 10x lineitem replica in `dir` feeds the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
     // star (replica fact keys verified in-range)
