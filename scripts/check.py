@@ -24,6 +24,29 @@ def canon(rows, cols):
     return sorted(cols), sorted(out, key=lambda t: tuple(repr(x) for x in t))
 
 
+def dtype_class(t):
+    """Map a DuckDB column type to the pandas dtype KIND the driver's
+    harness would fetch it as. HUGEINT (any SUM over INT/BIGINT) and
+    DECIMAL land as float64 — the exact mismatch class that shipped 9
+    red rows in round 4 while plain value comparison stayed green."""
+    t = t.upper()
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE"):
+        return "f"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "M"
+    if t == "BOOLEAN":
+        return "b"
+    return "O"
+
+
+def dtypes_of(con, sql):
+    """Column name → DuckDB type, via DESCRIBE (plans, never executes)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if a == b or (math.isnan(a) and math.isnan(b)):
@@ -61,6 +84,22 @@ def main(sfdir, outdir):
         sc, srw = canon(srows, scols)
         if oc != sc:
             print(f"FAIL {name}: schema mismatch oracle={oc} spark={sc}")
+            n_bad += 1
+            continue
+        # dtype gate: the driver compares pandas-fetched frames, so a
+        # value-equal HUGEINT/INT32 oracle column still hash-fails there
+        try:
+            odt = dtypes_of(con, sql)
+            sdt = dtypes_of(con, f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            badcols = [(c, odt[c], sdt[c]) for c in oc
+                       if dtype_class(odt[c]) != dtype_class(sdt[c])]
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {e}")
+            n_bad += 1
+            continue
+        if badcols:
+            detail = ", ".join(f"{c}: oracle={o} spark={s}" for c, o, s in badcols)
+            print(f"FAIL {name}: dtype mismatch {detail}")
             n_bad += 1
             continue
         if len(orw) != len(srw):

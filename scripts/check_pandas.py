@@ -12,7 +12,7 @@ per-value hashes the way a pandas harness would.
 
 Usage: python3 scripts/check_pandas.py <sfdir> <verify_outdir>
 """
-import sys, json, glob
+import sys, json, glob, datetime
 import duckdb
 import pandas as pd
 
@@ -32,6 +32,13 @@ def canon(df):
             df[c] = df[c].astype("int64")
         elif k == "M":
             df[c] = df[c].astype("datetime64[ns]")
+        elif k == "O":
+            # pd.read_parquet yields DATE columns as object(datetime.date)
+            # while duckdb .df() yields datetime64 — the driver passed
+            # such queries (r4 q81), so unify rather than flag
+            vals = df[c].dropna()
+            if len(vals) and all(isinstance(v, datetime.date) for v in vals.head(5)):
+                df[c] = pd.to_datetime(df[c])
     return df
 
 

@@ -112,7 +112,17 @@ object Bench {
     val total = results.collect { case (_, w, _, _, _) if w >= 0 => w }.sum
     val nFailed = results.count(_._2 < 0)
     val nResampled = results.count(_._5 > 3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir","failed":$nFailed}""")
+    // steal self-diagnosis, placed where truncation can't hide it: the
+    // round-4 artifact kept only part of the JSON line, cutting the
+    // cpu/spread maps that prove (or refute) CPU steal. Emit the
+    // worst-5 queries' wall/cpu/spread BOTH as a separate line before
+    // the JSON and as a compact "diag" field ahead of the big maps —
+    // cpu/wall near 0 on an outlier marks a stolen sample.
+    val diag = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map(r => f"${r._1}:w=${r._2}%.2f cpu=${r._3}%.2f x=${r._4}%.1f")
+      .mkString("; ")
+    println(f"[bench-diag] total=$total%.1f s worst5: $diag")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","diag":"$diag","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir","failed":$nFailed}""")
     spark.stop()
   }
 }

@@ -94,16 +94,22 @@ object ScaleStress {
     }
     timeNoop("q30_fingerprint@10x")(queries.TextAnalysis.q30(spark, cdir))
     timeNoop("q90_resize_grid@10x")(queries.MultimodalQueries.q90(spark, cdir))
-    // graph: the 10x lineitem replica in `dir` feeds the edge build;
+    // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
-    // star (replica fact keys verified in-range)
-    for (t <- Seq("customer", "supplier", "nation")) {
-      val dst = java.nio.file.Paths.get(dir, s"$t.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get("/root/testdata/sf0.1", s"$t.parquet"), dst)
-    }
-    time("q112_trade_pagerank@10x")(queries.GraphOps.q112(spark, dir).count())
+    // star (replica fact keys verified in-range). Assembled in a TEMP
+    // workspace via symlinks — the tool must not mutate an input
+    // directory it does not own.
+    val gdir = java.nio.file.Files.createTempDirectory("graph10x")
+    for ((t, src) <- Seq(
+      "orders" -> dir, "lineitem" -> dir,
+      "customer" -> "/root/testdata/sf0.1",
+      "supplier" -> "/root/testdata/sf0.1",
+      "nation" -> "/root/testdata/sf0.1"))
+      java.nio.file.Files.createSymbolicLink(
+        gdir.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
+    time("q112_trade_pagerank@10x")(
+      queries.GraphOps.q112(spark, gdir.toString).count())
     spark.stop()
   }
 }

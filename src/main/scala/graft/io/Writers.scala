@@ -28,17 +28,30 @@ object Writers {
     df.write.mode("overwrite").json(dir)
 
   /** Sharded JSONL — the training-corpus exchange format (one JSON
-    * object per line, N shard files). Shard routing hashes `by`, so
-    * re-runs produce identical doc→shard placement and downstream
-    * loaders can address shards deterministically; within a shard,
-    * line order is task order (consumers treat shards as sets, as
-    * every JSONL loader does). At 100 TB `shards` is the loader's
-    * parallelism, not a coalesce bottleneck — each shard writes from
-    * its own task.
+    * object per line, up to N shard files). Shard routing hashes
+    * `by`, so re-runs produce identical doc→shard placement; within a
+    * shard, line order is task order (consumers treat shards as sets,
+    * as every JSONL loader does). `shards` is an UPPER BOUND on the
+    * file count: Spark writes no part file for an empty hash
+    * partition, so under key skew or small inputs fewer files appear.
+    * Loaders must therefore address shards through the `_shards.json`
+    * manifest written alongside (sorted list of produced part files),
+    * never by counting to `shards`. At 100 TB `shards` is the
+    * loader's parallelism, not a coalesce bottleneck — each shard
+    * writes from its own task.
     */
   def shardedJsonl(df: DataFrame, dir: String, shards: Int,
-    by: org.apache.spark.sql.Column): Unit =
+    by: org.apache.spark.sql.Column): Unit = {
     df.repartition(shards, by).write.mode("overwrite").json(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), df.sparkSession.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
+    val manifest = parts.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_shards.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
 
   /** ORC sink — columnar twin of K2 for warehouses standardized on
     * ORC; same writer discipline (overwrite, no coalesce).

@@ -93,7 +93,10 @@ object CorpusOps {
        |  FROM grams JOIN boiler USING (g) GROUP BY doc_id)
        |SELECT sh.doc_id, len(sh.sh) AS n_grams,
        |  COALESCE(per_doc.n_boiler, 0) AS n_boiler,
-       |  ${rndSql("COALESCE(per_doc.n_boiler, 0)::DOUBLE / len(sh.sh)::DOUBLE", 4)} AS boiler_ratio
+       |  -- nullif: a sub-trigram doc has 0 grams; bare 0.0/0.0 would be
+       |  -- NaN under DuckDB's IEEE float ops (sorts FIRST in DESC) while
+       |  -- Spark's guarded NULL sorts last — force NULL on both engines
+       |  ${rndSql("COALESCE(per_doc.n_boiler, 0)::DOUBLE / nullif(len(sh.sh), 0)::DOUBLE", 4)} AS boiler_ratio
        |FROM sh LEFT JOIN per_doc ON sh.doc_id = per_doc.doc_id
        |ORDER BY boiler_ratio DESC, sh.doc_id LIMIT $BoilerTopK""".stripMargin
 
@@ -128,7 +131,7 @@ object CorpusOps {
        |         ELSE 'test' END AS split,
        |    len(string_split(text, ' '))::BIGINT AS n_tokens
        |  FROM documents)
-       |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+       |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS tokens
        |FROM t GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   // ---------------------------------------------------------------
@@ -167,7 +170,7 @@ object CorpusOps {
        |  FROM documents)
        |SELECT source, COUNT(*) AS n_docs,
        |  COUNT(*) FILTER (rk <= $DomainCap) AS n_kept,
-       |  COALESCE(SUM(n_tokens) FILTER (rk <= $DomainCap), 0) AS kept_tokens
+       |  COALESCE(SUM(n_tokens) FILTER (rk <= $DomainCap), 0)::BIGINT AS kept_tokens
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -209,8 +212,10 @@ object CorpusOps {
   val q108Sql: String =
     s"""WITH d AS (
        |  SELECT lang, len(string_split(text, ' ')) AS n_tok,
+       |    -- nullif: single-token doc divides by 0 — NULL (like Spark's
+       |    -- when() guard), not IEEE NaN
        |    1.0 - len(list_distinct(${shinglesSql("string_split(text, ' ')", 2)}))::DOUBLE
-       |      / (len(string_split(text, ' ')) - 1)::DOUBLE AS rep
+       |      / nullif(len(string_split(text, ' ')) - 1, 0)::DOUBLE AS rep
        |  FROM documents)
        |SELECT lang, COUNT(*) AS n_total,
        |  COUNT(*) FILTER (n_tok >= $MinTokens) AS pass_length,
@@ -254,7 +259,7 @@ object CorpusOps {
        |  SELECT cnt, unnest(list_transform(generate_series(1, length(w) - 1),
        |    i -> substr(w, i, 2))) AS pair
        |  FROM v)
-       |SELECT pair, SUM(cnt) AS pair_count FROM p GROUP BY pair
+       |SELECT pair, SUM(cnt)::BIGINT AS pair_count FROM p GROUP BY pair
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
 
   // ---------------------------------------------------------------
@@ -301,8 +306,10 @@ object CorpusOps {
   val q110Sql: String =
     s"""WITH d AS (
        |  SELECT source, doc_id,
-       |    CASE WHEN source IN ('src0', 'src1') THEN $HqEpochBp
-       |         ELSE $BaseEpochBp END AS w_bp,
+       |    -- bare CASE literals type INT32 in DuckDB; Spark's lit(Long)
+       |    -- is int64 — cast so the gate's dtypes agree
+       |    CAST(CASE WHEN source IN ('src0', 'src1') THEN $HqEpochBp
+       |         ELSE $BaseEpochBp END AS BIGINT) AS w_bp,
        |    len(string_split(text, ' '))::BIGINT AS n_tokens
        |  FROM documents),
        |c AS (
@@ -315,7 +322,7 @@ object CorpusOps {
        |    unnest(generate_series(1, n_copies)) AS copy_idx
        |  FROM c)
        |SELECT source, w_bp, COUNT(DISTINCT doc_id) AS n_docs,
-       |  COUNT(*) AS n_emitted, SUM(n_tokens) AS emitted_tokens,
+       |  COUNT(*) AS n_emitted, SUM(n_tokens)::BIGINT AS emitted_tokens,
        |  ${rndSql("COUNT(*)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE", 4)} AS achieved_epochs
        |FROM e GROUP BY source, w_bp ORDER BY source""".stripMargin
 

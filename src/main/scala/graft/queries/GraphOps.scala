@@ -98,8 +98,11 @@ object GraphOps {
     def iter(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT n.n,
-         |    (($PrScale * 15 // 100) // (SELECT COUNT(*) FROM nodes))
-         |      + 85 * COALESCE(SUM(($prev.score * e.w_ppm) // 1000000), 0) // 100 AS score
+         |    -- ::BIGINT: SUM makes the chain HUGEINT in DuckDB; the values
+         |    -- fit long by the w_ppm bound, so cast per iteration to keep
+         |    -- the gate's dtype at int64 like Spark
+         |    ((($PrScale * 15 // 100) // (SELECT COUNT(*) FROM nodes))
+         |      + 85 * COALESCE(SUM(($prev.score * e.w_ppm) // 1000000), 0) // 100)::BIGINT AS score
          |  FROM nodes n
          |  LEFT JOIN we e ON e.dst = n.n
          |  LEFT JOIN $prev ON $prev.n = e.src
@@ -112,7 +115,7 @@ object GraphOps {
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  GROUP BY 1, 2),
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
-       |we AS (SELECT e.src, e.dst, e.w * 1000000 // o.ow AS w_ppm
+       |we AS (SELECT e.src, e.dst, (e.w * 1000000 // o.ow)::BIGINT AS w_ppm
        |       FROM edges e JOIN outw o ON e.src = o.src),
        |nodes AS (SELECT DISTINCT src AS n FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),

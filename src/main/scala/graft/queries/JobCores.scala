@@ -113,9 +113,10 @@ object JobCores {
        |    SELECT *, MAX(d) OVER (PARTITION BY country) AS maxd FROM norm)
        |  WHERE d = maxd),
        |agg AS (
-       |  SELECT country, SUM(confirmed) AS sum_confirmed,
-       |    SUM(deaths) AS sum_deaths, SUM(recovered) AS sum_recovered,
-       |    SUM(active) AS sum_active
+       |  SELECT country, SUM(confirmed)::BIGINT AS sum_confirmed,
+       |    SUM(deaths)::BIGINT AS sum_deaths,
+       |    SUM(recovered)::BIGINT AS sum_recovered,
+       |    SUM(active)::BIGINT AS sum_active
        |  FROM latest GROUP BY country),
        |rated AS (
        |  SELECT *,
@@ -237,8 +238,8 @@ object JobCores {
        |  FROM shaped)
        |SELECT exam_result, COUNT(*) AS n,
        |  COUNT(DISTINCT hemoglobin) AS n_hemoglobin,
-       |  SUM(age_quantile::INT) AS sum_age,
-       |  SUM(leukocytes::INT) AS sum_leukocytes
+       |  SUM(age_quantile::INT)::BIGINT AS sum_age,
+       |  SUM(leukocytes::INT)::BIGINT AS sum_leukocytes
        |FROM remapped GROUP BY exam_result ORDER BY exam_result""".stripMargin
 
   // ---------------------------------------------------------------
@@ -283,17 +284,225 @@ object JobCores {
        |  COUNT(*) AS n
        |FROM shaped GROUP BY 1 ORDER BY result""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q115_job_europe_snapshot — CasesTimeAnalysis.confirmedCasesEurope
+  // (cases_time_analysis.py:154-165): drop state, filter to the
+  // European country list, latest snapshot per country (W1+F4), sum
+  // confirmed. To exercise the isin(europe) filter against the REAL
+  // 42-name list, the shaped frame maps a deterministic slice of
+  // user_ids onto eight European names; everything else keeps the
+  // synthetic C* names and is filtered out — the part the query
+  // certifies. No limit ⇒ no tie concession needed (the gate hashes
+  // row-sorted).
+  // ---------------------------------------------------------------
+  private val euSample = Seq("Serbia", "Norway", "Italy", "France",
+    "Spain", "Germany", "Austria", "Greece")
+
+  private def europeShaped(spark: SparkSession, dir: String): DataFrame = {
+    val eu = element_at(array(euSample.map(lit): _*),
+      (col("user_id") % 8).cast("int") + 1)
+    Tables.events(spark, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("ObservationDate"),
+      when(col("user_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("S"), (col("user_id") % 3).cast("string")))
+        .as("Province/State"),
+      when(col("user_id") % 3 === 0, eu)
+        .when(col("user_id") % 40 === 7, lit("Mainland China"))
+        .otherwise(concat(lit("C"), (col("user_id") % 40).cast("string")))
+        .as("Country/Region"),
+      date_format(col("ts"), "yyyy-MM-dd").as("Last Update"),
+      when(col("event_id") % 17 === 0, lit(null).cast("string"))
+        .otherwise((col("event_id") % 1000).cast("string")).as("Confirmed"),
+      when(col("event_id") % 19 === 0, lit(null).cast("string"))
+        .otherwise((col("event_id") % 97).cast("string")).as("Deaths"),
+      when(col("event_id") % 23 === 0, lit(null).cast("string"))
+        .otherwise((col("event_id") % 53).cast("string")).as("Recovered"))
+  }
+
+  /** [[casesNormCte]] twin for [[europeShaped]]. */
+  private val euNormCte: String = {
+    val euList = euSample.map(s => s"'$s'").mkString("[", ", ", "]")
+    """raw AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS d,
+      |    CASE WHEN user_id % 3 = 0
+      |           THEN (EULIST)[(user_id % 8)::INT + 1]
+      |         WHEN user_id % 40 = 7 THEN 'Mainland China'
+      |         ELSE 'C' || (user_id % 40)::VARCHAR END AS country,
+      |    CASE WHEN event_id % 17 = 0 THEN NULL
+      |         ELSE (event_id % 1000)::VARCHAR END AS confirmed_s
+      |  FROM events),
+      |norm AS (
+      |  SELECT d, replace(country, 'Mainland China', 'China') AS country,
+      |    COALESCE(confirmed_s, '0')::INT AS confirmed
+      |  FROM raw)""".stripMargin.replace("EULIST", euList)
+  }
+
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    CasesTimeAnalysis.confirmedCasesEurope(
+      CasesTimeAnalysis.transform(europeShaped(spark, dir)))
+      .select(col("country"), col("sum(confirmed)").as("sum_confirmed"))
+
+  val q115Sql: String =
+    s"""WITH $euNormCte,
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, MAX(d) OVER (PARTITION BY country) AS maxd FROM norm
+       |    WHERE country IN (${euSample.map(s => s"'$s'").mkString(", ")}))
+       |  WHERE d = maxd)
+       |SELECT country, SUM(confirmed)::BIGINT AS sum_confirmed
+       |FROM latest GROUP BY country ORDER BY country""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q116_job_recovery_topk — the recovery-rate dual of q94
+  // (cases_time_analysis.py:193-207): same latest-snapshot → 4-sum →
+  // rate → top-10 → re-sort chain with recovered/confirmed. Same two
+  // documented gate concessions as q94: floor-parity rnd() and the
+  // pinned (rate, country) tiebreak.
+  // ---------------------------------------------------------------
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val df = CasesTimeAnalysis.transform(casesShaped(spark, dir))
+    val w = Window.partitionBy("country")
+    val latest = df.withColumn("maxDate", max("date").over(w))
+      .where(col("date") === col("maxDate"))
+    latest.groupBy("country")
+      .sum("confirmed", "deaths", "recovered", "active")
+      .where(col("sum(confirmed)") > 0)
+      .withColumn("recovery_rate",
+        rnd(col("sum(recovered)").cast("double")
+          / col("sum(confirmed)").cast("double") * 100, 2))
+      .orderBy(desc("recovery_rate"), asc("country")).limit(10)
+      .orderBy(asc("recovery_rate"), asc("country"))
+      .select(col("country"),
+        col("sum(confirmed)").as("sum_confirmed"),
+        col("sum(deaths)").as("sum_deaths"),
+        col("sum(recovered)").as("sum_recovered"),
+        col("sum(active)").as("sum_active"),
+        col("recovery_rate"))
+  }
+
+  val q116Sql: String =
+    s"""WITH $casesNormCte,
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, MAX(d) OVER (PARTITION BY country) AS maxd FROM norm)
+       |  WHERE d = maxd),
+       |agg AS (
+       |  SELECT country, SUM(confirmed)::BIGINT AS sum_confirmed,
+       |    SUM(deaths)::BIGINT AS sum_deaths,
+       |    SUM(recovered)::BIGINT AS sum_recovered,
+       |    SUM(active)::BIGINT AS sum_active
+       |  FROM latest GROUP BY country),
+       |rated AS (
+       |  SELECT *,
+       |    ${rndSql("sum_recovered::DOUBLE / sum_confirmed::DOUBLE * 100", 2)}
+       |      AS recovery_rate
+       |  FROM agg WHERE sum_confirmed > 0),
+       |top AS (
+       |  SELECT * FROM rated ORDER BY recovery_rate DESC, country LIMIT 10)
+       |SELECT country, sum_confirmed, sum_deaths, sum_recovered, sum_active,
+       |  recovery_rate
+       |FROM top ORDER BY recovery_rate ASC, country""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q117_job_sample_percentages — RadiographyAnalysis
+  // .percentageOfSamples (radiography_analysis.py:107-112): per-class
+  // image counts with percentage of total. The radiography-shaped
+  // frame derives label + nullable image from part (1-in-50 images
+  // null, so count('image') ≠ count(*) is actually exercised). The
+  // percentage division mirrors exactly: (count / window-total) * 100,
+  // one IEEE divide + one multiply on both engines.
+  // ---------------------------------------------------------------
+  private val radioLabels =
+    Seq("Normal", "COVID", "Lung_Opacity", "Viral Pneumonia")
+
+  private def radioShaped(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      element_at(array(radioLabels.map(lit): _*),
+        (col("p_partkey") % 4).cast("int") + 1).as("label"),
+      when(col("p_partkey") % 50 =!= 0,
+        struct(lit(299).as("height"), lit(299).as("width"))).as("image"))
+
+  def q117(spark: SparkSession, dir: String): DataFrame =
+    graft.jobs.RadiographyAnalysis.percentageOfSamples(
+      radioShaped(spark, dir))
+
+  val q117Sql: String = {
+    val labels = radioLabels.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH r AS (
+       |  SELECT ($labels)[(p_partkey % 4)::INT + 1] AS label,
+       |    CASE WHEN p_partkey % 50 <> 0 THEN 1 END AS img
+       |  FROM part),
+       |a AS (SELECT label, COUNT(img) AS "count" FROM r GROUP BY label)
+       |SELECT label, "count",
+       |  ("count"::DOUBLE / (SUM("count") OVER ())::DOUBLE) * 100 AS percentage
+       |FROM a ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q118/q119/q120 — the daily-series named outputs:
+  // confirmedCasesAndDeathsGlobally (:122-125), per-country series
+  // (:128-153, China exercises the rename path too), and the
+  // recovered/deaths/active comparison (:168-172). Sum columns
+  // re-aliased from the contractual auto names for the parquet gate.
+  // ---------------------------------------------------------------
+  def q118(spark: SparkSession, dir: String): DataFrame =
+    CasesTimeAnalysis.confirmedCasesAndDeathsGlobally(
+      CasesTimeAnalysis.transform(casesShaped(spark, dir)))
+      .select(col("date"), col("sum(confirmed)").as("sum_confirmed"),
+        col("sum(deaths)").as("sum_deaths"))
+
+  val q118Sql: String =
+    s"""WITH $casesNormCte
+       |SELECT d AS date, SUM(confirmed)::BIGINT AS sum_confirmed,
+       |  SUM(deaths)::BIGINT AS sum_deaths
+       |FROM norm GROUP BY d ORDER BY d""".stripMargin
+
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    CasesTimeAnalysis.confirmedCasesByCountry(
+      CasesTimeAnalysis.transform(casesShaped(spark, dir)), "China")
+      .select(col("date"), col("sum(confirmed)").as("sum_confirmed"))
+
+  val q119Sql: String =
+    s"""WITH $casesNormCte
+       |SELECT d AS date, SUM(confirmed)::BIGINT AS sum_confirmed
+       |FROM norm WHERE country = 'China' GROUP BY d ORDER BY d""".stripMargin
+
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    CasesTimeAnalysis.confirmedCasesComparison(
+      CasesTimeAnalysis.transform(casesShaped(spark, dir)))
+      .select(col("date"), col("sum(recovered)").as("sum_recovered"),
+        col("sum(deaths)").as("sum_deaths"),
+        col("sum(active)").as("sum_active"))
+
+  val q120Sql: String =
+    s"""WITH $casesNormCte
+       |SELECT d AS date, SUM(recovered)::BIGINT AS sum_recovered,
+       |  SUM(deaths)::BIGINT AS sum_deaths, SUM(active)::BIGINT AS sum_active
+       |FROM norm GROUP BY d ORDER BY d""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q94_job_mortality_topk" -> (q94 _),
     "q95_job_missing_profile" -> (q95 _),
     "q96_job_value_distribution" -> (q96 _),
     "q97_job_age_relations" -> (q97 _),
-    "q98_job_test_result_dist" -> (q98 _))
+    "q98_job_test_result_dist" -> (q98 _),
+    "q115_job_europe_snapshot" -> (q115 _),
+    "q116_job_recovery_topk" -> (q116 _),
+    "q117_job_sample_percentages" -> (q117 _),
+    "q118_job_global_daily" -> (q118 _),
+    "q119_job_country_series" -> (q119 _),
+    "q120_job_comparison_daily" -> (q120 _))
 
   def oracles: Map[String, String] = Map(
     "q94_job_mortality_topk" -> q94Sql,
     "q95_job_missing_profile" -> q95Sql,
     "q96_job_value_distribution" -> q96Sql,
     "q97_job_age_relations" -> q97Sql,
-    "q98_job_test_result_dist" -> q98Sql)
+    "q98_job_test_result_dist" -> q98Sql,
+    "q115_job_europe_snapshot" -> q115Sql,
+    "q116_job_recovery_topk" -> q116Sql,
+    "q117_job_sample_percentages" -> q117Sql,
+    "q118_job_global_daily" -> q118Sql,
+    "q119_job_country_series" -> q119Sql,
+    "q120_job_comparison_daily" -> q120Sql)
 }

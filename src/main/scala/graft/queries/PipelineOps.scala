@@ -129,9 +129,13 @@ object PipelineOps {
       .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      // the document's start offset decides its window
+      // the document's start offset decides its window. Integer DIV, not
+      // floor(double /): past 2^53 cumulative tokens per shard a double
+      // quotient rounds and the two engines could bin a document into
+      // different windows (operands are non-negative, so truncating DIV
+      // equals floor).
       .withColumn("window_id",
-        floor((col("cum") - col("n_tokens")) / ContextTokens))
+        expr(s"(cum - n_tokens) DIV $ContextTokens"))
       .groupBy(col("shard"), col("window_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("window_tokens"),
@@ -153,9 +157,12 @@ object PipelineOps {
        |    ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t),
        |wd AS (
-       |  SELECT *, (cum - n_tokens) // $ContextTokens AS window_id FROM c)
+       |  -- cum is SUM() OVER → HUGEINT; ::BIGINT keeps the gate's
+       |  -- pandas dtype at int64 to match Spark's long
+       |  SELECT *, ((cum - n_tokens) // $ContextTokens)::BIGINT AS window_id
+       |  FROM c)
        |SELECT shard, window_id, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS window_tokens, MIN(doc_id) AS first_doc,
+       |  SUM(n_tokens)::BIGINT AS window_tokens, MIN(doc_id) AS first_doc,
        |  ${rndSql(s"SUM(n_tokens)::DOUBLE / $ContextTokens", 4)} AS fill_ratio
        |FROM wd GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin
 
@@ -368,7 +375,10 @@ object PipelineOps {
        |  FROM documents d JOIN th ON d.lang = th.lang
        |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_thresh
        |  GROUP BY d.lang)
-       |SELECT th.lang, th.n_docs, th.t_l, th.target_bp, th.keep_thresh,
+       |SELECT th.lang, th.n_docs, th.t_l,
+       |  -- target_bp/keep_thresh descend from SUM() OVER → HUGEINT;
+       |  -- cast to BIGINT so the gate's dtype matches Spark's long
+       |  th.target_bp::BIGINT AS target_bp, th.keep_thresh::BIGINT AS keep_thresh,
        |  COALESCE(k.n_kept, 0) AS n_kept,
        |  ${rndSql("COALESCE(k.n_kept, 0)::DOUBLE / (SUM(COALESCE(k.n_kept, 0)) OVER ())::DOUBLE", 4)} AS achieved_share
        |FROM th LEFT JOIN k ON th.lang = k.lang ORDER BY th.lang""".stripMargin

@@ -16,7 +16,16 @@ class IoRoundTripSpec extends SparkTestBase {
     Writers.shardedJsonl(docs, dir, 4, col("doc_id"))
     val parts = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-    assert(parts.length == 4, s"expected 4 JSONL shards, got ${parts.length}")
+    // shards is an UPPER BOUND (empty hash partitions write no file);
+    // the manifest is the addressing contract, so it must list exactly
+    // the files on disk
+    assert(parts.length <= 4 && parts.nonEmpty,
+      s"expected 1..4 JSONL shards, got ${parts.length}")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_shards.json")), "UTF-8")
+    val listed = """part-[^"]+""".r.findAllIn(manifest).toSet
+    assert(listed == parts.map(_.getName).toSet,
+      s"_shards.json must list exactly the produced part files: $manifest")
     val back = Readers.jsonl(spark, dir, docs.schema)
     assert(back.count() == docs.count())
     assert(back.except(docs).count() == 0 && docs.except(back).count() == 0,
