@@ -40,18 +40,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Public
-    * escape hatch (SPARK-40819): read nanos as Long, then rebuild a
-    * microsecond timestamp. Integer division (`DIV`) is mandatory —
-    * ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact-integer
-    * range, so a fractional divide would corrupt timestamps.
+  /** The events table's `ts` encoding has varied across corpus
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) and must be read via the public escape
+    * hatch (SPARK-40819: nanos as Long, rebuilt with integer `DIV`
+    * because ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact
+    * range) — and plain TIMESTAMP(MICROS), which Spark reads natively.
+    * Dispatch on the scanned type so either corpus works: a LongType
+    * `ts` is the nanos escape hatch firing, TimestampType is native.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without a zone annotation arrives as
+        // TIMESTAMP_NTZ, which watermarks and unix_micros reject; the
+        // session zone is pinned to UTC, so this cast is a pure type
+        // change — the instant equals the wall-clock value.
+        df.withColumn("ts", df("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -22,26 +22,28 @@ import graft.queries.EventsOps
   */
 object EventStreams {
 
-  /** The events parquet schema, declared explicitly — streaming file
-    * sources cannot infer schemas. ts arrives as TIMESTAMP(NANOS),
-    * read as long (SPARK-40819 escape hatch, same as Tables.events).
+  /** Streaming read of the events file with event-time `ts`.
+    *
+    * Streaming file sources cannot infer schemas, so the file's actual
+    * schema is taken from a one-footer batch read (Tables caches the
+    * scan node per (session, dir)). The corpus's `ts` encoding has
+    * varied across generations — TIMESTAMP(NANOS), readable only as
+    * Long via SPARK-40819, vs plain TIMESTAMP(MICROS) — so dispatch on
+    * the scanned type exactly like Tables.events does for batch.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of the events file with event-time `ts`. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val fileSchema = graft.sources.Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // UTC session zone makes this a pure type change (see Tables.events)
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked 1-hour tumbling counts per event type — the
