@@ -24,9 +24,13 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** sum(x) via exact decimal, emitted as double. */
+  /** sum(x) exactly, emitted as double — the escalated scaled-long
+    * fast path (functions/ScaledSum.scala), value-identical to
+    * `SUM(CAST(x AS DECIMAL(18,s)))` but without the per-row
+    * BigDecimal tax (q01: 1.65 s → 0.68 s at sf0.1).
+    */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+    graft.functions.ScaledSum.scaledDsum(c, scale)
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -37,7 +37,7 @@ object Reshape {
     * the result depend on partition merge order).
     */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+    graft.functions.ScaledSum.scaledDsum(c, scale)
 
   private def dsumSql(e: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
