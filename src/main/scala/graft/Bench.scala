@@ -121,8 +121,12 @@ object Bench {
     val diag = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map(r => f"${r._1}:w=${r._2}%.2f cpu=${r._3}%.2f x=${r._4}%.1f")
       .mkString("; ")
-    println(f"[bench-diag] total=$total%.1f s worst5: $diag")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","diag":"$diag","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir","failed":$nFailed}""")
+    // failed queries BY NAME, in the early (truncation-safe) zone: a
+    // -1.0 deep in the queries map was read as "maybe intentionally
+    // skipped" by a round-5 reviewer — breakage must name itself
+    val failedNames = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(f"[bench-diag] total=$total%.1f s failed=$nFailed worst5: $diag")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"failedQueries":$failedNames,"diag":"$diag","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

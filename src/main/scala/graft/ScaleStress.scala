@@ -10,15 +10,37 @@ import org.apache.spark.sql.functions._
   * recorded in SCALE_NOTES.md.
   *
   * Usage: `runMain graft.ScaleStress [dir]` where dir holds
-  * orders.parquet/lineitem.parquet at the larger SF (default
-  * /tmp/sf1, a 10× key-shifted replica — generated outside the repo;
-  * the oracle-gated queries keep using the driver's testdata).
+  * orders.parquet/lineitem.parquet at the larger SF. With no
+  * argument the 10× fact replica is built in a temp workspace first
+  * (10 order-key-shifted copies of sf0.1; dimension keys untouched so
+  * the star stays join-consistent) — the whole audit reproduces from
+  * one command against the read-only testdata.
   */
 object ScaleStress {
 
+  /** 10 order-key-shifted copies of the sf0.1 fact tables → temp dir. */
+  private def buildFactReplica(spark: org.apache.spark.sql.SparkSession): String = {
+    val src = "/root/testdata/sf0.1"
+    val d = java.nio.file.Files.createTempDirectory("sf1-replica").toString
+    val od = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val keySpan = od.agg(max("o_orderkey")).head().getLong(0) + 1
+    def shifted(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val rest = df.columns.filterNot(_ == key).map(col)
+      df.select((explode(sequence(lit(0L), lit(9L)))).as("k") +: df.columns.map(col): _*)
+        .select(((col(key) + col("k") * keySpan)).as(key) +: rest: _*)
+    }
+    shifted(od, "o_orderkey").repartition(16)
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    shifted(li, "l_orderkey").repartition(32)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    println(s"[stress] built 10x fact replica at $d")
+    d
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sf1")
     val spark = GraftSession.local("graft-scale-stress")
+    val dir = args.headOption.getOrElse(buildFactReplica(spark))
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -110,6 +132,54 @@ object ScaleStress {
         java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
     time("q112_trade_pagerank@10x")(
       queries.GraphOps.q112(spark, gdir.toString).count())
+
+    // ---- streaming family at 10x (watermark-bounded state audit) ----
+    // 10 user-shifted copies of the event stream (1M rows, 10x the
+    // key population, SAME 30-day span — more keys per window is the
+    // scale direction that grows state). The audit prints peak state
+    // rows beside wall: bounded state means peak tracks (active keys x
+    // watermark horizon), never stream length.
+    val srcEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val evCount = srcEv.count()
+    val maxUser = srcEv.agg(max("user_id")).head().getLong(0)
+    val sdir = java.nio.file.Files.createTempDirectory("events10x").toString
+    val scratch = s"$sdir/_scratch"
+    srcEv
+      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .select((col("event_id") + col("k") * evCount).as("event_id"), col("ts"),
+        (col("user_id") + col("k") * (maxUser + 1)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    // the streaming source globs the flat leaf name events.parquet
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $scratch"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(sdir, "events.parquet"))
+
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams
+    def stressStream(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: OutputMode): Unit = {
+      val t0 = System.nanoTime()
+      val (out, prog) = EventStreams.runToMemoryTracked(df, name, mode, Some(8))
+      val rows = out.count()
+      val peak = prog.iterator
+        .flatMap(p => Option(p.stateOperators).iterator.flatMap(_.iterator))
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      println(f"[stress] ${name}@10x rows=$rows peakStateRows=$peak " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    stressStream("stream_tumbling",
+      EventStreams.tumblingHourly(EventStreams.readEvents(spark, sdir)),
+      OutputMode.Complete())
+    stressStream("stream_sessions",
+      EventStreams.sessionize(EventStreams.readEvents(spark, sdir)).toDF(),
+      OutputMode.Append())
+    stressStream("stream_interval_join",
+      EventStreams.purchaseClickJoin(spark, sdir), OutputMode.Append())
     spark.stop()
   }
 }
