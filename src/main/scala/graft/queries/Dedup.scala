@@ -479,7 +479,84 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q121_ssjoin_exact — EXACT set-similarity self-join via prefix
+  // filtering (the SSJoin/PPJoin family: Chaudhuri/Ganti/Kaushik,
+  // ICDE'06; Vernica/Carey/Li, SIGMOD'10): every document pair with
+  // shingle-Jaccard >= SsTau, with NO probabilistic misses — the
+  // exact complement to q34's LSH (whose banding can drop a
+  // borderline pair whose signatures never collide).
+  //
+  //   1. document-frequency rank every shingle (rare-first total
+  //      order) — one token-keyed aggregate;
+  //   2. each doc keeps only its PREFIX, the n - ceil(tau*n) + 1
+  //      rarest shingles: J(A,B) >= tau forces overlap
+  //      o >= ceil(tau*max(|A|,|B|)), and two sets with overlap o
+  //      under one total order must meet within their first
+  //      (size - o + 1) elements — so every qualifying pair shares
+  //      a PREFIX token;
+  //   3. candidates = equi-join on prefix token, deduped, length-
+  //      filtered (min >= tau*max, a necessary condition of J>=tau);
+  //   4. exact Jaccard verify on the candidates only.
+  //
+  // Scale: the df-ascending order is the load-bearing choice — it
+  // keeps boilerplate shingles OUT of prefixes, so prefix-token join
+  // buckets hold the docs sharing a RARE shingle (near-singleton),
+  // never the corpus. Explode volume is ~(1-tau) of the token
+  // stream; every step is a map or an equi-join; nothing is
+  // all-pairs. The oracle is the brute-force O(n^2) definition —
+  // affordable only at oracle SF, which is exactly the point.
+  // ---------------------------------------------------------------
+  final val SsTau = 0.5
+
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+    val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val pref = tok.join(freq, "t")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      .where(col("r") <= col("n") - ceil(col("n") * SsTau) + lit(1))
+      .select(col("t"), col("doc_id"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .where(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(SsTau) * greatest(col("n_a"), col("n_b")).cast("double"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // intersection bound once (the q52 lesson)
+    val jac = bind1(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")) { i =>
+      i / (size(col("sh_a")) + size(col("sh_b")) - i)
+    }
+    withSets.select(col("id_a"), col("id_b"), jac.as("j"))
+      .where(col("j") >= SsTau)
+      .select(col("id_a"), col("id_b"), rnd(col("j"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q121Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
+       |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |pairs AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         len(list_intersect(x.sh, y.sh))::DOUBLE AS i,
+       |         len(x.sh) + len(y.sh) AS s
+       |  FROM nz x JOIN nz y ON x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, ${rndSql("i / (s - i)", 4)} AS jaccard
+       |FROM pairs WHERE i / (s - i) >= $SsTau
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q121_ssjoin_exact" -> (q121 _),
     "q32_dedup_exact_docs" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
     "q34_lsh_neardup" -> (q34 _),
@@ -491,6 +568,7 @@ object Dedup {
     "q87_incremental_dedup" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
+    "q121_ssjoin_exact" -> q121Sql,
     "q32_dedup_exact_docs" -> q32Sql,
     "q33_minhash_sig" -> q33Sql,
     "q34_lsh_neardup" -> q34Sql,
