@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Retrieval + language-model scoring over `documents` — the two
+  * curation capabilities a training-data pipeline runs constantly:
+  * sparse retrieval (find the documents matching a probe query — data
+  * selection, eval-set leakage hunting) and LM-likelihood quality
+  * scoring (the CCNet-style "does this look like language" filter).
+  *
+  * Cross-engine determinism discipline (the q112 fixed-point lesson):
+  * every per-document accumulation is a LONG sum of half-up-scaled
+  * contributions, never a double sum — double addition is
+  * order-sensitive and partial aggregation orders differ between
+  * engines, while scaled-long sums are associative and exact. Scalars
+  * derived from corpus counts (avgdl, vocabulary size) are exact
+  * integer ratios both engines compute identically.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q122_bm25_topk — BM25 ranked retrieval: four fixed probe queries
+  // against the token inverted index; per query the top-K documents
+  // by the standard BM25(k1=1.2, b=0.75) score.
+  //
+  // Shape: tf/df/dl are one explode + two keyed aggregates (the
+  // inverted index a production pipeline materializes once); the
+  // 12-row query-term table BROADCASTS onto the tf index — the
+  // corpus-sized side never moves; per-(query, doc) contributions
+  // sum as scaled longs; the final per-query top-K rides the
+  // bounded-heap TopKAgg (exchange carries queries x K rows, no
+  // sort of the posting lists — q83's scale argument).
+  //
+  // Float parity note: idf = ln(1 + (N-df+.5)/(df+.5)) is the one
+  // transcendental — ln of identical rational inputs can differ by
+  // an ULP between engines, and the half-up fixed-point floor could
+  // in principle land on that boundary. The DuckDB gate compares
+  // row-exactly, so any such landing is caught, not hidden.
+  // ---------------------------------------------------------------
+  final val BmK1 = 1.2
+  final val BmB = 0.75
+  final val BmTopK = 5
+  final val BmScale = 1000000L
+
+  /** (query_id, term) probe set — terms drawn from the corpus's
+    * working vocabulary so every query has matches.
+    */
+  final val Probes: Seq[(String, String)] = Seq(
+    "join_path" -> "join", "join_path" -> "key", "join_path" -> "hash",
+    "scan_path" -> "scan", "scan_path" -> "row", "scan_path" -> "table",
+    "stream_path" -> "stream", "stream_path" -> "batch", "stream_path" -> "window",
+    "sort_path" -> "sort", "sort_path" -> "merge", "sort_path" -> "line")
+
+  private def probesSqlValues: String =
+    Probes.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")) // exact integer scalars
+    val probes = Probes.toDF("query_id", "t")
+    val contrib = tf
+      .join(broadcast(probes), "t")
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .select(col("query_id"), col("doc_id"),
+        floor((
+          log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) * (lit(1 - BmB) + lit(BmB) *
+            col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+        ) * BmScale + lit(0.5)).cast("long").as("c"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("s").cast("double"), col("doc_id"), lit(0L), BmTopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id1").as("doc_id"),
+        (col("t.score") / BmScale).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q122Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |consts AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM dl),
+       |probes(query_id, t) AS (VALUES $probesSqlValues),
+       |contrib AS (
+       |  SELECT p.query_id, tf.doc_id,
+       |    CAST(floor((
+       |      ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf * ${BmK1 + 1}) /
+       |      (tf.tf + $BmK1 * (${1 - BmB} + $BmB *
+       |        dl.dl / (sum_dl::DOUBLE / n_docs)))
+       |    ) * $BmScale + 0.5) AS BIGINT) AS cv
+       |  FROM tf JOIN probes p ON tf.t = p.t
+       |    JOIN df ON tf.t = df.t
+       |    JOIN dl ON tf.doc_id = dl.doc_id
+       |    CROSS JOIN consts c),
+       |scored AS (
+       |  SELECT query_id, doc_id, SUM(cv)::BIGINT AS s
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, s,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS INT) AS rank, doc_id,
+       |  s::DOUBLE / $BmScale AS score
+       |FROM ranked WHERE rk <= $BmTopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q123_lm_quality — bigram language-model quality proxy (the
+  // CCNet-shaped "train an LM on the corpus, score every document"
+  // filter, transcendental-free). The LM is the conditional
+  // probability table P(w2|w1) = (c(w1,w2) + 0.5)/(c(w1·) + 0.5V)
+  // (add-alpha smoothed), TRAINED and APPLIED as joins — the LM
+  // stays a distributed table keyed by w1 (at real-text scale the
+  // bigram table outgrows a broadcast; keyed joins don't care). A
+  // document's score is the mean conditional probability of its
+  // bigrams, accumulated as half-up 1e-9 fixed-point longs so the
+  // mean is bit-identical under any aggregation order. The
+  // arithmetic-mean form (vs perplexity's geometric mean) is chosen
+  // exactly because it needs NO ln — every arithmetic op here is a
+  // correctly-rounded IEEE op on identical inputs in both engines.
+  // ---------------------------------------------------------------
+  final val LmScale = 1000000000L
+  /** Cull ratio: a document is kept when its mean conditional
+    * probability reaches this fraction of the CORPUS-global mean —
+    * self-calibrating at any SF (an absolute threshold pinned to one
+    * corpus's probability mass would keep-all or cull-all elsewhere).
+    * The global mean is itself an exact scaled-long ratio.
+    */
+  final val LmKeepRatio = 0.95
+
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))
+      .where(col("w2").isNotNull)
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val p = cb.join(cu, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v")))
+          * LmScale + lit(0.5)).cast("long").as("ps"))
+    val scored = bigrams.join(p, Seq("w1", "w2"))
+    val global = scored.agg(sum(col("ps")).as("gs"), count(lit(1)).as("gn"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ps")).as("s"), count(lit(1)).as("n_bigrams"))
+      .crossJoin(broadcast(global))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("s").cast("double") / col("n_bigrams")) / LmScale).as("score"),
+        (((col("s").cast("double") / col("n_bigrams")) / LmScale) >=
+          lit(LmKeepRatio) *
+            ((col("gs").cast("double") / col("gn")) / LmScale)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q123Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.w, t.pos FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS w,
+       |      generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t(doc_id, w, pos)),
+       |bigrams AS (
+       |  SELECT doc_id, w AS w1,
+       |    LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks),
+       |bg AS (SELECT * FROM bigrams WHERE w2 IS NOT NULL),
+       |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, SUM(cb)::BIGINT AS cu FROM cb GROUP BY w1),
+       |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+       |p AS (
+       |  SELECT cb.w1, cb.w2,
+       |    CAST(floor(((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) * $LmScale + 0.5)
+       |      AS BIGINT) AS ps
+       |  FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vocab v),
+       |scored AS (
+       |  SELECT bg.doc_id, ps
+       |  FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2),
+       |corpus_mean AS (SELECT SUM(ps)::BIGINT AS gs, COUNT(*)::BIGINT AS gn FROM scored)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       |  (SUM(ps)::DOUBLE / COUNT(*)) / $LmScale AS score,
+       |  (SUM(ps)::DOUBLE / COUNT(*)) / $LmScale >=
+       |    $LmKeepRatio * ((MIN(gs)::DOUBLE / MIN(gn)) / $LmScale) AS keep
+       |FROM scored CROSS JOIN corpus_mean
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q122_bm25_topk" -> (q122 _),
+    "q123_lm_quality" -> (q123 _))
+
+  def oracles: Map[String, String] = Map(
+    "q122_bm25_topk" -> q122Sql,
+    "q123_lm_quality" -> q123Sql)
+}

@@ -103,7 +103,9 @@ class PlanSpec extends SparkTestBase {
     "q103_semantic_dedup",    // cell assignment × trained codebook
     "q105_boilerplate_ngrams", // 1-row corpus count × df frame
     "q111_ann_recall",        // composes q36/q59 → inherits their probe loops
-    "q114_boilerplate_scrub") // 1-row top-K boilerplate array × corpus
+    "q114_boilerplate_scrub", // 1-row top-K boilerplate array × corpus
+    "q122_bm25_topk",         // 1-row (n_docs, sum_dl) scalar frame × tf index
+    "q123_lm_quality")        // 1-row vocab-size and corpus-mean frames
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.queries.Retrieval
+import graft.sources.Tables
+
+/** BM25 retrieval (q122) + bigram-LM quality scoring (q123):
+  * ranking/containment invariants and the exact-arithmetic contracts
+  * the Scaladocs promise.
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  test("q122: ranks are dense, scores non-increasing, hits contain a query term") {
+    val rows = Retrieval.q122(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getString(0))
+    assert(byQ.keySet == Retrieval.Probes.map(_._1).toSet,
+      "every probe query must rank some documents")
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to rs.length), s"$q ranks not dense: $ranks")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"$q scores not non-increasing")
+    }
+    // containment: a ranked doc must actually contain >=1 term of its query
+    val terms = Retrieval.Probes.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { r =>
+      val (q, doc) = (r.getString(0), r.getLong(2))
+      assert(terms(q).exists(texts(doc).contains),
+        s"doc $doc ranked for $q but contains none of its terms")
+    }
+  }
+
+  test("q122: per-(query,doc) score equals an independent BM25 computation") {
+    // recompute one query's scores driver-side from raw tf/df/dl
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = docs.size
+    val dl = docs.view.mapValues(_.length).toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val qTerms = Retrieval.Probes.filter(_._1 == "join_path").map(_._2)
+    val df = qTerms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    def bm25(doc: Long): Double = {
+      val toks = docs(doc)
+      qTerms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0L
+        else {
+          val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val c = idf * (tf * (Retrieval.BmK1 + 1)) /
+            (tf + Retrieval.BmK1 * (1 - Retrieval.BmB + Retrieval.BmB * dl(doc) / avgdl))
+          math.floor(c * Retrieval.BmScale + 0.5).toLong
+        }
+      }.sum.toDouble / Retrieval.BmScale
+    }
+    Retrieval.q122(spark, Sf).where(col("query_id") === "join_path").collect()
+      .foreach { r =>
+        assert(r.getDouble(3) == bm25(r.getLong(2)),
+          s"doc ${r.getLong(2)}: engine=${r.getDouble(3)} reference=${bm25(r.getLong(2))}")
+      }
+  }
+
+  test("q123: probabilities in (0,1), bigram conservation, calibrated cull") {
+    val rows = Retrieval.q123(spark, Sf).collect()
+    val docsWithBigrams = Tables.documents(spark, Sf)
+      .where(size(TextFns.tokens(col("text"))) >= 2).count()
+    assert(rows.length == docsWithBigrams, "every multi-token doc must be scored")
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s > 0 && s < 1, s"doc ${r.getLong(0)} score out of range: $s")
+    }
+    // conservation: per-doc bigram counts sum to tokens - docs
+    val totTokens = Tables.documents(spark, Sf)
+      .select(sum(size(TextFns.tokens(col("text"))))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totTokens - docsWithBigrams)
+    // the self-calibrating threshold must CULL something and KEEP most
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept < rows.length, "cull threshold never fired")
+    assert(kept > rows.length / 2, "cull threshold removed most of the corpus")
+  }
+}
