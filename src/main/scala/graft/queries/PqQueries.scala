@@ -141,14 +141,17 @@ object PqQueries {
       .join(broadcast(cents), col("blk") === col("c_blk"))
       .select(col("vec_id").as("query_id"), col("blk").as("t_blk"),
         col("cid").as("t_cid"), dist2(col("sub"), col("c_sub")).as("t"))
+    // per-block lookups sum as half-up 1e-9 fixed-point longs: exact
+    // and associative under ANY aggregation order, so no per-pair
+    // collect_list/array_sort/fold is needed to pin the order — the
+    // ScaledSum/q112 discipline applied to the ADC hot loop
     val adc = codes.join(broadcast(table),
         col("blk") === col("t_blk") && col("cid") === col("t_cid") &&
           col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("blk"), col("t")))).as("arr"))
+      .agg(sum(floor(col("t") * lit(1e9) + lit(0.5)).cast("long")).as("sadc"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("t"))
-          .as("adc"))
+        (col("sadc").cast("double") / 1e9).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     adc.withColumn("rank", row_number().over(w))
@@ -179,7 +182,8 @@ object PqQueries {
        |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE $QueryFilter),
        |adc AS (
        |  SELECT query_id, vec_id,
-       |    list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY blk)), (x, y) -> x + y) AS adc
+       |    SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+       |      / 1000000000.0 AS adc
        |  FROM codes JOIN tbl
        |    ON codes.blk = tbl.t_blk AND codes.cid = tbl.t_cid
        |   AND codes.vec_id <> tbl.query_id
@@ -285,12 +289,11 @@ object PqQueries {
           col("query_id") === col("t_qid"))
       .drop("t_qid")
       .groupBy(col("query_id"), col("cell"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("blk"), col("t")))).as("arr"))
+      .agg(sum(floor(col("t") * lit(1e9) + lit(0.5)).cast("long")).as("st"))
       .join(v.select(col("vec_id"), col("nrm")), "vec_id")
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("cell"), col("vec_id"),
-        (aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("t"))
-          / (col("nrm") * col("n_q"))).as("acos"))
+        ((col("st").cast("double") / 1e9) / (col("nrm") * col("n_q"))).as("acos"))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("cell"), col("vec_id"),
@@ -338,7 +341,7 @@ object PqQueries {
        |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE $QueryFilter),
        |adc AS (
        |  SELECT tbl.query_id, assign.cell, codes.vec_id,
-       |    list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY blk)), (x, y) -> x + y) AS dotsum
+       |    SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT))::BIGINT AS st
        |  FROM assign
        |  JOIN probe ON assign.cell = probe.cell
        |  JOIN codes ON codes.vec_id = assign.vec_id
@@ -348,7 +351,7 @@ object PqQueries {
        |  GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT adc.query_id, adc.cell, adc.vec_id,
-       |    adc.dotsum / (cv.nrm * qv.nrm) AS acos
+       |    (adc.st::DOUBLE / 1000000000.0) / (cv.nrm * qv.nrm) AS acos
        |  FROM adc
        |  JOIN v cv ON cv.vec_id = adc.vec_id
        |  JOIN v qv ON qv.vec_id = adc.query_id)
