@@ -77,6 +77,27 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word-trigram shingles (w-shingling's w=3, the q121
+    * basis) in first-occurrence order — equals the declarative
+    * `array_distinct(shingles(tokens(text), 3))`, which builds each
+    * shingle through slice+join HOFs (measured 12 s over 5k docs at
+    * sf0.1 vs ~1 s here).
+    */
+  def trigramSet(text: UTF8String): ArrayData = {
+    val toks = splitTokens(text)
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length - 2) {
+      set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   private val as: Array[Long] = hashParams.map(_._1).toArray
   private val bs: Array[Long] = hashParams.map(_._2).toArray
 
@@ -218,6 +239,9 @@ object TextKernels {
 
   def bigramSetCol(text: Column): Column =
     invoke("bigramSet", bigramSetType, text)
+
+  def trigramSetCol(text: Column): Column =
+    invoke("trigramSet", bigramSetType, text)
 
   def tfEmbeddingCol(text: Column): Column =
     invoke("tfEmbedding", tfEmbeddingType, text)

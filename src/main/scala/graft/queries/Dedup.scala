@@ -506,22 +506,49 @@ object Dedup {
   // stream; every step is a map or an equi-join; nothing is
   // all-pairs. The oracle is the brute-force O(n^2) definition —
   // affordable only at oracle SF, which is exactly the point.
+  //
+  // Shingle width matters for prefix selectivity: this operator uses
+  // WORD TRIGRAMS (w-shingling's usual w=3..5), not the bigrams the
+  // LSH family hashes — on a dense vocabulary (this corpus: ~40
+  // working words) the bigram space is so small that EVERY shingle
+  // is frequent and no ordering can make prefixes rare. Measured at
+  // sf0.1: bigram basis 46 s wall / 201 s cpu; trigram basis with
+  // the memoized frames below 7.3 s cold / ~4 s warm, where the
+  // remaining cost is the exact verify of ~310k candidates (the
+  // corpus's built-in duplicate clusters make that volume organic —
+  // 2.5% of all pairs). That verify is the price of the exactness
+  // guarantee; q34's LSH at 0.05 s warm is the approximate
+  // alternative.
   // ---------------------------------------------------------------
   final val SsTau = 0.5
+  final val SsShingleWidth = 3
+
+  private[graft] def ssShingles(text: Column): Column =
+    TextKernels.trigramSetCol(text)
+
+  private val ssShingleSql: String =
+    s"list_distinct(${shinglesSql("string_split(text, ' ')", SsShingleWidth)})"
 
   def q121(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .where(col("n") > 0)
+    // both reused frames materialize ONCE per (session, dir) — the
+    // shingle frame feeds the prefix build and both verify joins, the
+    // prefix frame sits on both sides of the candidate self-join, and
+    // Spark re-executes common subplans per reference (the measured
+    // q105/q112 lesson; 27 s → ~2 s here at sf0.1)
+    val docs = graft.FrameCache.memoize("dedup.ssDocs", spark, dir)(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ssShingles(col("text")).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .where(col("n") > 0))
     val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val pref = tok.join(freq, "t")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
-      .where(col("r") <= col("n") - ceil(col("n") * SsTau) + lit(1))
-      .select(col("t"), col("doc_id"), col("n"))
+    val pref = graft.FrameCache.memoize("dedup.ssPrefix", spark, dir)(
+      tok.join(freq, "t")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+        .where(col("r") <= col("n") - ceil(col("n") * SsTau) + lit(1))
+        .select(col("t"), col("doc_id"), col("n")))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -544,7 +571,7 @@ object Dedup {
   }
 
   val q121Sql: String =
-    s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS sh FROM documents),
+    s"""WITH sh AS (SELECT doc_id, $ssShingleSql AS sh FROM documents),
        |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
        |pairs AS (
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -15,7 +15,7 @@ class SsJoinSpec extends SparkTestBase {
     val got = Dedup.q121(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val base = Tables.documents(spark, Sf)
-      .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+      .select(col("doc_id"), Dedup.ssShingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
     val x = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val y = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
