@@ -22,6 +22,20 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("trigramSet kernel == declarative array_distinct(shingles(3))") {
+    // q121's shingle basis — includes the <3-token degenerate docs,
+    // which must yield empty arrays on both paths
+    val withEdge = docs.unionByName(
+      spark.createDataFrame(Seq((9001L, ""), (9002L, "solo"), (9003L, "two tokens")))
+        .toDF("doc_id", "text"))
+    val mismatch = withEdge.select(
+        TextKernels.trigramSetCol(col("text")).as("k"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("minhashSig kernel == declarative minhashSig") {
     val mismatch = docs.select(
         TextKernels.minhashSigCol(col("text")).as("k"),
