@@ -180,6 +180,47 @@ object ScaleStress {
       OutputMode.Append())
     stressStream("stream_interval_join",
       EventStreams.purchaseClickJoin(spark, sdir), OutputMode.Append())
+
+    // ---- multi-batch replay: the continuous-operation state bound ----
+    // The one-file replay above buffers the FULL filtered backlog in
+    // the interval join (watermarks only advance between micro-
+    // batches). Re-run the same join over the same 1M events split
+    // into 12 time-sliced files delivered one per micro-batch
+    // (maxFilesPerTrigger=1): the watermark now advances 11 times
+    // mid-backlog, evicting each slice once the 2h horizon passes —
+    // peak state must drop from O(backlog) toward O(slice + horizon).
+    val mdir = s"$sdir/evmulti"
+    val ev10 = spark.read.parquet(s"$sdir/events.parquet")
+    val slices = 12
+    val sliced = ev10.withColumn("slice",
+      ntile(slices).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    // sequential one-file writes: FileStreamSource orders by mod time
+    (1 to slices).foreach { s =>
+      sliced.where(col("slice") === s).drop("slice")
+        .coalesce(1).write.mode("append").parquet(mdir)
+    }
+    def readMulti(): org.apache.spark.sql.DataFrame = {
+      val sch = spark.read.parquet(mdir).schema
+      val raw = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(mdir)
+      sch("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+    }
+    val clicksM = readMulti().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchasesM = readMulti().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    stressStream("stream_interval_join_multibatch",
+      purchasesM.join(clicksM,
+        expr("user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts")),
+      OutputMode.Append())
     spark.stop()
   }
 }
