@@ -139,8 +139,12 @@ object ScaleStress {
     // scale direction that grows state). The audit prints peak state
     // rows beside wall: bounded state means peak tracks (active keys x
     // watermark horizon), never stream length.
-    val srcEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    val evCount = srcEv.count()
+    // Tables.events normalizes whichever ts encoding this corpus
+    // generation carries (nanos-as-long or TIMESTAMP_NTZ) — the
+    // replica is then written with a plain zone-adjusted timestamp
+    // that every downstream reader handles uniformly
+    val srcEv = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val evSpan = srcEv.agg(max("event_id")).head().getLong(0) + 1
     val maxUser = srcEv.agg(max("user_id")).head().getLong(0)
     val sdir = java.nio.file.Files.createTempDirectory("events10x").toString
     val scratch = s"$sdir/_scratch"
@@ -148,7 +152,7 @@ object ScaleStress {
       .select(explode(sequence(lit(0L), lit(9L))).as("k"),
         col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-      .select((col("event_id") + col("k") * evCount).as("event_id"), col("ts"),
+      .select((col("event_id") + col("k") * evSpan).as("event_id"), col("ts"),
         (col("user_id") + col("k") * (maxUser + 1)).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .coalesce(1).write.mode("overwrite").parquet(scratch)
@@ -199,15 +203,12 @@ object ScaleStress {
       sliced.where(col("slice") === s).drop("slice")
         .coalesce(1).write.mode("append").parquet(mdir)
     }
+    // the slices are written from the Tables.events-normalized frame,
+    // so ts is already a plain zone-adjusted timestamp here
     def readMulti(): org.apache.spark.sql.DataFrame = {
       val sch = spark.read.parquet(mdir).schema
-      val raw = spark.readStream.schema(sch)
+      spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(mdir)
-      sch("ts").dataType match {
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
-      }
     }
     val clicksM = readMulti().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),

@@ -122,8 +122,21 @@ object ScaledSum {
       .otherwise(-floor(-(c * lit(f.toDouble)) + lit(0.5)))
       .cast("long")
 
+  /** Overflow-escalating SUM of an already-integral long column —
+    * DECIMAL(38,0) out. For scalar corpus totals (token counts,
+    * fixed-point probability mass) where a plain long SUM would wrap
+    * at ~9.2e18 accumulated magnitude.
+    */
+  def escalatedSum(c: Column): Column =
+    ColumnBridge.column(
+      EscalatedLongSum(ColumnBridge.expression(c.cast("long")))
+        .toAggregateExpression())
+
   def scaledDsum(c: Column, scale: Int = 2): Column = {
-    require(scale >= 0 && scale <= 9, s"scale out of range: $scale")
+    // scale caps at 6: the decimal(38,0) x decimal(scale+1,scale)
+    // conversion multiply overflows precision 38 past that and Spark's
+    // precision-loss adjustment would silently round to 6 places
+    require(scale >= 0 && scale <= 6, s"scale out of range: $scale")
     val f = math.pow(10, scale).toLong
     val exact = ColumnBridge.column(
       EscalatedLongSum(ColumnBridge.expression(halfUpScaled(c, f)))

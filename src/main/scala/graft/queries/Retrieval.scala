@@ -62,17 +62,25 @@ object Retrieval {
 
   def q122(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // tf feeds both the df aggregate and the probe join — materialize
+    // once per (session, dir) like every reused derived frame
+    val tf = graft.FrameCache.memoize("retrieval.tf", spark, dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    }
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val scalars = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl")) // exact integer scalars
     val probes = Probes.toDF("query_id", "t")
+    // df is vocabulary-sized at real-text scale: restrict it to the 12
+    // probe terms BEFORE it broadcasts — only probe-term statistics
+    // ever reach the score
+    val dfProbe = df.join(broadcast(probes.select("t").distinct()), "t")
     val contrib = tf
       .join(broadcast(probes), "t")
-      .join(broadcast(df), "t")
+      .join(broadcast(dfProbe), "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(scalars))
       .select(col("query_id"), col("doc_id"),
@@ -165,8 +173,16 @@ object Retrieval {
       .select(col("w1"), col("w2"),
         floor(((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v")))
           * LmScale + lit(0.5)).cast("long").as("ps"))
-    val scored = bigrams.join(p, Seq("w1", "w2"))
-    val global = scored.agg(sum(col("ps")).as("gs"), count(lit(1)).as("gn"))
+    // the probability-tagged bigram stream feeds the per-doc aggregate
+    // AND the corpus-global mean — one materialization per (session,
+    // dir); the global probability mass sums with overflow escalation
+    // (1e9-scaled values wrap a plain long sum at ~1e10 bigrams — far
+    // below the 100 TB target)
+    val scored = graft.FrameCache.memoize("retrieval.lmScored", spark, dir)(
+      bigrams.join(p, Seq("w1", "w2")))
+    val global = scored.agg(
+      graft.functions.ScaledSum.escalatedSum(col("ps")).as("gs"),
+      count(lit(1)).as("gn"))
     scored
       .groupBy(col("doc_id"))
       .agg(sum(col("ps")).as("s"), count(lit(1)).as("n_bigrams"))

@@ -71,6 +71,7 @@ class ScaledSumSpec extends SparkTestBase {
       df.select(viaFloor.as("a"), viaDecimal.as("b"))
         .where(col("a") =!= col("b")).count()
     }
+    val cu = graft.sources.Tables.customer(spark, Sf)
     val cases: Seq[(String, org.apache.spark.sql.DataFrame, Column, Int)] = Seq(
       ("l_quantity", li, col("l_quantity"), 2),
       ("l_extendedprice", li, col("l_extendedprice"), 2),
@@ -79,7 +80,9 @@ class ScaledSumSpec extends SparkTestBase {
       ("charge", li,
         col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6),
       ("o_totalprice", od, col("o_totalprice"), 2),
-      ("event_value", ev, col("value"), 6))
+      ("c_acctbal", cu, col("c_acctbal"), 2), // negative balances exist
+      ("event_value", ev, col("value"), 2),   // Reshape sums at scale 2...
+      ("event_value6", ev, col("value"), 6))  // ...EventsOps at scale 6
     cases.foreach { case (name, df, c, sc) =>
       assert(mismatches(df, c, sc) == 0L, s"rounding boundary hit in $name")
     }
