@@ -521,6 +521,10 @@ object Dedup {
   // alternative.
   // ---------------------------------------------------------------
   final val SsTau = 0.5
+  // tau as an exact rational (num/den): every threshold test below is
+  // integer arithmetic — no double rounding can shift a boundary pair
+  private final val SsTauNum = 1L
+  private final val SsTauDen = 2L
   final val SsShingleWidth = 3
 
   private[graft] def ssShingles(text: Column): Column =
@@ -543,19 +547,36 @@ object Dedup {
         .where(col("n") > 0))
     val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix length p = n - ceil(tau*n) + 1, in exact integers
+    val ceilTauN = expr(s"(n * $SsTauNum + ${SsTauDen - 1}) DIV $SsTauDen")
     val pref = graft.FrameCache.memoize("dedup.ssPrefix", spark, dir)(
       tok.join(freq, "t")
         .withColumn("r", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
-        .where(col("r") <= col("n") - ceil(col("n") * SsTau) + lit(1))
-        .select(col("t"), col("doc_id"), col("n")))
+        .where(col("r") <= col("n") - ceilTauN + lit(1))
+        .select(col("t"), col("doc_id"), col("n"), col("r")))
+    // candidate pruning, both filters exact-integer:
+    //  - length: tau*max <= min  <=>  num*max <= den*min
+    //  - positional (PPJoin): the FIRST shared prefix token (ranks
+    //    r_a, r_b under the one global order) caps the overlap at
+    //    1 + min(n_a - r_a, n_b - r_b); J >= tau needs
+    //    o >= tau/(1+tau)*(n_a+n_b)  <=>  o*(num+den) >= num*(n_a+n_b).
+    //    Taking MAX of the cap over shared tokens (= the first match's
+    //    cap, since the cap shrinks with rank) replaces the bare
+    //    DISTINCT with the same-shape aggregate.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .where(least(col("n_a"), col("n_b")).cast("double") >=
-        lit(SsTau) * greatest(col("n_a"), col("n_b")).cast("double"))
-      .distinct()
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) + lit(1))
+          .as("cap"))
+      .where(greatest(col("n_a"), col("n_b")) * SsTauNum <=
+        least(col("n_a"), col("n_b")) * SsTauDen)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(max(col("cap")).as("ub"))
+      .where(col("ub") * (SsTauNum + SsTauDen) >=
+        (col("n_a") + col("n_b")) * SsTauNum)
+      .select(col("id_a"), col("id_b"))
     val withSets = cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
