@@ -384,7 +384,67 @@ object PipelineOps {
        |FROM th LEFT JOIN k ON th.lang = k.lang ORDER BY th.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q124_semantic_decontamination — embedding-space benchmark
+  // decontamination, the semantic complement to q100's n-gram
+  // overlap: training vectors whose max cosine against ANY eval-set
+  // vector reaches the threshold are flagged (paraphrased or
+  // re-formatted eval leakage that shares no n-grams still lands
+  // close in embedding space). Eval membership is the deterministic
+  // vec_id % 41 = 1 stripe, mirroring q100's doc_id % 23 bench
+  // stripe.
+  //
+  // Scale: the eval side BROADCASTS (eval suites are thousands of
+  // rows — driver-sized by definition, like q36's probes); the
+  // training corpus streams through one map-side join + max
+  // aggregate, never shuffling its embeddings. The max over eval
+  // vectors is order-free (no float-sum discipline needed). At
+  // larger eval suites the same query swaps the broadcast for the
+  // q37/q59 LSH/IVF candidate pruning — flag anything whose
+  // CANDIDATE max reaches theta; recall of that variant is measured
+  // by the q111 harness.
+  // ---------------------------------------------------------------
+  final val SemDecontMin = 0.35
+
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFns
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val isEval = col("vec_id") % 41 === 1
+    val eval = v.where(isEval)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm"))
+    v.where(!isEval)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        (VecFns.dotCol(col("embedding"), col("e_emb")) /
+          (col("nrm") * col("e_nrm"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("mc"))
+      .where(col("mc") >= SemDecontMin)
+      .select(col("vec_id"), rnd(col("mc"), 4).as("max_cosine"))
+      .orderBy(desc("max_cosine"), col("vec_id")).limit(40)
+  }
+
+  val q124Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${graft.functions.VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, embedding AS e_emb, nrm AS e_nrm
+       |       FROM v WHERE vec_id % 41 = 1),
+       |mc AS (
+       |  SELECT t.vec_id,
+       |    MAX(${graft.functions.VecFns.dotSql("t.embedding", "ev.e_emb")}
+       |      / (t.nrm * ev.e_nrm)) AS mc
+       |  FROM v t CROSS JOIN ev
+       |  WHERE t.vec_id % 41 <> 1
+       |  GROUP BY t.vec_id)
+       |SELECT vec_id, ${rndSql("mc", 4)} AS max_cosine
+       |FROM mc WHERE mc >= $SemDecontMin
+       |ORDER BY max_cosine DESC, vec_id LIMIT 40""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q124_semantic_decontamination" -> (q124 _),
     "q104_mixture_rebalance" -> (q104 _),
     "q100_decontamination" -> (q100 _),
     "q101_repetition_score" -> (q101 _),
@@ -393,6 +453,7 @@ object PipelineOps {
     "q113_temperature_mixture" -> (q113 _))
 
   def oracles: Map[String, String] = Map(
+    "q124_semantic_decontamination" -> q124Sql,
     "q104_mixture_rebalance" -> q104Sql,
     "q100_decontamination" -> q100Sql,
     "q101_repetition_score" -> q101Sql,

@@ -105,7 +105,8 @@ class PlanSpec extends SparkTestBase {
     "q111_ann_recall",        // composes q36/q59 → inherits their probe loops
     "q114_boilerplate_scrub", // 1-row top-K boilerplate array × corpus
     "q122_bm25_topk",         // 1-row (n_docs, sum_dl) scalar frame × tf index
-    "q123_lm_quality")        // 1-row vocab-size and corpus-mean frames
+    "q123_lm_quality",        // 1-row vocab-size and corpus-mean frames
+    "q124_semantic_decontamination") // eval-suite broadcast × corpus (q36 shape)
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
