@@ -59,7 +59,11 @@ object Plans {
       "q111_ann_recall" -> "recall join over probe x k frames; cost lives in the composed indexes",
       "q112_trade_pagerank" -> "star-join edge build; per-iteration broadcast score join + combinable dst aggregate",
       "q113_temperature_mixture" -> "per-language targets derived in one stratum aggregate, applied as a broadcast threshold filter",
-      "q114_boilerplate_scrub" -> "top-K df index via TakeOrdered, broadcast to a single pure-map rewrite pass over the corpus")
+      "q114_boilerplate_scrub" -> "top-K df index via TakeOrdered, broadcast to a single pure-map rewrite pass over the corpus",
+      "q121_ssjoin_exact" -> "exact ssjoin: df-ascending prefix explode, equi-join on rare tokens, positional-filter aggregate, verify only candidates",
+      "q122_bm25_topk" -> "inverted-index tf/df/dl aggregates, probe terms broadcast, scaled-long contributions into heap top-k",
+      "q123_lm_quality" -> "bigram LM trained+applied as keyed joins, fixed-point per-doc mean, self-calibrating cull",
+      "q124_semantic_decontamination" -> "eval-suite broadcast vs streaming corpus: map-side cosine + order-free max, embeddings never shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")
