@@ -58,7 +58,11 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q34_lsh_neardup,q57_bucketed_join: builder-side
+    // subsetting for targeted profiling — the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Three INTERLEAVED full passes over the suite rather than
     // back-to-back runs per query: the first execution of a plan pays
     // one-time janino codegen + JIT, and a transient host-noise window
@@ -126,7 +130,13 @@ object Bench {
     // skipped" by a round-5 reviewer — breakage must name itself
     val failedNames = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(f"[bench-diag] total=$total%.1f s failed=$nFailed worst5: $diag")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"failedQueries":$failedNames,"diag":"$diag","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir"}""")
+    // total/failed/diag appear TWICE — leading (human order) and again
+    // as the LAST fields: the driver archives only the final ~2000
+    // chars of output, and with 124 queries the leading copy scrolls
+    // out of that window (BENCH_r06 lost the total this way). JSON
+    // object semantics keep duplicate keys legal; last-wins parsers
+    // read identical values.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"failedQueries":$failedNames,"diag":"$diag","queries":$qs,"cpu":$cpus,"spread":$spreads,"passes":3,"resampled":$nResampled,"sf":"$sfDir","total":$total,"failed":$nFailed,"failedQueries":$failedNames,"diag":"$diag"}""")
     spark.stop()
   }
 }

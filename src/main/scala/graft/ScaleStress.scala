@@ -18,9 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** 10 order-key-shifted copies of the sf0.1 fact tables → temp dir. */
+  /** Source corpus for the replicas, shared by every section below.
+    * Resolution order: second CLI arg > SPARK_GRAFT_STRESS_SRC env >
+    * the container's default testdata location — previously this path
+    * was a literal in two places and the no-arg run broke anywhere the
+    * testdata lives elsewhere.
+    */
+  private var srcSf: String = "/root/testdata/sf0.1"
+
+  /** 10 order-key-shifted copies of the source fact tables → temp dir. */
   private def buildFactReplica(spark: org.apache.spark.sql.SparkSession): String = {
-    val src = "/root/testdata/sf0.1"
+    val src = srcSf
     val d = java.nio.file.Files.createTempDirectory("sf1-replica").toString
     val od = spark.read.parquet(s"$src/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
@@ -40,6 +48,9 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-scale-stress")
+    srcSf = args.lift(1)
+      .orElse(sys.env.get("SPARK_GRAFT_STRESS_SRC"))
+      .getOrElse(srcSf)
     val dir = args.headOption.getOrElse(buildFactReplica(spark))
 
     def time(name: String)(f: => Long): Unit = {
@@ -91,7 +102,7 @@ object ScaleStress {
     // payloads repeat, which only makes the dedup paths WORK HARDER
     // (every doc gains 9 exact near-duplicates), so these timings are
     // an upper bound on organic 10x growth.
-    val srcDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val srcDocs = spark.read.parquet(s"$srcSf/documents.parquet")
     val nDocs = srcDocs.count()
     val cdir = java.nio.file.Files.createTempDirectory("corpus10x").toString
     srcDocs
@@ -106,6 +117,22 @@ object ScaleStress {
     time("q109_bpe_pairs@10x")(queries.CorpusOps.q109(spark, cdir).count())
     time("q102_sequence_packing@10x")(queries.PipelineOps.q102(spark, cdir).count())
     time("q32_dedup_exact_docs@10x")(queries.Dedup.q32(spark, cdir).count())
+    // round-6 family at 10x. NOTE the replica is ADVERSARIAL for the
+    // similarity joins: text payloads repeat verbatim, so every
+    // original near-pair becomes 10x10 replica pairs and every doc
+    // gains 45 identical-copy pairs — candidate volume grows
+    // QUADRATICALLY in the duplication factor, an upper bound organic
+    // 10x growth never reaches. The candidate FRACTION (candidates /
+    // all-pairs) is the scale-invariant to watch: the prefix+length+
+    // positional filters admit a fraction set by the corpus's
+    // similarity structure, not its row count.
+    time("q122_bm25_topk@10x")(queries.Retrieval.q122(spark, cdir).count())
+    time("q123_lm_quality@10x")(queries.Retrieval.q123(spark, cdir).count())
+    time("q121_ssjoin_exact@10x")(queries.Dedup.q121(spark, cdir).count())
+    val nd = queries.Dedup.ssDocs(spark, cdir).count()
+    val nCand = queries.Dedup.ssCandidates(spark, cdir).count()
+    val candFrac = nCand.toDouble / (nd * (nd - 1) / 2)
+    println(f"[stress] q121 candidates@10x: $nCand (${candFrac * 100}%.3f%% of ${nd * (nd - 1) / 2} pairs)")
     // map-heavy kernels through the noop sink (count() would prune the
     // very projections under audit): the fused fingerprint+simhash
     // pass and the per-pixel resize over 500k docs
@@ -124,9 +151,7 @@ object ScaleStress {
     val gdir = java.nio.file.Files.createTempDirectory("graph10x")
     for ((t, src) <- Seq(
       "orders" -> dir, "lineitem" -> dir,
-      "customer" -> "/root/testdata/sf0.1",
-      "supplier" -> "/root/testdata/sf0.1",
-      "nation" -> "/root/testdata/sf0.1"))
+      "customer" -> srcSf, "supplier" -> srcSf, "nation" -> srcSf))
       java.nio.file.Files.createSymbolicLink(
         gdir.resolve(s"$t.parquet"),
         java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
@@ -143,7 +168,7 @@ object ScaleStress {
     // generation carries (nanos-as-long or TIMESTAMP_NTZ) — the
     // replica is then written with a plain zone-adjusted timestamp
     // that every downstream reader handles uniformly
-    val srcEv = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val srcEv = graft.sources.Tables.events(spark, srcSf)
     val evSpan = srcEv.agg(max("event_id")).head().getLong(0) + 1
     val maxUser = srcEv.agg(max("user_id")).head().getLong(0)
     val sdir = java.nio.file.Files.createTempDirectory("events10x").toString

@@ -105,9 +105,13 @@ case class EscalatedLongSum(child: Expression)
   * Parity caveat: `round(x * 10^s)` and `CAST(x AS DECIMAL(18,s))`
   * both round half-up, but the former rounds the DOUBLE product while
   * the latter rescales the exact binary value of x — they can differ
-  * when x * 10^s lands exactly on a representable half-integer.
-  * [[graft.ScaledSumSpec]] sweeps every dsum input column at all
-  * three SFs for such boundary values (none exist in the corpus; the
+  * whenever the IEEE multiply `x * 10^s` rounds across a .5 boundary
+  * that the exact rational product sits beside (the representable
+  * half-integer landing is just the most visible instance of that
+  * class). [[graft.ScaledSumSpec]] sweeps every dsum input column at
+  * all three SFs with the real per-row predicate — floor-path value
+  * vs decimal-rescale value — so the whole class is checked, not only
+  * the half-integer case (no divergent row exists in the corpus; the
   * driver's DuckDB gate would catch any future drift row-exactly).
   */
 object ScaledSum {

@@ -18,79 +18,116 @@ object Bucketed {
 
   final val NumBuckets = 8
 
-  /** Bucketed copies of orders/lineitem for `dir`, created once per
-    * (session, dir) — table names are dir-keyed so different scale
-    * factors don't collide, and re-runs in one session reuse the
-    * layout (that reuse IS the bucketing economics).
-    */
-  /** Warehouse locations written by this session, so a session stop
-    * can reclaim the layout files (the in-memory catalog dies with
-    * the session; the directories would otherwise accumulate across
-    * many sessions of one long-lived process).
+  /** Bucketed copies of orders/lineitem for `dir` as EXTERNAL tables
+    * in the warehouse — table names are dir-keyed so different scale
+    * factors don't collide. The layout is a WAREHOUSE-KEYED ONE-TIME
+    * ARTIFACT, not session state: the files carry a fingerprint of
+    * their source parquet, and a fresh JVM whose catalog has never
+    * seen the table re-REGISTERS the surviving files (one DDL, no
+    * rewrite) instead of paying the layout shuffle again. That
+    * cross-session reuse is the bucketing economics the whole
+    * operator exists for — charging the layout write to every session
+    * (the pre-round-7 behavior) inverts it. A source-corpus
+    * regeneration changes the fingerprint and forces the rewrite, so
+    * a stale layout can never serve a new corpus generation (the
+    * round-5 events-encoding lesson, applied to derived data).
     */
   private val createdLayouts =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[String]]
 
+  /** How this session last provided each table: "catalog" (already
+    * registered), "files" (re-registered surviving warehouse files),
+    * or "written" (paid the layout shuffle). Introspection for specs
+    * and the Bench setup report.
+    */
+  private val provisioned =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   graft.CacheRegistry.register("bucketed.layouts") { sid =>
-    createdLayouts.keys.filter(_._1 == sid).foreach { key =>
-      createdLayouts.remove(key).getOrElse(Nil).foreach { p =>
-        // local-fs only: a shared warehouse (hdfs/s3) outlives sessions
-        // by design and is never deleted from a lifecycle hook
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).toSeq.flatten.foreach(rm); x.delete(); ()
-          }
-          rm(f)
-        }
-      }
-    }
+    // session end clears BOOKKEEPING only — the layout files are a
+    // shared warehouse artifact that outlives every session by design
+    createdLayouts.keys.filter(_._1 == sid).foreach(createdLayouts.remove)
+    provisioned.keys.filter(_._1 == sid).foreach(provisioned.remove)
   }
 
-  /** Test/introspection hook. */
+  /** Test/introspection hooks. */
   private[graft] def layoutsTracked(spark: SparkSession): Seq[String] =
     createdLayouts.toSeq
       .filter(_._1._1 == System.identityHashCode(spark)).flatMap(_._2)
+  private[graft] def lastProvision(spark: SparkSession, table: String): Option[String] =
+    provisioned.get((System.identityHashCode(spark), table))
+
+  private val FingerprintFile = "_graft_src_fingerprint"
+
+  /** (length, mtime) of every data file under the source path —
+    * local-fs stat here; etag/length on an object store, same shape.
+    */
+  private def sourceFingerprint(spark: SparkSession, src: String): String = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    walk(fs.getFileStatus(p)).sorted.mkString("|")
+  }
 
   def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val li = s"graft_li_bkt_$tag"
     val ord = s"graft_ord_bkt_$tag"
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val hconf = spark.sparkContext.hadoopConfiguration
 
-    // A previous JVM's managed-table directory survives in the
-    // warehouse while the in-memory catalog does not — clear the
-    // stale location or saveAsTable fails with LOCATION_ALREADY_EXISTS.
-    def clearStaleLocation(table: String): Unit = {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val path = new org.apache.hadoop.fs.Path(warehouse, table)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.delete(path, true)
+    def ensure(table: String, src: String, key: String,
+               select: => org.apache.spark.sql.DataFrame): Unit = {
+      val skey = (System.identityHashCode(spark), table)
+      if (spark.catalog.tableExists(table)) {
+        provisioned.putIfAbsent(skey, "catalog"); return
+      }
+      val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+      val fs = loc.getFileSystem(hconf)
+      val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+      val fp = sourceFingerprint(spark, s"$dir/$src.parquet")
+      // an unreadable/corrupt fingerprint is a MISMATCH (forces the
+      // rewrite), never an error — the artifact must be self-healing
+      val surviving = scala.util.Try {
+        fs.exists(fpPath) && {
+          val in = fs.open(fpPath)
+          val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          prev == fp
+        }
+      }.getOrElse(false)
+      if (surviving) {
+        // one DDL re-registers the surviving layout: external bucketed
+        // table over the files the previous JVM wrote (bucket ids are
+        // encoded in the file names, so the zero-exchange property is
+        // fully recovered from disk + catalog metadata)
+        spark.sql(
+          s"""CREATE TABLE $table (${select.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
+        provisioned.put(skey, "files")
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        select.write
+          .option("path", loc.toString) // external: DROP TABLE keeps files
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        provisioned.put(skey, "written")
+      }
     }
 
-    def localPath(table: String): Option[String] = {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val uri = new org.apache.hadoop.fs.Path(warehouse, table).toUri
-      if (uri.getScheme == null || uri.getScheme == "file") Some(uri.getPath)
-      else None
-    }
-
-    if (!spark.catalog.tableExists(li)) {
-      clearStaleLocation(li)
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(li)
-    }
-    if (!spark.catalog.tableExists(ord)) {
-      clearStaleLocation(ord)
-      Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ord)
-    }
+    ensure(li, "lineitem", "l_orderkey",
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice"))
+    ensure(ord, "orders", "o_orderkey",
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"))
     createdLayouts.putIfAbsent(
       (System.identityHashCode(spark), dir),
-      Seq(li, ord).flatMap(localPath))
+      Seq(li, ord).map(t => new org.apache.hadoop.fs.Path(warehouse, t).toUri.getPath))
     (li, ord)
   }
 

@@ -533,18 +533,29 @@ object Dedup {
   private val ssShingleSql: String =
     s"list_distinct(${shinglesSql("string_split(text, ' ')", SsShingleWidth)})"
 
-  def q121(spark: SparkSession, dir: String): DataFrame = {
+  /** The memoized (doc_id, shingle-set, n) base both q121 stages and
+    * the ScaleStress candidate audit share.
+    */
+  private[graft] def ssDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.memoize("dedup.ssDocs", spark, dir)(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ssShingles(col("text")).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .where(col("n") > 0))
+
+  /** Candidate pairs surviving the prefix + length + positional
+    * filters (before the exact-Jaccard verify). Exposed so the 10×
+    * stress audit can measure the candidate FRACTION — the quantity
+    * whose flatness under growth is q121's scale argument.
+    */
+  private[graft] def ssCandidates(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // both reused frames materialize ONCE per (session, dir) — the
     // shingle frame feeds the prefix build and both verify joins, the
     // prefix frame sits on both sides of the candidate self-join, and
     // Spark re-executes common subplans per reference (the measured
     // q105/q112 lesson; 27 s → ~2 s here at sf0.1)
-    val docs = graft.FrameCache.memoize("dedup.ssDocs", spark, dir)(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), ssShingles(col("text")).as("sh"))
-        .withColumn("n", size(col("sh")))
-        .where(col("n") > 0))
+    val docs = ssDocs(spark, dir)
     val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // prefix length p = n - ceil(tau*n) + 1, in exact integers
@@ -564,7 +575,7 @@ object Dedup {
     //    Taking MAX of the cap over shared tokens (= the first match's
     //    cap, since the cap shrinks with rank) replaces the bare
     //    DISTINCT with the same-shape aggregate.
-    val cand = pref.as("a").join(pref.as("b"),
+    pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
@@ -577,7 +588,11 @@ object Dedup {
       .where(col("ub") * (SsTauNum + SsTauDen) >=
         (col("n_a") + col("n_b")) * SsTauNum)
       .select(col("id_a"), col("id_b"))
-    val withSets = cand
+  }
+
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ssDocs(spark, dir)
+    val withSets = ssCandidates(spark, dir)
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
     // intersection bound once (the q52 lesson)

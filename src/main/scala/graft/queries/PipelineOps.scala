@@ -399,10 +399,9 @@ object PipelineOps {
   // training corpus streams through one map-side join + max
   // aggregate, never shuffling its embeddings. The max over eval
   // vectors is order-free (no float-sum discipline needed). At
-  // larger eval suites the same query swaps the broadcast for the
-  // q37/q59 LSH/IVF candidate pruning — flag anything whose
-  // CANDIDATE max reaches theta; recall of that variant is measured
-  // by the q111 harness.
+  // larger eval suites the same flagging swaps the broadcast for IVF
+  // candidate pruning — that variant is q125 below, whose flags are
+  // provably a subset of this query's (AnnDecontSpec asserts it).
   // ---------------------------------------------------------------
   final val SemDecontMin = 0.35
 
@@ -443,8 +442,116 @@ object PipelineOps {
        |FROM mc WHERE mc >= $SemDecontMin
        |ORDER BY max_cosine DESC, vec_id LIMIT 40""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q125_decontamination_ann — the ANN-pruned variant q124's scaladoc
+  // promises: when the eval suite outgrows a broadcast-vs-everything
+  // scan budget, prune candidates through the q59 IVF shape. Every
+  // training vector is assigned its nearest coarse-quantizer cell
+  // (one broadcast join, rank over the skinny (vec_id, cid, cos)
+  // frame — embeddings never shuffle); each EVAL vector probes its
+  // nprobe nearest cells; only training vectors ASSIGNED to a probed
+  // cell are scored. Flag when the CANDIDATE max-cosine reaches the
+  // same theta as q124.
+  //
+  // The approximation is one-sided by construction: candidates ⊆ all
+  // eval pairs, so candidate-max <= exact-max and every q125 flag is
+  // a q124 flag (AnnDecontSpec asserts the containment and
+  // quantifies the misses — the recall side of the trade, measured
+  // the way q111 measures the ANN paths).
+  //
+  // Scale: identical argument to q59 — the corpus streams through
+  // one broadcast join + max aggregate; at 100 TB `cell` becomes the
+  // partition key and each eval probe reads nprobe partitions.
+  // ---------------------------------------------------------------
+  final val SemDecontCells = 16
+  final val SemDecontProbe = 2
+
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFns
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val isEval = col("vec_id") % 41 === 1
+    // deterministic-sample coarse quantizer (the q59 idiom: lowest
+    // vec_ids, so the oracle mirrors it exactly; production swaps in
+    // the q70 k-means codebook without changing the query shape)
+    val cents = v.filter(col("vec_id") < SemDecontCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("e_c"),
+        col("nrm").as("n_c"))
+    val cosC = (VecFns.dotCol(col("embedding"), col("e_c")) /
+      (col("nrm") * col("n_c"))).as("cos_c")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val assign = v.where(!isEval).join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosC)
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val wProbe = Window.partitionBy(col("e_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probeCells = v.where(isEval)
+      .select(col("vec_id").as("e_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cents))
+      .select(col("e_id"), col("cid"), cosC)
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= SemDecontProbe)
+      .select(col("e_id"), col("cid").as("cell"))
+    val eval = v.where(isEval)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm"))
+    assign.join(broadcast(probeCells), "cell")
+      .join(v, "vec_id")
+      .join(broadcast(eval), "e_id")
+      .select(col("vec_id"),
+        (VecFns.dotCol(col("embedding"), col("e_emb")) /
+          (col("nrm") * col("e_nrm"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("mc"))
+      .where(col("mc") >= SemDecontMin)
+      .select(col("vec_id"), rnd(col("mc"), 4).as("max_cosine"))
+      .orderBy(desc("max_cosine"), col("vec_id")).limit(40)
+  }
+
+  val q125Sql: String = {
+    import graft.functions.VecFns
+    def cosC(e: String, n: String) =
+      s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS e_c, nrm AS n_c
+       |      FROM v WHERE vec_id < $SemDecontCells),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN c WHERE v.vec_id % 41 <> 1) WHERE rk = 1),
+       |probe AS (
+       |  SELECT e_id, cid AS cell FROM (
+       |    SELECT v.vec_id AS e_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN c WHERE v.vec_id % 41 = 1) WHERE rk <= $SemDecontProbe),
+       |ev AS (SELECT vec_id AS e_id, embedding AS e_emb, nrm AS e_nrm
+       |       FROM v WHERE vec_id % 41 = 1),
+       |mc AS (
+       |  SELECT t.vec_id,
+       |    MAX(${VecFns.dotSql("t.embedding", "ev.e_emb")}
+       |      / (t.nrm * ev.e_nrm)) AS mc
+       |  FROM assign a
+       |    JOIN probe USING (cell)
+       |    JOIN v t ON a.vec_id = t.vec_id
+       |    JOIN ev ON probe.e_id = ev.e_id
+       |  GROUP BY t.vec_id)
+       |SELECT vec_id, ${rndSql("mc", 4)} AS max_cosine
+       |FROM mc WHERE mc >= $SemDecontMin
+       |ORDER BY max_cosine DESC, vec_id LIMIT 40""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q124_semantic_decontamination" -> (q124 _),
+    "q125_decontamination_ann" -> (q125 _),
     "q104_mixture_rebalance" -> (q104 _),
     "q100_decontamination" -> (q100 _),
     "q101_repetition_score" -> (q101 _),
@@ -454,6 +561,7 @@ object PipelineOps {
 
   def oracles: Map[String, String] = Map(
     "q124_semantic_decontamination" -> q124Sql,
+    "q125_decontamination_ann" -> q125Sql,
     "q104_mixture_rebalance" -> q104Sql,
     "q100_decontamination" -> q100Sql,
     "q101_repetition_score" -> q101Sql,

@@ -114,7 +114,7 @@ object Retrieval {
        |  SELECT p.query_id, tf.doc_id,
        |    CAST(floor((
        |      ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-       |      (tf.tf * ${BmK1 + 1}) /
+       |      (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}) /
        |      (tf.tf + $BmK1 * (${1 - BmB} + $BmB *
        |        dl.dl / (sum_dl::DOUBLE / n_docs)))
        |    ) * $BmScale + 0.5) AS BIGINT) AS cv

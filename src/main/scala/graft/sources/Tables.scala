@@ -63,7 +63,16 @@ object Tables {
         // change — the instant equals the wall-clock value.
         df.withColumn("ts", df("ts").cast(
           org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // a THIRD encoding drift (DATE, STRING, INT96…) must name
+        // itself at the read site — silently passing it through would
+        // resurface as diffuse downstream failures, the exact mode
+        // CorpusContractSpec exists to prevent
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet encoding $other " +
+            "(expected ns-as-Long, TIMESTAMP_NTZ, or TIMESTAMP); " +
+            "extend Tables.events for the new corpus generation")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")

@@ -25,6 +25,42 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("a fresh catalog re-registers surviving layout files instead of rewriting") {
+    val (li, ord) = Bucketed.ensureBucketed(spark, Sf)
+    // simulate the next JVM: catalog entries gone, warehouse files
+    // intact (external tables — DROP keeps the files)
+    spark.sql(s"DROP TABLE $li")
+    spark.sql(s"DROP TABLE $ord")
+    val t0 = System.nanoTime()
+    Bucketed.ensureBucketed(spark, Sf)
+    val reRegisterSec = (System.nanoTime() - t0) / 1e9
+    assert(Bucketed.lastProvision(spark, li).contains("files"),
+      s"expected files-reuse, got ${Bucketed.lastProvision(spark, li)}")
+    assert(Bucketed.lastProvision(spark, ord).contains("files"))
+    // the recovered registration must keep the zero-exchange property
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Bucketed.bucketedJoin(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-registered layout lost its bucketing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    info(f"files-reuse registration took $reRegisterSec%.2f s (vs a full layout rewrite)")
+    // and a SOURCE change must force the rewrite: corrupt the stored
+    // fingerprint and re-ensure from a clean catalog
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val fpPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse, li), "_graft_src_fingerprint")
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fpPath, true)
+    try out.write("stale-corpus-generation".getBytes("UTF-8")) finally out.close()
+    spark.sql(s"DROP TABLE $li")
+    Bucketed.ensureBucketed(spark, Sf)
+    assert(Bucketed.lastProvision(spark, li).contains("written"),
+      "a fingerprint mismatch must force the layout rewrite")
+  }
+
   test("q57 values equal the unbucketed join") {
     val bucketed = Bucketed.q57(spark, Sf).collect().toSeq
     val plain = graft.sources.Tables.orders(spark, Sf)

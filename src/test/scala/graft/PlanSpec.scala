@@ -106,7 +106,8 @@ class PlanSpec extends SparkTestBase {
     "q114_boilerplate_scrub", // 1-row top-K boilerplate array × corpus
     "q122_bm25_topk",         // 1-row (n_docs, sum_dl) scalar frame × tf index
     "q123_lm_quality",        // 1-row vocab-size and corpus-mean frames
-    "q124_semantic_decontamination") // eval-suite broadcast × corpus (q36 shape)
+    "q124_semantic_decontamination", // eval-suite broadcast × corpus (q36 shape)
+    "q125_decontamination_ann") // cell assignment × broadcast codebook (q59 shape)
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
