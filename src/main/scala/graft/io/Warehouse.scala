@@ -1,0 +1,106 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse-keyed one-time artifacts: derived frames persisted as
+  * EXTERNAL bucketed tables whose files outlive every session.
+  *
+  * The economics this encodes: a production pipeline builds its
+  * derived tables (bucketed fact layouts, near-dup pair sets,
+  * inverted indexes) ONCE and every later job — in any JVM — reads
+  * them. A fresh session whose catalog has never seen the table
+  * re-registers the surviving files with one DDL instead of paying
+  * the build again. Staleness is handled by fingerprinting the SOURCE
+  * data (file name/length/mtime here; etag/length on an object store,
+  * same shape): a corpus regeneration changes the fingerprint and
+  * forces the rebuild, so a stale artifact can never serve a new
+  * corpus generation.
+  */
+object Warehouse {
+
+  final val FingerprintFile = "_graft_src_fingerprint"
+
+  /** How this session last provided each table: "catalog" (already
+    * registered), "files" (re-registered surviving warehouse files),
+    * or "written" (paid the build). Introspection for specs and the
+    * Bench setup report.
+    */
+  private val provisioned =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  graft.CacheRegistry.register("warehouse.provisioned") { sid =>
+    provisioned.keys.filter(_._1 == sid).foreach(provisioned.remove)
+  }
+
+  private[graft] def lastProvision(spark: SparkSession, table: String): Option[String] =
+    provisioned.get((System.identityHashCode(spark), table))
+
+  /** (name, length, mtime) of every data file under the source path. */
+  private[graft] def sourceFingerprint(spark: SparkSession, src: String): String = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    walk(fs.getFileStatus(p)).sorted.mkString("|")
+  }
+
+  /** Warehouse location of `table` on the local filesystem. */
+  private[graft] def tableLocation(spark: SparkSession, table: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath
+
+  /** Provide `table` in the session catalog as an external bucketed
+    * layout derived from the data under `srcPath`; `build` runs only
+    * when neither the catalog nor valid surviving files can serve it.
+    * Returns the provision mode ("catalog" | "files" | "written").
+    */
+  def ensureBucketedTable(spark: SparkSession, table: String, srcPath: String,
+                          bucketCol: String, numBuckets: Int)
+                         (build: => DataFrame): String = {
+    val skey = (System.identityHashCode(spark), table)
+    if (spark.catalog.tableExists(table)) {
+      provisioned.put(skey, "catalog")
+      return "catalog"
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val fp = sourceFingerprint(spark, srcPath)
+    // an unreadable/corrupt fingerprint is a MISMATCH (forces the
+    // rebuild), never an error — the artifact must be self-healing
+    val surviving = scala.util.Try {
+      fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        prev == fp
+      }
+    }.getOrElse(false)
+    val mode =
+      if (surviving) {
+        // one DDL re-registers the surviving layout: external bucketed
+        // table over the files a previous JVM wrote (bucket ids are
+        // encoded in the file names, so bucketed-join/pruning
+        // properties are fully recovered from disk + catalog metadata)
+        spark.sql(
+          s"""CREATE TABLE $table (${build.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $numBuckets BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
+        "files"
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build.write
+          .option("path", loc.toString) // external: DROP TABLE keeps files
+          .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+          .mode("overwrite").saveAsTable(table)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        "written"
+      }
+    provisioned.put(skey, mode)
+    mode
+  }
+}

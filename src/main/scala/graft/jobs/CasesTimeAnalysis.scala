@@ -187,6 +187,14 @@ object CasesTimeAnalysis {
       .orderBy(col("country"), col("ds"))
   }
 
+  /** Config-file bootstrap — the reference's one-JSON-per-job submit
+    * contract (spark.py:40–52 + configs/cases_time_analysis_config.json).
+    */
+  def run(spark: SparkSession, config: JobConfig): Unit = {
+    config.applyRuntimeConf(spark)
+    run(spark, config.requireInput("cases_time"), config.requireOutput("cases_time"))
+  }
+
   /** Full job: extract → transform → 14 named sinks (:15-83, :309-314). */
   def run(spark: SparkSession, inputCsv: String, outDir: String): Unit = {
     val df = transform(extract(spark, inputCsv))

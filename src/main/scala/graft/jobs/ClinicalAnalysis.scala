@@ -142,6 +142,14 @@ object ClinicalAnalysis {
     accs.toDF("value")
   }
 
+  /** Config-file bootstrap — the reference's one-JSON-per-job submit
+    * contract (spark.py:40–52 + configs/cases_clinical_spectrum_config.json).
+    */
+  def run(spark: SparkSession, config: JobConfig): Unit = {
+    config.applyRuntimeConf(spark)
+    run(spark, config.requireInput("clinical"), config.requireOutput("clinical"))
+  }
+
   def run(spark: SparkSession, inputCsv: String, outDir: String): Unit = {
     val df = transform(extract(spark, inputCsv))
     Writers.singleFileJson(hemoglobinValues(df), s"$outDir/hemoglobin_values")

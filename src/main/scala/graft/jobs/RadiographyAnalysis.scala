@@ -186,6 +186,15 @@ object RadiographyAnalysis {
           .cast("int"))
   }
 
+  /** Config-file bootstrap — the reference's one-JSON-per-job submit
+    * contract (spark.py:40–52 + configs/radiography_analysis_config.json,
+    * the one reference config that actually carries a conf override).
+    */
+  def run(spark: SparkSession, config: JobConfig): Unit = {
+    config.applyRuntimeConf(spark)
+    run(spark, config.requireInput("radiography"), config.requireOutput("radiography"))
+  }
+
   def run(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val df = transform(extract(spark, baseDir)).cache()
     Writers.singleFileJson(percentageOfSamples(df), s"$outDir/percentage_of_samples")

@@ -126,6 +126,17 @@ object ResearchChallengeAnalysis {
       .select("paper_id", "abstract", "words", "clean_abstract", "sentiment_abstract")
   }
 
+  /** Config-file bootstrap — the reference's one-JSON-per-job submit
+    * contract (spark.py:40–52 + configs/research_challenge_config.json).
+    * The `inputs` object maps source tags to directories (the
+    * reference's biorxiv/comm/noncomm/custom input sets).
+    */
+  def run(spark: SparkSession, config: JobConfig): Unit = {
+    config.applyRuntimeConf(spark)
+    require(config.inputs.nonEmpty, "research_challenge config needs an \"inputs\" map")
+    run(spark, config.inputs, config.requireOutput("research_challenge"))
+  }
+
   def run(spark: SparkSession, inputDirs: Seq[(String, String)], outDir: String): Unit = {
     val df = transform(extract(spark, inputDirs))
     Writers.singleFileJson(paperAuthors(df), s"$outDir/paper_authors")

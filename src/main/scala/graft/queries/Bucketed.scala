@@ -35,19 +35,10 @@ object Bucketed {
   private val createdLayouts =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[String]]
 
-  /** How this session last provided each table: "catalog" (already
-    * registered), "files" (re-registered surviving warehouse files),
-    * or "written" (paid the layout shuffle). Introspection for specs
-    * and the Bench setup report.
-    */
-  private val provisioned =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
-
   graft.CacheRegistry.register("bucketed.layouts") { sid =>
     // session end clears BOOKKEEPING only — the layout files are a
     // shared warehouse artifact that outlives every session by design
     createdLayouts.keys.filter(_._1 == sid).foreach(createdLayouts.remove)
-    provisioned.keys.filter(_._1 == sid).foreach(provisioned.remove)
   }
 
   /** Test/introspection hooks. */
@@ -55,79 +46,21 @@ object Bucketed {
     createdLayouts.toSeq
       .filter(_._1._1 == System.identityHashCode(spark)).flatMap(_._2)
   private[graft] def lastProvision(spark: SparkSession, table: String): Option[String] =
-    provisioned.get((System.identityHashCode(spark), table))
-
-  private val FingerprintFile = "_graft_src_fingerprint"
-
-  /** (length, mtime) of every data file under the source path —
-    * local-fs stat here; etag/length on an object store, same shape.
-    */
-  private def sourceFingerprint(spark: SparkSession, src: String): String = {
-    val p = new org.apache.hadoop.fs.Path(src)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
-      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-      else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-    walk(fs.getFileStatus(p)).sorted.mkString("|")
-  }
+    graft.io.Warehouse.lastProvision(spark, table)
 
   def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val li = s"graft_li_bkt_$tag"
     val ord = s"graft_ord_bkt_$tag"
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val hconf = spark.sparkContext.hadoopConfiguration
-
-    def ensure(table: String, src: String, key: String,
-               select: => org.apache.spark.sql.DataFrame): Unit = {
-      val skey = (System.identityHashCode(spark), table)
-      if (spark.catalog.tableExists(table)) {
-        provisioned.putIfAbsent(skey, "catalog"); return
-      }
-      val loc = new org.apache.hadoop.fs.Path(warehouse, table)
-      val fs = loc.getFileSystem(hconf)
-      val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
-      val fp = sourceFingerprint(spark, s"$dir/$src.parquet")
-      // an unreadable/corrupt fingerprint is a MISMATCH (forces the
-      // rewrite), never an error — the artifact must be self-healing
-      val surviving = scala.util.Try {
-        fs.exists(fpPath) && {
-          val in = fs.open(fpPath)
-          val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          prev == fp
-        }
-      }.getOrElse(false)
-      if (surviving) {
-        // one DDL re-registers the surviving layout: external bucketed
-        // table over the files the previous JVM wrote (bucket ids are
-        // encoded in the file names, so the zero-exchange property is
-        // fully recovered from disk + catalog metadata)
-        spark.sql(
-          s"""CREATE TABLE $table (${select.schema.toDDL})
-             |USING parquet
-             |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
-             |LOCATION '${loc.toString}'""".stripMargin)
-        provisioned.put(skey, "files")
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        select.write
-          .option("path", loc.toString) // external: DROP TABLE keeps files
-          .bucketBy(NumBuckets, key).sortBy(key)
-          .mode("overwrite").saveAsTable(table)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
-        provisioned.put(skey, "written")
-      }
-    }
-
-    ensure(li, "lineitem", "l_orderkey",
+    graft.io.Warehouse.ensureBucketedTable(spark, li,
+      s"$dir/lineitem.parquet", "l_orderkey", NumBuckets)(
       Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice"))
-    ensure(ord, "orders", "o_orderkey",
+    graft.io.Warehouse.ensureBucketedTable(spark, ord,
+      s"$dir/orders.parquet", "o_orderkey", NumBuckets)(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"))
     createdLayouts.putIfAbsent(
       (System.identityHashCode(spark), dir),
-      Seq(li, ord).map(t => new org.apache.hadoop.fs.Path(warehouse, t).toUri.getPath))
+      Seq(li, ord).map(graft.io.Warehouse.tableLocation(spark, _)))
     (li, ord)
   }
 

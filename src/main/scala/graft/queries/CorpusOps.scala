@@ -33,7 +33,7 @@ object CorpusOps {
     * persisted tokenization output the index build and the scorer
     * both consume.
     */
-  private def triBase(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def triBase(spark: SparkSession, dir: String): DataFrame =
     graft.FrameCache.memoize("corpus.triBase", spark, dir)(
       Tables.documents(spark, dir)
         .select(col("doc_id"), trigramSet(col("text")).as("sh"))

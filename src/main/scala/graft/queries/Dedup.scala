@@ -129,6 +129,23 @@ object Dedup {
     graft.FrameCache.memoize("dedup.scoredPairs", spark, dir)(
       lshScoredPairsUncached(spark, dir))
 
+  /** The scored-pair set as a PERSISTED warehouse table — the
+    * cross-SESSION form of [[lshScoredPairs]] (which is the
+    * cross-QUERY, in-session form): the first session pays the band
+    * join + exact verify once and writes `near_dup_pairs` bucketed by
+    * id_a; every later session in ANY JVM re-registers the surviving
+    * files with one DDL and reads ~|pairs| rows, never re-hashing the
+    * corpus. Staleness follows the documents.parquet fingerprint, so
+    * a corpus regeneration forces one rebuild. PersistedIndexSpec
+    * pins the reuse path and measures the rebuild-vs-reread delta.
+    */
+  private[graft] def persistedScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_neardup_pairs_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureBucketedTable(spark, table,
+      s"$dir/documents.parquet", "id_a", 8)(lshScoredPairsUncached(spark, dir))
+    spark.table(table)
+  }
+
   private[graft] def lshScoredPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = lshBase(spark, dir)
     val bandsArr = array((0 until Bands).map { b =>
@@ -548,24 +565,31 @@ object Dedup {
     * stress audit can measure the candidate FRACTION — the quantity
     * whose flatness under growth is q121's scale argument.
     */
-  private[graft] def ssCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // both reused frames materialize ONCE per (session, dir) — the
-    // shingle frame feeds the prefix build and both verify joins, the
-    // prefix frame sits on both sides of the candidate self-join, and
-    // Spark re-executes common subplans per reference (the measured
-    // q105/q112 lesson; 27 s → ~2 s here at sf0.1)
-    val docs = ssDocs(spark, dir)
-    val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
-    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    // prefix length p = n - ceil(tau*n) + 1, in exact integers
-    val ceilTauN = expr(s"(n * $SsTauNum + ${SsTauDen - 1}) DIV $SsTauDen")
-    val pref = graft.FrameCache.memoize("dedup.ssPrefix", spark, dir)(
+  /** The df-ascending prefix-token frame — both sides of the q121
+    * candidate self-join. Materializes once per (session, dir)
+    * alongside [[ssDocs]] (both reused frames: the shingle frame
+    * feeds the prefix build and both verify joins, the prefix frame
+    * sits on both sides of the self-join, and Spark re-executes
+    * common subplans per reference — the measured q105/q112 lesson;
+    * 27 s → ~2 s at sf0.1). Exposed for the Bench setup phase.
+    */
+  private[graft] def ssPrefix(spark: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.memoize("dedup.ssPrefix", spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      val docs = ssDocs(spark, dir)
+      val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // prefix length p = n - ceil(tau*n) + 1, in exact integers
+      val ceilTauN = expr(s"(n * $SsTauNum + ${SsTauDen - 1}) DIV $SsTauDen")
       tok.join(freq, "t")
         .withColumn("r", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
         .where(col("r") <= col("n") - ceilTauN + lit(1))
-        .select(col("t"), col("doc_id"), col("n"), col("r")))
+        .select(col("t"), col("doc_id"), col("n"), col("r"))
+    }
+
+  private[graft] def ssCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val pref = ssPrefix(spark, dir)
     // candidate pruning, both filters exact-integer:
     //  - length: tau*max <= min  <=>  num*max <= den*min
     //  - positional (PPJoin): the FIRST shared prefix token (ranks
