@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_zorder expects exactly 2 arguments")
         org.apache.spark.sql.graftbridge.ZOrderLong(args(0), args(1))
       }))
+    // binary: (text, k) — hash60 of every k-token window (q127 basis)
+    ext.injectFunction((FunctionIdentifier("graft_win_hash"),
+      info("graft_win_hash",
+        "_FUNC_(str, k) - hash60 of every k-token window, ordered by position"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_win_hash expects exactly 2 arguments")
+        TextKernels.invokeExpr2("winHash", TextKernels.winHashType, args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_zorder3"),
       info("graft_zorder3",
         "_FUNC_(a, b, c) - Z-order (Morton) interleave of three BIGINT keys (low 21 bits each)"),

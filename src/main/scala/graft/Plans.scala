@@ -63,7 +63,12 @@ object Plans {
       "q121_ssjoin_exact" -> "exact ssjoin: df-ascending prefix explode, equi-join on rare tokens, positional-filter aggregate, verify only candidates",
       "q122_bm25_topk" -> "inverted-index tf/df/dl aggregates, probe terms broadcast, scaled-long contributions into heap top-k",
       "q123_lm_quality" -> "bigram LM trained+applied as keyed joins, fixed-point per-doc mean, self-calibrating cull",
-      "q124_semantic_decontamination" -> "eval-suite broadcast vs streaming corpus: map-side cosine + order-free max, embeddings never shuffle")
+      "q124_semantic_decontamination" -> "eval-suite broadcast vs streaming corpus: map-side cosine + order-free max, embeddings never shuffle",
+      "q125_decontamination_ann" -> "IVF-pruned decontamination: candidate pairs via nprobe cells, cosine only on candidates",
+      "q126_repetition_suite" -> "Gopher repetition metrics as pure per-row array expressions: zero shuffles before top-k",
+      "q127_window_dedup" -> "native window-hash kernel at scan parallelism, one combinable dup aggregate, equi-join back",
+      "q128_priority_sample" -> "priority sampling: map-side hash-uniform keys, TakeOrdered top-(K+1), broadcast tau",
+      "q129_source_calibration" -> "per-source rank window (domain-count partitions), integer quintiles, fixed-point means")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

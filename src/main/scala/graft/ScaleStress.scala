@@ -133,6 +133,10 @@ object ScaleStress {
     val nCand = queries.Dedup.ssCandidates(spark, cdir).count()
     val candFrac = nCand.toDouble / (nd * (nd - 1) / 2)
     println(f"[stress] q121 candidates@10x: $nCand (${candFrac * 100}%.3f%% of ${nd * (nd - 1) / 2} pairs)")
+    // round-7 family: q127's window-hash aggregate is corpus-sized and
+    // the replica is again adversarial (every window occurs 10x, so
+    // the ENTIRE corpus becomes duplicated spans — maximal hit lists)
+    time("q127_window_dedup@10x")(queries.CurationOps.q127(spark, cdir).count())
     // map-heavy kernels through the noop sink (count() would prune the
     // very projections under audit): the fused fingerprint+simhash
     // pass and the per-pixel resize over 500k docs
@@ -142,6 +146,7 @@ object ScaleStress {
       println(f"[stress] $name wall=${(System.nanoTime() - t0) / 1e9}%.2f s (noop sink)")
     }
     timeNoop("q30_fingerprint@10x")(queries.TextAnalysis.q30(spark, cdir))
+    timeNoop("q126_repetition_suite@10x")(queries.CurationOps.q126(spark, cdir))
     timeNoop("q90_resize_grid@10x")(queries.MultimodalQueries.q90(spark, cdir))
     // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the

@@ -101,6 +101,35 @@ object TextKernels {
   private val as: Array[Long] = hashParams.map(_._1).toArray
   private val bs: Array[Long] = hashParams.map(_._2).toArray
 
+  /** hash60 of every k-token window of `text` (positions implicit by
+    * array index, 0-based) — the q127 exact-substring-dedup basis.
+    * Equals the declarative `transform(shingles(tokens(text), k),
+    * w -> hash60(w))` but in one JIT'd loop: the HOF form re-splits
+    * the text for every element_at reference inside the shingle
+    * lambda (no CSE in interpreted HOFs), which measured 57 s over
+    * 5k docs at sf0.1 vs ~1 s here. Short docs (< k tokens) → [].
+    */
+  def winHash(text: UTF8String, k: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = hash60(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature (k = TextFns.NumHashes) over the distinct
     * bigram set of `text`: one md5 per shingle, k affine minima, all
     * in primitive longs. Empty shingle set → all-P signature
@@ -272,4 +301,23 @@ object TextKernels {
 
   def hash60StrCol(text: Column): Column =
     invoke("hash60Str", LongType, text)
+
+  /** Two-arg StaticInvoke builder — (text, int literal) kernels. */
+  def invokeExpr2(name: String, dt: DataType,
+    in: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
+      kernelClass, dt, name,
+      Seq(in, k),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = false)
+
+  final val winHashType: DataType = ArrayType(LongType, containsNull = false)
+
+  def winHashCol(text: Column, k: Int): Column =
+    ColumnBridge.column(invokeExpr2("winHash", winHashType,
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{bind1, hash60, hash60Sql, rnd, rndSql, shingles, shinglesSql, tokens}
+import graft.sources.Tables
+
+/** Second wave of corpus-curation operators (CorpusOps holds the
+  * first): the Gopher per-document repetition suite, exact duplicated
+  * substring detection (the suffix-array dedup family in its blocked,
+  * distributed form), weighted corpus subsampling with an unbiased
+  * token estimator, and per-source quality calibration. Public-paper
+  * lineage per operator in its header; none of these exist in the
+  * reference — they are the LLM-pipeline surface the brief mandates.
+  */
+object CurationOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q126_repetition_suite — the Gopher repetition filters (Rae et
+  // al. 2021, "Scaling Language Models: ... Gopher", §A1.1) as
+  // per-document metrics: fraction of tokens that are the single
+  // most frequent word, fraction covered by the most frequent
+  // bigram, and fraction of positions covered by any bigram that
+  // repeats within the document, plus the keep/drop decision at
+  // Gopher-shaped thresholds.
+  //
+  // Scale shape: ZERO shuffles before the top-K — every metric is a
+  // per-row array computation over the token vector (the classic
+  // explode→groupBy(doc,gram) formulation would shuffle the entire
+  // token stream on a composite key; per-row higher-order functions
+  // keep the work at scan parallelism, bounded by doc length, which
+  // is exactly how a 100 TB quality pass must run). bind1 pins each
+  // derived array so interpreted HOFs evaluate it once.
+  // ---------------------------------------------------------------
+  final val RepTopWordMax = 0.2   // Gopher: top word <= 20% of doc
+  final val RepTopBigramMax = 0.18
+  final val RepDupCovMax = 0.25
+  final val RepTopK = 40
+
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = bind1(tokens(col("text"))) { tk =>
+      bind1(shingles(tk, 2)) { bg =>
+        val n = size(tk)
+        val topWord = array_max(transform(array_distinct(tk),
+          w => size(filter(tk, x => x === w))))
+        val topBigram = array_max(transform(array_distinct(bg),
+          g => size(filter(bg, x => x === g))))
+        // positions covered by a within-doc repeated bigram: each
+        // repeated bigram at position i covers tokens i and i+1
+        val dupCov = size(array_distinct(flatten(
+          transform(sequence(lit(1), n - 1), i =>
+            when(size(filter(bg, x => x === element_at(bg, i))) >= 2,
+              array(i, i + 1)).otherwise(array().cast("array<int>"))))))
+        struct(n.as("n_tok"),
+          (topWord.cast("double") / n.cast("double")).as("top_word_frac"),
+          (topBigram.cast("double") * 2d / n.cast("double")).as("top_bigram_frac"),
+          (dupCov.cast("double") / n.cast("double")).as("dup_cov_frac"))
+      }
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), metrics.as("m"))
+      .select(col("doc_id"), col("m.n_tok").as("n_tok"),
+        rnd(col("m.top_word_frac"), 4).as("top_word_frac"),
+        rnd(col("m.top_bigram_frac"), 4).as("top_bigram_frac"),
+        rnd(col("m.dup_cov_frac"), 4).as("dup_cov_frac"),
+        (col("m.top_word_frac") <= RepTopWordMax &&
+          col("m.top_bigram_frac") <= RepTopBigramMax &&
+          col("m.dup_cov_frac") <= RepDupCovMax).as("keep"))
+      .orderBy(desc("dup_cov_frac"), col("doc_id")).limit(RepTopK)
+  }
+
+  val q126Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (SELECT doc_id, t, len(t) AS n,
+       |  ${shinglesSql("t", 2)} AS bg FROM d),
+       |m AS (SELECT doc_id, n,
+       |  list_max(list_transform(list_distinct(t),
+       |    w -> len(list_filter(t, x -> x = w))))::DOUBLE / n::DOUBLE AS top_word_frac,
+       |  list_max(list_transform(list_distinct(bg),
+       |    g -> len(list_filter(bg, x -> x = g))))::DOUBLE * 2 / n::DOUBLE AS top_bigram_frac,
+       |  len(list_distinct(flatten(list_transform(generate_series(1, n - 1),
+       |    i -> CASE WHEN len(list_filter(bg, x -> x = bg[i])) >= 2
+       |         THEN [i, i + 1] ELSE [] END))))::DOUBLE / n::DOUBLE AS dup_cov_frac
+       |  FROM b)
+       |SELECT doc_id, n AS n_tok,
+       |  ${rndSql("top_word_frac", 4)} AS top_word_frac,
+       |  ${rndSql("top_bigram_frac", 4)} AS top_bigram_frac,
+       |  ${rndSql("dup_cov_frac", 4)} AS dup_cov_frac,
+       |  (top_word_frac <= $RepTopWordMax AND top_bigram_frac <= $RepTopBigramMax
+       |    AND dup_cov_frac <= $RepDupCovMax) AS keep
+       |FROM m ORDER BY dup_cov_frac DESC, doc_id LIMIT $RepTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q127_window_dedup — exact duplicated-substring detection (Lee et
+  // al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better": their suffix-array ExactSubstr pass) in the distributed
+  // form a cluster actually runs: every K-token window is hashed,
+  // windows appearing in >= 2 distinct documents are duplicated
+  // spans, and each document reports the fraction of its tokens
+  // covered by such spans (1.0 = the doc is entirely made of text
+  // that exists elsewhere — Lee et al.'s cut candidates).
+  //
+  // Scale shape: the window stream is corpus-sized but carries only
+  // (doc_id, pos, 60-bit hash) — never the window text; the dup-set
+  // aggregate is a plain hash groupBy (uniform md5 keys — no skew);
+  // the join back is an equi-join on the same key so AQE plans it
+  // shuffle-local; per-doc state is the hit-position list, bounded
+  // by doc length. At 100 TB the dup-window index persists via
+  // Warehouse (the q57 machinery) and every batch joins against it —
+  // this is the build+apply pair, like q105/q114.
+  // ---------------------------------------------------------------
+  final val WinK = 10
+  final val WinTopK = 40
+  final val WinDropFrac = 0.5 // >= half duplicated-coverage: drop
+
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"),
+        // native kernel, not transform(shingles(...), hash60): the
+        // interpreted HOF chain re-splits the text per element_at
+        // reference (57 s over 5k docs); the kernel is one JIT'd
+        // loop per doc inside whole-stage codegen
+        graft.functions.TextKernels.winHashCol(col("text"), WinK).as("wh"))
+    val wins = docs
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
+    val hits = wins.join(dup, "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    docs.select(col("doc_id"), col("n_tok"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_dup_windows"),
+        coalesce(size(array_distinct(flatten(
+          transform(col("ps"), p => sequence(p, p + WinK - 1))))), lit(0))
+          .cast("long").as("covered_tokens"))
+      .withColumn("dup_frac",
+        rnd(col("covered_tokens").cast("double") / col("n_tok").cast("double"), 4))
+      .withColumn("action",
+        when(col("dup_frac") >= WinDropFrac, "drop")
+          .when(col("covered_tokens") > 0, "trim").otherwise("keep"))
+      .orderBy(desc("dup_frac"), col("doc_id")).limit(WinTopK)
+  }
+
+  val q127Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, i AS pos,
+       |  ${hash60Sql(s"array_to_string(t[i:i+${WinK - 1}], ' ')")} AS h
+       |  FROM d, unnest(generate_series(1, len(t) - ${WinK - 1})) AS u(i)
+       |  WHERE len(t) >= $WinK),
+       |dup AS (SELECT h FROM (
+       |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h) WHERE nd >= 2),
+       |hits AS (SELECT doc_id, list(pos) AS ps
+       |  FROM w JOIN dup USING (h) GROUP BY doc_id),
+       |c AS (SELECT d.doc_id, len(t) AS n_tok,
+       |  COALESCE(len(ps), 0)::BIGINT AS n_dup_windows,
+       |  COALESCE(len(list_distinct(flatten(list_transform(ps,
+       |    p -> generate_series(p, p + ${WinK - 1}))))), 0)::BIGINT AS covered_tokens
+       |  FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id)
+       |SELECT doc_id, n_tok, n_dup_windows, covered_tokens,
+       |  ${rndSql("covered_tokens::DOUBLE / n_tok::DOUBLE", 4)} AS dup_frac,
+       |  CASE WHEN covered_tokens::DOUBLE / n_tok::DOUBLE >= $WinDropFrac THEN 'drop'
+       |       WHEN covered_tokens > 0 THEN 'trim' ELSE 'keep' END AS action
+       |FROM c ORDER BY dup_frac DESC, doc_id LIMIT $WinTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q128_priority_sample — weighted sampling without replacement
+  // with an unbiased subset-sum estimator (Duffield, Lund, Thorup,
+  // "Priority Sampling for Estimation of Arbitrary Subset Sums",
+  // JACM 2007): each doc gets priority w/u with u a deterministic
+  // hash-derived uniform, the K highest priorities are the sample,
+  // and each sampled doc's token estimate max(w, tau) (tau = the
+  // (K+1)-th priority) sums to an unbiased estimate of total corpus
+  // tokens — the accounting a trainer needs when it subsamples.
+  //
+  // Chosen over Efraimidis-Spirakis A-ES (keys u^(1/w)) because the
+  // priority key needs NO transcendental: u = (h+1)/2^40 is an exact
+  // power-of-two scaling of a 40-bit hash and w/u one IEEE division,
+  // so both engines compute bit-identical keys (the q122 ln() parity
+  // risk class never arises).
+  //
+  // Scale shape: priority is a pure map; the sample is TakeOrdered
+  // top-(K+1) — K+1 rows per partition cross the wire, no global
+  // sort; tau re-attaches by broadcast. O(K) driver state.
+  // ---------------------------------------------------------------
+  final val PriK = 25
+  final val U40 = 1099511627776L // 2^40
+
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val u = (hash60(col("doc_id").cast("string")) % U40 + 1L).cast("double") / U40.toDouble
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pri", col("n_tokens").cast("double") / u)
+      .orderBy(desc("pri"), col("doc_id")).limit(PriK + 1)
+    val tau = ranked.agg(min(col("pri")).as("tau"))
+    ranked.orderBy(desc("pri"), col("doc_id")).limit(PriK)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_tokens"), col("pri"),
+        greatest(col("n_tokens").cast("double"), col("tau")).as("est_tokens"))
+      .orderBy(desc("pri"), col("doc_id"))
+  }
+
+  val q128Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    len(string_split(text, ' '))::DOUBLE /
+       |      ((${hash60Sql("CAST(doc_id AS VARCHAR)")} % $U40 + 1)::DOUBLE / $U40.0) AS pri
+       |  FROM documents),
+       |top AS (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT ${PriK + 1}),
+       |tau AS (SELECT MIN(pri) AS tau FROM top)
+       |SELECT doc_id, n_tokens, pri,
+       |  greatest(n_tokens::DOUBLE, tau) AS est_tokens
+       |FROM (SELECT * FROM top ORDER BY pri DESC, doc_id LIMIT $PriK), tau
+       |ORDER BY pri DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q129_source_calibration — per-domain quality calibration (the
+  // CCNet move, Wenzek et al. 2020: quality cuts computed WITHIN
+  // each source, not globally, so a uniformly-weaker domain isn't
+  // wholesale-dropped): score every doc by type-token ratio, rank it
+  // within its source, assign integer quintiles by pure integer math
+  // (((rn-1)*5) DIV n — no percent_rank float boundary to disagree
+  // on), and emit the per-(source, quintile) manifest with a
+  // fixed-point mean so cross-engine sums are order-independent.
+  //
+  // Scale shape: one window over source partitions (the shuffle a
+  // per-domain rank inherently needs — partition count = domain
+  // count, skew bounded by the domain cap of q107) and one
+  // map-side-combinable manifest aggregate.
+  // ---------------------------------------------------------------
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(desc("ttr"), col("doc_id"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        bind1(tokens(col("text")))(tk =>
+          size(array_distinct(tk)).cast("double") / size(tk).cast("double"))
+          .as("ttr"))
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("bucket", expr("((rn - 1) * 5) DIV n"))
+    scored.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ttr")).as("min_ttr"),
+        sum(floor(col("ttr") * 1e6 + 0.5).cast("long")).as("sfp"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        rnd(col("min_ttr"), 4).as("min_ttr"),
+        rnd(col("sfp").cast("double") / col("n_docs").cast("double") / 1e6, 4)
+          .as("mean_ttr"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val q129Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, doc_id,
+       |    len(list_distinct(string_split(text, ' ')))::DOUBLE /
+       |      len(string_split(text, ' '))::DOUBLE AS ttr
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, ttr,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ttr DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM s)
+       |SELECT source, ((rn - 1) * 5) // n AS bucket, COUNT(*) AS n_docs,
+       |  ${rndSql("MIN(ttr)", 4)} AS min_ttr,
+       |  ${rndSql("SUM(floor(ttr * 1000000.0 + 0.5)::BIGINT)::DOUBLE / COUNT(*)::DOUBLE / 1000000.0", 4)} AS mean_ttr
+       |FROM r GROUP BY source, ((rn - 1) * 5) // n
+       |ORDER BY source, bucket""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q126_repetition_suite" -> (q126 _),
+    "q127_window_dedup" -> (q127 _),
+    "q128_priority_sample" -> (q128 _),
+    "q129_source_calibration" -> (q129 _))
+
+  def oracles: Map[String, String] = Map(
+    "q126_repetition_suite" -> q126Sql,
+    "q127_window_dedup" -> q127Sql,
+    "q128_priority_sample" -> q128Sql,
+    "q129_source_calibration" -> q129Sql)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.queries.CurationOps
+
+/** Property pins for the round-7 curation wave. Each query gets an
+  * INDEPENDENT recomputation (plain Scala over collected sf0.001
+  * text) or an algebraic invariant — not a re-run of the same plan —
+  * so a shared bug in the Spark expression and its DuckDB twin would
+  * still be caught here.
+  */
+class CurationOpsSpec extends SparkTestBase {
+
+  private lazy val texts: Map[Long, Array[String]] =
+    spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .toMap
+
+  test("q126 repetition metrics match a plain-Scala recount") {
+    val rows = CurationOps.q126(spark, Sf).collect()
+    assert(rows.length == CurationOps.RepTopK)
+    rows.take(10).foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val n = t.length.toDouble
+      val topWord = t.groupBy(identity).values.map(_.length).max / n
+      val bg = t.sliding(2).map(_.mkString(" ")).toArray
+      val topBigram = bg.groupBy(identity).values.map(_.length).max * 2.0 / n
+      val dupIdx = bg.zipWithIndex
+        .filter { case (g, _) => bg.count(_ == g) >= 2 }
+        .flatMap { case (_, i) => Seq(i, i + 1) }.distinct.length / n
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Double]("top_word_frac") == r4(topWord))
+      assert(r.getAs[Double]("top_bigram_frac") == r4(topBigram))
+      assert(r.getAs[Double]("dup_cov_frac") == r4(dupIdx))
+      val keep = topWord <= CurationOps.RepTopWordMax &&
+        topBigram <= CurationOps.RepTopBigramMax &&
+        dupIdx <= CurationOps.RepDupCovMax
+      assert(r.getAs[Boolean]("keep") == keep)
+    }
+  }
+
+  test("q127 duplicated-window coverage matches a brute-force window map") {
+    val k = CurationOps.WinK
+    // window -> distinct docs, over the whole corpus, in plain Scala
+    val winDocs = texts.toSeq
+      .flatMap { case (id, t) => t.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val dup = winDocs.filter(_._2 >= 2).keySet
+    val rows = CurationOps.q127(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.head.getAs[Double]("dup_frac") > 0.0,
+      "corpus has cross-doc duplicate windows; top row must reflect them")
+    rows.take(10).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = texts(id)
+      val hits = t.sliding(k).zipWithIndex
+        .filter { case (w, _) => w.length == k && dup(w.mkString(" ")) }
+        .map(_._2).toArray
+      val covered = hits.flatMap(p => p until p + k).distinct.length
+      assert(r.getAs[Long]("n_dup_windows") == hits.length.toLong)
+      assert(r.getAs[Long]("covered_tokens") == covered.toLong)
+      val act = if (covered.toDouble / t.length >= CurationOps.WinDropFrac) "drop"
+        else if (covered > 0) "trim" else "keep"
+      assert(r.getAs[String]("action") == act)
+    }
+  }
+
+  test("q128 priority sample: size K, pri >= tau, unbiased-estimator shape") {
+    val rows = CurationOps.q128(spark, Sf).collect()
+    assert(rows.length == CurationOps.PriK)
+    val pris = rows.map(_.getAs[Double]("pri"))
+    assert(pris.sameElements(pris.sorted.reverse), "descending priority order")
+    // est_tokens = max(w, tau) with tau below every sampled priority
+    val tauCandidates = rows.filter(r =>
+      r.getAs[Double]("est_tokens") > r.getAs[Long]("n_tokens").toDouble)
+      .map(_.getAs[Double]("est_tokens"))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_tokens").toDouble
+      val est = r.getAs[Double]("est_tokens")
+      assert(est >= w)
+      assert(r.getAs[Double]("pri") >= est - 1e-9 || est == w,
+        "tau can never exceed a sampled priority")
+    }
+    assert(tauCandidates.distinct.length <= 1, "single tau across the sample")
+    // DLT unbiasedness: E[sum(est)] = total corpus tokens. One draw,
+    // so the pin is a sanity band, not a tight bound.
+    val total = texts.values.map(_.length.toLong).sum.toDouble
+    val estTotal = rows.map(_.getAs[Double]("est_tokens")).sum
+    assert(estTotal > total * 0.3 && estTotal < total * 3.0,
+      f"estimate $estTotal%.0f implausible vs true $total%.0f")
+  }
+
+  test("q129 calibration: quintiles partition each source, quality descends") {
+    val rows = CurationOps.q129(spark, Sf).collect()
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    val docCounts = texts.keySet.groupBy(_ => ()).size // silence unused warning
+    assert(docCounts == 1)
+    val sourceSizes = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, bs) =>
+      val buckets = bs.map(_.getAs[Long]("bucket")).sorted
+      assert(buckets.head == 0 && buckets.last <= 4 && buckets.distinct.length == buckets.length)
+      assert(bs.map(_.getAs[Long]("n_docs")).sum == sourceSizes(src))
+      // integer-quintile sizes differ by at most 1 within a source
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src quintile sizes $sizes")
+      // bucket 0 holds the highest TTR ranks: min_ttr non-increasing
+      val mins = bs.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("min_ttr"))
+      assert(mins.zip(mins.tail).forall { case (a, b) => a >= b },
+        s"$src min_ttr not descending: ${mins.toSeq}")
+    }
+  }
+}

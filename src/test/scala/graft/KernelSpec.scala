@@ -36,6 +36,21 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("winHash kernel == declarative transform(shingles(k), hash60)") {
+    // q127's window-hash basis — include <k-token docs (empty array
+    // on both paths) and a k-exact doc (single window)
+    val withEdge = docs.unionByName(
+      spark.createDataFrame(Seq((9001L, ""), (9002L, "just a few tokens"),
+        (9003L, "one two three four five six seven eight nine ten")))
+        .toDF("doc_id", "text"))
+    val mismatch = withEdge.select(
+        TextKernels.winHashCol(col("text"), 10).as("k"),
+        transform(shingles(tokens(col("text")), 10), w => hash60(w)).as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("minhashSig kernel == declarative minhashSig") {
     val mismatch = docs.select(
         TextKernels.minhashSigCol(col("text")).as("k"),

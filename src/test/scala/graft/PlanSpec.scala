@@ -107,7 +107,8 @@ class PlanSpec extends SparkTestBase {
     "q122_bm25_topk",         // 1-row (n_docs, sum_dl) scalar frame × tf index
     "q123_lm_quality",        // 1-row vocab-size and corpus-mean frames
     "q124_semantic_decontamination", // eval-suite broadcast × corpus (q36 shape)
-    "q125_decontamination_ann") // cell assignment × broadcast codebook (q59 shape)
+    "q125_decontamination_ann", // cell assignment × broadcast codebook (q59 shape)
+    "q128_priority_sample")   // 1-row tau threshold × K sampled rows
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
