@@ -273,15 +273,134 @@ object CurationOps {
        |FROM r GROUP BY source, ((rn - 1) * 5) // n
        |ORDER BY source, bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q130_span_trim — the INCREMENTAL apply side of q127 (q87's
+  // batch-vs-history split, at span granularity): a new batch (10%
+  // of the corpus by doc_id) is admitted against the history window
+  // index, and every batch span that already exists in history is
+  // trimmed — Lee et al.'s ExactSubstr CUT applied at ingest time,
+  // reporting what survives of each new document.
+  //
+  // Scale shape: the history side is an INDEX (distinct 60-bit
+  // window hashes — 8 bytes/window, never the text), precomputable
+  // and persistable as a hash-bucketed Warehouse table so a daily
+  // batch probes partition-pruned buckets; the batch side is the
+  // small side. The probe is one equi-join on uniform hashes; per-doc
+  // state is the hit-position list, bounded by doc length. Nothing
+  // rescans history text per ingest.
+  // ---------------------------------------------------------------
+  final val TrimTopK = 40
+
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"),
+        graft.functions.TextKernels.winHashCol(col("text"), WinK).as("wh"))
+    val isBatch = col("doc_id") % 10 === 7
+    val histIndex = docs.where(!isBatch)
+      .select(explode(col("wh")).as("h")).distinct()
+    val batchWins = docs.where(isBatch)
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val hits = batchWins.join(histIndex, "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    docs.where(isBatch).select(col("doc_id"), col("n_tok"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_hit_windows"),
+        coalesce(size(array_distinct(flatten(
+          transform(col("ps"), p => sequence(p, p + WinK - 1))))), lit(0))
+          .cast("long").as("trimmed_tokens"))
+      .withColumn("kept_frac",
+        rnd(lit(1.0) - col("trimmed_tokens").cast("double") / col("n_tok").cast("double"), 4))
+      .orderBy(desc("trimmed_tokens"), col("doc_id")).limit(TrimTopK)
+  }
+
+  val q130Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, i AS pos,
+       |  ${hash60Sql(s"array_to_string(t[i:i+${WinK - 1}], ' ')")} AS h
+       |  FROM d, unnest(generate_series(1, len(t) - ${WinK - 1})) AS u(i)
+       |  WHERE len(t) >= $WinK),
+       |hist AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 <> 7),
+       |hits AS (SELECT doc_id, list(pos) AS ps
+       |  FROM w JOIN hist USING (h) WHERE doc_id % 10 = 7 GROUP BY doc_id),
+       |c AS (SELECT d.doc_id, len(t) AS n_tok,
+       |  COALESCE(len(ps), 0)::BIGINT AS n_hit_windows,
+       |  COALESCE(len(list_distinct(flatten(list_transform(ps,
+       |    p -> generate_series(p, p + ${WinK - 1}))))), 0)::BIGINT AS trimmed_tokens
+       |  FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       |  WHERE d.doc_id % 10 = 7)
+       |SELECT doc_id, n_tok, n_hit_windows, trimmed_tokens,
+       |  ${rndSql("1.0 - trimmed_tokens::DOUBLE / n_tok::DOUBLE", 4)} AS kept_frac
+       |FROM c ORDER BY trimmed_tokens DESC, doc_id LIMIT $TrimTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q131_source_overlap — the corpus-overlap audit a mixture
+  // designer runs before weighting domains (how much of src A's
+  // content is also in src B?): exact trigram-set Jaccard between
+  // every source pair, computed WITHOUT materializing per-source
+  // sets on one node.
+  //
+  // Scale shape: one (source, gram)-distinct aggregate; then pairs
+  // are generated PER GRAM from a collect_set bounded by the source
+  // count (tens), never by corpus size — the classic inverted
+  // document-frequency trick turned on domains. The manifest is one
+  // combinable count aggregate; sizes re-attach by broadcast. At
+  // 100 TB the (source, gram) frame is the only corpus-sized
+  // intermediate and it shrinks as it aggregates.
+  // ---------------------------------------------------------------
+  private val trigramSetDuck: String =
+    s"list_distinct(${shinglesSql("string_split(text, ' ')", 3)})"
+
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val srcGrams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextKernels.trigramSetCol(col("text"))).as("g"))
+      .distinct()
+    val sizes = srcGrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = srcGrams.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), y -> struct(x AS s1, y AS s2))))"))
+        .as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+        rnd(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), col("s1"), col("s2")).limit(50)
+  }
+
+  val q131Sql: String =
+    s"""WITH sg AS (
+       |  SELECT DISTINCT source, unnest($trigramSetDuck) AS g FROM documents),
+       |sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+       |i AS (
+       |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT s1, s2, z1.n AS n1, z2.n AS n2, inter,
+       |  ${rndSql("inter::DOUBLE / (z1.n + z2.n - inter)::DOUBLE", 4)} AS jaccard
+       |FROM i JOIN sz z1 ON i.s1 = z1.source JOIN sz z2 ON i.s2 = z2.source
+       |ORDER BY jaccard DESC, s1, s2 LIMIT 50""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q126_repetition_suite" -> (q126 _),
     "q127_window_dedup" -> (q127 _),
     "q128_priority_sample" -> (q128 _),
-    "q129_source_calibration" -> (q129 _))
+    "q129_source_calibration" -> (q129 _),
+    "q130_span_trim" -> (q130 _),
+    "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
     "q126_repetition_suite" -> q126Sql,
     "q127_window_dedup" -> q127Sql,
     "q128_priority_sample" -> q128Sql,
-    "q129_source_calibration" -> q129Sql)
+    "q129_source_calibration" -> q129Sql,
+    "q130_span_trim" -> q130Sql,
+    "q131_source_overlap" -> q131Sql)
 }

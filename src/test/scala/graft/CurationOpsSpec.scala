@@ -90,6 +90,52 @@ class CurationOpsSpec extends SparkTestBase {
       f"estimate $estTotal%.0f implausible vs true $total%.0f")
   }
 
+  test("q130 span trim matches a brute-force batch-vs-history window check") {
+    val k = CurationOps.WinK
+    val hist = texts.toSeq.filter(_._1 % 10 != 7)
+      .flatMap { case (_, t) => t.sliding(k).filter(_.length == k).map(_.mkString(" ")) }
+      .toSet
+    val rows = CurationOps.q130(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(10).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 10 == 7, "only batch docs may appear")
+      val t = texts(id)
+      val hits = t.sliding(k).zipWithIndex
+        .filter { case (w, _) => w.length == k && hist(w.mkString(" ")) }
+        .map(_._2).toArray
+      val trimmed = hits.flatMap(p => p until p + k).distinct.length
+      assert(r.getAs[Long]("n_hit_windows") == hits.length.toLong)
+      assert(r.getAs[Long]("trimmed_tokens") == trimmed.toLong)
+      assert(r.getAs[Double]("kept_frac") >= 0.0 && r.getAs[Double]("kept_frac") <= 1.0)
+    }
+  }
+
+  test("q131 source overlap matches plain-Scala per-source trigram Jaccard") {
+    val srcOf: Map[Long, String] =
+      spark.read.parquet(s"$Sf/documents.parquet")
+        .select("doc_id", "source").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val setsBySource: Map[String, Set[String]] = texts.toSeq
+      .groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, ds) =>
+        s -> ds.flatMap(_._2.sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet
+      }
+    val rows = CurationOps.q131(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(10).foreach { r =>
+      val (s1, s2) = (r.getAs[String]("s1"), r.getAs[String]("s2"))
+      assert(s1 < s2, "upper-triangle pairs only")
+      val (a, b) = (setsBySource(s1), setsBySource(s2))
+      val inter = (a & b).size
+      assert(r.getAs[Long]("n1") == a.size.toLong)
+      assert(r.getAs[Long]("n2") == b.size.toLong)
+      assert(r.getAs[Long]("inter") == inter.toLong)
+      val j = math.floor(inter.toDouble / (a.size + b.size - inter) * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Double]("jaccard") == j)
+    }
+  }
+
   test("q129 calibration: quintiles partition each source, quality descends") {
     val rows = CurationOps.q129(spark, Sf).collect()
     val perSource = rows.groupBy(_.getAs[String]("source"))
