@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns.{hash60, hash60Sql, rnd, rndSql, shingles, shinglesSql, tokens}
+import graft.functions.TextFns.{hash60, hash60Sql, rnd, rndSql, shinglesSql, tokens}
 import graft.functions.{TextKernels, TopKAgg}
 import graft.sources.Tables
 
@@ -21,8 +21,13 @@ object CorpusOps {
   private val trigramSetSql: String =
     s"list_distinct(${shinglesSql("string_split(text, ' ')", 3)})"
 
+  // native kernel, not array_distinct(shingles(tokens(text), 3)):
+  // value-identical (KernelSpec parity incl. <3-token edge), but the
+  // interpreted HOF chain re-splits the text per element reference —
+  // measured 23.8 s for q105 at the 10× stress replica vs the
+  // kernel's one JIT'd loop per doc
   private def trigramSet(text: Column): Column =
-    array_distinct(shingles(tokens(text), 3))
+    TextKernels.trigramSetCol(text)
 
   /** q105's per-doc distinct-trigram frame, materialized ONCE per
     * (session, dir) — the build side (df index), the probe side, and
