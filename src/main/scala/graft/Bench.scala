@@ -86,6 +86,9 @@ object Bench {
       "kmeans_codebook" -> (() => {
         operators.KMeansCodebook.trained(spark, sfDir,
           queries.AnnTrained.Cells, queries.AnnTrained.Iters); ()
+      }),
+      "hist_window_index" -> (() => {
+        queries.CurationOps.persistedHistoryIndex(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

@@ -291,13 +291,30 @@ object CurationOps {
   // ---------------------------------------------------------------
   final val TrimTopK = 40
 
+  /** q130's history window index as a cross-session Warehouse
+    * artifact (q57 / persistedScoredPairs machinery): built once per
+    * corpus generation, hash-bucketed on the probe key, re-registered
+    * from surviving files by any later JVM — the persisted form the
+    * scale note above argues for, not just an in-session cache.
+    */
+  private[graft] def persistedHistoryIndex(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_hist_windows_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureBucketedTable(spark, table,
+      s"$dir/documents.parquet", "h", 8)(
+      Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 =!= 7)
+        .select(explode(
+          graft.functions.TextKernels.winHashCol(col("text"), WinK)).as("h"))
+        .distinct())
+    spark.table(table)
+  }
+
   def q130(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"),
         graft.functions.TextKernels.winHashCol(col("text"), WinK).as("wh"))
     val isBatch = col("doc_id") % 10 === 7
-    val histIndex = docs.where(!isBatch)
-      .select(explode(col("wh")).as("h")).distinct()
+    val histIndex = persistedHistoryIndex(spark, dir)
     val batchWins = docs.where(isBatch)
       .select(col("doc_id"), posexplode(col("wh")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))

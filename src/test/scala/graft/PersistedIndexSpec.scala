@@ -44,4 +44,24 @@ class PersistedIndexSpec extends SparkTestBase {
       "re-registered pair table must carry identical content")
     info(f"pair-index build $buildSec%.2f s vs files re-register $rereadSec%.2f s")
   }
+
+  test("q130's history window index persists and re-registers from files") {
+    val table = s"graft_hist_windows_${Integer.toHexString(dir.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    val built = graft.queries.CurationOps.persistedHistoryIndex(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("written"))
+    val expected = built.collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty)
+    spark.sql(s"DROP TABLE $table")
+    val reread = graft.queries.CurationOps.persistedHistoryIndex(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("files"))
+    assert(reread.collect().map(_.getLong(0)).toSet == expected)
+    // and the declared query runs against the re-registered table
+    assert(graft.queries.CurationOps.q130(spark, dir).count() > 0)
+  }
 }
