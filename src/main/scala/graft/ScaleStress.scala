@@ -137,6 +137,12 @@ object ScaleStress {
     // the replica is again adversarial (every window occurs 10x, so
     // the ENTIRE corpus becomes duplicated spans — maximal hit lists)
     time("q127_window_dedup@10x")(queries.CurationOps.q127(spark, cdir).count())
+    time("q131_source_overlap@10x")(queries.CurationOps.q131(spark, cdir).count())
+    // streaming ingest trim at 10x: builds the replica's own warehouse
+    // window index (fingerprinted to the temp corpus), then the
+    // stream-static probe — state is the alert set, never the stream
+    time("q132_stream_span_trim@10x")(
+      queries.StreamingQueries.q132(spark, cdir).count())
     // map-heavy kernels through the noop sink (count() would prune the
     // very projections under audit): the fused fingerprint+simhash
     // pass and the per-pixel resize over 500k docs

@@ -153,7 +153,66 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY user_id, purchase_id, click_id""".stripMargin
 
+  // q132_stream_span_trim — continuous-ingest exact-substring dedup:
+  // the new-batch document stream (q87/q130's doc_id split) probes
+  // the Warehouse-persisted history window index — the SAME
+  // cross-session bucketed table batch q130 reads — through a
+  // STATELESS stream-static equi-join on the 60-bit window hash,
+  // then one per-doc aggregate assembles the trimmed-span report.
+  // Only documents with >= 1 duplicated span emit: the ingest-time
+  // alert stream, q130's batch complement. State is the per-doc
+  // aggregate only (the join itself holds nothing); a production
+  // run would watermark on ingest time — the backlog replay uses
+  // Complete over the bounded alert set instead.
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.rnd
+    val k = CurationOps.WinK
+    val name = s"stream_span_trim_${runId.incrementAndGet()}"
+    val docsSchema = graft.sources.Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        posexplode(graft.functions.TextKernels.winHashCol(col("text"), k))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n_tok"), (col("p0") + 1).as("pos"), col("h"))
+    val agg = stream.join(CurationOps.persistedHistoryIndex(spark, dir), "h")
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(collect_list(col("pos")).as("ps"))
+    EventStreams.runToMemory(agg, name, OutputMode.Complete(), ReplayStateParts)
+      .select(col("doc_id"), col("n_tok"),
+        size(col("ps")).cast("long").as("n_hit_windows"),
+        size(array_distinct(flatten(
+          transform(col("ps"), p => sequence(p, p + k - 1)))))
+          .cast("long").as("trimmed_tokens"))
+      .withColumn("kept_frac",
+        rnd(lit(1.0) - col("trimmed_tokens").cast("double") / col("n_tok").cast("double"), 4))
+      .orderBy(desc("trimmed_tokens"), col("doc_id")).limit(CurationOps.TrimTopK)
+  }
+
+  val q132Sql: String = {
+    import graft.functions.TextFns.{hash60Sql, rndSql}
+    val k = CurationOps.WinK
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, i AS pos,
+       |  ${hash60Sql(s"array_to_string(t[i:i+${k - 1}], ' ')")} AS h
+       |  FROM d, unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)
+       |  WHERE len(t) >= $k),
+       |hist AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 <> 7),
+       |hits AS (SELECT doc_id, list(pos) AS ps
+       |  FROM w JOIN hist USING (h) WHERE doc_id % 10 = 7 GROUP BY doc_id),
+       |c AS (SELECT d.doc_id, len(t) AS n_tok,
+       |  len(ps)::BIGINT AS n_hit_windows,
+       |  len(list_distinct(flatten(list_transform(ps,
+       |    p -> generate_series(p, p + ${k - 1})))))::BIGINT AS trimmed_tokens
+       |  FROM d JOIN hits ON d.doc_id = hits.doc_id)
+       |SELECT doc_id, n_tok, n_hit_windows, trimmed_tokens,
+       |  ${rndSql("1.0 - trimmed_tokens::DOUBLE / n_tok::DOUBLE", 4)} AS kept_frac
+       |FROM c ORDER BY trimmed_tokens DESC, doc_id LIMIT ${CurationOps.TrimTopK}""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q132_stream_span_trim" -> (q132 _),
     "q42_stream_tumbling" -> (q42 _),
     "q43_stream_sessions" -> (q43 _),
     "q60_stream_dedup" -> (q60 _),
@@ -163,6 +222,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q132_stream_span_trim" -> q132Sql,
     "q42_stream_tumbling" -> EventsOps.q40Sql,
     "q43_stream_sessions" -> EventsOps.q39Sql,
     "q60_stream_dedup" -> q60Sql,

@@ -19,6 +19,22 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("streaming span trim == batch q130's hit rows (stream-static vs warehouse index)") {
+    val stream = StreamingQueries.q132(spark, Sf).collect()
+    assert(stream.nonEmpty, "corpus has batch docs with duplicated spans")
+    // q132 emits exactly q130's rows with >= 1 hit window (the batch
+    // variant left-joins zero-hit docs in; ordering puts hits first,
+    // so below the display limit the hit-prefix must match exactly)
+    val batchHits = graft.queries.CurationOps.q130(spark, Sf).collect()
+      .filter(_.getAs[Long]("n_hit_windows") > 0)
+    assert(stream.length == batchHits.length)
+    stream.zip(batchHits).foreach { case (s, b) =>
+      assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"))
+      assert(s.getAs[Long]("trimmed_tokens") == b.getAs[Long]("trimmed_tokens"))
+      assert(s.getAs[Double]("kept_frac") == b.getAs[Double]("kept_frac"))
+    }
+  }
+
   test("stream-stream LEFT OUTER join == batch left join, nulls included") {
     import org.apache.spark.sql.functions._
     val stream = StreamingQueries.q84(spark, Sf).collect()
