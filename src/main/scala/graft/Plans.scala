@@ -70,7 +70,9 @@ object Plans {
       "q128_priority_sample" -> "priority sampling: map-side hash-uniform keys, TakeOrdered top-(K+1), broadcast tau",
       "q129_source_calibration" -> "per-source rank window (domain-count partitions), integer quintiles, fixed-point means",
       "q130_span_trim" -> "batch probes the history window-hash index: one uniform-key equi-join, history text never read",
-      "q131_source_overlap" -> "per-gram source pairs from bounded collect_set, broadcast size re-attach")
+      "q131_source_overlap" -> "per-gram source pairs from bounded collect_set, broadcast size re-attach",
+      "q133_funnel" -> "three MIN-CASE windows on ONE user exchange (no sort), single manifest aggregate",
+      "q134_cohort_retention" -> "cohort via unordered MIN window, distinct-count matrix, broadcast base re-attach")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -174,17 +174,154 @@ object EventsOps {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, start_us""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q133_funnel — ordered-sequence funnel analysis (the product-
+  // analytics staple): per user, the first 'view', the first 'click'
+  // within 24 h strictly after it, the first 'purchase' within 72 h
+  // strictly after that; emitted as the one-row conversion manifest
+  // with stage counts, conversion rates, and mean hours
+  // view→purchase. Interval bounds are exact integer-microsecond
+  // timestamp math on both engines.
+  //
+  // Scale shape: the three stage timestamps are unordered MIN-CASE
+  // windows over the SAME user partitioning — Catalyst plans one
+  // exchange and no sort (no orderBy in the window frame); the
+  // manifest is a single partial+final aggregate. No self-joins, no
+  // per-stage passes — the idiomatic distributed funnel. Time math
+  // stays in integer microseconds (unix_micros / epoch_us) so both
+  // engines sum identical exact values.
+  // ---------------------------------------------------------------
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"),
+          col("ts"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_view"),
+      count(col("t2")).as("n_click_after_view"),
+      count(col("t3")).as("n_full_funnel"),
+      sum(when(col("t3").isNotNull,
+        unix_micros(col("t3")) - unix_micros(col("t1")))).as("sum_us"))
+      .select(col("n_users"), col("n_view"), col("n_click_after_view"),
+        col("n_full_funnel"),
+        rnd(col("n_click_after_view").cast("double") / col("n_view").cast("double"), 4)
+          .as("cr_click"),
+        rnd(col("n_full_funnel").cast("double") /
+          col("n_click_after_view").cast("double"), 4).as("cr_purchase"),
+        rnd(col("sum_us").cast("double") / col("n_full_funnel").cast("double")
+          / 3.6e9, 4).as("mean_hours_to_convert"))
+  }
+
+  val q133Sql: String =
+    s"""WITH staged AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+       |      OVER (PARTITION BY user_id) AS t1,
+       |    ts, event_type
+       |  FROM events),
+       |s2 AS (
+       |  SELECT user_id, t1,
+       |    MIN(CASE WHEN event_type = 'click' AND ts > t1
+       |             AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+       |      OVER (PARTITION BY user_id) AS t2,
+       |    ts, event_type
+       |  FROM staged),
+       |s3 AS (
+       |  SELECT user_id, t1, t2,
+       |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+       |             AND ts <= t2 + INTERVAL 72 HOUR THEN ts END)
+       |      OVER (PARTITION BY user_id) AS t3
+       |  FROM s2),
+       |per_user AS (
+       |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+       |  FROM s3 GROUP BY user_id)
+       |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_view,
+       |  COUNT(t2) AS n_click_after_view, COUNT(t3) AS n_full_funnel,
+       |  ${rndSql("COUNT(t2)::DOUBLE / COUNT(t1)::DOUBLE", 4)} AS cr_click,
+       |  ${rndSql("COUNT(t3)::DOUBLE / COUNT(t2)::DOUBLE", 4)} AS cr_purchase,
+       |  ${rndSql("SUM(epoch_us(t3) - epoch_us(t1))::DOUBLE / COUNT(t3)::DOUBLE / 3600000000.0", 4)} AS mean_hours_to_convert
+       |FROM per_user""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q134_cohort_retention — cohort analysis: users grouped by
+  // first-seen day, activity re-bucketed as day offsets from the
+  // cohort day, classic day-1/3/7/14 retention rates per cohort.
+  //
+  // Scale shape: the cohort day is one unordered MIN window over the
+  // user partitioning (same single-exchange argument as q133); the
+  // matrix is one distinct-count aggregate; cohort sizes re-attach
+  // by broadcast of the offset-0 slice (cohort-count rows, tiny by
+  // construction). Day arithmetic is integer (datediff), exact on
+  // both engines.
+  // ---------------------------------------------------------------
+  final val RetentionOffsets = Seq(0, 1, 3, 7, 14)
+
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+    val counts = d.where(col("day_offset").isin(RetentionOffsets: _*))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val base = counts.where(col("day_offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    counts.join(broadcast(base), "cohort")
+      .select(col("cohort"), col("day_offset"), col("cohort_size"),
+        col("n_active"),
+        rnd(col("n_active").cast("double") / col("cohort_size").cast("double"), 4)
+          .as("retention"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val q134Sql: String = {
+    val offs = RetentionOffsets.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+       |  FROM events),
+       |counts AS (
+       |  SELECT cohort, datediff('day', cohort, day)::BIGINT AS day_offset,
+       |    COUNT(DISTINCT user_id) AS n_active
+       |  FROM d WHERE datediff('day', cohort, day) IN ($offs)
+       |  GROUP BY 1, 2),
+       |base AS (SELECT cohort, n_active AS cohort_size
+       |  FROM counts WHERE day_offset = 0)
+       |SELECT c.cohort, c.day_offset, b.cohort_size, c.n_active,
+       |  ${rndSql("c.n_active::DOUBLE / b.cohort_size::DOUBLE", 4)} AS retention
+       |FROM counts c JOIN base b USING (cohort)
+       |ORDER BY cohort, day_offset""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q38_json_extract" -> (q38 _),
     "q39_sessionize" -> (q39 _),
     "q40_tumbling_hourly" -> (q40 _),
     "q41_fill_replace" -> (q41 _),
-    "q67_session_window" -> (q67 _))
+    "q67_session_window" -> (q67 _),
+    "q133_funnel" -> (q133 _),
+    "q134_cohort_retention" -> (q134 _))
 
   def oracles: Map[String, String] = Map(
     "q38_json_extract" -> q38Sql,
     "q39_sessionize" -> q39Sql,
     "q40_tumbling_hourly" -> q40Sql,
     "q41_fill_replace" -> q41Sql,
-    "q67_session_window" -> q67Sql)
+    "q67_session_window" -> q67Sql,
+    "q133_funnel" -> q133Sql,
+    "q134_cohort_retention" -> q134Sql)
 }
