@@ -72,7 +72,9 @@ object Plans {
       "q130_span_trim" -> "batch probes the history window-hash index: one uniform-key equi-join, history text never read",
       "q131_source_overlap" -> "per-gram source pairs from bounded collect_set, broadcast size re-attach",
       "q133_funnel" -> "three MIN-CASE windows on ONE user exchange (no sort), single manifest aggregate",
-      "q134_cohort_retention" -> "cohort via unordered MIN window, distinct-count matrix, broadcast base re-attach")
+      "q134_cohort_retention" -> "cohort via unordered MIN window, distinct-count matrix, broadcast base re-attach",
+      "q135_event_transitions" -> "one sorted user window (lag), combinable pair count, broadcast row totals",
+      "q136_hourly_anomaly" -> "combinable hourly rollup, broadcast per-type stats from exact integer sums")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -199,6 +199,15 @@ object ScaleStress {
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(sdir, "events.parquet"))
 
+    // batch event-analytics family at 10x (1M events, 10x users):
+    // the funnel/cohort windows partition by user, so 10x the key
+    // population at the same span is the direction that grows the
+    // exchange — wall should track rows, never users^2
+    time("q133_funnel@10x")(queries.EventsOps.q133(spark, sdir).count())
+    time("q134_cohort_retention@10x")(queries.EventsOps.q134(spark, sdir).count())
+    time("q135_event_transitions@10x")(queries.EventsOps.q135(spark, sdir).count())
+    time("q136_hourly_anomaly@10x")(queries.EventsOps.q136(spark, sdir).count())
+
     import org.apache.spark.sql.streaming.OutputMode
     import graft.streaming.EventStreams
     def stressStream(name: String, df: org.apache.spark.sql.DataFrame,

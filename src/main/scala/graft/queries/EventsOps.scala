@@ -307,6 +307,104 @@ object EventsOps {
        |ORDER BY cohort, day_offset""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q135_event_transitions — first-order Markov transition matrix
+  // over per-user event sequences (the "what do users do next"
+  // path analysis): lag the event type within each user's (ts,
+  // event_id)-ordered stream, count (prev, next) pairs, attach the
+  // per-prev row total, emit exact transition probabilities.
+  //
+  // Scale shape: ONE user-partitioned sorted window (the shuffle a
+  // sequence model inherently needs — same exchange a sessionize
+  // pays), one combinable pair count, and the 25-row matrix joins
+  // its row totals by broadcast. The probability is one division of
+  // exact counts — bit-identical cross-engine.
+  // ---------------------------------------------------------------
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"), col("row_total"),
+        rnd(col("n").cast("double") / col("row_total").cast("double"), 4).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val q135Sql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT prev_type, event_type, COUNT(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT prev_type, SUM(n)::BIGINT AS row_total FROM pairs GROUP BY 1)
+       |SELECT p.prev_type, p.event_type, p.n, t.row_total,
+       |  ${rndSql("p.n::DOUBLE / t.row_total::DOUBLE", 4)} AS p
+       |FROM pairs p JOIN totals t USING (prev_type)
+       |ORDER BY prev_type, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q136_hourly_anomaly — volume anomaly detection: hourly event
+  // counts z-scored against their event-type's own mean/std, hours
+  // with |z| >= ZCut flagged. Variance is computed FROM EXACT
+  // INTEGER sums (n, Σc, Σc²) with the identical explicit formula
+  // on both engines — no library stddev, whose accumulation order
+  // could differ — so mean/var/z are bit-identical doubles.
+  //
+  // Scale shape: the hourly rollup is one combinable aggregate; the
+  // per-type stats frame is |event types| rows and re-attaches by
+  // broadcast; the flag pass is a pure map. The monitoring shape a
+  // pipeline owner runs over ingest volumes.
+  // ---------------------------------------------------------------
+  final val ZCut = 2.0
+
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s").cast("double") / col("n_hours").cast("double")).as("mean_c"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n_hours").cast("double")) / col("n_hours").cast("double"))
+          .as("std_c"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("c").cast("double") - col("mean_c")) / col("std_c"))
+      .where(abs(col("z")) >= ZCut)
+      .select(col("hour_start"), col("event_type"), col("c"),
+        rnd(col("mean_c"), 4).as("mean_c"), rnd(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  val q136Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       |    event_type, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_hours,
+       |    SUM(c)::DOUBLE / COUNT(*)::DOUBLE AS mean_c,
+       |    sqrt((SUM(c*c)::DOUBLE - SUM(c)::DOUBLE * SUM(c)::DOUBLE
+       |      / COUNT(*)::DOUBLE) / COUNT(*)::DOUBLE) AS std_c
+       |  FROM hourly GROUP BY 1)
+       |SELECT h.hour_start, h.event_type, h.c,
+       |  ${rndSql("s.mean_c", 4)} AS mean_c,
+       |  ${rndSql("(h.c::DOUBLE - s.mean_c) / s.std_c", 4)} AS z
+       |FROM hourly h JOIN stats s USING (event_type)
+       |WHERE abs((h.c::DOUBLE - s.mean_c) / s.std_c) >= $ZCut
+       |ORDER BY event_type, hour_start""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q38_json_extract" -> (q38 _),
     "q39_sessionize" -> (q39 _),
@@ -314,7 +412,9 @@ object EventsOps {
     "q41_fill_replace" -> (q41 _),
     "q67_session_window" -> (q67 _),
     "q133_funnel" -> (q133 _),
-    "q134_cohort_retention" -> (q134 _))
+    "q134_cohort_retention" -> (q134 _),
+    "q135_event_transitions" -> (q135 _),
+    "q136_hourly_anomaly" -> (q136 _))
 
   def oracles: Map[String, String] = Map(
     "q38_json_extract" -> q38Sql,
@@ -323,5 +423,7 @@ object EventsOps {
     "q41_fill_replace" -> q41Sql,
     "q67_session_window" -> q67Sql,
     "q133_funnel" -> q133Sql,
-    "q134_cohort_retention" -> q134Sql)
+    "q134_cohort_retention" -> q134Sql,
+    "q135_event_transitions" -> q135Sql,
+    "q136_hourly_anomaly" -> q136Sql)
 }

@@ -43,6 +43,55 @@ class FunnelRetentionSpec extends SparkTestBase {
     assert(row.getAs[Double]("cr_click") < 1.0)
   }
 
+  test("q135 transition matrix == plain-Scala per-user bigram count, rows sum to 1") {
+    // recount in the PLAN'S exact order: (ts, event_id) per user
+    val full = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val byId = full.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._4))
+      sorted.map(_._2).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = EventsOps.q135(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == byId.values.sum.toLong)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("prev_type"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == byId(key).toLong, s"cell $key")
+    }
+    // per-prev probabilities sum to ~1 (rounding at 4 dp)
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { g =>
+      val s = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(s - 1.0) < 5e-4, s"row sums to $s")
+    }
+  }
+
+  test("q136 anomalies == recomputed z-scores from exact integer sums") {
+    val hourMs = 3600000L
+    val hourly = events.groupBy(e => (Math.floorDiv(e._3.getTime, hourMs), e._2))
+      .view.mapValues(_.size).toMap
+    val byType = hourly.groupBy(_._1._2)
+    val flagged = byType.flatMap { case (t, cells) =>
+      val cs = cells.values.map(_.toLong).toSeq
+      val n = cs.size.toDouble
+      val s = cs.sum.toDouble
+      val ss = cs.map(c => c * c).sum.toDouble
+      val mean = s / n
+      val std = math.sqrt((ss - s * s / n) / n)
+      cells.collect { case ((h, _), c) if math.abs((c - mean) / std) >= EventsOps.ZCut =>
+        ((h, t), (c, (c - mean) / std))
+      }
+    }
+    val rows = EventsOps.q136(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length == flagged.size)
+    rows.foreach { r =>
+      val h = Math.floorDiv(r.getAs[Timestamp]("hour_start").getTime, hourMs)
+      val key = (h, r.getAs[String]("event_type"))
+      val (c, z) = flagged(key)
+      assert(r.getAs[Long]("c") == c.toLong)
+      assert(r.getAs[Double]("z") == math.floor(z * 1e4 + 0.5) / 1e4, s"z at $key")
+    }
+  }
+
   test("q134 retention: offsets partition activity, rates from the cohort base") {
     val dayMs = 86400000L
     def day(t: Timestamp): Long = Math.floorDiv(t.getTime, dayMs)
