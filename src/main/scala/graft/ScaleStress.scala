@@ -168,6 +168,19 @@ object ScaleStress {
         java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
     time("q112_trade_pagerank@10x")(
       queries.GraphOps.q112(spark, gdir.toString).count())
+    // triangle census at 10x: the replica repeats each order's part
+    // set 10 times (shifted orderkeys, SAME parts), so every pair's
+    // support is x10 and far more pairs clear MinSupport — edge count
+    // grows toward pair-population saturation, a denser graph than
+    // organic 10x growth would make. Degree orientation is what must
+    // hold: wall tracks the oriented wedge count, never deg_max^2.
+    time("q139_triangle_count@10x")(
+      queries.GraphOps.q139(spark, gdir.toString).count())
+    // SCD2 at 10x: the replica shifts only orderkeys, so this is 10x
+    // the change-log rows on the SAME custkeys — per-key run lengths
+    // grow 10x, the direction that stresses the sorted window pass
+    time("q140_scd2_intervals@10x")(
+      queries.TemporalOps.q140(spark, gdir.toString).count())
 
     // ---- streaming family at 10x (watermark-bounded state audit) ----
     // 10 user-shifted copies of the event stream (1M rows, 10x the
@@ -207,6 +220,15 @@ object ScaleStress {
     time("q134_cohort_retention@10x")(queries.EventsOps.q134(spark, sdir).count())
     time("q135_event_transitions@10x")(queries.EventsOps.q135(spark, sdir).count())
     time("q136_hourly_anomaly@10x")(queries.EventsOps.q136(spark, sdir).count())
+
+    // skew/temporal family at 10x: the salted agg/join spread the
+    // SAME 5 hot keys over 10x the rows — wall must track rows (the
+    // salt keeps every reducer at 1/16th of a hot key); attribution
+    // and cumulative-uniques ride the user exchange like q133-q136
+    time("q137_salted_agg@10x")(queries.SkewOps.q137(spark, sdir).count())
+    time("q138_salted_join@10x")(queries.SkewOps.q138(spark, sdir).count())
+    time("q141_cumulative_uniques@10x")(queries.TemporalOps.q141(spark, sdir).count())
+    time("q142_last_touch_attribution@10x")(queries.TemporalOps.q142(spark, sdir).count())
 
     import org.apache.spark.sql.streaming.OutputMode
     import graft.streaming.EventStreams

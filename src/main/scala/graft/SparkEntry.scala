@@ -26,7 +26,8 @@ object SparkEntry {
       Extended.queries ++ Bucketed.queries ++ BinaryFiles.queries ++ AnnTrained.queries ++ PqQueries.queries ++
       Reshape.queries ++ RangeJoin.queries ++ Layout.queries ++ // q85 rides in PqQueries.queries
       JobCores.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
-      GraphOps.queries ++ Retrieval.queries ++ CurationOps.queries
+      GraphOps.queries ++ Retrieval.queries ++ CurationOps.queries ++
+      SkewOps.queries ++ TemporalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -38,5 +39,6 @@ object SparkEntry {
       Extended.oracles ++ Bucketed.oracles ++ BinaryFiles.oracles ++ AnnTrained.oracles ++ PqQueries.oracles ++
       Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles ++
       JobCores.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
-      GraphOps.oracles ++ Retrieval.oracles ++ CurationOps.oracles
+      GraphOps.oracles ++ Retrieval.oracles ++ CurationOps.oracles ++
+      SkewOps.oracles ++ TemporalOps.oracles
 }

@@ -128,7 +128,117 @@ object GraphOps {
        |ORDER BY s3.score DESC, nation""".stripMargin
   }
 
-  def queries: Map[String, Q] = Map("q112_trade_pagerank" -> (q112 _))
+  // ---------------------------------------------------------------
+  // q139_triangle_count — triangle census of the co-purchase graph:
+  // parts are adjacent when they appear together in >= MinSupport
+  // orders (the market-basket support threshold that keeps the edge
+  // set at the BIRTHDAY-COLLISION density rather than the raw
+  // per-order pair explosion). Output is the one-row graph summary:
+  // nodes, edges, wedges (open triads), triangles, and the global
+  // clustering coefficient 3*tri/wedges.
+  //
+  // The Spark side counts each triangle exactly once via DEGREE
+  // ORDERING — every edge is oriented from its lower-(degree, id)
+  // endpoint to the higher one, wedges form only at a vertex that
+  // ranks below both neighbors, and a join against the oriented
+  // edge set closes them. Degree orientation bounds every vertex's
+  // out-degree by O(sqrt(m)) REGARDLESS of skew — a celebrity node
+  // with 10^6 neighbors contributes wedges at its (few, high-rank)
+  // out-neighbors, never C(10^6, 2) locally — which is what makes
+  // the census feasible on a power-law graph at 100 TB where the
+  // naive id-ordered join would melt one reducer. The oracle proves
+  // orientation is count-invariant: it enumerates the same census
+  // with the textbook a<b<c triple join.
+  //
+  // Scale shape: the pair build shuffles once on l_orderkey (per-
+  // order Θ(k²) pairs with k ≤ items-per-order, a bounded constant);
+  // support pruning is a combinable count; the census runs entirely
+  // on the pruned edge set. All joins are equi-joins.
+  // ---------------------------------------------------------------
+  final val MinSupport = 2
 
-  def oracles: Map[String, String] = Map("q112_trade_pagerank" -> q112Sql)
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.rnd
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= MinSupport)
+      .select(col("u"), col("v"))
+      // every census pass below re-reads this frame; one eager cut
+      // stops each from re-running the corpus-sized pair build
+      .localCheckpoint()
+    // undirected degree, then a total order rank = (degree, id)
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val ranked = deg.select(col("n"),
+      (col("deg") * lit(1L << 32) + col("n")).as("rank"))
+    // orient low-rank -> high-rank
+    val oriented = edges
+      .join(ranked.withColumnRenamed("n", "u").withColumnRenamed("rank", "ru"), "u")
+      .join(ranked.withColumnRenamed("n", "v").withColumnRenamed("rank", "rv"), "v")
+      .select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
+    val triangles = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.as("e3").select(
+        col("src").as("b2"), col("dst").as("c2")),
+        col("b") === col("b2") && col("c") === col("c2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // Σ deg·(deg−1) summed as exact longs, halved once at the end
+    // (the sum of an even-termed series is even — no precision hop)
+    val wedges = deg
+      .agg(expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(nEdges).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          rnd(lit(3) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("clustering"))
+  }
+
+  val q139Sql: String = {
+    val r = graft.functions.TextFns.rndSql(
+      "3 * tri.n_triangles::DOUBLE / w.n_wedges::DOUBLE", 6)
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS deg FROM (
+       |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY n),
+       |w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges,
+       |             COUNT(*) AS n_nodes FROM deg),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.v = e2.u
+       |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT w.n_nodes, ne.n_edges, w.n_wedges, tri.n_triangles,
+       |  CASE WHEN w.n_wedges > 0 THEN $r END AS clustering
+       |FROM w, ne, tri""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q112_trade_pagerank" -> (q112 _),
+    "q139_triangle_count" -> (q139 _))
+
+  def oracles: Map[String, String] = Map(
+    "q112_trade_pagerank" -> q112Sql,
+    "q139_triangle_count" -> q139Sql)
 }

@@ -1,0 +1,175 @@
+package graft
+
+import java.sql.Timestamp
+import scala.math.BigDecimal.RoundingMode
+import graft.queries.{GraphOps, SkewOps, TemporalOps}
+
+/** The round-7 skew/temporal/graph additions pinned by plain-Scala
+  * recomputations over the collected sf0.001 corpus — independent of
+  * both the Spark plans and the DuckDB oracles. The skew queries get
+  * the extra physical assert: salting must actually reach the plan
+  * (a salted agg that Catalyst collapses back to one level would
+  * still pass the semantic check while defeating the point).
+  */
+class SkewTemporalSpec extends SparkTestBase {
+
+  private def dec6(v: Double): BigDecimal =
+    BigDecimal(v).setScale(6, RoundingMode.HALF_UP)
+
+  private lazy val events: Seq[(Long, Long, String, Double, Timestamp, String)] =
+    graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "user_id", "event_type", "value", "ts", "props")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4), r.getString(5)))
+
+  test("q137 salted agg == unsalted recount, and the salt reaches the plan") {
+    val expect = events.groupBy(_._3).map { case (t, es) =>
+      t -> ((es.size.toLong, es.map(_._2).distinct.size.toLong,
+        es.map(e => dec6(e._4)).sum))
+    }
+    val df = SkewOps.q137(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), "level-1 salt grouping was optimized away")
+    val rows = df.collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, u, s) = expect(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_users") == u)
+      assert(r.getAs[Double]("sum_value") == s.toDouble)
+      assert(r.getAs[Double]("avg_value") == s.toDouble / n)
+    }
+  }
+
+  test("q138 salted join == plain weighted rollup, via a shuffle join") {
+    val weights = Map("view" -> 1, "click" -> 3, "signup" -> 10,
+      "purchase" -> 25, "error" -> 0)
+    val expect = events.groupBy(_._3).map { case (t, es) =>
+      t -> ((es.size.toLong, es.map(e => dec6(weights(t) * e._4)).sum))
+    }
+    val df = SkewOps.q138(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "the dim-cannot-broadcast scenario must plan a shuffle join")
+    assert(plan.contains("salt"), "join keys lost the salt")
+    val rows = df.collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, s) = expect(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("weighted_value") == s.toDouble)
+    }
+  }
+
+  test("q139 degree-oriented census == brute-force adjacency count") {
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity)
+      // NB: Map.collect over tuple results would rebuild a Map and
+      // collapse edges sharing a first endpoint — filter + keySet
+      .filter(_._2.size >= GraphOps.MinSupport).keySet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val tri = adj.map { case (_, ns) =>
+      (for (i <- ns.indices; j <- (i + 1) until ns.length
+            if edges.contains((ns(i), ns(j)))) yield 1).size.toLong
+    }.sum
+    val row = GraphOps.q139(spark, Sf).collect().head
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == deg.values.map(d => d * (d - 1) / 2).sum)
+    assert(row.getAs[Long]("n_triangles") == tri)
+    assert(tri > 0, "degenerate fixture: no triangles to certify against")
+  }
+
+  // o_orderdate scans as TIMESTAMP_NTZ → LocalDateTime in collect()
+  private def ntz(x: Any): Timestamp = x match {
+    case t: Timestamp               => t
+    case d: java.time.LocalDateTime => Timestamp.valueOf(d)
+  }
+
+  test("q140 SCD2 intervals == per-customer run-length fold") {
+    val orders = graft.sources.Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), ntz(r.get(1)), r.getLong(2), r.getString(3)))
+    val expected = orders.groupBy(_._1).flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2.getTime, o._3))
+      val runs = sorted.foldLeft(Vector.empty[(String, Timestamp, Long)]) {
+        case (acc, (_, d, _, p)) =>
+          if (acc.nonEmpty && acc.last._1 == p)
+            acc.init :+ ((p, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((p, d, 1L))
+      }
+      runs.zipWithIndex.map { case ((p, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (ck, (i + 1).toLong, p, from, to, n, to.isEmpty)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val rows = TemporalOps.q140(spark, Sf).collect().map { r =>
+      (r.getAs[Long]("o_custkey"), r.getAs[Long]("version"),
+        r.getAs[String]("priority"), ntz(r.getAs[Any]("valid_from")),
+        Option(r.getAs[Any]("valid_to")).map(ntz), r.getAs[Long]("n_orders"),
+        r.getAs[Boolean]("is_current"))
+    }.toSeq
+    assert(rows == expected)
+    assert(rows.map(_._6).sum == orders.length.toLong,
+      "interval order counts must conserve the change log")
+  }
+
+  test("q141 cumulative uniques == first-seen attribution recount") {
+    def day(t: Timestamp): java.time.LocalDate =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val byDay = events.groupBy(e => day(e._5))
+    val firstDay = events.groupBy(_._2).view
+      .mapValues(es => es.map(e => day(e._5)).min).toMap
+    val days = byDay.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    var cum = 0L
+    val expected = days.map { d =>
+      val es = byDay(d)
+      val nu = firstDay.count(_._2 == d).toLong
+      cum += nu
+      (d.toString, es.size.toLong, es.map(_._2).distinct.size.toLong, nu, cum)
+    }
+    val rows = TemporalOps.q141(spark, Sf).collect().map { r =>
+      (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n_events"),
+        r.getAs[Long]("daily_active"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("cum_users"))
+    }.toSeq
+    assert(rows == expected)
+  }
+
+  test("q142 last-touch attribution == sequential per-user scan") {
+    val kOf = """"k":\s*(\d+)""".r
+    val credits = events.groupBy(_._2).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._5.getTime * 1000L
+        + (e._5.getNanos % 1000000) / 1000, e._1))
+      var lastChan: Option[String] = None
+      sorted.flatMap { case (_, _, tpe, v, _, props) =>
+        val out = if (tpe == "purchase")
+          Some((lastChan.getOrElse("direct"), dec6(v))) else None
+        if (tpe == "click")
+          lastChan = kOf.findFirstMatchIn(props).map(m => "ch" + (m.group(1).toLong % 3))
+        out
+      }
+    }.toSeq
+    val expect = credits.groupBy(_._1).map { case (c, vs) =>
+      c -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    val rows = TemporalOps.q142(spark, Sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, s) = expect(r.getAs[String]("channel"))
+      assert(r.getAs[Long]("n_purchases") == n)
+      assert(r.getAs[Double]("attributed_value") == s.toDouble)
+    }
+    assert(expect.contains("direct") || expect.keys.exists(_.startsWith("ch")))
+  }
+}
