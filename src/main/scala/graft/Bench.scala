@@ -76,6 +76,7 @@ object Bench {
     // what it is. SPARK_GRAFT_NO_SETUP=1 skips (cold-path profiling).
     val setupSteps: Seq[(String, () => Unit)] = Seq(
       "bucketed_layout" -> (() => { queries.Bucketed.ensureBucketed(spark, sfDir); () }),
+      "partitioned_events" -> (() => { queries.Bucketed.ensurePartitionedEvents(spark, sfDir); () }),
       "lsh_scored_pairs" -> (() => { queries.Dedup.lshScoredPairs(spark, sfDir); () }),
       "ssjoin_prefix" -> (() => {
         queries.Dedup.ssDocs(spark, sfDir); queries.Dedup.ssPrefix(spark, sfDir); ()

@@ -74,7 +74,13 @@ object Plans {
       "q133_funnel" -> "three MIN-CASE windows on ONE user exchange (no sort), single manifest aggregate",
       "q134_cohort_retention" -> "cohort via unordered MIN window, distinct-count matrix, broadcast base re-attach",
       "q135_event_transitions" -> "one sorted user window (lag), combinable pair count, broadcast row totals",
-      "q136_hourly_anomaly" -> "combinable hourly rollup, broadcast per-type stats from exact integer sums")
+      "q136_hourly_anomaly" -> "combinable hourly rollup, broadcast per-type stats from exact integer sums",
+      "q137_salted_agg" -> "two-level salted aggregation: (type, salt) exchange spreads hot keys, level-2 carries 80 rows",
+      "q138_salted_join" -> "salted shuffle-hash join: dim replicated per salt, exchange on (type, salt)",
+      "q139_triangle_count" -> "support-pruned co-purchase edges, degree-ordered orientation, wedge-close equi-joins",
+      "q140_scd2_intervals" -> "gaps-and-islands SCD2: lag flag + running sum + lead valid_to on ONE custkey exchange",
+      "q141_cumulative_uniques" -> "first-seen rewrite of running COUNT DISTINCT: two combinable aggs + O(days) window",
+      "q142_last_touch_attribution" -> "ignoreNulls carry-forward on the user exchange, 1-PRECEDING frame, O(channels) rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

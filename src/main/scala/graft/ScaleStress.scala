@@ -225,8 +225,8 @@ object ScaleStress {
     // SAME 5 hot keys over 10x the rows — wall must track rows (the
     // salt keeps every reducer at 1/16th of a hot key); attribution
     // and cumulative-uniques ride the user exchange like q133-q136
-    time("q137_salted_agg@10x")(queries.SkewOps.q137(spark, sdir).count())
-    time("q138_salted_join@10x")(queries.SkewOps.q138(spark, sdir).count())
+    time("q137_salted_agg@10x")(queries.SkewQueries.q137(spark, sdir).count())
+    time("q138_salted_join@10x")(queries.SkewQueries.q138(spark, sdir).count())
     time("q141_cumulative_uniques@10x")(queries.TemporalOps.q141(spark, sdir).count())
     time("q142_last_touch_attribution@10x")(queries.TemporalOps.q142(spark, sdir).count())
 

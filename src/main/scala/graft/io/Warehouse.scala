@@ -103,4 +103,59 @@ object Warehouse {
     provisioned.put(skey, mode)
     mode
   }
+
+  /** Provide `table` as an external HIVE-PARTITIONED parquet layout
+    * (`table/partCol=value/…`) with the same fingerprinted,
+    * cross-session economics as [[ensureBucketedTable]]. Partitioned
+    * layouts are the complement of bucketed ones: bucketing co-
+    * locates JOIN keys, partitioning prunes SCAN ranges — a reader
+    * filtering on the partition column opens only the matching
+    * directories (PartitionFilters never touch row groups at all).
+    * Re-registration runs one DDL + MSCK REPAIR to rediscover the
+    * surviving partition directories in the catalog.
+    */
+  def ensurePartitionedTable(spark: SparkSession, table: String,
+                             srcPath: String, partCol: String)
+                            (build: => DataFrame): String = {
+    val skey = (System.identityHashCode(spark), table)
+    if (spark.catalog.tableExists(table)) {
+      provisioned.put(skey, "catalog")
+      return "catalog"
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val fp = sourceFingerprint(spark, srcPath)
+    val surviving = scala.util.Try {
+      fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        prev == fp
+      }
+    }.getOrElse(false)
+    val mode =
+      if (surviving) {
+        spark.sql(
+          s"""CREATE TABLE $table (${build.schema.toDDL})
+             |USING parquet
+             |PARTITIONED BY ($partCol)
+             |LOCATION '${loc.toString}'""".stripMargin)
+        // rediscover the partition directories a previous JVM wrote
+        spark.sql(s"MSCK REPAIR TABLE $table")
+        "files"
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build.write
+          .option("path", loc.toString) // external: DROP TABLE keeps files
+          .partitionBy(partCol)
+          .mode("overwrite").saveAsTable(table)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        "written"
+      }
+    provisioned.put(skey, mode)
+    mode
+  }
 }

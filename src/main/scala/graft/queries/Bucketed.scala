@@ -93,7 +93,59 @@ object Bucketed {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  def queries: Map[String, Q] = Map("q57_bucketed_join" -> (q57 _))
+  /** Day-partitioned events layout (`…/day=2024-01-07/…`) as a
+    * warehouse-keyed external table — the scan-pruning complement of
+    * the bucketed join layout above, with the same fingerprint +
+    * re-register economics. One file per day: the build repartitions
+    * on the partition column so a 30-day corpus writes 30 files, not
+    * 30 × shuffle-partitions small files (the classic partitioned-
+    * write mistake that melts the namenode at scale).
+    */
+  def ensurePartitionedEvents(spark: SparkSession, dir: String): String = {
+    val t = s"graft_ev_day_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/events.parquet", "day")(
+      Tables.events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day")))
+    t
+  }
 
-  def oracles: Map[String, String] = Map("q57_bucketed_join" -> q57Sql)
+  // ---------------------------------------------------------------
+  // q146_partition_pruned — one week's rollup read through the day-
+  // partitioned layout: the BETWEEN lands in PartitionFilters, so
+  // the scan opens 7 of 30 partition directories and row groups of
+  // other days are never touched (BucketingSpec asserts both the
+  // filter and the pruned partition count). The oracle computes the
+  // same week from the flat events file — identical results prove
+  // partitioning is pure layout, like q57 proves it for bucketing.
+  // ---------------------------------------------------------------
+  final val WeekLo = "2024-01-08"
+  final val WeekHi = "2024-01-14"
+
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensurePartitionedEvents(spark, dir)
+    spark.table(t)
+      .where(col("day").between(
+        lit(WeekLo).cast("date"), lit(WeekHi).cast("date")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q146Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '$WeekLo' AND DATE '$WeekHi'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q57_bucketed_join" -> (q57 _),
+    "q146_partition_pruned" -> (q146 _))
+
+  def oracles: Map[String, String] = Map(
+    "q57_bucketed_join" -> q57Sql,
+    "q146_partition_pruned" -> q146Sql)
 }

@@ -342,7 +342,52 @@ object SketchQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q145_column_profile — the ANALYZE-shape statistics pass: count,
+  // exact NDV, min, max, and an exact decimal sum for every numeric
+  // lineitem column, produced by ONE scan (a single aggregate with
+  // four distinct-aggs planned as an Expand ×4, one shuffle total),
+  // then unpivoted to a row per column. The oracle pays four
+  // separate scans (UNION ALL of per-column aggregates) for the
+  // same numbers — the single-pass shape is the point: a 100 TB
+  // profiling job cannot afford a scan per column. At that scale the
+  // exact NDV swaps for approx_count_distinct (HLL++ partials),
+  // which removes the Expand too; same query shape.
+  // ---------------------------------------------------------------
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        count_distinct(col(c)).as(s"${c}_d"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(col(c).cast("decimal(18,6)")).cast("double").as(s"${c}_sum"))
+    }
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}_n").as("n"),
+        col(s"${c}_d").as("n_distinct"),
+        col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"),
+        col(s"${c}_sum").as("sum_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val q145Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+       |  COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS min_v,
+       |  MAX($c) AS max_v,
+       |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   def queries: Map[String, Q] = Map(
+    "q145_column_profile" -> (q145 _),
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
     "q50_asof_join" -> (q50 _),
@@ -354,6 +399,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q145_column_profile" -> q145Sql,
     "q48_corpus_sketch" -> q48Sql,
     "q49_skew_salted" -> q49Sql,
     "q50_asof_join" -> q50Sql,

@@ -17,7 +17,7 @@ import graft.sources.Tables
   * unsalted equivalents — the DuckDB oracles are the plain forms, so
   * the gate certifies that salting is a pure physical rewrite.
   */
-object SkewOps {
+object SkewQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -28,14 +28,16 @@ object SkewOps {
   final val SaltBuckets = 16
 
   // ---------------------------------------------------------------
-  // q137_salted_agg — two-level (salted) aggregation over the
-  // heavy-hitter key. Level 1 groups by (event_type, salt) where
-  // salt = user_id % 16: each of the 5 hot keys spreads over 16
-  // reducers, and because the salt is a FUNCTION OF user_id, the
-  // per-bucket COUNT(DISTINCT user_id) partials are disjoint — the
-  // level-2 SUM of distinct-counts is exact, not an approximation.
-  // Sums ride the same split trivially (decimal sums are associative
-  // and order-independent, so two levels cannot change a bit).
+  // q137_salted_agg — salted aggregation WITH an exact distinct
+  // count. q49 (operators/SkewOps.saltedCountSum) established the
+  // count/sum split; the piece it cannot do — and the reason this is
+  // a separate operator — is COUNT(DISTINCT user_id): distinct state
+  // does not decompose under an arbitrary salt (the same user would
+  // be counted once per bucket). The trick is choosing the salt AS A
+  // FUNCTION OF the counted key (salt = user_id % 16): every user
+  // lands in exactly one (type, salt) bucket, the per-bucket
+  // distinct partials are disjoint, and the level-2 SUM of
+  // distinct-counts is exact, not an approximation.
   //
   // Scale shape: the first exchange hashes on (type, salt) — 80
   // uniform subkeys instead of 5 hot ones; the second exchange

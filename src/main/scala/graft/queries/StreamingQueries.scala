@@ -211,7 +211,43 @@ object StreamingQueries {
        |FROM c ORDER BY trimmed_tokens DESC, doc_id LIMIT ${CurationOps.TrimTopK}""".stripMargin
   }
 
+  // q143_stream_attribution — incremental last-touch attribution:
+  // flatMapGroupsWithState carries ONE string per user (the last
+  // click's channel) across micro-batches; each purchase emits a
+  // credit row against that carried state. Row-level oracle: the
+  // emitted credits equal TemporalOps.q142's window pass before its
+  // rollup, so the hash gate certifies the stateful scan, not just
+  // an aggregate of it. StreamingSpec replays the same backlog in
+  // time-sliced micro-batches and asserts batch-boundary invariance.
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_attr_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(
+      EventStreams.attributeLastTouch(EventStreams.readEvents(spark, dir)).toDF(),
+      name, OutputMode.Append(), ReplayStateParts)
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  val q143Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'click'
+      |         THEN 'ch' || (json_extract_string(props, '$.k')::BIGINT % 3)
+      |         END AS chan
+      |  FROM events),
+      |attributed AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    LAST_VALUE(chan IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      |  FROM tagged)
+      |SELECT user_id, event_id AS purchase_id,
+      |  COALESCE(attr, 'direct') AS channel, value
+      |FROM attributed
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q143_stream_attribution" -> (q143 _),
     "q132_stream_span_trim" -> (q132 _),
     "q42_stream_tumbling" -> (q42 _),
     "q43_stream_sessions" -> (q43 _),
@@ -222,6 +258,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q143_stream_attribution" -> q143Sql,
     "q132_stream_span_trim" -> q132Sql,
     "q42_stream_tumbling" -> EventsOps.q40Sql,
     "q43_stream_sessions" -> EventsOps.q39Sql,

@@ -196,12 +196,59 @@ object TemporalOps {
       |WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q144_trailing_window — trailing-7-day rolling metrics per event
+  // type: a RANGE frame over the integer day number (not a ROWS
+  // frame — days with no events must still age out of the trail,
+  // which row counting cannot express). Events roll up to daily
+  // grain FIRST, so the window operates on O(days × types) rows and
+  // the frame sums pre-aggregated exact decimals — associativity
+  // makes the two-level sum bit-identical to DuckDB's.
+  //
+  // Scale shape: the corpus-sized work is one combinable daily
+  // rollup; the range window touches only the rollup. This is the
+  // trailing-metrics dashboard shape (7-day actives, rolling
+  // revenue) at any volume.
+  // ---------------------------------------------------------------
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+      .withColumn("dnum", unix_date(col("day")))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("dnum"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n_7d", sum(col("n_events")).over(trail))
+      .withColumn("value_7d", sum(col("sv")).over(trail).cast("double"))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("n_7d"), col("value_7d"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q144Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') AS dnum
+      |  FROM events GROUP BY 1, 2, 5)
+      |SELECT day, event_type, n_events,
+      |  CAST(SUM(n_events) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(sv) OVER w AS DOUBLE) AS value_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day, event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q144_trailing_window" -> (q144 _),
     "q140_scd2_intervals" -> (q140 _),
     "q141_cumulative_uniques" -> (q141 _),
     "q142_last_touch_attribution" -> (q142 _))
 
   def oracles: Map[String, String] = Map(
+    "q144_trailing_window" -> q144Sql,
     "q140_scd2_intervals" -> q140Sql,
     "q141_cumulative_uniques" -> q141Sql,
     "q142_last_touch_attribution" -> q142Sql)

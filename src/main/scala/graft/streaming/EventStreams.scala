@@ -280,6 +280,57 @@ object EventStreams {
     * (Trigger.AvailableNow) into an in-memory table; returns the
     * final result as a batch DataFrame.
     */
+  case class AttrEvent(user_id: Long, event_id: Long, us: Long,
+    event_type: String, value: Double, chan: Option[String])
+
+  /** Per-user carried attribution state: the most recent click's
+    * channel — ONE string per user, O(1) regardless of stream length,
+    * and the cross-batch memory that makes incremental attribution
+    * correct: a purchase in batch N credits a click from batch N−k
+    * without either batch re-reading the other.
+    */
+  case class LastTouch(chan: String)
+
+  case class Credit(user_id: Long, purchase_id: Long, channel: String,
+    value: Double)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * TemporalOps.q142's window pass: each purchase is credited to the
+    * user's most recent prior click's channel ('direct' when none).
+    * Per batch the group's slice is sorted (O(batch), never
+    * O(history)) and scanned once; the carried state is the single
+    * last-seen channel. Correct across micro-batches when batches
+    * arrive in per-user event-time order (the file-replay contract;
+    * a production deployment pairs this with a watermark + per-batch
+    * event-time sort the same way sessionize's continuous mode does).
+    */
+  def attributeLastTouch(events: DataFrame): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch"),
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))))
+          .as("chan"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Credit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[AttrEvent], state: GroupState[LastTouch]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption.map(_.chan)
+          val out = Vector.newBuilder[Credit]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Credit(userId, e.event_id, last.getOrElse("direct"), e.value)
+            if (e.event_type == "click") last = e.chan
+          }
+          last.foreach(c => state.update(LastTouch(c)))
+          out.result().iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String,
     mode: OutputMode = OutputMode.Complete(),
     stateParts: Option[Int] = None): DataFrame =

@@ -74,4 +74,43 @@ class BucketingSpec extends SparkTestBase {
       .collect().toSeq
     assert(bucketed.nonEmpty && bucketed == plain)
   }
+
+  test("q146 week filter lands in PartitionFilters and prunes to 7 of 30 days") {
+    val df = graft.queries.Bucketed.q146(spark, Sf)
+    // the scan leaf must carry the day range as PARTITION filters
+    // (directory pruning), not data filters (row-group work)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the
+    // scan from collect until execution
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.headOption.getOrElse(fail("no file scan in q146 plan"))
+    assert(scan.partitionFilters.nonEmpty, "day range must be a partition filter")
+    assert(scan.dataFilters.isEmpty,
+      s"day range leaked into data filters: ${scan.dataFilters}")
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).size
+    assert(selected == 7, s"expected 7 pruned day-partitions, scanned $selected")
+    // and the pruned read equals the flat-file computation
+    val flat = graft.sources.Tables.events(spark, Sf)
+      .withColumn("day", to_date(col("ts")))
+      .where(col("day").between(lit(Bucketed.WeekLo).cast("date"),
+        lit(Bucketed.WeekHi).cast("date")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type")).collect().toSeq
+    assert(df.collect().toSeq == flat && flat.nonEmpty)
+  }
+
+  test("partitioned events layout re-registers from surviving files (MSCK path)") {
+    val t = Bucketed.ensurePartitionedEvents(spark, Sf)
+    spark.sql(s"DROP TABLE $t")
+    Bucketed.ensurePartitionedEvents(spark, Sf)
+    assert(Bucketed.lastProvision(spark, t).contains("files"),
+      s"expected files-reuse, got ${Bucketed.lastProvision(spark, t)}")
+    // the rediscovered partitions must serve the full corpus
+    val viaTable = spark.table(t).count()
+    val flat = graft.sources.Tables.events(spark, Sf).count()
+    assert(viaTable == flat)
+  }
 }

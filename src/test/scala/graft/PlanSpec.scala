@@ -108,7 +108,9 @@ class PlanSpec extends SparkTestBase {
     "q123_lm_quality",        // 1-row vocab-size and corpus-mean frames
     "q124_semantic_decontamination", // eval-suite broadcast × corpus (q36 shape)
     "q125_decontamination_ann", // cell assignment × broadcast codebook (q59 shape)
-    "q128_priority_sample")   // 1-row tau threshold × K sampled rows
+    "q128_priority_sample",   // 1-row tau threshold × K sampled rows
+    "q138_salted_join",       // 5-row weight dim × 16-row salt range (dim build)
+    "q139_triangle_count")    // three 1-row census frames joined for the summary
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import scala.math.BigDecimal.RoundingMode
-import graft.queries.{GraphOps, SkewOps, TemporalOps}
+import graft.queries.{GraphOps, SkewQueries, TemporalOps}
 
 /** The round-7 skew/temporal/graph additions pinned by plain-Scala
   * recomputations over the collected sf0.001 corpus — independent of
@@ -28,7 +28,7 @@ class SkewTemporalSpec extends SparkTestBase {
       t -> ((es.size.toLong, es.map(_._2).distinct.size.toLong,
         es.map(e => dec6(e._4)).sum))
     }
-    val df = SkewOps.q137(spark, Sf)
+    val df = SkewQueries.q137(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("salt"), "level-1 salt grouping was optimized away")
     val rows = df.collect()
@@ -48,7 +48,7 @@ class SkewTemporalSpec extends SparkTestBase {
     val expect = events.groupBy(_._3).map { case (t, es) =>
       t -> ((es.size.toLong, es.map(e => dec6(weights(t) * e._4)).sum))
     }
-    val df = SkewOps.q138(spark, Sf)
+    val df = SkewQueries.q138(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       "the dim-cannot-broadcast scenario must plan a shuffle join")
@@ -144,6 +144,48 @@ class SkewTemporalSpec extends SparkTestBase {
         r.getAs[Long]("cum_users"))
     }.toSeq
     assert(rows == expected)
+  }
+
+  test("q144 trailing 7-day window == per-type calendar recount") {
+    def day(t: Timestamp): Long = t.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toEpochDay
+    val daily = events.groupBy(e => (day(e._5), e._3)).view.mapValues { es =>
+      (es.size.toLong, es.map(e => dec6(e._4)).sum)
+    }.toMap
+    val rows = queries.TemporalOps.q144(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      val t = r.getAs[String]("event_type")
+      val trail = (d - 6 to d).flatMap(dd => daily.get((dd, t)))
+      assert(r.getAs[Long]("n_events") == daily((d, t))._1)
+      assert(r.getAs[Long]("n_7d") == trail.map(_._1).sum)
+      assert(r.getAs[Double]("value_7d") == trail.map(_._2).sum.toDouble)
+    }
+    // the frame must be calendar-based: at least one row's trail has
+    // fewer than 7 populated days yet still spans exactly [d-6, d]
+    assert(rows.map(_.getAs[Long]("n_7d")).distinct.length > 1)
+  }
+
+  test("q145 one-pass column profile == per-column recount") {
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+    val byCol = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map(c => c -> li.map(_.getAs[Double](c)))
+    val rows = queries.SketchQueries.q145(spark, Sf).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq == byCol.map(_._1))
+    rows.zip(byCol).foreach { case (r, (_, vs)) =>
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == vs.distinct.length.toLong)
+      assert(r.getAs[Double]("min_v") == vs.min)
+      assert(r.getAs[Double]("max_v") == vs.max)
+      assert(r.getAs[Double]("sum_v") == vs.map(dec6).sum.toDouble)
+    }
+    // single-pass shape: exactly ONE scan of lineitem in the plan
+    val scans = queries.SketchQueries.q145(spark, Sf).queryExecution
+      .executedPlan.collectLeaves().size
+    assert(scans == 1, s"profile must be one scan, saw $scans")
   }
 
   test("q142 last-touch attribution == sequential per-user scan") {

@@ -84,4 +84,83 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSet
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
   }
+
+  test("stream attribution == per-user sequential recount (single backlog)") {
+    val credits = StreamingQueries.q143(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[String]("channel"), r.getAs[Double]("value"))).toSet
+    val kOf = """"k":\s*(\d+)""".r
+    val expected = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_id", "ts", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._3.getTime * 1000L
+          + (e._3.getNanos % 1000000) / 1000, e._2))
+        var last: Option[String] = None
+        sorted.flatMap { case (uid, eid, _, tpe, v, props) =>
+          val out = if (tpe == "purchase")
+            Some((uid, eid, last.getOrElse("direct"), v)) else None
+          if (tpe == "click")
+            last = kOf.findFirstMatchIn(props).map(m => "ch" + (m.group(1).toLong % 3))
+          out
+        }
+      }.toSet
+    assert(credits.nonEmpty && credits == expected)
+  }
+
+  test("stream attribution is batch-boundary invariant (carried state crosses micro-batches)") {
+    import org.apache.spark.sql.functions._
+    // replay the same backlog as 3 time-sliced files, one per
+    // micro-batch: a purchase in slice 3 must still credit a click
+    // from slice 1 — only the carried LastTouch state can know it
+    val mdir = java.nio.file.Files.createTempDirectory("attr-multi").toString
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val sliced = ev.withColumn("slice",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { s =>
+      sliced.where(col("slice") === s).drop("slice")
+        .coalesce(1).write.mode("append").parquet(mdir)
+    }
+    val sch = spark.read.parquet(mdir).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(mdir)
+    val multi = EventStreams.runToMemory(
+      EventStreams.attributeLastTouch(stream).toDF(),
+      "attr_multi", OutputMode.Append(), Some(4)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[String]("channel"), r.getAs[Double]("value"))).toSet
+    val single = StreamingQueries.q143(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[String]("channel"), r.getAs[Double]("value"))).toSet
+    assert(multi.nonEmpty && multi == single)
+    // cross-batch credits must actually occur: at least one purchase
+    // whose crediting click sits in an EARLIER slice — otherwise the
+    // replay never exercised the carried state
+    val bounds = sliced.groupBy("slice").agg(min("ts").as("lo")).collect()
+      .map(r => (r.getAs[Int]("slice"), r.getTimestamp(1).getTime)).toMap
+    val lastClickMs: Map[Long, Long] = ev
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._2))
+        var click: Option[Long] = None
+        sorted.flatMap { case (_, eid, ts, tpe) =>
+          val out = if (tpe == "purchase") click.map(eid -> _) else None
+          if (tpe == "click") click = Some(ts.getTime)
+          out
+        }
+      }.toMap
+    def sliceOf(ms: Long): Int =
+      bounds.filter(_._2 <= ms).keys.maxOption.getOrElse(1)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    val crossBatch = lastClickMs.exists { case (pid, clickMs) =>
+      sliceOf(clickMs) < sliceOf(purchases(pid))
+    }
+    assert(crossBatch, "no purchase credited a click from an earlier slice")
+  }
 }
