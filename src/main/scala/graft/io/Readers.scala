@@ -92,4 +92,17 @@ object Readers {
     */
   def parquetViaSql(spark: SparkSession, path: String): DataFrame =
     spark.sql(s"SELECT * FROM parquet.`$path`")
+
+  /** Schema-evolution read: union the footers of every file under
+    * `path` (mergeSchema) so a column added mid-history appears
+    * corpus-wide, null before its introduction date. Footer merging
+    * is a per-file driver-side cost — that is why it is OFF by
+    * default and an explicit reader here, not a session default: a
+    * 100 TB table with a frozen schema should never pay it, and one
+    * with real evolution pays it once per query against the file
+    * listing it already needs. (Production systems amortize via a
+    * catalog schema; this is the catalog-less form.)
+    */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

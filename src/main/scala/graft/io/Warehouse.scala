@@ -104,6 +104,42 @@ object Warehouse {
     mode
   }
 
+  /** Upsert a batch into a partitioned table via DYNAMIC partition
+    * overwrite: only the partitions present IN THE BATCH are
+    * replaced; every other partition's files are untouched (the spec
+    * pins that by file listing, not by trust). This is the
+    * incremental-ingest idiom for immutable-file warehouses — the
+    * day's re-statement replaces the day, never the table — and the
+    * unit of atomicity is the partition, which is why the partition
+    * key must be the ingest/restatement key. Static overwrite mode
+    * (the default) would TRUNCATE the table first; the conf flip is
+    * scoped and restored.
+    */
+  def upsertPartitions(spark: SparkSession, table: String,
+                       batch: DataFrame): Unit = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Compact one partition's small files into `numFiles` (default 1)
+    * by rewriting the partition through [[upsertPartitions]]. Small
+    * files are the slow death of a partitioned warehouse (per-file
+    * open cost, namenode pressure, starved vectorized readers);
+    * periodic compaction of hot partitions restores scan efficiency
+    * without touching any other partition's files.
+    */
+  def compactPartition(spark: SparkSession, table: String,
+                       partCol: String, partValue: String,
+                       numFiles: Int = 1): Unit = {
+    val t = spark.table(table)
+    // string literal coerces to the partition column's type; the
+    // equality prunes to the one partition directory
+    val slice = t.where(t.col(partCol) === partValue)
+    upsertPartitions(spark, table, slice.repartition(numFiles))
+  }
+
   /** Provide `table` as an external HIVE-PARTITIONED parquet layout
     * (`table/partCol=value/…`) with the same fingerprinted,
     * cross-session economics as [[ensureBucketedTable]]. Partitioned

@@ -60,4 +60,28 @@ class IoRoundTripSpec extends SparkTestBase {
       || explained.contains("EqualTo(l_partkey,1)"),
       s"ORC scan did not push the filter:\n$explained")
   }
+
+  test("mergeSchema read surfaces a column added mid-history, null before it") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    val docs = Tables.documents(spark, Sf)
+    // generation 1: no quality column; generation 2 adds one
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") % 5).as("quality"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val merged = Readers.parquetMergeSchema(spark, dir)
+    assert(merged.columns.contains("quality"),
+      "evolved column missing from the merged schema")
+    assert(merged.count() == docs.count())
+    // pre-evolution rows read as null, post-evolution keep their value
+    assert(merged.where(col("doc_id") % 2 === 0)
+      .where(col("quality").isNotNull).count() == 0)
+    assert(merged.where(col("doc_id") % 2 === 1)
+      .where(col("quality").isNull).count() == 0)
+    // a plain (non-merging) read may resolve either footer — that is
+    // exactly the hazard the explicit reader exists to close
+  }
 }

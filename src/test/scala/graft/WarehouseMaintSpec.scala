@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Warehouse
+
+/** Partitioned-table maintenance: dynamic-partition upsert must
+  * replace ONLY the batch's partitions (other partitions' files
+  * untouched — asserted by file listing, not by trust), and
+  * compaction must rewrite one partition's small files into one
+  * without changing a row anywhere. Runs against a throwaway table
+  * so the shared q146 layout is never mutated.
+  */
+class WarehouseMaintSpec extends SparkTestBase {
+
+  private val table = "graft_maint_spec_events"
+
+  private def fileState(): Map[String, Seq[(String, Long)]] = {
+    val loc = new java.io.File(Warehouse.tableLocation(spark, table))
+    loc.listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSeq.sorted
+    }.toMap
+  }
+
+  private def buildTable(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(Warehouse.tableLocation(spark, table))
+    if (loc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    Warehouse.ensurePartitionedTable(spark, table,
+      s"$Sf/events.parquet", "day")(
+      graft.sources.Tables.events(spark, Sf)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day")))
+  }
+
+  test("dynamic-partition upsert replaces only the batch's day") {
+    buildTable()
+    val before = fileState()
+    val day = "2024-01-15"
+    val restated = spark.table(table)
+      .where(col("day") === day)
+      .withColumn("value", col("value") * 2)
+    val expectRows = restated.count()
+    val expectSum = restated.agg(
+      sum(col("value").cast("decimal(18,6)"))).head().getDecimal(0)
+    Warehouse.upsertPartitions(spark, table, restated)
+    val after = fileState()
+    // the restated day changed...
+    val got = spark.table(table).where(col("day") === day)
+    assert(got.count() == expectRows)
+    assert(got.agg(sum(col("value").cast("decimal(18,6)"))).head()
+      .getDecimal(0) == expectSum)
+    // ...and EVERY other partition's files are byte-for-byte the same
+    // objects (names and mtimes unchanged — never rewritten)
+    (before.keySet - s"day=$day").foreach { p =>
+      assert(after(p) == before(p), s"partition $p was touched by the upsert")
+    }
+    assert(after(s"day=$day") != before(s"day=$day"))
+  }
+
+  test("compaction: N small files -> 1, zero row drift, others untouched") {
+    buildTable()
+    val day = "2024-01-20"
+    // fragment the partition first (the nightly-ingest aftermath)
+    val frag = spark.table(table).where(col("day") === day).repartition(5)
+    Warehouse.upsertPartitions(spark, table, frag)
+    assert(fileState()(s"day=$day").size == 5, "fixture: fragmentation failed")
+    val contentBefore = spark.table(table).where(col("day") === day)
+      .drop("day").collect().toSet
+    val othersBefore = fileState() - s"day=$day"
+    Warehouse.compactPartition(spark, table, "day", day)
+    assert(fileState()(s"day=$day").size == 1, "compaction must leave one file")
+    val contentAfter = spark.table(table).where(col("day") === day)
+      .drop("day").collect().toSet
+    assert(contentAfter == contentBefore && contentBefore.nonEmpty)
+    (fileState() - s"day=$day").foreach { case (p, fs) =>
+      assert(fs == othersBefore(p), s"partition $p was touched by compaction")
+    }
+    // cleanup: this table is spec-local scratch
+    spark.sql(s"DROP TABLE $table")
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(Warehouse.tableLocation(spark, table)))
+  }
+}
