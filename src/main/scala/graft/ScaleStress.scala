@@ -181,6 +181,14 @@ object ScaleStress {
     // grow 10x, the direction that stresses the sorted window pass
     time("q140_scd2_intervals@10x")(
       queries.TemporalOps.q140(spark, gdir.toString).count())
+    // one-pass profile at 10x: 6M rows x 4 columns through the
+    // single Expand aggregate — the exact-NDV cost scales with the
+    // high-cardinality column's distinct count (l_extendedprice),
+    // the quantity the 100 TB variant replaces with HLL partials.
+    // Noop sink: count() of the 4-row unpivot would let Catalyst
+    // prune every profiled aggregate and measure nothing.
+    timeNoop("q145_column_profile@10x")(
+      queries.SketchQueries.q145(spark, gdir.toString))
 
     // ---- streaming family at 10x (watermark-bounded state audit) ----
     // 10 user-shifted copies of the event stream (1M rows, 10x the
@@ -229,6 +237,19 @@ object ScaleStress {
     time("q138_salted_join@10x")(queries.SkewQueries.q138(spark, sdir).count())
     time("q141_cumulative_uniques@10x")(queries.TemporalOps.q141(spark, sdir).count())
     time("q142_last_touch_attribution@10x")(queries.TemporalOps.q142(spark, sdir).count())
+    time("q144_trailing_window@10x")(queries.TemporalOps.q144(spark, sdir).count())
+    // partitioned layout at 10x: the (untimed, setup-class) build
+    // writes 30 one-file day partitions from 1M rows; the timed week
+    // query then opens 7 dirs. The replica's table is scratch — drop
+    // it and its files after timing so stress runs don't accumulate
+    // warehouse garbage.
+    val evTable = queries.Bucketed.ensurePartitionedEvents(spark, sdir)
+    time("q146_partition_pruned@10x")(queries.Bucketed.q146(spark, sdir).count())
+    locally {
+      val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, evTable))
+      spark.sql(s"DROP TABLE IF EXISTS $evTable")
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    }
 
     import org.apache.spark.sql.streaming.OutputMode
     import graft.streaming.EventStreams

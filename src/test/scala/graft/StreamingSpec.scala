@@ -85,6 +85,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
   }
 
+  test("stateful operators run unchanged on the RocksDB state backend") {
+    // local[32] replays default to the HDFS-backed store; a
+    // production continuous run uses RocksDB (state larger than
+    // heap, incremental snapshots). The swap must be pure config —
+    // same results from flatMapGroupsWithState (sessionize),
+    // dropDuplicates state, and the carried-attribution state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = StreamingQueries.q43(spark, Sf).collect().toSet
+      val batch = EventsOps.q39(spark, Sf).collect().toSet
+      assert(sessions.nonEmpty && sessions == batch)
+      val credits = StreamingQueries.q143(spark, Sf).collect()
+      assert(credits.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream attribution == per-user sequential recount (single backlog)") {
     val credits = StreamingQueries.q143(spark, Sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
