@@ -642,7 +642,54 @@ object Dedup {
        |FROM pairs WHERE i / (s - i) >= $SsTau
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q147_neardup_prune — the DELIVERABLE of near-dedup: the pruned
+  // corpus manifest. q61 labels every duplicate-cluster member with
+  // its cluster id (= the cluster's MINIMUM doc_id, the canonical
+  // representative under min-label CC); this query drops every
+  // member EXCEPT the representative and emits what survives —
+  // singletons untouched, one keeper per cluster.
+  //
+  // Scale shape: the prune list (members ≠ representative) is a tiny
+  // fraction of the corpus by construction (only near-duplicates),
+  // so the anti-join broadcasts the prune list and the corpus never
+  // shuffles — the full pipeline is: blocked LSH candidates → exact
+  // verify → CC → one broadcast anti-join over the scan.
+  // ---------------------------------------------------------------
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshScoredPairs(spark, dir)
+      .where(col("jaccard") >= ClusterJaccardMin)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val pruned = graft.operators.ConnectedComponents.run(edges)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(pruned), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q147Sql: String =
+    s"""WITH RECURSIVE $scoredPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= $ClusterJaccardMin
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= $ClusterJaccardMin
+       |),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |),
+       |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q147_neardup_prune" -> (q147 _),
     "q121_ssjoin_exact" -> (q121 _),
     "q32_dedup_exact_docs" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
@@ -655,6 +702,7 @@ object Dedup {
     "q87_incremental_dedup" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
+    "q147_neardup_prune" -> q147Sql,
     "q121_ssjoin_exact" -> q121Sql,
     "q32_dedup_exact_docs" -> q32Sql,
     "q33_minhash_sig" -> q33Sql,

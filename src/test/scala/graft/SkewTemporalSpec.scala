@@ -188,6 +188,24 @@ class SkewTemporalSpec extends SparkTestBase {
     assert(scans == 1, s"profile must be one scan, saw $scans")
   }
 
+  test("q147 pruned corpus == docs minus non-representative cluster members") {
+    val clusters = graft.queries.Dedup.q61(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    assert(clusters.nonEmpty, "fixture must contain duplicate clusters")
+    val dropSet = clusters.filter { case (d, c) => d != c }.map(_._1).toSet
+    val allDocs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.queries.Dedup.q147(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == allDocs -- dropSet)
+    // every cluster keeps exactly its representative
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(kept(rep), s"representative $rep was pruned")
+      members.map(_._1).filterNot(_ == rep).foreach(m =>
+        assert(!kept(m), s"non-representative $m survived"))
+    }
+  }
+
   test("q142 last-touch attribution == sequential per-user scan") {
     val kOf = """"k":\s*(\d+)""".r
     val credits = events.groupBy(_._2).values.flatMap { es =>
