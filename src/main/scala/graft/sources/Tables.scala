@@ -33,6 +33,19 @@ object Tables {
       (System.identityHashCode(spark), dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Register every corpus table as a temp view so the FULL query
+    * surface is reachable from `spark.sql(...)` text — the events
+    * view goes through [[events]]' encoding normalization, so SQL
+    * users get the same ts contract as the typed accessors. Views
+    * are plan aliases over the cached scan nodes: zero data work.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(spark, dir)
+               else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

@@ -59,6 +59,41 @@ class WarehouseMaintSpec extends SparkTestBase {
     assert(after(s"day=$day") != before(s"day=$day"))
   }
 
+  test("incremental rollup maintenance: refresh only ingested days, equals full recompute") {
+    // the materialized-view pattern on immutable files: a daily
+    // rollup table is maintained by recomputing ONLY the days an
+    // ingest touched (partition upsert), never the table. History =
+    // all but the last 3 days; then the 3 days arrive and refresh.
+    val rollup = "graft_maint_spec_rollup"
+    spark.sql(s"DROP TABLE IF EXISTS $rollup")
+    val loc = new java.io.File(Warehouse.tableLocation(spark, rollup))
+    if (loc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    def dailyAgg(ev: org.apache.spark.sql.DataFrame) = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("n_events"), col("sum_value"), col("day"))
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val cut = "2024-01-28"
+    Warehouse.ensurePartitionedTable(spark, rollup,
+      s"$Sf/events.parquet", "day")(
+      dailyAgg(ev.where(to_date(col("ts")) < lit(cut).cast("date")))
+        .repartition(col("day")))
+    val daysBefore = spark.table(rollup).select("day").distinct().count()
+    // ingest: the last 3 days arrive; refresh exactly those partitions
+    val batch = dailyAgg(ev.where(to_date(col("ts")) >= lit(cut).cast("date")))
+    Warehouse.upsertPartitions(spark, rollup, batch.repartition(col("day")))
+    assert(spark.table(rollup).select("day").distinct().count() > daysBefore)
+    // the maintained table must equal the from-scratch recompute
+    val maintained = spark.table(rollup).collect().toSet
+    val full = dailyAgg(ev).collect().toSet
+    assert(maintained == full && full.nonEmpty)
+    spark.sql(s"DROP TABLE $rollup")
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(Warehouse.tableLocation(spark, rollup)))
+  }
+
   test("compaction: N small files -> 1, zero row drift, others untouched") {
     buildTable()
     val day = "2024-01-20"
