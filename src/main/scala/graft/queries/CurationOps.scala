@@ -378,9 +378,8 @@ object CurationOps {
     val inter = srcGrams.groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .where(size(col("ss")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), y -> struct(x AS s1, y AS s2))))"))
-        .as("p"))
+      .select(explode(
+        graft.functions.ArrayFns.sortedPairs("ss", "s1", "s2")).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("inter"))
     inter

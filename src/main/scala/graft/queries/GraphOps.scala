@@ -161,11 +161,17 @@ object GraphOps {
     import graft.functions.TextFns.rnd
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") &&
-        col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+    // per-order pair expansion via array HOFs, not a self-join: one
+    // exchange on ok (collect_set's partial aggregation dedupes
+    // repeated parts per order map-side — a separate distinct()
+    // would pay a second full exchange for nothing), then C(k,2)
+    // pair structs explode locally with k bounded by items-per-order
+    val edges = li
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(
+        graft.functions.ArrayFns.sortedPairs("ps", "u", "v")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= MinSupport)
       .select(col("u"), col("v"))

@@ -358,23 +358,29 @@ object SketchQueries {
     "l_discount", "l_tax")
 
   def q145(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}_n"),
-        count_distinct(col(c)).as(s"${c}_d"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"),
-        sum(col(c).cast("decimal(18,6)")).cast("double").as(s"${c}_sum"))
-    }
-    Tables.lineitem(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(ProfileCols.map(c => struct(
-        lit(c).as("col_name"),
-        col(s"${c}_n").as("n"),
-        col(s"${c}_d").as("n_distinct"),
-        col(s"${c}_min").as("min_v"),
-        col(s"${c}_max").as("max_v"),
-        col(s"${c}_sum").as("sum_v"))): _*)).as("p"))
-      .select(col("p.*"))
+    // (col_name, value) pairs from one scan, then TWO KEYED levels:
+    // per-(col, value) counts collapse map-side to ~NDV rows and the
+    // (col, value)-hashed exchange spreads the distinct work over
+    // every reducer. The tempting one-aggregate form with four
+    // count_distincts is a GLOBAL (keyless) aggregate — its final
+    // merge of all four distinct sets lands in a single task
+    // (measured: 3.5 s wall at only 2x parallelism on 32 cores; this
+    // shape: every stage keyed, nothing serial).
+    val pairs = Tables.lineitem(spark, dir)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
+      .select(col("p.cn").as("cn"), col("p.v").as("v"))
+    pairs.groupBy(col("cn"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cn"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(18,6)") * col("cnt")).cast("double")
+          .as("sum_v"))
+      .select(col("cn").as("col_name"), col("n"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("sum_v"))
       .orderBy(col("col_name"))
   }
 
