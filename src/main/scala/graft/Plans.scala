@@ -80,7 +80,11 @@ object Plans {
       "q139_triangle_count" -> "support-pruned co-purchase edges, degree-ordered orientation, wedge-close equi-joins",
       "q140_scd2_intervals" -> "gaps-and-islands SCD2: lag flag + running sum + lead valid_to on ONE custkey exchange",
       "q141_cumulative_uniques" -> "first-seen rewrite of running COUNT DISTINCT: two combinable aggs + O(days) window",
-      "q142_last_touch_attribution" -> "ignoreNulls carry-forward on the user exchange, 1-PRECEDING frame, O(channels) rollup")
+      "q142_last_touch_attribution" -> "ignoreNulls carry-forward on the user exchange, 1-PRECEDING frame, O(channels) rollup",
+      "q144_trailing_window" -> "RANGE frame over integer day numbers on the daily rollup — O(days x types) window rows",
+      "q145_column_profile" -> "two KEYED aggregation levels spread exact-NDV over the exchange; no global distinct merge",
+      "q146_partition_pruned" -> "day-partitioned warehouse table: week BETWEEN lands in PartitionFilters, 7/30 dirs opened",
+      "q147_neardup_prune" -> "CC cluster members minus representatives, broadcast anti-join over the document scan")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")
