@@ -405,7 +405,54 @@ object EventsOps {
        |WHERE abs((h.c::DOUBLE - s.mean_c) / s.std_c) >= $ZCut
        |ORDER BY event_type, hour_start""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q148_top_paths — path analysis: the most common opening event
+  // sequences. Each user-day's first PathLen events (ts, event_id
+  // ordered) join into a 'view>click>…' path string; paths are
+  // counted corpus-wide and the top 20 emitted. The rank-then-filter
+  // shape is deliberate: row_number + rn <= PathLen prunes BEFORE
+  // any collection, so per-group state is bounded by PathLen — a
+  // collect_list-then-slice would buffer a whale user-day's whole
+  // event list to keep 5 of them. The window, the filter, and the
+  // path aggregate all ride ONE (user, day)-hashed exchange; the
+  // path count is combinable; top-20 is a TakeOrdered, no global
+  // sort.
+  // ---------------------------------------------------------------
+  final val PathLen = 5
+  final val PathTopK = 20
+
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(PathTopK)
+  }
+
+  val q148Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, day,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM e WHERE rn <= $PathLen GROUP BY 1, 2)
+       |SELECT path, COUNT(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q148_top_paths" -> (q148 _),
     "q38_json_extract" -> (q38 _),
     "q39_sessionize" -> (q39 _),
     "q40_tumbling_hourly" -> (q40 _),
@@ -417,6 +464,7 @@ object EventsOps {
     "q136_hourly_anomaly" -> (q136 _))
 
   def oracles: Map[String, String] = Map(
+    "q148_top_paths" -> q148Sql,
     "q38_json_extract" -> q38Sql,
     "q39_sessionize" -> q39Sql,
     "q40_tumbling_hourly" -> q40Sql,

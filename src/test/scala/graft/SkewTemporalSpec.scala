@@ -188,6 +188,20 @@ class SkewTemporalSpec extends SparkTestBase {
     assert(scans == 1, s"profile must be one scan, saw $scans")
   }
 
+  test("q148 top paths == per-user-day first-5 recount") {
+    def day(t: Timestamp): Long = t.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toEpochDay
+    val paths = events.groupBy(e => (e._2, day(e._5))).values.map { es =>
+      es.sortBy(e => (e._5.getTime * 1000L + (e._5.getNanos % 1000000) / 1000,
+        e._1)).take(queries.EventsOps.PathLen).map(_._3).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = paths.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(queries.EventsOps.PathTopK)
+    val rows = queries.EventsOps.q148(spark, Sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    assert(rows == expected && rows.nonEmpty)
+  }
+
   test("q147 pruned corpus == docs minus non-representative cluster members") {
     val clusters = graft.queries.Dedup.q61(spark, Sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
