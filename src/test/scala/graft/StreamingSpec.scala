@@ -85,6 +85,46 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
   }
 
+  test("checkpoint recovery: two runs over a growing backlog emit exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    // ingest file 1, STOP (checkpoint persists), file 2 arrives,
+    // restart from the same checkpoint into the same file sink: the
+    // union must equal the batch answer over both files — file 1's
+    // rows exactly once (offsets recovered), file 2's present
+    // (backlog resumed). This is the crash-recovery contract every
+    // production stream rides on.
+    val work = java.nio.file.Files.createTempDirectory("ckpt-recovery").toString
+    val src = s"$work/src"; val out = s"$work/out"; val ck = s"$work/ck"
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val half1 = ev.where(col("event_id") % 2 === 0)
+    val half2 = ev.where(col("event_id") % 2 === 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    val sch = spark.read.parquet(src).schema
+    // stateless projection keeps the recovery semantics pure: the
+    // assert is about source-offset recovery + sink exactly-once,
+    // not operator state (the RocksDB/state tests cover that)
+    def runProj(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination(120000)
+    }
+    runProj()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == half1.count(), "first run must emit file 1 exactly")
+    half2.coalesce(1).write.mode("append").parquet(src)
+    runProj()
+    val finalRows = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalRows == expected,
+      "restart must emit file 2 exactly once and file 1 never again")
+  }
+
   test("stateful operators run unchanged on the RocksDB state backend") {
     // local[32] replays default to the HDFS-backed store; a
     // production continuous run uses RocksDB (state larger than
