@@ -366,11 +366,17 @@ object EventsOps {
   // ---------------------------------------------------------------
   final val ZCut = 2.0
 
-  def q136(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+  private def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val stats = hourly.groupBy(col("event_type"))
+
+  /** Per-type hourly mean/std from exact integer sums — q136's
+    * baseline frame, shared by the streaming detector (q149) as its
+    * batch-trained side.
+    */
+  def hourlyStats(spark: SparkSession, dir: String): DataFrame =
+    hourlyCounts(spark, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("ss"))
       .select(col("event_type"), col("n_hours"),
@@ -379,6 +385,10 @@ object EventsOps {
           col("s").cast("double") * col("s").cast("double") /
             col("n_hours").cast("double")) / col("n_hours").cast("double"))
           .as("std_c"))
+
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCounts(spark, dir)
+    val stats = hourlyStats(spark, dir)
     hourly.join(broadcast(stats), "event_type")
       .withColumn("z", (col("c").cast("double") - col("mean_c")) / col("std_c"))
       .where(abs(col("z")) >= ZCut)

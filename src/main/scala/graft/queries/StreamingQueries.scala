@@ -246,7 +246,32 @@ object StreamingQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  // q149_stream_anomaly — ingest-time volume alerting: the hourly
+  // event counts stream through the watermarked tumbling window,
+  // then each finalized hour joins a BATCH-TRAINED per-type baseline
+  // (the q136 mean/std from exact integer sums — at production this
+  // is a Warehouse table refreshed nightly) and hours with |z| >=
+  // ZCut emit. The monitoring shape where training is batch and
+  // detection is streaming; replaying the full backlog makes the
+  // alert set equal q136's, so it shares q136's oracle.
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.rnd
+    val name = s"stream_anomaly_${runId.incrementAndGet()}"
+    val hourly = EventStreams.runToMemory(
+      EventStreams.tumblingHourly(EventStreams.readEvents(spark, dir)),
+      name, OutputMode.Complete(), ReplayStateParts)
+      .select(col("hour_start"), col("event_type"), col("n").as("c"))
+    val stats = EventsOps.hourlyStats(spark, dir)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("c").cast("double") - col("mean_c")) / col("std_c"))
+      .where(abs(col("z")) >= EventsOps.ZCut)
+      .select(col("hour_start"), col("event_type"), col("c"),
+        rnd(col("mean_c"), 4).as("mean_c"), rnd(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q149_stream_anomaly" -> (q149 _),
     "q143_stream_attribution" -> (q143 _),
     "q132_stream_span_trim" -> (q132 _),
     "q42_stream_tumbling" -> (q42 _),
@@ -258,6 +283,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q149_stream_anomaly" -> EventsOps.q136Sql,
     "q143_stream_attribution" -> q143Sql,
     "q132_stream_span_trim" -> q132Sql,
     "q42_stream_tumbling" -> EventsOps.q40Sql,

@@ -85,6 +85,12 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
   }
 
+  test("stream anomaly detector == batch q136 over the full backlog") {
+    val stream = StreamingQueries.q149(spark, Sf).collect().toSet
+    val batch = EventsOps.q136(spark, Sf).collect().toSet
+    assert(stream == batch)
+  }
+
   test("checkpoint recovery: two runs over a growing backlog emit exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._
