@@ -112,15 +112,27 @@ object Warehouse {
     * day's re-statement replaces the day, never the table — and the
     * unit of atomicity is the partition, which is why the partition
     * key must be the ingest/restatement key. Static overwrite mode
-    * (the default) would TRUNCATE the table first; the conf flip is
-    * scoped and restored.
+    * (the default) would TRUNCATE the table first; the dynamic mode
+    * is set on an ISOLATED-CONF CLONE of the session (newSession:
+    * same SparkContext, same external catalog, own SQLConf), so
+    * concurrent queries on the caller's session never observe a
+    * flipped session-wide conf and concurrent upserts cannot race a
+    * save/restore. (A per-write DataFrameWriter option would be
+    * cleaner still, but insertInto ignores writer options on the v1
+    * table path — verified: static-mode verifyNotReadPath fires.)
     */
   def upsertPartitions(spark: SparkSession, table: String,
                        batch: DataFrame): Unit = {
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.write.mode("overwrite").insertInto(table)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val writer = spark.newSession()
+    writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .ofRows(writer,
+        org.apache.spark.sql.graftbridge.PlanBridge.analyzed(batch))
+      .write.mode("overwrite").insertInto(table)
+    // the write invalidated the CLONE's relation/file-index caches;
+    // the caller's session needs the same (any cross-writer reader
+    // does — stale listings read deleted part files otherwise)
+    spark.catalog.refreshTable(table)
   }
 
   /** Compact one partition's small files into `numFiles` (default 1)

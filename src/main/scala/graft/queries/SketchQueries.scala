@@ -370,6 +370,11 @@ object SketchQueries {
       .select(explode(array(ProfileCols.map(c =>
         struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
       .select(col("p.cn").as("cn"), col("p.v").as("v"))
+      // SQL aggregate semantics skip NULLs: COUNT(c) and
+      // COUNT(DISTINCT c) both exclude them, so the null group must
+      // not reach the keyed levels (lineitem's profiled columns are
+      // never null, but the profile must hold for any input)
+      .where(col("v").isNotNull)
     pairs.groupBy(col("cn"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cn"))

@@ -203,6 +203,18 @@ object EventStreams {
     * longs, O(1) regardless of how many events the user ever sent.
     * (Never a buffered event list: on a long-running stream that is
     * unbounded state.)
+    *
+    * `nEvents == 0` marks a CLOSED-SESSION marker: after a timeout
+    * close the state keeps the session COUNTER (idx) instead of being
+    * removed, so `session_idx` is stable across batch boundaries AND
+    * checkpoint restarts and always equals the batch q39 numbering.
+    * (Removing state on timeout restarts the counter at 1 whenever a
+    * user's sessions happen to close by timeout rather than by an
+    * in-batch gap — an artifact of micro-batch placement, observed
+    * directly in the recovery test before this marker existed.) The
+    * marker makes steady state one 4-long row per EVER-SEEN user; a
+    * production deployment bounds that with a state TTL for idle
+    * users, accepting an idx restart for users idle past the TTL.
     */
   case class OpenSession(idx: Long, nEvents: Long, startUs: Long, endUs: Long)
 
@@ -242,9 +254,11 @@ object EventStreams {
             Session(userId, s.idx, s.nEvents, s.startUs, s.endUs,
               math.floor((s.endUs - s.startUs).toDouble / 1000000).toLong)
           if (!boundedBacklog && state.hasTimedOut) {
-            // watermark passed end + gap: the open session is closed
+            // watermark passed end + gap: the open session is closed;
+            // the state degrades to a closed marker (keeps the idx
+            // counter, sets no new timeout — the next event clears it)
             val s = state.get
-            state.remove()
+            state.update(OpenSession(s.idx, 0L, 0L, s.endUs))
             Iterator.single(close(s))
           } else {
             val evs = it.toArray.sortBy(e => (e.us, e.event_id))
@@ -252,6 +266,11 @@ object EventStreams {
             var open = state.getOption
             evs.foreach { ev =>
               open = open match {
+                case Some(s) if s.nEvents == 0L =>
+                  // closed marker: the previous session was emitted at
+                  // its timeout; any event after that timeout is past
+                  // the gap by the watermark contract — a new session
+                  Some(OpenSession(s.idx + 1, 1L, ev.us, ev.us))
                 case Some(s) if ev.us - s.endUs > EventsOps.GapUs =>
                   out += close(s)
                   Some(OpenSession(s.idx + 1, 1L, ev.us, ev.us))
@@ -267,8 +286,10 @@ object EventStreams {
             } else {
               open.foreach { s =>
                 state.update(s)
-                // ms timeout: fire once watermark > session end + gap
-                state.setTimeoutTimestamp(s.endUs / 1000 + EventsOps.GapUs / 1000)
+                // ms timeout: fire once watermark > session end + gap;
+                // only OPEN sessions re-arm it (a marker never fires)
+                if (s.nEvents > 0L)
+                  state.setTimeoutTimestamp(s.endUs / 1000 + EventsOps.GapUs / 1000)
               }
             }
             out.iterator
@@ -324,7 +345,12 @@ object EventStreams {
           sorted.foreach { e =>
             if (e.event_type == "purchase")
               out += Credit(userId, e.event_id, last.getOrElse("direct"), e.value)
-            if (e.event_type == "click") last = e.chan
+            // a click whose props lack a parseable channel (chan =
+            // None) is IGNORED, matching q142's last(ignoreNulls)
+            // semantics — assigning `last = e.chan` here would clear
+            // the carried channel batch-locally while the state
+            // update below skipped it, diverging across batches
+            if (e.event_type == "click") e.chan.foreach(c => last = Some(c))
           }
           last.foreach(c => state.update(LastTouch(c)))
           out.result().iterator
