@@ -406,6 +406,235 @@ object CorpusOps {
        |  md5(array_to_string(list_transform(keep, j -> t[j]), ' ')) AS clean_sig
        |FROM k ORDER BY n_removed DESC, doc_id LIMIT $ScrubOutK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q150_bpe_train — the FULL BPE training loop (q109 computes the
+  // first merge only): iterate merge -> re-segment -> recount for a
+  // fixed number of merges and emit the merge table, i.e. the
+  // trained tokenizer vocabulary in merge order. Per iteration:
+  //   1. count adjacent symbol pairs over the DISTINCT-WORD frame
+  //      weighted by word counts (vocabulary << corpus — the same
+  //      pre-aggregation q109 established; the corpus is scanned
+  //      exactly once, at step 0);
+  //   2. the argmax pair (ties broken lexicographically) comes to
+  //      the driver — ONE row per iteration, bounded by construction
+  //      like q112's fixed-point iteration and the k-means codebook;
+  //   3. re-segment every word with a codegen'd string fold
+  //      (functions.aggregate over the symbol array — leftmost
+  //      non-overlapping merge, the standard BPE semantics), then
+  //      localCheckpoint so iteration k+1 recounts from the k-step
+  //      segmentation instead of replaying all k folds.
+  //
+  // Scale shape: each iteration is one map-side-combinable shuffle
+  // over the vocabulary frame plus a 1-row collect; the corpus-sized
+  // word count happens once. The oracle replays the identical N
+  // unrolled iterations in SQL (list_reduce with the same fold).
+  //
+  // Segmentations travel as '·'-joined strings (symbols are [a-z]+
+  // by the vocab filter, so the delimiter can never collide); the
+  // fold merges symbols L,R when the accumulator ENDS WITH the full
+  // symbol L (delimiter-anchored) and the next symbol equals R —
+  // exactly leftmost non-overlapping, and the merged symbol L||R can
+  // never falsely re-match L because the delimiter anchors it.
+  // ---------------------------------------------------------------
+  final val BpeTrainMerges = 8
+  private final val SegSep = "·"
+
+  /** One merge step applied to the '·'-joined `seg` column. */
+  private def mergeFold(lf: String, rt: String): Column = {
+    val arr = split(col("seg"), SegSep)
+    aggregate(
+      slice(arr, lit(2), size(arr) - 1),
+      element_at(arr, 1),
+      (acc, x) =>
+        when((acc === lit(lf) || acc.endsWith(lit(SegSep + lf))) &&
+          x === lit(rt),
+          concat(acc.substr(lit(1), length(acc) - lit(lf.length)),
+            lit(lf + rt)))
+          .otherwise(concat(acc, lit(SegSep), x)))
+  }
+
+  /** Test hook: [[mergeFold]] without widening its visibility. */
+  private[graft] def testMergeFold(lf: String, rt: String): Column =
+    mergeFold(lf, rt)
+
+  /** Weighted adjacent-pair counts over a (seg, cnt) frame. Words
+    * whose segmentation has collapsed to ONE symbol contribute no
+    * pairs and are filtered first — Spark's sequence(1, 0) would
+    * DESCEND rather than return empty (DuckDB's generate_series
+    * returns empty, so the oracle needs no twin filter).
+    */
+  private def segPairs(seg: DataFrame): DataFrame = {
+    val arr = split(col("seg"), SegSep)
+    seg.where(size(arr) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(arr) - 1),
+        i => struct(element_at(arr, i).as("lft"),
+          element_at(arr, i + 1).as("rgt")))).as("p"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum(col("cnt")).as("pair_count"))
+  }
+
+  /** The training loop over a (seg, cnt) vocabulary frame. Returns
+    * (step, lft, rgt, merged, pair_count) per merge; stops early if
+    * the vocabulary runs out of pairs.
+    */
+  private[graft] def bpeTrain(vocabSeg: DataFrame,
+                              nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var seg = vocabSeg.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
+      val top = segPairs(seg)
+        .orderBy(desc("pair_count"), col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val lf = top(0).getAs[String]("lft")
+        val rt = top(0).getAs[String]("rgt")
+        merges += ((step, lf, rt, lf + rt, top(0).getAs[Long]("pair_count")))
+        seg = seg.withColumn("seg", mergeFold(lf, rt)).localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mergesFor(spark, dir)
+      .toDF("step", "lft", "rgt", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** SQL twin: the same N iterations unrolled as CTE pairs
+    * (p_k = pair counts over seg_{k-1}, m_k = argmax, seg_k = the
+    * list_reduce fold with m_k joined in as plain columns).
+    */
+  val q150Sql: String = {
+    val base =
+      s"""v AS (
+         |  SELECT w, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+         |  GROUP BY w),
+         |seg0 AS (
+         |  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+         |    i -> substr(w, i, 1)), '$SegSep') AS seg, cnt FROM v)""".stripMargin
+    val steps = (1 to BpeTrainMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT p.lf AS lft, p.rt AS rgt, SUM(cnt)::BIGINT AS pair_count
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(l) - 1),
+         |      i -> {'lf': l[i], 'rt': l[i + 1]})) AS p
+         |    FROM (SELECT string_split(seg, '$SegSep') AS l, cnt FROM seg${k - 1}))
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT lft, rgt, pair_count FROM p$k
+         |  ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+         |seg$k AS (
+         |  SELECT w, list_reduce(string_split(seg, '$SegSep'),
+         |    (acc, x) -> CASE
+         |      WHEN (acc = m.lft OR ends_with(acc, '$SegSep' || m.lft)) AND x = m.rgt
+         |      THEN left(acc, length(acc) - length(m.lft)) || m.lft || m.rgt
+         |      ELSE acc || '$SegSep' || x END) AS seg, cnt
+         |  FROM seg${k - 1}, m$k m)""".stripMargin
+    }
+    val sel = (1 to BpeTrainMerges).map { k =>
+      s"SELECT $k AS step, lft, rgt, lft || rgt AS merged, pair_count FROM m$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n${steps.mkString(",\n")}\n$sel\nORDER BY step"
+  }
+
+  // ---------------------------------------------------------------
+  // q152_bpe_apply — apply the q150-trained merge table to the whole
+  // corpus: segment every word with the N merges IN TRAINING ORDER,
+  // then roll token counts up per document. This is the accounting a
+  // training pipeline actually runs the tokenizer for (sequence
+  // packing, token budgets, compression diagnostics).
+  //
+  // Scale shape: the N-fold segmentation runs over the DISTINCT-WORD
+  // frame only (vocabulary << corpus); per-word BPE token counts then
+  // broadcast-join back to the per-(doc, word) counts, so the corpus
+  // pays one explode + one keyed aggregate and never re-segments a
+  // word twice. The merge table itself is the q150 training output —
+  // N driver rows, memoized per (session, dir), compiled into the
+  // plan as a chain of N codegen'd folds (a tokenizer's merge table
+  // is plan-side constant data, exactly like a broadcast dim).
+  // ---------------------------------------------------------------
+  private val trainedMerges =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), Seq[(Int, String, String, String, Long)]]
+
+  private[graft] def mergesFor(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] =
+    trainedMerges.getOrElseUpdate(
+      (graft.CacheRegistry.sessionKey(spark), dir), {
+        val vocab = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val chars = transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))
+        bpeTrain(vocab.select(array_join(chars, SegSep).as("seg"), col("cnt")),
+          BpeTrainMerges)
+      })
+
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val segmented = merges.foldLeft(
+        docWords.select(col("w")).distinct()
+          .select(col("w"), array_join(chars, SegSep).as("seg"))) {
+        case (df, (_, lf, rt, _, _)) => df.withColumn("seg", mergeFold(lf, rt))
+      }
+      .select(col("w"), size(split(col("seg"), SegSep)).as("n_bpe"),
+        length(col("w")).as("n_chars"))
+    docWords
+      .join(broadcast(segmented), "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_chars")).as("n_chars"),
+        sum(col("cnt") * col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        rnd(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SQL twin: reuses [[q150Sql]]'s unrolled CTE chain up to segN,
+    * whose (word → segmentation) frame IS the applied tokenizer.
+    */
+  val q152Sql: String = {
+    val upToSegN = q150Sql
+      .substring(0, q150Sql.indexOf("\nSELECT 1 AS step"))
+      .stripSuffix(",")
+    s"""$upToSegN,
+       |tok AS (
+       |  SELECT w, length(w) AS n_chars,
+       |    len(string_split(seg, '$SegSep')) AS n_bpe
+       |  FROM seg$BpeTrainMerges),
+       |dw AS (
+       |  SELECT doc_id, source, w, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1, 2, 3)
+       |SELECT dw.doc_id, dw.source,
+       |  SUM(cnt)::BIGINT AS n_words,
+       |  SUM(cnt * n_chars)::BIGINT AS n_chars,
+       |  SUM(cnt * n_bpe)::BIGINT AS n_bpe_tokens,
+       |  ${rndSql("SUM(cnt * n_chars)::DOUBLE / SUM(cnt * n_bpe)::DOUBLE", 4)}
+       |    AS chars_per_token
+       |FROM dw JOIN tok ON dw.w = tok.w
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q105_boilerplate_ngrams" -> (q105 _),
     "q106_hash_split" -> (q106 _),
@@ -413,7 +642,9 @@ object CorpusOps {
     "q108_quality_funnel" -> (q108 _),
     "q109_bpe_pairs" -> (q109 _),
     "q110_epoch_weighting" -> (q110 _),
-    "q114_boilerplate_scrub" -> (q114 _))
+    "q114_boilerplate_scrub" -> (q114 _),
+    "q150_bpe_train" -> (q150 _),
+    "q152_bpe_apply" -> (q152 _))
 
   def oracles: Map[String, String] = Map(
     "q105_boilerplate_ngrams" -> q105Sql,
@@ -422,5 +653,7 @@ object CorpusOps {
     "q108_quality_funnel" -> q108Sql,
     "q109_bpe_pairs" -> q109Sql,
     "q110_epoch_weighting" -> q110Sql,
-    "q114_boilerplate_scrub" -> q114Sql)
+    "q114_boilerplate_scrub" -> q114Sql,
+    "q150_bpe_train" -> q150Sql,
+    "q152_bpe_apply" -> q152Sql)
 }

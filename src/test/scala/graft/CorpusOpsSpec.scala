@@ -102,4 +102,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(total == vocab, "every adjacent char position yields exactly one pair")
     assert(allPairs.collect().forall(_.getAs[Long]("pair_count") > 0))
   }
+
+  test("q150 BPE loop reproduces the hand-computed toy vocabulary") {
+    import spark.implicits._
+    // the classic BPE walkthrough corpus: merges are hand-computed —
+    //   pairs: ug 20, pu 17, un 16, hu 15 -> merge 1 = (u,g) 20
+    //   then (u,n) 16, then (h,ug) 15, then (p,un) 12
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L)).toDF("w", "cnt")
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val seg0 = words.select(array_join(chars, "·").as("seg"), col("cnt"))
+    val merges = CorpusOps.bpeTrain(seg0, 4)
+    assert(merges == Seq(
+      (1, "u", "g", "ug", 20L),
+      (2, "u", "n", "un", 16L),
+      (3, "h", "ug", "hug", 15L),
+      (4, "p", "un", "pun", 12L)))
+  }
+
+  test("BPE merge fold is leftmost non-overlapping and delimiter-anchored") {
+    import spark.implicits._
+    // odd chain: a·a·a·a·a with (a,a) -> aa·aa·a (leftmost pairs);
+    // anchor: x·ab must NOT merge (a,b) inside the symbol "ab";
+    // merged symbol must not re-match its left half: ab·b with (a,b)
+    // stays (the last symbol is "ab", not "a")
+    val segs = Seq("a·a·a·a·a", "x·ab", "ab·b").toDF("seg")
+    val lf = "a"; val rt = "b"
+    val mergedAb = segs.select(col("seg"),
+      graft.queries.CorpusOps.testMergeFold(lf, rt).as("m")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mergedAb("x·ab") == "x·ab")
+    assert(mergedAb("ab·b") == "ab·b")
+    val mergedAa = segs.select(col("seg"),
+      graft.queries.CorpusOps.testMergeFold("a", "a").as("m")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mergedAa("a·a·a·a·a") == "aa·aa·a")
+  }
 }
