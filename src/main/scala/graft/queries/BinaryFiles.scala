@@ -119,11 +119,121 @@ object BinaryFiles {
        |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
        |FROM documents WHERE doc_id % $Stride = 0""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q151_image_decode — the REAL ImageIO decode path, oracled. The
+  // multimodal family's other oracled queries decode via the
+  // md5-deterministic stub (so DuckDB can replay pixel bytes); this
+  // one decodes REAL PNG files (DEFLATE + filter reconstruction
+  // through the JDK codec) and stays hash-checkable because the
+  // pixels are a closed-form pattern the oracle recomputes:
+  // pixel(x, y) = (x + y + doc_id % 256) % 256, 96x96 grayscale.
+  //
+  // Scale shape: binaryFile scan → decode + fused byte-stats kernel
+  // inside the projection (both StaticInvoke, whole-stage codegen) —
+  // bytes flow scan→decode→stats with no shuffle; the only exchange
+  // is the final 384-row order. At 100 TB the same plan runs over
+  // the real image corpus with the decode cost spread over every
+  // scan task. Fixture PNGs are written executor-side once per sf
+  // dir (bench setup phase), like [[corpusDir]].
+  // ---------------------------------------------------------------
+  final val PngCount = 384
+  final val PngSide = 96
+
+  private val pngDirs = TrieMap[String, String]()
+
+  def pngDir(spark: SparkSession, dir: String): String =
+    pngDirs.getOrElseUpdate(dir, {
+      val target = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_png_" + java.lang.Integer.toHexString(dir.hashCode))
+      val marker = target.resolve("_GRAFT_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(target)
+        val t = target.toString
+        val side = PngSide
+        Tables.documents(spark, dir)
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .orderBy(col("doc_id")).limit(PngCount)
+          .repartition(8)
+          .foreachPartition { rows: Iterator[Row] =>
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              val s = (id % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < side) {
+                var x = 0
+                while (x < side) {
+                  raster.setSample(x, y, 0, (x + y + s) % 256)
+                  x += 1
+                }
+                y += 1
+              }
+              javax.imageio.ImageIO.write(img, "png",
+                java.nio.file.Paths.get(t, s"d$id.png").toFile)
+            }
+          }
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      target.toString
+    })
+
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    val pngs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(pngDir(spark, dir))
+    pngs
+      .select(
+        regexp_extract(col("path"), "d(\\d+)\\.png$", 1).cast("long")
+          .as("doc_id"),
+        graft.functions.ImgKernels.decodeImage(col("path"), col("content"))
+          .as("image"))
+      .where(col("image").isNotNull)
+      .select(col("doc_id"),
+        col("image.height").as("height"), col("image.width").as("width"),
+        col("image.nChannels").as("n_channels"),
+        BinKernels.byteStatsCol(col("image.data")).as("s"))
+      .select(col("doc_id"), col("height"), col("width"), col("n_channels"),
+        col("s.bmin").as("bmin"), col("s.bmax").as("bmax"),
+        col("s.bmean").as("bmean"), col("s.bstd").as("bstd"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle recomputes the closed-form pixel pattern; the double
+    * sequence (s1/n, mean*mean, s2/n − msq, sqrt) mirrors
+    * [[BinKernels.byteStats]] operation-for-operation, and both
+    * divisions are by 96·96 = 9216 — so the comparison is exact
+    * without rounding.
+    */
+  val q151Sql: String = {
+    val n = PngSide * PngSide
+    s"""WITH ids AS (
+       |  SELECT doc_id, CAST(doc_id % 256 AS INT) AS s
+       |  FROM documents ORDER BY doc_id LIMIT $PngCount),
+       |px AS (
+       |  SELECT doc_id, CAST((gx.x + gy.y + s) % 256 AS BIGINT) AS v
+       |  FROM ids, generate_series(0, ${PngSide - 1}) gx(x),
+       |       generate_series(0, ${PngSide - 1}) gy(y)),
+       |a AS (
+       |  SELECT doc_id, MIN(v) AS mn, MAX(v) AS mx,
+       |    SUM(v)::DOUBLE AS s1, SUM(v * v)::DOUBLE AS s2
+       |  FROM px GROUP BY doc_id),
+       |m AS (
+       |  SELECT doc_id, mn, mx, s1 / $n AS bmean, s2 / $n AS ms2 FROM a)
+       |SELECT doc_id, $PngSide AS height, $PngSide AS width,
+       |  1 AS n_channels, mn::INT AS bmin, mx::INT AS bmax,
+       |  bmean, sqrt(ms2 - bmean * bmean) AS bstd
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q68_binaryfile_stats" -> (q68 _),
-    "q69_binaryfile_meta" -> (q69 _))
+    "q69_binaryfile_meta" -> (q69 _),
+    "q151_image_decode" -> (q151 _))
 
   def oracles: Map[String, String] = Map(
     "q68_binaryfile_stats" -> q68Sql,
-    "q69_binaryfile_meta" -> q69Sql)
+    "q69_binaryfile_meta" -> q69Sql,
+    "q151_image_decode" -> q151Sql)
 }

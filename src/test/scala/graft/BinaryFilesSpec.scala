@@ -73,4 +73,24 @@ class BinaryFilesSpec extends SparkTestBase {
       .select("label").distinct().collect()
     assert(labels.map(_.getInt(0)).toSeq == Seq(3))
   }
+
+  test("q151: real PNG decode reproduces the closed-form pixel stats") {
+    val rows = BinaryFiles.q151(spark, Sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(rows.length == math.min(BinaryFiles.PngCount.toLong, nDocs),
+      "every generated PNG must decode (no dropInvalid losses)")
+    // recompute one image's stats from the generation formula — a
+    // lossy or gamma-shifted PNG roundtrip would fail equality
+    rows.take(3).foreach { r =>
+      val s = (r.getAs[Long]("doc_id") % 256).toInt
+      val side = BinaryFiles.PngSide
+      val vs = for (y <- 0 until side; x <- 0 until side)
+        yield (x + y + s) % 256
+      assert(r.getAs[Int]("height") == side && r.getAs[Int]("width") == side)
+      assert(r.getAs[Int]("n_channels") == 1)
+      assert(r.getAs[Int]("bmin") == vs.min && r.getAs[Int]("bmax") == vs.max)
+      assert(r.getAs[Double]("bmean") ==
+        vs.map(_.toLong).sum.toDouble / (side * side))
+    }
+  }
 }
