@@ -233,4 +233,82 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(crossBatch, "no purchase credited a click from an earlier slice")
   }
+
+  test("STATEFUL recovery: sessionize restarts mid-backlog from a RocksDB checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    // The production streaming story's last untested piece: offset
+    // recovery alone is proven by the stateless test above; here the
+    // OPERATOR STATE (open sessions in flatMapGroupsWithState) must
+    // survive the restart too. Six event-time-sliced source files,
+    // one per micro-batch (maxFilesPerTrigger=1), so the watermark
+    // advances mid-run and sessions EMIT before the stop. Run A is
+    // the single uninterrupted reference; run B processes slices 1-3,
+    // stops with open sessions persisted in the RocksDB state store,
+    // receives slices 4-6, restarts from the same checkpoint — and
+    // must converge to exactly run A's session set.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val work = java.nio.file.Files.createTempDirectory("stateful-recovery").toString
+      val ev = graft.sources.Tables.events(spark, Sf)
+      val Array(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (k: Int) => minUs + (maxUs - minUs + 1) * k / 6
+      def writeSlice(src: String, k: Int): Unit = ev
+        .where(unix_micros(col("ts")) >= cut(k) &&
+          unix_micros(col("ts")) < cut(k + 1))
+        .coalesce(1).write.mode("append").parquet(src)
+      val sch = ev.schema
+      def runSess(src: String, out: String, ck: String): Unit = {
+        val q = EventStreams.sessionize(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(src),
+            boundedBacklog = false).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination(180000)
+      }
+      def sessions(out: String): Set[Seq[Any]] =
+        spark.read.parquet(out).collect().map(_.toSeq).toSet
+      // run A: all six slices, one uninterrupted run
+      val srcA = s"$work/srcA"; (0 until 6).foreach(writeSlice(srcA, _))
+      runSess(srcA, s"$work/outA", s"$work/ckA")
+      val ref = sessions(s"$work/outA")
+      assert(ref.nonEmpty)
+      // run B, part 1: slices 1-3 only, then STOP mid-backlog
+      val srcB = s"$work/srcB"; (0 until 3).foreach(writeSlice(srcB, _))
+      runSess(srcB, s"$work/outB", s"$work/ckB")
+      val afterFirst = sessions(s"$work/outB")
+      assert(afterFirst.nonEmpty, "watermark must close sessions before the stop")
+      assert(afterFirst.size < ref.size, "the stop must be genuinely mid-backlog")
+      assert(afterFirst.subsetOf(ref))
+      // backlog grows; restart from the SAME checkpoint
+      (3 until 6).foreach(writeSlice(srcB, _))
+      runSess(srcB, s"$work/outB", s"$work/ckB")
+      val fin = sessions(s"$work/outB")
+      assert(fin == ref,
+        "restarted run must converge to the uninterrupted run's session set")
+      // at least one post-restart session STARTED before the stop:
+      // its start timestamp can only have come from the recovered
+      // RocksDB state (the restarted source reads slices 4-6 only)
+      val startIdx = spark.read.parquet(s"$work/outB").schema.fieldIndex("start_us")
+      assert((fin -- afterFirst).exists(
+        _(startIdx).asInstanceOf[Long] < cut(3)),
+        "no emitted session carried recovered open-session state")
+      // and the whole continuous result is a subset of the batch oracle
+      val batch = EventsOps.q39(spark, Sf).collect().map(_.toSeq).toSet
+      assert(ref.subsetOf(batch))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
