@@ -227,15 +227,21 @@ object GraphOps {
             col("n_wedges").cast("double"), 6)).as("clustering"))
   }
 
-  val q139Sql: String = {
-    val r = graft.functions.TextFns.rndSql(
-      "3 * tri.n_triangles::DOUBLE / w.n_wedges::DOUBLE", 6)
-    s"""WITH li AS (
+  /** The co-purchase edge CTE — the SQL twin of [[prunedEdges]],
+    * shared by q139 and q153.
+    */
+  private val coEdgesSql: String =
+    s"""li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |edges AS (
        |  SELECT a.pk AS u, b.pk AS v
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)""".stripMargin
+
+  val q139Sql: String = {
+    val r = graft.functions.TextFns.rndSql(
+      "3 * tri.n_triangles::DOUBLE / w.n_wedges::DOUBLE", 6)
+    s"""WITH $coEdgesSql,
        |deg AS (
        |  SELECT n, COUNT(*) AS deg FROM (
        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
@@ -253,11 +259,96 @@ object GraphOps {
        |FROM w, ne, tri""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q153_kcore — k-core decomposition of the co-purchase graph:
+  // repeatedly delete every node with degree < K until the K-core
+  // remains. The result is the PEELING TRAJECTORY — one row per
+  // round (n_removed, n_edges_remaining) — which hash-pins every
+  // intermediate state, not just the final core.
+  //
+  // Iteration discipline mirrors q112/q150: a FIXED number of
+  // unrolled rounds (the oracle replays the same N in SQL; at the
+  // tested SFs the peel reaches its fixed point well inside N —
+  // GraphOpsSpec asserts it — and trailing rounds are 0-removal
+  // no-ops). Per round: one combinable degree count, weak-node
+  // anti-joins on both endpoints (equi-joins; Catalyst broadcasts
+  // the weak side when small, SMJ otherwise — no hint, because at
+  // 100 TB round 1's weak set can be most of the graph), then
+  // localCheckpoint so round r+1 never replays rounds 1..r.
+  //
+  // Scale shape: every pass is keyed (degree count on n, anti-join
+  // on u then v); the edge frame SHRINKS monotonically; the shared
+  // corpus-sized pair build is paid once in [[prunedEdges]].
+  // ---------------------------------------------------------------
+  // K chosen against the corpus's degree profile so the peel is
+  // non-trivial at the driver's sf0.01 gate (a 3-round cascade:
+  // 1521 -> 325 -> 2 removals); at sf0.001 the dense graph loses one
+  // node, at sf0.1 the sparse graph peels to empty in one round —
+  // all three are exact against the unrolled oracle.
+  final val CoreK = 6
+  final val CoreRounds = 6
+
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    var edges = prunedEdges(spark, dir)
+    val rounds = Vector.newBuilder[DataFrame]
+    for (r <- 1 to CoreRounds) {
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val weak = deg.where(col("deg") < CoreK).select(col("n"))
+      val pruned = edges
+        .join(weak.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+        .join(weak.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      rounds += weak.agg(count(lit(1)).as("n_removed"))
+        .crossJoin(pruned.agg(count(lit(1)).as("n_edges_remaining")))
+        .select(lit(r).as("round"), col("n_removed"),
+          col("n_edges_remaining"))
+      edges = pruned
+    }
+    rounds.result().reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
+  /** Each e_k/w_k is referenced 2-3 times by the next level; DuckDB
+    * inlines plain CTEs, so an unmaterialized chain re-evaluates the
+    * base 3^rounds times — AS MATERIALIZED pins each level to one
+    * evaluation (the exact analogue of the Spark side's per-round
+    * localCheckpoint).
+    */
+  val q153Sql: String = {
+    val steps = (1 to CoreRounds).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT n, COUNT(*) AS deg FROM (
+         |      SELECT u AS n FROM e${k - 1} UNION ALL SELECT v FROM e${k - 1})
+         |    GROUP BY n)
+         |  WHERE deg < $CoreK),
+         |e$k AS MATERIALIZED (
+         |  SELECT u, v FROM e${k - 1}
+         |  WHERE u NOT IN (SELECT n FROM w$k)
+         |    AND v NOT IN (SELECT n FROM w$k)),
+         |s$k AS (
+         |  SELECT $k AS round,
+         |    (SELECT COUNT(*) FROM w$k)::BIGINT AS n_removed,
+         |    (SELECT COUNT(*) FROM e$k)::BIGINT AS n_edges_remaining)""".stripMargin
+    }
+    val sel = (1 to CoreRounds)
+      .map(k => s"SELECT * FROM s$k").mkString("\nUNION ALL\n")
+    s"""WITH $coEdgesSql,
+       |e0 AS MATERIALIZED (SELECT u, v FROM edges),
+       |${steps.mkString(",\n")}
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q112_trade_pagerank" -> (q112 _),
-    "q139_triangle_count" -> (q139 _))
+    "q139_triangle_count" -> (q139 _),
+    "q153_kcore" -> (q153 _))
 
   def oracles: Map[String, String] = Map(
     "q112_trade_pagerank" -> q112Sql,
-    "q139_triangle_count" -> q139Sql)
+    "q139_triangle_count" -> q139Sql,
+    "q153_kcore" -> q153Sql)
 }

@@ -20,4 +20,32 @@ class GraphOpsSpec extends SparkTestBase {
       r2.map(r => (r.getString(0), r.getLong(1))).toSeq,
       "integer fixed-point iteration must be bit-identical across runs")
   }
+
+  test("q153 k-core peel == in-memory recount; fixed point inside the round budget") {
+    // independent peel over the collected edge set
+    var edges = GraphOps.prunedEdges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (1 to GraphOps.CoreRounds).map { _ =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val weak = deg.filter(_._2 < GraphOps.CoreK).keySet
+      edges = edges.filter(e => !weak(e._1) && !weak(e._2))
+      (weak.size.toLong, edges.size.toLong)
+    }
+    val rows = GraphOps.q153(spark, Sf).collect()
+    assert(rows.length == GraphOps.CoreRounds)
+    rows.zip(expect).foreach { case (r, (nRem, nEdges)) =>
+      assert(r.getAs[Long]("n_removed") == nRem)
+      assert(r.getAs[Long]("n_edges_remaining") == nEdges)
+    }
+    // the peel must CONVERGE inside the unrolled budget — the final
+    // round removing anything would mean the trajectory is truncated
+    assert(rows.last.getAs[Long]("n_removed") == 0L,
+      "fixed point not reached within CoreRounds")
+    // every survivor really has core degree >= K
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(deg.values.forall(_ >= GraphOps.CoreK),
+      "a surviving node has degree below K")
+  }
 }
