@@ -117,4 +117,60 @@ class WarehouseMaintSpec extends SparkTestBase {
     org.apache.spark.network.util.JavaUtils.deleteRecursively(
       new java.io.File(Warehouse.tableLocation(spark, table)))
   }
+
+  test("stream -> warehouse: foreachBatch upsert is effectively-once under batch replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    // The streaming->warehouse sink story: each micro-batch restates
+    // its DAYS via dynamic-partition upsert. Because the partition is
+    // the unit of restatement, a RE-DELIVERED batch (at-least-once
+    // delivery, a foreachBatch retry after a crash mid-commit)
+    // rewrites the same partitions with the same content — the sink
+    // is idempotent, hence effectively-once, WITHOUT a transactional
+    // log. Contract pinned here: batches must carry WHOLE days
+    // (ingest-day alignment) — a day split across batches would be
+    // half-dropped by the later restatement.
+    val tbl = "graft_stream_sink_events"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tblLoc = new java.io.File(Warehouse.tableLocation(spark, tbl))
+    if (tblLoc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(tblLoc)
+    val work = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val src = s"$work/src"
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .withColumn("day", to_date(col("ts")))
+    // three source files cut at DAY boundaries (the alignment contract)
+    val cuts = Seq(("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+      ("2024-01-21", "2024-02-01"))
+    cuts.foreach { case (lo, hi) =>
+      ev.where(col("day") >= lo && col("day") < hi)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def sinkBatch(df: org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(tbl))
+        df.write.partitionBy("day").format("parquet").saveAsTable(tbl)
+      else Warehouse.upsertPartitions(spark, tbl, df)
+    val sch = ev.schema
+    spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sinkBatch(df)
+      }
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    // column order: saveAsTable moves the partition col last — compare
+    // as name-keyed maps to stay order-independent
+    def byName(t: String) = {
+      val cols = spark.table(t).columns
+      spark.table(t).collect().map(r => cols.zip(r.toSeq).toMap).toSet
+    }
+    val evCols = ev.columns
+    val expectMaps = ev.collect().map(r => evCols.zip(r.toSeq).toMap).toSet
+    assert(byName(tbl) == expectMaps, "streamed table must equal the batch frame")
+    // simulate an at-least-once REDELIVERY of the final batch
+    val replay = ev.where(col("day") >= cuts.last._1)
+    Warehouse.upsertPartitions(spark, tbl, replay)
+    assert(byName(tbl) == expectMaps, "a replayed batch must change nothing")
+    spark.sql(s"DROP TABLE $tbl")
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(tblLoc)
+  }
 }
