@@ -104,6 +104,53 @@ object Warehouse {
     mode
   }
 
+  /** Provide `table` as a plain (unbucketed, unpartitioned) external
+    * parquet artifact with the same fingerprinted cross-session
+    * economics as [[ensureBucketedTable]] — the shape for SMALL
+    * derived artifacts (a trained codebook, a merge table, calibrated
+    * thresholds) whose BUILD is the expensive part. `schemaDdl` is
+    * passed explicitly so the files-reuse path can re-register the
+    * table without evaluating `build` at all (a by-name
+    * `build.schema` would force the build — and for a trained
+    * artifact the build IS the training).
+    */
+  def ensureTable(spark: SparkSession, table: String, srcPath: String,
+                  schemaDdl: String)(build: => DataFrame): String = {
+    val skey = (System.identityHashCode(spark), table)
+    if (spark.catalog.tableExists(table)) {
+      provisioned.put(skey, "catalog")
+      return "catalog"
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val fp = sourceFingerprint(spark, srcPath)
+    val surviving = scala.util.Try {
+      fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        prev == fp
+      }
+    }.getOrElse(false)
+    val mode =
+      if (surviving) {
+        spark.sql(s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+          s"LOCATION '${loc.toString}'")
+        "files"
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build.write.option("path", loc.toString)
+          .mode("overwrite").saveAsTable(table)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        "written"
+      }
+    provisioned.put(skey, mode)
+    mode
+  }
+
   /** Upsert a batch into a partitioned table via DYNAMIC partition
     * overwrite: only the partitions present IN THE BATCH are
     * replaced; every other partition's files are untouched (the spec

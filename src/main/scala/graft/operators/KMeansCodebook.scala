@@ -102,6 +102,34 @@ object KMeansCodebook {
     cache.getOrElseUpdate((System.identityHashCode(spark), dir, k, iters),
       train(spark, dir, k, iters))
 
+  /** Cross-SESSION form of [[trained]]: the codebook as a
+    * fingerprinted warehouse artifact (k rows of (cid,
+    * centroid DOUBLE[])), the ANN analogue of the persisted LSH pair
+    * set. Training is `iters` full passes over the embedding corpus —
+    * at real scale the expensive part — while the artifact is k×dim
+    * doubles; a later JVM re-registers the surviving files and skips
+    * training entirely, and a corpus regeneration flips the
+    * fingerprint and forces the retrain. Bit-identical across the
+    * build/reread boundary because [[train]] is bit-deterministic
+    * (fixed-point sums) and doubles round-trip parquet exactly.
+    */
+  def persisted(spark: SparkSession, dir: String, k: Int,
+                iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val table = s"graft_codebook_k${k}_i${iters}_" +
+      Integer.toHexString(dir.hashCode)
+    graft.io.Warehouse.ensureTable(spark, table,
+      s"$dir/embeddings.parquet",
+      "cid INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL") {
+      trained(spark, dir, k, iters).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "centroid")
+        .coalesce(1)
+    }
+    spark.table(table).orderBy(col("cid")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+  }
+
   // -----------------------------------------------------------------
   // DuckDB twin: unrolls the same init + iterations as chained CTEs.
   // -----------------------------------------------------------------

@@ -64,4 +64,36 @@ class PersistedIndexSpec extends SparkTestBase {
     // and the declared query runs against the re-registered table
     assert(graft.queries.CurationOps.q130(spark, dir).count() > 0)
   }
+
+  test("trained k-means codebook persists; files reread is bit-identical to training") {
+    import graft.operators.KMeansCodebook
+    import graft.queries.AnnTrained
+    val k = AnnTrained.Cells; val iters = AnnTrained.Iters
+    val table = s"graft_codebook_k${k}_i${iters}_" +
+      Integer.toHexString(dir.hashCode)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    val t0 = System.nanoTime()
+    val built = KMeansCodebook.persisted(spark, dir, k, iters)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("written"))
+    // the persisted artifact equals the in-session training BIT-WISE
+    val direct = KMeansCodebook.trained(spark, dir, k, iters)
+    assert(built.length == direct.length &&
+      built.zip(direct).forall { case (a, b) => a.sameElements(b) },
+      "persisted codebook must be bit-identical to the trained one")
+    // next JVM: catalog gone, files intact — no retraining
+    spark.sql(s"DROP TABLE $table")
+    val t1 = System.nanoTime()
+    val reread = KMeansCodebook.persisted(spark, dir, k, iters)
+    val rereadSec = (System.nanoTime() - t1) / 1e9
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("files"))
+    assert(reread.zip(direct).forall { case (a, b) => a.sameElements(b) },
+      "files-reread codebook must be bit-identical to the trained one")
+    info(f"codebook train+persist $buildSec%.2f s vs files reread $rereadSec%.2f s")
+  }
 }
