@@ -84,7 +84,11 @@ object Plans {
       "q144_trailing_window" -> "RANGE frame over integer day numbers on the daily rollup — O(days x types) window rows",
       "q145_column_profile" -> "two KEYED aggregation levels spread exact-NDV over the exchange; no global distinct merge",
       "q146_partition_pruned" -> "day-partitioned warehouse table: week BETWEEN lands in PartitionFilters, 7/30 dirs opened",
-      "q147_neardup_prune" -> "CC cluster members minus representatives, broadcast anti-join over the document scan")
+      "q147_neardup_prune" -> "CC cluster members minus representatives, broadcast anti-join over the document scan",
+      "q150_bpe_train" -> "BPE loop: vocab-frame pair counts, 1-row argmax per step, codegen'd fold re-segmentation",
+      "q151_image_decode" -> "binaryFile scan -> ImageIO decode -> fused byte stats in ONE shuffle-free projection",
+      "q152_bpe_apply" -> "trained merges fold over DISTINCT words, token counts joined back to the corpus (broadcast when the vocab fits)",
+      "q153_kcore" -> "k-core peel: per-round keyed degree count + endpoint anti-joins on a shrinking edge frame")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -552,9 +552,10 @@ object CorpusOps {
   //
   // Scale shape: the N-fold segmentation runs over the DISTINCT-WORD
   // frame only (vocabulary << corpus); per-word BPE token counts then
-  // broadcast-join back to the per-(doc, word) counts, so the corpus
-  // pays one explode + one keyed aggregate and never re-segments a
-  // word twice. The merge table itself is the q150 training output —
+  // join back to the per-(doc, word) counts (broadcast when the
+  // vocabulary fits, shuffle on w when it doesn't — Catalyst's call),
+  // so the corpus pays one explode + one keyed aggregate and never
+  // re-segments a word twice. The merge table itself is the q150 training output —
   // N driver rows, memoized per (session, dir), compiled into the
   // plan as a chain of N codegen'd folds (a tokenizer's merge table
   // is plan-side constant data, exactly like a broadcast dim).
@@ -595,7 +596,12 @@ object CorpusOps {
       .select(col("w"), size(split(col("seg"), SegSep)).as("n_bpe"),
         length(col("w")).as("n_chars"))
     docWords
-      .join(broadcast(segmented), "w")
+      // no broadcast HINT on purpose: a tested-SF vocabulary
+      // broadcasts on Catalyst's own estimate, but a 10^8-word
+      // web-scale vocabulary exceeds any broadcast budget and must
+      // shuffle-join on w — forcing the hint would OOM exactly at
+      // the scale this operator exists for
+      .join(segmented, "w")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_chars")).as("n_chars"),
