@@ -192,7 +192,61 @@ object Extended {
        |  FROM lineitem)
        |WHERE rk <= $TopK ORDER BY l_returnflag, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154_full_outer_reconcile — the two-sided COVERAGE RECONCILIATION
+  // report, the canonical FULL OUTER JOIN use (the one outer shape
+  // the corpus didn't yet declare): per-nation customer presence vs
+  // supplier presence, null sides zero-filled and classified. At
+  // sf0.001 suppliers cover 10 of the 25 customer nations, so both
+  // one-sided classes are genuinely exercised.
+  //
+  // Scale shape: two partial+final aggregates shrink each fact to
+  // per-key rows BEFORE the join (never full-outer raw facts — an
+  // unmatched-row explosion at 100 TB); the full outer then shuffles
+  // only the aggregates on the shared key, and the nation dim
+  // broadcasts for names.
+  // ---------------------------------------------------------------
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))),
+        Seq("nationkey"))
+      .select(col("n_name"), col("n_cust"), col("n_supp"),
+        when(col("n_cust") > 0 && col("n_supp") > 0, "both")
+          .when(col("n_cust") > 0, "customers_only")
+          .otherwise("suppliers_only").as("presence"))
+      .orderBy(col("n_name"))
+  }
+
+  val q154Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |  FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+      |  FROM supplier GROUP BY 1)
+      |SELECT n.n_name,
+      |  COALESCE(c.n_cust, 0)::BIGINT AS n_cust,
+      |  COALESCE(s.n_supp, 0)::BIGINT AS n_supp,
+      |  CASE WHEN COALESCE(c.n_cust, 0) > 0 AND COALESCE(s.n_supp, 0) > 0
+      |         THEN 'both'
+      |       WHEN COALESCE(c.n_cust, 0) > 0 THEN 'customers_only'
+      |       ELSE 'suppliers_only' END AS presence
+      |FROM c FULL OUTER JOIN s ON c.nk = s.snk
+      |JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.snk)
+      |ORDER BY n.n_name""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q154_full_outer_reconcile" -> (q154 _),
     "q53_correlated_subquery" -> (q53 _),
     "q54_map_functions" -> (q54 _),
     "q55_sliding_windows" -> (q55 _),
@@ -201,6 +255,7 @@ object Extended {
     "q83_topk_heap" -> (q83 _))
 
   def oracles: Map[String, String] = Map(
+    "q154_full_outer_reconcile" -> q154Sql,
     "q53_correlated_subquery" -> q53Sql,
     "q54_map_functions" -> q54Sql,
     "q55_sliding_windows" -> q55Sql,

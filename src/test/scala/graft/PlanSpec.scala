@@ -110,7 +110,8 @@ class PlanSpec extends SparkTestBase {
     "q125_decontamination_ann", // cell assignment × broadcast codebook (q59 shape)
     "q128_priority_sample",   // 1-row tau threshold × K sampled rows
     "q138_salted_join",       // 5-row weight dim × 16-row salt range (dim build)
-    "q139_triangle_count")    // three 1-row census frames joined for the summary
+    "q139_triangle_count",    // three 1-row census frames joined for the summary
+    "q153_kcore")             // per-round 1-row (n_removed × n_edges) stat frames
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
