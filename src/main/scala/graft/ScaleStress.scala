@@ -310,6 +310,18 @@ object ScaleStress {
       purchasesM.join(clicksM,
         expr("user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts")),
       OutputMode.Append())
+
+    // ---- round-8 families at 10x ----
+    // BPE: the 10x replica multiplies word COUNTS, not the
+    // vocabulary, so training cost is dominated by the one corpus
+    // scan — the loop's per-iteration work is vocabulary-sized and
+    // must stay flat. q152's apply side re-pays the corpus explode.
+    time("q150_bpe_train@10x")(queries.CorpusOps.q150(spark, cdir).count())
+    time("q152_bpe_apply@10x")(queries.CorpusOps.q152(spark, cdir).count())
+    // k-core on the 10x fact replica: shifted order keys multiply
+    // per-pair SUPPORT, so the pruned edge set grows and the peel
+    // works against a denser graph.
+    time("q153_kcore@10x")(queries.GraphOps.q153(spark, dir).count())
     spark.stop()
   }
 }
