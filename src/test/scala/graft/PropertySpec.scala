@@ -181,4 +181,37 @@ class PropertySpec extends SparkTestBase {
       assert(got.toSeq == expect)
     }
   }
+
+  test("property: BPE merge fold == in-memory leftmost non-overlapping merge") {
+    // arbitrary lowercase segmentations and merge pairs, including
+    // adversarial shapes the toy test can't cover: chains (aaaa...),
+    // pairs whose merged symbol prefixes/suffixes other symbols, and
+    // pairs absent from the word entirely
+    def refMerge(syms: List[String], lf: String, rt: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == lf && syms(i + 1) == rt) {
+          out += (lf + rt); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "aa", "c")
+    val segGen = Gen.nonEmptyListOf(sym).map(_.take(10))
+    val pairGen = for { l <- sym; r <- sym } yield (l, r)
+    val cases = samples(Gen.zip(segGen, pairGen), 120)
+    cases.groupBy(_._2).foreach { case ((lf, rt), group) =>
+      val segs = group.map(_._1)
+      val df = segs.map(_.mkString("·")).toDF("seg")
+      val got = df.select(col("seg"),
+        graft.queries.CorpusOps.testMergeFold(lf, rt).as("m")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      segs.foreach { s =>
+        val expect = refMerge(s, lf, rt).mkString("·")
+        assert(got(s.mkString("·")) == expect,
+          s"fold diverged on ${s.mkString("·")} with ($lf,$rt)")
+      }
+    }
+  }
 }
