@@ -311,4 +311,79 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    // the OTHER stateful operator: the carried state is one channel
+    // string per user; a purchase arriving after the restart whose
+    // latest click happened before the stop must be credited from the
+    // RECOVERED state, not fall back to 'direct'
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val work = java.nio.file.Files.createTempDirectory("attr-recovery").toString
+      val ev = graft.sources.Tables.events(spark, Sf)
+      val Array(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (k: Int) => minUs + (maxUs - minUs + 1) * k / 6
+      def writeSlice(src: String, k: Int): Unit = ev
+        .where(unix_micros(col("ts")) >= cut(k) &&
+          unix_micros(col("ts")) < cut(k + 1))
+        .coalesce(1).write.mode("append").parquet(src)
+      val sch = ev.schema
+      def runAttr(src: String, out: String, ck: String): Unit = {
+        val q = EventStreams.attributeLastTouch(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(src)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination(180000)
+      }
+      def credits(out: String): Set[Seq[Any]] =
+        spark.read.parquet(out).collect().map(_.toSeq).toSet
+      val srcA = s"$work/srcA"; (0 until 6).foreach(writeSlice(srcA, _))
+      runAttr(srcA, s"$work/outA", s"$work/ckA")
+      val ref = credits(s"$work/outA")
+      assert(ref.nonEmpty)
+      val srcB = s"$work/srcB"; (0 until 3).foreach(writeSlice(srcB, _))
+      runAttr(srcB, s"$work/outB", s"$work/ckB")
+      val afterFirst = credits(s"$work/outB")
+      assert(afterFirst.nonEmpty && afterFirst.size < ref.size)
+      (3 until 6).foreach(writeSlice(srcB, _))
+      runAttr(srcB, s"$work/outB", s"$work/ckB")
+      val fin = credits(s"$work/outB")
+      assert(fin == ref, "restarted attribution must equal the single run")
+      // a post-restart purchase credited to a channel with NO click
+      // between the restart point and the purchase: that channel can
+      // only have come from the recovered per-user state
+      val rows = ev.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      val purchaseUs = rows.filter(_.getString(3) == "purchase")
+        .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2))).toMap
+      val clicks = rows.filter(_.getString(3) == "click")
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val idx = spark.read.parquet(s"$work/outB").schema
+      val carried = (fin -- afterFirst).exists { c =>
+        val pid = c(idx.fieldIndex("purchase_id")).asInstanceOf[Long]
+        val chan = c(idx.fieldIndex("channel")).asInstanceOf[String]
+        purchaseUs.get(pid).exists { case (uid, pus) =>
+          pus >= cut(3) && chan != "direct" &&
+            !clicks.exists(cl => cl._1 == uid && cl._2 >= cut(3) && cl._2 < pus)
+        }
+      }
+      assert(carried,
+        "no credit provably used the channel recovered from state")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
