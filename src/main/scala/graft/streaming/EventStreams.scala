@@ -236,8 +236,18 @@ object EventStreams {
     *
     * Per-batch work sorts only THAT batch's events for the user —
     * O(batch), never O(history).
+    *
+    * `idleTtlUs` (continuous mode only) bounds marker lifetime: a
+    * closed-session marker re-arms its event-time timeout at
+    * end + gap + TTL and is REMOVED when it fires, so steady state is
+    * one row per user ACTIVE within the TTL horizon rather than per
+    * user ever seen. The accepted trade (documented at
+    * [[OpenSession]]): a user idle past the TTL restarts session_idx
+    * at 1 on return. None (default) keeps markers indefinitely —
+    * idx then always equals the batch numbering.
     */
-  def sessionize(events: DataFrame, boundedBacklog: Boolean = true): Dataset[Session] = {
+  def sessionize(events: DataFrame, boundedBacklog: Boolean = true,
+                 idleTtlUs: Option[Long] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     val timeout =
       if (boundedBacklog) GroupStateTimeout.NoTimeout()
@@ -254,12 +264,30 @@ object EventStreams {
             Session(userId, s.idx, s.nEvents, s.startUs, s.endUs,
               math.floor((s.endUs - s.startUs).toDouble / 1000000).toLong)
           if (!boundedBacklog && state.hasTimedOut) {
-            // watermark passed end + gap: the open session is closed;
-            // the state degrades to a closed marker (keeps the idx
-            // counter, sets no new timeout — the next event clears it)
             val s = state.get
-            state.update(OpenSession(s.idx, 0L, 0L, s.endUs))
-            Iterator.single(close(s))
+            if (s.nEvents == 0L) {
+              // a MARKER timed out: the user has been idle past the
+              // TTL — drop the row (only reachable with idleTtlUs set)
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed end + gap: the open session is
+              // closed; the state degrades to a closed marker (keeps
+              // the idx counter). With a TTL the marker re-arms its
+              // own expiry; without one it waits for the next event.
+              state.update(OpenSession(s.idx, 0L, 0L, s.endUs))
+              idleTtlUs.foreach { ttl =>
+                // a big watermark jump can land PAST end+gap+TTL in
+                // the same batch that closes the session; Spark
+                // rejects a timeout behind the watermark, so clamp —
+                // the marker then expires at the next advance, which
+                // is exactly "already past the TTL"
+                val want = s.endUs / 1000 + EventsOps.GapUs / 1000 + ttl / 1000
+                state.setTimeoutTimestamp(
+                  math.max(want, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator.single(close(s))
+            }
           } else {
             val evs = it.toArray.sortBy(e => (e.us, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer[Session]()

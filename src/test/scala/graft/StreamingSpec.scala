@@ -312,6 +312,53 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("idle-TTL bounds sessionize state to the active horizon, same session content") {
+    import org.apache.spark.sql.functions._
+    // 12 time-sliced files, one per micro-batch, so the watermark
+    // advances mid-backlog and marker TTLs actually fire. With the
+    // TTL: users idle past gap+TTL lose their marker row — final
+    // state is the ACTIVE set, not everyone ever seen. The cost is
+    // only the documented one: session_idx restarts for returning
+    // long-idle users; the session CONTENT set is identical.
+    val work = java.nio.file.Files.createTempDirectory("ttl-sessions").toString
+    val src = s"$work/src"
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val Array(minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val slices = 12
+    val cut = (k: Int) => minUs + (maxUs - minUs + 1) * k / slices
+    (0 until slices).foreach { k =>
+      ev.where(unix_micros(col("ts")) >= cut(k) &&
+          unix_micros(col("ts")) < cut(k + 1))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val sch = ev.schema
+    def run(name: String, ttl: Option[Long]) = {
+      val df = EventStreams.sessionize(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src),
+        boundedBacklog = false, idleTtlUs = ttl).toDF()
+      EventStreams.runToMemoryTracked(df, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    val (noTtlOut, noTtlProg) = run("sess_nottl", None)
+    val ttlUs = 6L * 3600 * 1000000 // 6h event-time idle horizon
+    val (ttlOut, ttlProg) = run("sess_ttl", Some(ttlUs))
+    def content(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "n_events", "start_us", "end_us", "duration_s")
+      .collect().map(_.toSeq).toSet
+    assert(content(ttlOut) == content(noTtlOut) && content(ttlOut).nonEmpty,
+      "TTL must not change which sessions exist, only idx continuity")
+    def finalStateRows(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      prog.reverse.iterator
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .find(_ => true).getOrElse(-1L)
+    val (fTtl, fNo) = (finalStateRows(ttlProg), finalStateRows(noTtlProg))
+    assert(fNo > 0 && fTtl >= 0 && fTtl < fNo,
+      s"TTL must shrink final state below ever-seen users (ttl=$fTtl nottl=$fNo)")
+  }
+
   test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._
