@@ -314,26 +314,50 @@ class StreamingSpec extends SparkTestBase {
 
   test("idle-TTL bounds sessionize state to the active horizon, same session content") {
     import org.apache.spark.sql.functions._
-    // 12 time-sliced files, one per micro-batch, so the watermark
-    // advances mid-backlog and marker TTLs actually fire. With the
-    // TTL: users idle past gap+TTL lose their marker row — final
-    // state is the ACTIVE set, not everyone ever seen. The cost is
-    // only the documented one: session_idx restarts for returning
-    // long-idle users; the session CONTENT set is identical.
+    // A crafted backlog whose watermark advances are FINER than the
+    // gap+TTL horizon — the round-8 version sliced 30 days of real
+    // events into 12 files (~2.5-day watermark jumps), so every marker
+    // timer was armed already behind the watermark and never fired.
+    // Here: gap = 2h (EventsOps.GapUs), TTL = 6h, watermark delay =
+    // 2h, and events arrive in HOURLY slices, one file per
+    // micro-batch, so a marker armed at end+gap+TTL sees many later
+    // watermark advances before the stream drains.
+    //   users 1..5   "idle":      3 events in hour 0, never return
+    //   users 6..10  "active":    one event every hour 0..26 (1h <
+    //                             gap, so ONE long open session each)
+    //   user  11     "returning": hour 0, idle 20h (> gap+TTL = 8h),
+    //                             returns hour 20; the clock runs to
+    //                             hour 26 so the watermark (22 > 20 +
+    //                             gap) closes and EMITS that second
+    //                             session, making the idx restart
+    //                             observable in the output
+    // With the TTL the six idle markers (users 1..5 + user 11's first)
+    // are REMOVED mid-stream; without it they persist forever. The
+    // only divergence is the documented one: user 11's second session
+    // restarts idx at 1 — the session CONTENT set is identical.
     val work = java.nio.file.Files.createTempDirectory("ttl-sessions").toString
     val src = s"$work/src"
-    val ev = graft.sources.Tables.events(spark, Sf)
-    val Array(minUs, maxUs) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val slices = 12
-    val cut = (k: Int) => minUs + (maxUs - minUs + 1) * k / slices
-    (0 until slices).foreach { k =>
-      ev.where(unix_micros(col("ts")) >= cut(k) &&
-          unix_micros(col("ts")) < cut(k + 1))
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, micros
+    val hourUs = 3600L * 1000000
+    val hours = 27
+    def ev(user: Long, us: Long): (Long, Long, Long) = (user, us, us) // id=ts
+    val byHour: Map[Int, Seq[(Long, Long, Long)]] =
+      (0 until hours).map { h =>
+        val base = t0 + h * hourUs
+        val active = (6L to 10L).map(u => ev(u, base + u * 1000))
+        val idle = if (h == 0) (1L to 5L).flatMap(u =>
+          (0 until 3).map(k => ev(u, base + k * 600L * 1000000 + u))) else Nil
+        val ret = if (h == 0 || h == 20) Seq(ev(11L, base + 11)) else Nil
+        h -> (active ++ idle ++ ret)
+      }.toMap
+    (0 until hours).foreach { h =>
+      spark.createDataFrame(byHour(h).map { case (u, id, us) => (id, us, u) })
+        .toDF("event_id", "us", "user_id")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"))
         .coalesce(1).write.mode("append").parquet(src)
     }
-    val sch = ev.schema
+    val sch = spark.read.parquet(src).schema
     def run(name: String, ttl: Option[Long]) = {
       val df = EventStreams.sessionize(
         spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
@@ -343,20 +367,43 @@ class StreamingSpec extends SparkTestBase {
         org.apache.spark.sql.streaming.OutputMode.Append())
     }
     val (noTtlOut, noTtlProg) = run("sess_nottl", None)
-    val ttlUs = 6L * 3600 * 1000000 // 6h event-time idle horizon
+    val ttlUs = 6L * hourUs // 6h event-time idle horizon
     val (ttlOut, ttlProg) = run("sess_ttl", Some(ttlUs))
     def content(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "n_events", "start_us", "end_us", "duration_s")
       .collect().map(_.toSeq).toSet
     assert(content(ttlOut) == content(noTtlOut) && content(ttlOut).nonEmpty,
       "TTL must not change which sessions exist, only idx continuity")
+    def removed(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      prog.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsRemoved)).sum
     def finalStateRows(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
       prog.reverse.iterator
         .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
         .find(_ => true).getOrElse(-1L)
+    // the direct evidence the round-8 test lacked: the TTL path must
+    // actually REMOVE marker rows mid-stream (six of them: users 1..5
+    // plus user 11's first-session marker), and only the TTL run does
+    assert(removed(noTtlProg) == 0L,
+      s"without a TTL nothing is ever removed (got ${removed(noTtlProg)})")
+    assert(removed(ttlProg) >= 6L,
+      s"TTL must remove the six idle markers (removed=${removed(ttlProg)})")
     val (fTtl, fNo) = (finalStateRows(ttlProg), finalStateRows(noTtlProg))
-    assert(fNo > 0 && fTtl >= 0 && fTtl < fNo,
-      s"TTL must shrink final state below ever-seen users (ttl=$fTtl nottl=$fNo)")
+    // no-TTL final state: 5 idle markers + 5 active opens + user 11's
+    // second-session marker = 11; TTL: the idle markers are gone = 6
+    assert(fNo == 11L && fTtl == 6L,
+      s"TTL must shrink final state to the active horizon (ttl=$fTtl nottl=$fNo)")
+    // the documented trade, observed in the OUTPUT: user 11's post-TTL
+    // return restarts session_idx at 1; the no-TTL run's surviving
+    // marker numbers it 2
+    val idxOfReturn = (df: org.apache.spark.sql.DataFrame) => df
+      .where(col("user_id") === 11L &&
+        col("start_us") === t0 + 20L * hourUs + 11L)
+      .select("session_idx").collect().map(_.getLong(0)).toSeq
+    assert(idxOfReturn(ttlOut) == Seq(1L),
+      s"post-TTL return must restart idx (got ${idxOfReturn(ttlOut)})")
+    assert(idxOfReturn(noTtlOut) == Seq(2L),
+      s"marker must continue idx without TTL (got ${idxOfReturn(noTtlOut)})")
   }
 
   test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
