@@ -46,11 +46,46 @@ object ScaleStress {
     d
   }
 
+  /** Length-shifted q126 stress (`runMain graft.ScaleStress len126`):
+    * same document COUNT, each text repeated 10× — the axis the
+    * count-shifted replica cannot exercise, because per-document cost
+    * is what separates the fused O(d) repMetrics kernel from the
+    * declarative O(d²) HOF build. Times the kernel at 1× and 10×
+    * length (expect ~linear), and the declarative build at 10× length
+    * on a 1-in-25 sample (quadratic: 10× length ≈ 100× per-doc work —
+    * sampled so the contrast run finishes). Numbers → SCALE_NOTES.md.
+    */
+  private def len126Stress(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val srcDocs = spark.read.parquet(s"$srcSf/documents.parquet")
+    val ldir = java.nio.file.Files.createTempDirectory("len10x").toString
+    srcDocs.select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), 10)).as("text"),
+        col("lang"), col("source"), (col("n_chars") * 10).as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$ldir/documents.parquet")
+    def timeNoop(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[stress] $name wall=${(System.nanoTime() - t0) / 1e9}%.2f s (noop sink)")
+    }
+    timeNoop("q126_kernel@len1x")(queries.CurationOps.q126(spark, srcSf))
+    timeNoop("q126_kernel@len10x")(queries.CurationOps.q126(spark, ldir))
+    timeNoop("q126_declarative@len10x/25") {
+      spark.read.parquet(s"$ldir/documents.parquet")
+        .where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), queries.CurationOps.repMetricsDeclarative.as("m"))
+        .select(col("doc_id"), col("m.*"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-scale-stress")
     srcSf = args.lift(1)
       .orElse(sys.env.get("SPARK_GRAFT_STRESS_SRC"))
       .getOrElse(srcSf)
+    if (args.headOption.contains("len126")) {
+      len126Stress(spark); spark.stop(); return
+    }
     val dir = args.headOption.getOrElse(buildFactReplica(spark))
 
     def time(name: String)(f: => Long): Unit = {

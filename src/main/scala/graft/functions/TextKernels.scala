@@ -240,6 +240,69 @@ object TextKernels {
     ArrayData.toArrayData(Array(fp, sh))
   }
 
+  /** Fused Gopher repetition metrics (q126) in ONE pass over the
+    * token stream: word counts, bigram counts, and repeated-bigram
+    * position coverage via two hash maps and a boolean cover array —
+    * O(d) per document. The declarative HOF formulation recomputes
+    * `filter(tk, _ === w)` for every DISTINCT token/bigram, which is
+    * O(d²) per document: correct and shuffle-free, but quadratic in
+    * doc LENGTH — a megabyte document pays ~10⁹ comparisons there vs
+    * ~10⁶ hash updates here.
+    *
+    * Returns (n_tok, top_word_frac, top_bigram_frac, dup_cov_frac)
+    * with division order exactly matching the declarative build
+    * (`(double)top * 2.0 / (double)n`), so results are bit-identical
+    * doubles (KernelSpec parity). Single-token docs (no bigrams)
+    * yield a NULL top_bigram_frac, matching `array_max([])`; the
+    * declarative dup-coverage would raise on those under ANSI
+    * (sequence(1,0) descends through index 0), so the kernel's 0.0 is
+    * strictly more defined, never different where both are defined.
+    */
+  def repMetrics(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = splitTokens(text)
+    val n = toks.length
+    val wc = new java.util.HashMap[String, Integer]()
+    var topWord = 0
+    var i = 0
+    while (i < n) {
+      val c = wc.merge(toks(i), 1, (a, b) => a + b)
+      if (c > topWord) topWord = c
+      i += 1
+    }
+    val row = new Array[Any](4)
+    row(0) = n
+    row(1) = topWord.toDouble / n.toDouble
+    if (n < 2) {
+      row(2) = null
+      row(3) = 0d
+    } else {
+      val bg = new Array[String](n - 1)
+      val bc = new java.util.HashMap[String, Integer]()
+      var topBigram = 0
+      i = 0
+      while (i < n - 1) {
+        val g = toks(i) + " " + toks(i + 1)
+        bg(i) = g
+        val c = bc.merge(g, 1, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+      val cover = new Array[Boolean](n)
+      var dup = 0
+      i = 0
+      while (i < n - 1) {
+        if (bc.get(bg(i)) >= 2) {
+          if (!cover(i)) { cover(i) = true; dup += 1 }
+          if (!cover(i + 1)) { cover(i + 1) = true; dup += 1 }
+        }
+        i += 1
+      }
+      row(2) = topBigram.toDouble * 2d / n.toDouble
+      row(3) = dup.toDouble / n.toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+  }
+
   // -----------------------------------------------------------------
   // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
   // -----------------------------------------------------------------
@@ -301,6 +364,15 @@ object TextKernels {
 
   def hash60StrCol(text: Column): Column =
     invoke("hash60Str", LongType, text)
+
+  final val repMetricsType: DataType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = true),
+    StructField("dup_cov_frac", DoubleType, nullable = false)))
+
+  def repMetricsCol(text: Column): Column =
+    invoke("repMetrics", repMetricsType, text)
 
   /** Two-arg StaticInvoke builder — (text, int literal) kernels. */
   def invokeExpr2(name: String, dt: DataType,

@@ -28,20 +28,27 @@ object CurationOps {
   // Gopher-shaped thresholds.
   //
   // Scale shape: ZERO shuffles before the top-K — every metric is a
-  // per-row array computation over the token vector (the classic
+  // per-row computation over the token vector (the classic
   // explode→groupBy(doc,gram) formulation would shuffle the entire
-  // token stream on a composite key; per-row higher-order functions
-  // keep the work at scan parallelism, bounded by doc length, which
-  // is exactly how a 100 TB quality pass must run). bind1 pins each
-  // derived array so interpreted HOFs evaluate it once.
+  // token stream on a composite key). The metrics come from the
+  // fused TextKernels.repMetrics StaticInvoke kernel: two hash maps
+  // + a cover array in ONE token pass, O(d) per document — the
+  // declarative HOF build below (kept for the KernelSpec parity
+  // pin) recomputes filter(tk, _ === w) per distinct gram, O(d²)
+  // per doc, which a megabyte document cannot afford.
   // ---------------------------------------------------------------
   final val RepTopWordMax = 0.2   // Gopher: top word <= 20% of doc
   final val RepTopBigramMax = 0.18
   final val RepDupCovMax = 0.25
   final val RepTopK = 40
 
-  def q126(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = bind1(tokens(col("text"))) { tk =>
+  /** The original declarative formulation of the q126 metrics —
+    * oracle-shaped, bit-exact vs DuckDB, but quadratic per document.
+    * KernelSpec pins [[graft.functions.TextKernels.repMetrics]]
+    * against it; q126 itself runs the kernel.
+    */
+  private[graft] def repMetricsDeclarative: Column =
+    bind1(tokens(col("text"))) { tk =>
       bind1(shingles(tk, 2)) { bg =>
         val n = size(tk)
         val topWord = array_max(transform(array_distinct(tk),
@@ -60,8 +67,11 @@ object CurationOps {
           (dupCov.cast("double") / n.cast("double")).as("dup_cov_frac"))
       }
     }
+
+  def q126(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("doc_id"), metrics.as("m"))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.repMetricsCol(col("text")).as("m"))
       .select(col("doc_id"), col("m.n_tok").as("n_tok"),
         rnd(col("m.top_word_frac"), 4).as("top_word_frac"),
         rnd(col("m.top_bigram_frac"), 4).as("top_bigram_frac"),

@@ -51,6 +51,27 @@ class KernelSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("repMetrics kernel == declarative Gopher metrics, bit-exact doubles") {
+    // q126's basis: the O(d) hash-pass kernel must equal the O(d²)
+    // declarative HOF build double-for-double (division order is
+    // mirrored in the kernel, so equality is bitwise, not epsilon).
+    // Edge docs: 2 tokens (single bigram, no repeats) and a fully
+    // repetitive doc (everything covered). Single-token docs are
+    // excluded — the declarative dup-coverage raises on them under
+    // ANSI (sequence(1,0) descends through index 0) while the kernel
+    // defines them; that asymmetry is documented at the kernel.
+    val withEdge = docs.unionByName(
+      spark.createDataFrame(Seq((9002L, "two tokens"),
+        (9003L, "a b a b a b a b"), (9004L, "x x x")))
+        .toDF("doc_id", "text"))
+    val mismatch = withEdge.select(
+        TextKernels.repMetricsCol(col("text")).as("k"),
+        graft.queries.CurationOps.repMetricsDeclarative.as("d"))
+      .filter(not(col("k") === col("d")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("minhashSig kernel == declarative minhashSig") {
     val mismatch = docs.select(
         TextKernels.minhashSigCol(col("text")).as("k"),
