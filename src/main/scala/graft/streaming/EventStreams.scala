@@ -330,7 +330,8 @@ object EventStreams {
     * final result as a batch DataFrame.
     */
   case class AttrEvent(user_id: Long, event_id: Long, us: Long,
-    event_type: String, value: Double, chan: Option[String])
+    event_type: String, value: Double, chan: Option[String],
+    ts: java.sql.Timestamp)
 
   /** Per-user carried attribution state: the most recent click's
     * channel — ONE string per user, O(1) regardless of stream length,
@@ -352,36 +353,75 @@ object EventStreams {
     * arrive in per-user event-time order (the file-replay contract;
     * a production deployment pairs this with a watermark + per-batch
     * event-time sort the same way sessionize's continuous mode does).
+    *
+    * `idleTtlUs` bounds state on an open-world user key the same way
+    * sessionize's marker TTL does: without it the carried LastTouch
+    * row is one string per user EVER SEEN. With a TTL the row's
+    * event-time timeout re-arms at (user's last event + TTL) on every
+    * batch that touches the user and the row is REMOVED when it
+    * fires — steady state is one row per user ACTIVE within the TTL
+    * horizon. The accepted trade: a purchase by a user idle past the
+    * TTL falls back to 'direct' (exactly the industry-standard
+    * "attribution window" — a TTL-length lookback is the semantics
+    * ad platforms define, so the trade is the spec, not a loss).
+    * Requires an upstream event-time watermark; the 2h one matches
+    * sessionize's continuous mode.
     */
-  def attributeLastTouch(events: DataFrame): Dataset[Credit] = {
+  def attributeLastTouch(events: DataFrame,
+                         idleTtlUs: Option[Long] = None): Dataset[Credit] = {
     import events.sparkSession.implicits._
-    events
+    val timeout =
+      if (idleTtlUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val src =
+      if (idleTtlUs.isDefined) events.withWatermark("ts", "2 hours") else events
+    src
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"),
         when(col("event_type") === "click",
           concat(lit("ch"),
             pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))))
-          .as("chan"))
+          .as("chan"),
+        col("ts"))
       .as[AttrEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastTouch, Credit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId: Long, it: Iterator[AttrEvent], state: GroupState[LastTouch]) =>
-          val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
-          var last = state.getOption.map(_.chan)
-          val out = Vector.newBuilder[Credit]
-          sorted.foreach { e =>
-            if (e.event_type == "purchase")
-              out += Credit(userId, e.event_id, last.getOrElse("direct"), e.value)
-            // a click whose props lack a parseable channel (chan =
-            // None) is IGNORED, matching q142's last(ignoreNulls)
-            // semantics — assigning `last = e.chan` here would clear
-            // the carried channel batch-locally while the state
-            // update below skipped it, diverging across batches
-            if (e.event_type == "click") e.chan.foreach(c => last = Some(c))
+          if (state.hasTimedOut) {
+            // idle past the TTL: the attribution window closed — drop
+            // the carried channel (only reachable with idleTtlUs set)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+            var last = state.getOption.map(_.chan)
+            val out = Vector.newBuilder[Credit]
+            sorted.foreach { e =>
+              if (e.event_type == "purchase")
+                out += Credit(userId, e.event_id, last.getOrElse("direct"), e.value)
+              // a click whose props lack a parseable channel (chan =
+              // None) is IGNORED, matching q142's last(ignoreNulls)
+              // semantics — assigning `last = e.chan` here would clear
+              // the carried channel batch-locally while the state
+              // update below skipped it, diverging across batches
+              if (e.event_type == "click") e.chan.foreach(c => last = Some(c))
+            }
+            last.foreach(c => state.update(LastTouch(c)))
+            idleTtlUs.foreach { ttl =>
+              if (state.exists) {
+                // re-arm at (last event in this batch + TTL); clamp to
+                // wm+1 when a coarse watermark jump already passed it
+                // (Spark rejects a timeout behind the watermark) — the
+                // row then expires at the next advance, which is
+                // exactly "already past the TTL"
+                val want = sorted.last.us / 1000 + ttl / 1000
+                state.setTimeoutTimestamp(
+                  math.max(want, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
           }
-          last.foreach(c => state.update(LastTouch(c)))
-          out.result().iterator
       }
   }
 

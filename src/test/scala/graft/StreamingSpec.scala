@@ -406,6 +406,82 @@ class StreamingSpec extends SparkTestBase {
       s"marker must continue idx without TTL (got ${idxOfReturn(noTtlOut)})")
   }
 
+  test("idle-TTL bounds attribution state to the attribution window, same credits") {
+    import org.apache.spark.sql.functions._
+    // Same crafted-backlog shape as the sessionize TTL test, applied
+    // to the OTHER stateful operator: without a TTL the carried
+    // LastTouch row is one channel string per user ever seen. TTL =
+    // 6h is the attribution window; clicks re-arm it, expiry removes
+    // the row. Credits are UNCHANGED because every purchase in the
+    // backlog follows a click inside the window (the crafted data
+    // has no post-expiry purchase — that case is the documented
+    // 'direct' fallback, i.e. the window semantics, not a loss).
+    //   users 1..5   idle:      click+purchase in hour 0 only
+    //   users 6..10  active:    click every hour; purchase when h%3=0
+    //   user  11     returning: click+purchase hour 0, idle 20h
+    //                           (> TTL), click+purchase hour 20
+    val work = java.nio.file.Files.createTempDirectory("ttl-attr").toString
+    val src = s"$work/src"
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, micros
+    val hourUs = 3600L * 1000000
+    val hours = 27
+    type Ev = (Long, Long, Long, String, Double, String)
+    def click(u: Long, us: Long, k: Long): Ev =
+      (us, us, u, "click", 0d, s"""{"k":$k}""")
+    def buy(u: Long, us: Long, v: Double): Ev =
+      (us, us, u, "purchase", v, "{}")
+    val byHour: Map[Int, Seq[(Long, Long, Long, String, Double, String)]] =
+      (0 until hours).map { h =>
+      val base = t0 + h * hourUs
+      val active = (6L to 10L).flatMap { u =>
+        val c = click(u, base + u * 1000, u)
+        if (h % 3 == 0) Seq(c, buy(u, base + u * 1000 + 1, u.toDouble)) else Seq(c)
+      }
+      val idle = if (h == 0) (1L to 5L).flatMap(u =>
+        Seq(click(u, base + u, u), buy(u, base + u + 500000, u.toDouble))) else Nil
+      val ret = if (h == 0 || h == 20)
+        Seq(click(11L, base + 11, h.toLong), buy(11L, base + 1011, h.toDouble))
+      else Nil
+      h -> (active ++ idle ++ ret)
+    }.toMap
+    (0 until hours).foreach { h =>
+      spark.createDataFrame(byHour(h))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val sch = spark.read.parquet(src).schema
+    def run(name: String, ttl: Option[Long]) = {
+      val df = EventStreams.attributeLastTouch(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src), idleTtlUs = ttl).toDF()
+      EventStreams.runToMemoryTracked(df, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    val (noTtlOut, noTtlProg) = run("attr_nottl", None)
+    val (ttlOut, ttlProg) = run("attr_ttl", Some(6L * hourUs))
+    def credits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(credits(ttlOut) == credits(noTtlOut) && credits(ttlOut).nonEmpty,
+      "TTL must not change any credit (no purchase outside the window)")
+    // every credit resolved from a real click channel, none 'direct'
+    assert(!ttlOut.collect().exists(_.getAs[String]("channel") == "direct"))
+    def removed(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      prog.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsRemoved)).sum
+    def finalStateRows(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      prog.reverse.iterator
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .find(_ => true).getOrElse(-1L)
+    assert(removed(noTtlProg) == 0L)
+    assert(removed(ttlProg) >= 6L,
+      s"TTL must remove the six idle LastTouch rows (removed=${removed(ttlProg)})")
+    val (fTtl, fNo) = (finalStateRows(ttlProg), finalStateRows(noTtlProg))
+    assert(fNo == 11L && fTtl == 6L,
+      s"TTL must shrink attribution state to the window (ttl=$fTtl nottl=$fNo)")
+  }
+
   test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._
