@@ -78,6 +78,57 @@ object ScaleStress {
     }
   }
 
+  /** BPE at a realistic merge count (`runMain graft.ScaleStress
+    * bpe256`): q150 trains 8 merges for the oracle; real tokenizers
+    * train thousands, and the scaling risk is the per-iteration
+    * driver round-trip (one argmax collect + plan rebuild + eager
+    * localCheckpoint per merge). This trains 256 merges on the sf0.1
+    * vocabulary and prints the per-iteration wall profile — flat
+    * timing in iteration count is the pass criterion (each iteration
+    * re-plans from a lineage-truncated checkpoint, so cost must not
+    * grow with step index; stale checkpoints are unpersisted inside
+    * bpeTrain). Numbers → SCALE_NOTES.md.
+    */
+  private def bpe256Stress(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def avg(xs: collection.Seq[Double]) = xs.sum / math.max(xs.size, 1)
+    def train(label: String, seg: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      val merges = queries.CorpusOps.bpeTrain(seg, n,
+        (step, w) => {
+          walls += w
+          if (step % 32 == 0) println(f"[stress] $label merge $step wall=$w%.3f s")
+        })
+      val total = (System.nanoTime() - t0) / 1e9
+      val mid = walls.slice(walls.size / 2 - 8, walls.size / 2 + 8)
+      println(f"[stress] $label: trained ${merges.size}/$n merges in $total%.1f s; " +
+        f"per-iter first16=${avg(walls.take(16))}%.3f s " +
+        f"mid16=${avg(mid)}%.3f s last16=${avg(walls.takeRight(16))}%.3f s " +
+        f"(flat-or-falling = plan-rebuild cost does NOT accumulate)")
+      println(s"[stress] $label last merges: ${merges.takeRight(3).mkString(", ")}")
+    }
+    // natural sf0.1 vocabulary first: small enough that training runs
+    // to COMPLETE vocabulary collapse (segPairs empty) — the early-stop
+    // path at realistic depth
+    train("bpe-natural", queries.CorpusOps.vocabSegFrame(spark, srcSf), 256)
+    // the 256-merge demonstration needs a vocabulary that survives 256
+    // merges: augment with adjacent-word bigrams joined as single
+    // words — same corpus, same Zipfian shape, ~30× the distinct
+    // surface forms and much longer character sequences
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+    val toks = split(col("text"), " ")
+    val big = docs
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), element_at(toks, i + 1)))).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val segBig = big.select(array_join(chars, "·").as("seg"), col("cnt"))
+    println(s"[stress] bpe-bigram vocabulary: ${big.count()} surface forms")
+    train("bpe-bigram256", segBig, 256)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-scale-stress")
     srcSf = args.lift(1)
@@ -85,6 +136,9 @@ object ScaleStress {
       .getOrElse(srcSf)
     if (args.headOption.contains("len126")) {
       len126Stress(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("bpe256")) {
+      bpe256Stress(spark); spark.stop(); return
     }
     val dir = args.headOption.getOrElse(buildFactReplica(spark))
 

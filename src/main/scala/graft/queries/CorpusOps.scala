@@ -478,12 +478,14 @@ object CorpusOps {
     * (step, lft, rgt, merged, pair_count) per merge; stops early if
     * the vocabulary runs out of pairs.
     */
-  private[graft] def bpeTrain(vocabSeg: DataFrame,
-                              nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+  private[graft] def bpeTrain(vocabSeg: DataFrame, nMerges: Int,
+                              onStep: (Int, Double) => Unit = (_, _) => ())
+      : Seq[(Int, String, String, String, Long)] = {
     var seg = vocabSeg.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
     for (step <- 1 to nMerges if !exhausted) {
+      val t0 = System.nanoTime()
       val top = segPairs(seg)
         .orderBy(desc("pair_count"), col("lft"), col("rgt"))
         .limit(1).collect()
@@ -492,8 +494,15 @@ object CorpusOps {
         val lf = top(0).getAs[String]("lft")
         val rt = top(0).getAs[String]("rgt")
         merges += ((step, lf, rt, lf + rt, top(0).getAs[Long]("pair_count")))
+        // localCheckpoint is eager: once the next frame is
+        // materialized the previous checkpoint's cached RDD is dead
+        // weight — at 8 merges that's noise, at a realistic 256+ it
+        // is merges × vocab-frame of pinned storage, so drop it
+        val prev = seg
         seg = seg.withColumn("seg", mergeFold(lf, rt)).localCheckpoint()
+        prev.unpersist()
       }
+      onStep(step, (System.nanoTime() - t0) / 1e9)
     }
     merges.result()
   }
@@ -564,19 +573,24 @@ object CorpusOps {
     scala.collection.concurrent.TrieMap
       .empty[(Int, String), Seq[(Int, String, String, String, Long)]]
 
+  /** The (seg, cnt) character-segmented vocabulary frame q150 trains
+    * on — also the entry point for the ScaleStress 256-merge run.
+    */
+  private[graft] def vocabSegFrame(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    vocab.select(array_join(chars, SegSep).as("seg"), col("cnt"))
+  }
+
   private[graft] def mergesFor(spark: SparkSession, dir: String)
       : Seq[(Int, String, String, String, Long)] =
     trainedMerges.getOrElseUpdate(
-      (graft.CacheRegistry.sessionKey(spark), dir), {
-        val vocab = Tables.documents(spark, dir)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        val chars = transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))
-        bpeTrain(vocab.select(array_join(chars, SegSep).as("seg"), col("cnt")),
-          BpeTrainMerges)
-      })
+      (graft.CacheRegistry.sessionKey(spark), dir),
+      bpeTrain(vocabSegFrame(spark, dir), BpeTrainMerges))
 
   def q152(spark: SparkSession, dir: String): DataFrame = {
     val merges = mergesFor(spark, dir)
