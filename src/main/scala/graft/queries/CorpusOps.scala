@@ -539,12 +539,13 @@ object CorpusOps {
          |m$k AS (SELECT lft, rgt, pair_count FROM p$k
          |  ORDER BY pair_count DESC, lft, rgt LIMIT 1),
          |seg$k AS (
-         |  SELECT w, list_reduce(string_split(seg, '$SegSep'),
+         |  SELECT w, CASE WHEN m.lft IS NULL THEN seg
+         |    ELSE list_reduce(string_split(seg, '$SegSep'),
          |    (acc, x) -> CASE
          |      WHEN (acc = m.lft OR ends_with(acc, '$SegSep' || m.lft)) AND x = m.rgt
          |      THEN left(acc, length(acc) - length(m.lft)) || m.lft || m.rgt
-         |      ELSE acc || '$SegSep' || x END) AS seg, cnt
-         |  FROM seg${k - 1}, m$k m)""".stripMargin
+         |      ELSE acc || '$SegSep' || x END) END AS seg, cnt
+         |  FROM seg${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }
     val sel = (1 to BpeTrainMerges).map { k =>
       s"SELECT $k AS step, lft, rgt, lft || rgt AS merged, pair_count FROM m$k"
