@@ -171,6 +171,16 @@ object Warehouse {
   def upsertPartitions(spark: SparkSession, table: String,
                        batch: DataFrame): Unit = {
     val writer = spark.newSession()
+    // newSession starts from the CONTEXT's initial conf, not the
+    // caller's runtime conf — semantic confs the caller set at
+    // runtime (time zone, ANSI casting) must carry over or the
+    // insertInto's resolution/casting silently runs under initial-
+    // conf semantics while the batch plan was analyzed under the
+    // caller's
+    Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+        "spark.sql.storeAssignmentPolicy")
+      .foreach(k => spark.conf.getOption(k)
+        .foreach(v => writer.conf.set(k, v)))
     writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     org.apache.spark.sql.graftbridge.PlanBridge
       .ofRows(writer,

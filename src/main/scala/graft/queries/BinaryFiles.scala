@@ -39,6 +39,13 @@ object BinaryFiles {
     * on shared storage: each task writes its partition's files; no
     * driver collect). A marker file makes re-runs and concurrent
     * sessions reuse the existing corpus.
+    *
+    * LOCAL-MODE ASSUMPTION: `java.io.tmpdir` stands in for the shared
+    * filesystem. Tasks write executor-side and the driver writes the
+    * marker/reads the scan by the same path — coherent only when
+    * driver and executors share the filesystem (local mode). On a
+    * cluster, point `target` at shared storage (the real deployment
+    * shape); nothing else changes.
     */
   def corpusDir(spark: SparkSession, dir: String): String =
     corpusDirs.getOrElseUpdate(dir, {
@@ -141,6 +148,13 @@ object BinaryFiles {
 
   private val pngDirs = TrieMap[String, String]()
 
+  /** Fixture PNGs, written executor-side once per sf dir. Same
+    * LOCAL-MODE ASSUMPTION as [[corpusDir]]: `java.io.tmpdir` stands
+    * in for shared storage — on a multi-node cluster the target must
+    * be a shared filesystem path or the driver-side binaryFile scan
+    * would miss executor-written files while the marker claims
+    * readiness.
+    */
   def pngDir(spark: SparkSession, dir: String): String =
     pngDirs.getOrElseUpdate(dir, {
       val target = java.nio.file.Paths.get(

@@ -357,7 +357,14 @@ object SketchQueries {
   private val ProfileCols = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax")
 
-  def q145(spark: SparkSession, dir: String): DataFrame = {
+  def q145(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(spark, dir))
+
+  /** The q145 profile over any lineitem-shaped frame — split out so
+    * the all-null-column contract is testable without a fixture scan.
+    */
+  private[graft] def profile(src: DataFrame): DataFrame = {
+    val spark = src.sparkSession
     // (col_name, value) pairs from one scan, then TWO KEYED levels:
     // per-(col, value) counts collapse map-side to ~NDV rows and the
     // (col, value)-hashed exchange spreads the distinct work over
@@ -366,7 +373,7 @@ object SketchQueries {
     // merge of all four distinct sets lands in a single task
     // (measured: 3.5 s wall at only 2x parallelism on 32 cores; this
     // shape: every stage keyed, nothing serial).
-    val pairs = Tables.lineitem(spark, dir)
+    val pairs = src
       .select(explode(array(ProfileCols.map(c =>
         struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
       .select(col("p.cn").as("cn"), col("p.v").as("v"))
@@ -375,7 +382,7 @@ object SketchQueries {
       // not reach the keyed levels (lineitem's profiled columns are
       // never null, but the profile must hold for any input)
       .where(col("v").isNotNull)
-    pairs.groupBy(col("cn"), col("v"))
+    val agg = pairs.groupBy(col("cn"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cn"))
       .agg(sum(col("cnt")).as("n"),
@@ -384,7 +391,15 @@ object SketchQueries {
         max(col("v")).as("max_v"),
         sum(col("v").cast("decimal(18,6)") * col("cnt")).cast("double")
           .as("sum_v"))
-      .select(col("cn").as("col_name"), col("n"), col("n_distinct"),
+    // an ENTIRELY-null column vanishes at the isNotNull filter, but
+    // the oracle's per-column UNION ALL still emits its row with n=0
+    // and NULL min/max/sum — right-join the 4-literal column frame
+    // back (broadcast, free) so "holds for any input" is actually true
+    import spark.implicits._
+    agg.join(ProfileCols.toDF("cn"), Seq("cn"), "right")
+      .select(col("cn").as("col_name"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_v"), col("max_v"), col("sum_v"))
       .orderBy(col("col_name"))
   }

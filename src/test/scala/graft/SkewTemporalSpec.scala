@@ -182,10 +182,40 @@ class SkewTemporalSpec extends SparkTestBase {
       assert(r.getAs[Double]("max_v") == vs.max)
       assert(r.getAs[Double]("sum_v") == vs.map(dec6).sum.toDouble)
     }
-    // single-pass shape: exactly ONE scan of lineitem in the plan
-    val scans = queries.SketchQueries.q145(spark, Sf).queryExecution
-      .executedPlan.collectLeaves().size
-    assert(scans == 1, s"profile must be one scan, saw $scans")
+    // single-pass shape: exactly ONE FILE scan of lineitem in the
+    // plan (the 4-row literal column frame for null-column zero-fill
+    // is a LocalTableScan leaf, not a data scan). Counted on the
+    // pre-AQE sparkPlan: executedPlan wraps everything in a single
+    // AdaptiveSparkPlanExec LEAF, which made the old collectLeaves
+    // count vacuous.
+    val leaves = queries.SketchQueries.q145(spark, Sf).queryExecution
+      .sparkPlan.collectLeaves()
+    val scans = leaves.count(l =>
+      l.getClass.getSimpleName.contains("FileSourceScan") ||
+        l.getClass.getSimpleName.contains("BatchScan"))
+    assert(scans == 1, s"profile must be one scan, saw $scans of " +
+      leaves.map(_.getClass.getSimpleName).mkString(","))
+  }
+
+  test("q145 profile emits n=0 rows for entirely-null columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the oracle's per-column UNION ALL emits a row for an all-null
+    // column (n=0, NULL min/max/sum); the pairs frame loses it at the
+    // isNotNull filter, so the literal-frame right join must restore it
+    val src = Seq((1.0, 2.0, 0.1), (3.0, 4.0, 0.2))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .withColumn("l_tax", lit(null).cast("double"))
+    val rows = queries.SketchQueries.profile(src).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val tax = rows.find(_.getAs[String]("col_name") == "l_tax").get
+    assert(tax.getAs[Long]("n") == 0L && tax.getAs[Long]("n_distinct") == 0L)
+    assert(tax.isNullAt(tax.fieldIndex("min_v")) &&
+      tax.isNullAt(tax.fieldIndex("max_v")) &&
+      tax.isNullAt(tax.fieldIndex("sum_v")))
+    val q = rows.find(_.getAs[String]("col_name") == "l_quantity").get
+    assert(q.getAs[Long]("n") == 2L && q.getAs[Double]("sum_v") == 4.0)
   }
 
   test("q148 top paths == per-user-day first-5 recount") {
