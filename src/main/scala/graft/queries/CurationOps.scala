@@ -414,7 +414,85 @@ object CurationOps {
        |FROM i JOIN sz z1 ON i.s1 = z1.source JOIN sz z2 ON i.s2 = z2.source
        |ORDER BY jaccard DESC, s1, s2 LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q156_paragraph_dedup — corpus-wide FIRST-OCCURRENCE paragraph
+  // dedup (the CCNet recipe, Wenzek et al. 2020: dedup at paragraph
+  // granularity across the whole corpus, keep the first copy,
+  // reassemble documents from their surviving paragraphs). The
+  // synthetic corpus has no paragraph breaks, so "paragraph" is the
+  // packing-style unit: consecutive non-overlapping ParaW-token
+  // blocks (full blocks only). Per doc: how many of its blocks are
+  // the corpus-wide first occurrence of their content, i.e. what
+  // fraction survives reassembly — the docs that keep the LEAST are
+  // the boilerplate carriers CCNet drops.
+  //
+  // vs q127/q130: those detect overlap (sliding windows, vs history)
+  // — this one RESOLVES it with a global keep/drop decision per
+  // block, which needs a canonical winner. The winner is
+  // min(doc_id·10^5 + block_idx) per content hash: one integer min
+  // aggregate, no window sort over the corpus. (At 100 TB swap the
+  // packed key for min(struct(doc_id, idx)) — same single
+  // aggregate; the packed BIGINT exists because DuckDB and Spark
+  // order structs differently in min().)
+  //
+  // Scale shape: block hashes ride the q127 winHash kernel (one
+  // JIT'd pass per doc, stride-indexed); the keep table is one keyed
+  // aggregate on the 60-bit hash (uniform, skew-free) and joins back
+  // by the same key, so AQE plans both sides co-partitioned; per-doc
+  // rollup is the only other shuffle. Never materializes block TEXT
+  // — only (doc_id, idx, hash).
+  // ---------------------------------------------------------------
+  final val ParaW = 20
+  final val ParaTopK = 40
+
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val nb = floor(col("n") / ParaW).cast("int")
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.winHashCol(col("text"), ParaW).as("wh"),
+        size(tokens(col("text"))).as("n"))
+      .select(col("doc_id"), col("wh"),
+        when(nb >= 1, sequence(lit(0), nb - 1))
+          .otherwise(array().cast("array<int>")).as("bs"))
+      .select(col("doc_id"), col("wh"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b"),
+        element_at(col("wh"), col("b") * ParaW + 1).as("h"))
+    val keep = blocks.groupBy(col("h"))
+      .agg(min(col("doc_id") * 100000L + col("b")).as("keep_key"))
+    blocks.join(keep, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("doc_id") * 100000L + col("b") === col("keep_key"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        rnd(col("n_kept").cast("double") / col("n_blocks").cast("double"), 4)
+          .as("kept_frac"))
+      .orderBy(col("kept_frac"), col("doc_id")).limit(ParaTopK)
+  }
+
+  val q156Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bl AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(0, (len(t) // $ParaW) - 1)) AS b
+       |  FROM d),
+       |bh AS (
+       |  SELECT doc_id, b,
+       |    ${hash60Sql(s"array_to_string(t[(b*$ParaW+1):(b*$ParaW+$ParaW)], ' ')")} AS h
+       |  FROM bl),
+       |keep AS (SELECT h, MIN(doc_id * 100000 + b) AS keep_key
+       |         FROM bh GROUP BY h)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+       |  SUM(CASE WHEN doc_id * 100000 + b = keep_key THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_kept,
+       |  ${rndSql("SUM(CASE WHEN doc_id * 100000 + b = keep_key THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE", 4)}
+       |    AS kept_frac
+       |FROM bh JOIN keep USING (h)
+       |GROUP BY doc_id
+       |ORDER BY kept_frac, doc_id LIMIT $ParaTopK""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q156_paragraph_dedup" -> (q156 _),
     "q126_repetition_suite" -> (q126 _),
     "q127_window_dedup" -> (q127 _),
     "q128_priority_sample" -> (q128 _),
@@ -423,6 +501,7 @@ object CurationOps {
     "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
+    "q156_paragraph_dedup" -> q156Sql,
     "q126_repetition_suite" -> q126Sql,
     "q127_window_dedup" -> q127Sql,
     "q128_priority_sample" -> q128Sql,

@@ -549,7 +549,87 @@ object PipelineOps {
        |ORDER BY max_cosine DESC, vec_id LIMIT 40""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q155_dsir_weights — importance weights for domain-matched data
+  // selection (DSIR; Xie et al. 2023, "Data Selection for Language
+  // Models via Importance Resampling"): score every corpus document
+  // by how much its hashed-unigram distribution leans toward a
+  // target domain (here source 'src0' stands in for the trusted
+  // high-quality slice). DSIR proper uses log-likelihood ratios of
+  // hashed n-gram features; this uses the LINEAR divergence
+  //   score_raw = Σ_b cnt_doc(b) · (c_tgt(b)·N_all − c_all(b)·N_tgt)
+  // which keeps every intermediate an exact BIGINT so the DuckDB
+  // oracle matches bit-for-bit (log-ratio doubles are not
+  // cross-engine reproducible). Positive = target-leaning. At web
+  // scale the integer products overflow and the real deployment
+  // swaps in double log-ratios — same plan shape, weights stay a
+  // 1024-row broadcast.
+  //
+  // Scale shape: both distributions are map-side-combining
+  // aggregates that collapse to DsirBuckets rows (the feature hash
+  // IS the state bound — corpus size never appears); the weight
+  // table broadcasts; the corpus pays exactly one keyed shuffle
+  // (doc_id, b) plus the final per-doc rollup. No joins between
+  // corpus-sized frames.
+  // ---------------------------------------------------------------
+  final val DsirBuckets = 1024
+  final val DsirTarget = "src0"
+  final val DsirTopK = 50
+
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.TextFns.hash60(col("w")) % DsirBuckets).as("b"))
+    val allB = tok.groupBy(col("b")).agg(count(lit(1)).as("c_all"))
+    val tgtB = tok.where(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val whole = Window.partitionBy(lit(1))
+    val wt = allB.join(tgtB, Seq("b"), "left")
+      .select(col("b"), col("c_all"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .select(col("b"),
+        (col("c_tgt") * sum(col("c_all")).over(whole) -
+          col("c_all") * sum(col("c_tgt")).over(whole)).as("wt"))
+    tok.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wt), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(col("cnt") * col("wt")).as("score_raw"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("score_raw"),
+        (col("source") === DsirTarget).as("is_target"))
+      .orderBy(desc("score_raw"), col("doc_id")).limit(DsirTopK)
+  }
+
+  val q155Sql: String = {
+    import graft.functions.TextFns.hash60Sql
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, ${hash60Sql("w")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |alls AS (SELECT b, COUNT(*) AS c_all FROM tok GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS c_tgt FROM tok
+       |        WHERE source = '$DsirTarget' GROUP BY b),
+       |wt AS (
+       |  SELECT a.b,
+       |    (COALESCE(t.c_tgt, 0) * (SELECT SUM(c_all) FROM alls)
+       |     - a.c_all * (SELECT COALESCE(SUM(c_tgt), 0) FROM tgt))::BIGINT AS wt
+       |  FROM alls a LEFT JOIN tgt t USING (b)),
+       |db AS (SELECT doc_id, source, b, COUNT(*) AS cnt
+       |       FROM tok GROUP BY 1, 2, 3)
+       |SELECT doc_id, source, SUM(cnt)::BIGINT AS n_tok,
+       |  SUM(cnt * wt)::BIGINT AS score_raw,
+       |  (source = '$DsirTarget') AS is_target
+       |FROM db JOIN wt USING (b)
+       |GROUP BY doc_id, source
+       |ORDER BY score_raw DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q155_dsir_weights" -> (q155 _),
     "q124_semantic_decontamination" -> (q124 _),
     "q125_decontamination_ann" -> (q125 _),
     "q104_mixture_rebalance" -> (q104 _),
@@ -560,6 +640,7 @@ object PipelineOps {
     "q113_temperature_mixture" -> (q113 _))
 
   def oracles: Map[String, String] = Map(
+    "q155_dsir_weights" -> q155Sql,
     "q124_semantic_decontamination" -> q124Sql,
     "q125_decontamination_ann" -> q125Sql,
     "q104_mixture_rebalance" -> q104Sql,

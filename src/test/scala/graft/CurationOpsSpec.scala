@@ -39,6 +39,33 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q156 paragraph dedup matches a brute-force first-occurrence recount") {
+    // recount on block CONTENT (not hashes) — also certifies the
+    // 60-bit hash is collision-free on this corpus's block set
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val w = CurationOps.ParaW
+    val blocks = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 until t.length / w).map(b =>
+        (id, b.toLong, t.slice(b * w, b * w + w).mkString(" ")))
+    }
+    val firstKey = blocks.groupBy(_._3).view
+      .mapValues(bs => bs.map(x => x._1 * 100000L + x._2).min).toMap
+    val expected = blocks.groupBy(_._1).map { case (id, bs) =>
+      val kept = bs.count(x => x._1 * 100000L + x._2 == firstKey(x._3)).toLong
+      val frac = math.floor(kept.toDouble / bs.length * 10000 + 0.5) / 10000
+      (id, bs.length.toLong, kept, frac)
+    }.toSeq.sortBy(t => (t._4, t._1)).take(CurationOps.ParaTopK)
+    val rows = CurationOps.q156(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == expected && rows.nonEmpty)
+    // the operator must actually resolve duplicates on this corpus
+    assert(rows.exists(r => r._3 < r._2),
+      "corpus must contain at least one non-first-occurrence block")
+  }
+
   test("q127 duplicated-window coverage matches a brute-force window map") {
     val k = CurationOps.WinK
     // window -> distinct docs, over the whole corpus, in plain Scala

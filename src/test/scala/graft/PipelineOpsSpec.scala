@@ -24,6 +24,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q155 DSIR weights match a plain-Scala hashed-distribution recount") {
+    import graft.functions.TextKernels
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def h(w: String): Long =
+      TextKernels.hash60(w.getBytes("UTF-8")) % PipelineOps.DsirBuckets
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.split(" ", -1).map(w => (id, src, h(w))) }
+    val cAll = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cTgt = toks.filter(_._2 == PipelineOps.DsirTarget)
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nAll = toks.length.toLong
+    val nTgt = toks.count(_._2 == PipelineOps.DsirTarget).toLong
+    val expected = toks.groupBy(t => (t._1, t._2)).map { case ((id, src), ts) =>
+      val raw = ts.groupBy(_._3).map { case (b, bs) =>
+        bs.length.toLong * (cTgt.getOrElse(b, 0L) * nAll - cAll(b) * nTgt)
+      }.sum
+      (id, src, ts.length.toLong, raw, src == PipelineOps.DsirTarget)
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(PipelineOps.DsirTopK)
+    val rows = PipelineOps.q155(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows == expected)
+    // the signal must be real: target docs lean positive vs the field
+    val tgtMean = expected.filter(_._5).map(_._4).sum.toDouble /
+      math.max(expected.count(_._5), 1)
+    assert(expected.count(_._5) > 0, "target docs must reach the top-K")
+    assert(tgtMean > 0, "target-leaning scores must be positive")
+  }
+
   test("q100 never flags a benchmark document (index side excluded from corpus)") {
     val flagged = PipelineOps.q100(spark, Sf).collect()
     assert(flagged.forall(_.getAs[Long]("doc_id") % 23 != 1))
