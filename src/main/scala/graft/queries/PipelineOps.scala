@@ -583,9 +583,22 @@ object PipelineOps {
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("source"),
         (graft.functions.TextFns.hash60(col("w")) % DsirBuckets).as("b"))
-    val allB = tok.groupBy(col("b")).agg(count(lit(1)).as("c_all"))
-    val tgtB = tok.where(col("source") === DsirTarget)
-      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+      // semantically a no-op (b is a hash of a non-null token), but
+      // load-bearing for exchange reuse: the final join on b infers
+      // isnotnull(b) into ITS branch only, which de-canonicalizes the
+      // doc-bucket exchange vs the distribution branches; stating the
+      // filter once here keeps all branches bit-identical
+      .where(col("b").isNotNull)
+    // both distributions ROLL UP from the per-doc bucket aggregate
+    // rather than re-scanning the token explode: the three branches
+    // then share ONE identical (doc_id, source, b) exchange, which
+    // ReuseExchange dedupes — the corpus is exploded and shuffled
+    // exactly once (PlanSpec pins the reuse)
+    val docB = tok.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val allB = docB.groupBy(col("b")).agg(sum(col("cnt")).as("c_all"))
+    val tgtB = docB.where(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("c_tgt"))
     val whole = Window.partitionBy(lit(1))
     val wt = allB.join(tgtB, Seq("b"), "left")
       .select(col("b"), col("c_all"),
@@ -593,8 +606,7 @@ object PipelineOps {
       .select(col("b"),
         (col("c_tgt") * sum(col("c_all")).over(whole) -
           col("c_all") * sum(col("c_tgt")).over(whole)).as("wt"))
-    tok.groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    docB
       .join(broadcast(wt), "b")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n_tok"),

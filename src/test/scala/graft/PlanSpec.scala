@@ -40,6 +40,32 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("q155: corpus-distribution branch reuses the doc-bucket exchange") {
+    // the per-doc aggregate and the corpus distribution branch from
+    // one (doc_id, source, b) exchange; ReuseExchange must dedupe it
+    // so the token explode is scanned and shuffled once for both (the
+    // target branch intentionally re-scans — its source filter pushes
+    // to the scan and reads 1/20 of the corpus instead). Inspected
+    // with AQE off: under AQE the same dedup happens at runtime via
+    // the stage cache, which the pre-execution plan string can't show.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val p = plan(graft.queries.PipelineOps.q155(spark, Sf))
+      assert(p.contains("ReusedExchange"),
+        s"expected the doc-bucket exchange to be reused, plan:\n$p")
+      assert(p.contains("BroadcastExchange"), "weight table must broadcast")
+      // full-corpus scans: ONE shared by docB+allB; the pushed-filter
+      // target scan is the only other read
+      val scans = p.split('\n').filter(_.contains("Scan parquet"))
+      assert(scans.length == 2,
+        s"expected shared corpus scan + pushed target scan, saw:\n${scans.mkString("\n")}")
+      assert(scans.count(_.contains("EqualTo(source,")) == 1,
+        "target branch must push its source filter to the scan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q34: LSH band self-join is a hash join, never nested-loop") {
     // the cached q34 plan is a LogicalRDD leaf (scored pairs are
     // materialized once per session); the assertion targets the
