@@ -83,6 +83,7 @@ object Bench {
       }),
       "trigram_base" -> (() => { queries.CorpusOps.triBase(spark, sfDir); () }),
       "inverted_index" -> (() => { queries.Retrieval.tfIndex(spark, sfDir); () }),
+      "positional_index" -> (() => { queries.Retrieval.posIndex(spark, sfDir); () }),
       "lm_scored_corpus" -> (() => { queries.Retrieval.lmScored(spark, sfDir); () }),
       "kmeans_codebook" -> (() => {
         operators.KMeansCodebook.trained(spark, sfDir,

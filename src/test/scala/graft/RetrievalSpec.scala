@@ -11,6 +11,31 @@ import graft.sources.Tables
   */
 class RetrievalSpec extends SparkTestBase {
 
+  test("q157: index-join phrase matches equal a plain-Scala adjacency recount") {
+    val (p1, p2, p3) = Retrieval.phraseFor(spark, Sf)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val hits = (0 until t.length - 2).filter(i =>
+        t(i) == p1 && t(i + 1) == p2 && t(i + 2) == p3)
+      if (hits.nonEmpty)
+        Some((id, s"$p1 $p2 $p3", hits.length.toLong, hits.head.toLong + 1))
+      else None
+    }.sortBy(t => (-t._3, t._1)).take(Retrieval.PhraseTopK).toSeq
+    val rows = Retrieval.q157(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == expected && rows.nonEmpty,
+      s"phrase '$p1 $p2 $p3' index join must equal the brute-force scan")
+    // the argmax phrase must actually be the most frequent trigram
+    val allTri = docs.flatMap { case (_, text) =>
+      val t = text.split(" ", -1)
+      (0 until t.length - 2).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    }.groupBy(identity).view.mapValues(_.length).toSeq
+    val best = allTri.sortBy { case (g, n) => (-n, g) }.head._1
+    assert(s"$p1 $p2 $p3" == best)
+  }
+
   test("q122: ranks are dense, scores non-increasing, hits contain a query term") {
     val rows = Retrieval.q122(spark, Sf).collect()
     assert(rows.nonEmpty)
