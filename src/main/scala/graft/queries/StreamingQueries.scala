@@ -270,7 +270,32 @@ object StreamingQueries {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  // q158_stream_sessions_tws — the q43 sessionization re-expressed on
+  // Spark 4's transformWithState (state-v2: named state variables,
+  // explicit timers); equals EventsOps.q39 exactly, same oracle.
+  // state-v2 requires the RocksDB provider — set for this run only,
+  // restored after (it is the production backend anyway; see
+  // StateV2's scaladoc).
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sessions_tws_${runId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      EventStreams.runToMemory(
+        graft.streaming.StateV2.sessionize(
+          EventStreams.readEvents(spark, dir)).toDF(),
+        name, OutputMode.Append(), ReplayStateParts)
+        .orderBy(col("user_id"), col("session_idx"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q158_stream_sessions_tws" -> (q158 _),
     "q149_stream_anomaly" -> (q149 _),
     "q143_stream_attribution" -> (q143 _),
     "q132_stream_span_trim" -> (q132 _),
@@ -283,6 +308,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q158_stream_sessions_tws" -> EventsOps.q39Sql,
     "q149_stream_anomaly" -> EventsOps.q136Sql,
     "q143_stream_attribution" -> q143Sql,
     "q132_stream_span_trim" -> q132Sql,

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+import graft.queries.EventsOps
+import EventStreams.{OpenSession, Session, UserEvent}
+
+/** Sessionization on Spark 4's `transformWithState` (state-v2) — the
+  * modern arbitrary-stateful API: NAMED state variables resolved in
+  * `init` (vs one opaque state object), EXPLICIT timers (register/
+  * delete, many per key) instead of the single implicit
+  * setTimeoutTimestamp slot, and separate input/timer callbacks.
+  * Output is identical to [[EventStreams.sessionize]] in both modes —
+  * the spec pins tws == gmws == batch q39 row-for-row.
+  *
+  * Semantics ported 1:1, including the closed-session MARKER (state
+  * keeps the idx counter after a timeout close, nEvents == 0) and the
+  * optional idle TTL that bounds marker lifetime. The TTL rides an
+  * explicit event-time timer, NOT the API's built-in TTLConfig: the
+  * built-in TTL is PROCESSING-time based, which on a backlog replay
+  * (or any reprocessing) would expire state by wall clock rather than
+  * stream time — non-reproducible. Event-time timers replay
+  * deterministically.
+  *
+  * transformWithState requires the RocksDB state store provider —
+  * the production backend (state > heap, incremental snapshots); the
+  * spec sets it per run.
+  *
+  * Scale shape: identical to the gmws version — O(1) state per user
+  * (one 4-long OpenSession row), per-batch work sorts only the
+  * batch's slice, timer count is one per user with live state.
+  */
+object StateV2 {
+
+  class SessionizeProcessor(boundedBacklog: Boolean, idleTtlUs: Option[Long])
+      extends StatefulProcessor[Long, UserEvent, Session] {
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def close(userId: Long, s: OpenSession): Session =
+      Session(userId, s.idx, s.nEvents, s.startUs, s.endUs,
+        math.floor((s.endUs - s.startUs).toDouble / 1000000).toLong)
+
+    /** One live timer per key: drop any previously-armed expiry, then
+      * arm `expiryMs` (clamped ahead of the watermark — a coarse
+      * watermark jump can land past the wanted expiry in the same
+      * batch; the clamped timer then fires at the next advance, which
+      * is exactly "already past").
+      */
+    private def rearm(expiryMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(expiryMs, tv.getCurrentWatermarkInMs + 1))
+    }
+
+    override def handleInputRows(userId: Long, it: Iterator[UserEvent],
+        tv: TimerValues): Iterator[Session] = {
+      val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var cur = if (open.exists()) Option(open.get()) else None
+      evs.foreach { ev =>
+        cur = cur match {
+          case Some(s) if s.nEvents == 0L =>
+            // closed marker: any event after the timeout is past the
+            // gap by the watermark contract — a new session, counter
+            // continued
+            Some(OpenSession(s.idx + 1, 1L, ev.us, ev.us))
+          case Some(s) if ev.us - s.endUs > EventsOps.GapUs =>
+            out += close(userId, s)
+            Some(OpenSession(s.idx + 1, 1L, ev.us, ev.us))
+          case Some(s) =>
+            Some(s.copy(nEvents = s.nEvents + 1, endUs = ev.us))
+          case None =>
+            Some(OpenSession(1L, 1L, ev.us, ev.us))
+        }
+      }
+      if (boundedBacklog) {
+        // the whole backlog is one batch: flush the trailing session
+        // inline — no timers, no carried state (TimeMode.None)
+        cur.foreach(s => out += close(userId, s))
+        open.clear()
+      } else cur.foreach { s =>
+        open.update(s)
+        if (s.nEvents > 0L)
+          rearm(s.endUs / 1000 + EventsOps.GapUs / 1000, tv)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        if (s.nEvents == 0L) {
+          // the marker's TTL timer fired: the user idled past the
+          // horizon — drop the row (only armed when idleTtlUs is set)
+          open.clear()
+          Iterator.empty
+        } else {
+          // watermark passed end + gap: close and emit; degrade to a
+          // marker, which (with a TTL) arms its own expiry
+          open.update(OpenSession(s.idx, 0L, 0L, s.endUs))
+          idleTtlUs.foreach(ttl =>
+            rearm(s.endUs / 1000 + EventsOps.GapUs / 1000 + ttl / 1000, tv))
+          Iterator.single(close(userId, s))
+        }
+      }
+    }
+  }
+
+  /** [[EventStreams.sessionize]] on transformWithState; same modes,
+    * same output.
+    */
+  def sessionize(events: DataFrame, boundedBacklog: Boolean = true,
+                 idleTtlUs: Option[Long] = None): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (boundedBacklog) events else events.withWatermark("ts", "2 hours")
+    src
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionizeProcessor(boundedBacklog, idleTtlUs),
+        if (boundedBacklog) TimeMode.None() else TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}

@@ -312,6 +312,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  /** Crafted hourly TTL backlog shared by the idle-TTL tests: gap=2h,
+    * watermark delay 2h, TTL tests use 6h. 27 hourly slice files.
+    *   users 1..5   idle:      3 events in hour 0 only
+    *   users 6..10  active:    one event every hour (one open session)
+    *   user  11     returning: hour 0, idle 20h, returns hour 20
+    * Returns (srcDir, t0Micros, hourMicros).
+    */
+  private def craftTtlBacklog(): (String, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("ttl-backlog").toString
+    val src = s"$work/src"
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, micros
+    val hourUs = 3600L * 1000000
+    def ev(user: Long, us: Long): (Long, Long, Long) = (user, us, us) // id=ts
+    (0 until 27).foreach { h =>
+      val base = t0 + h * hourUs
+      val active = (6L to 10L).map(u => ev(u, base + u * 1000))
+      val idle = if (h == 0) (1L to 5L).flatMap(u =>
+        (0 until 3).map(k => ev(u, base + k * 600L * 1000000 + u))) else Nil
+      val ret = if (h == 0 || h == 20) Seq(ev(11L, base + 11)) else Nil
+      spark.createDataFrame((active ++ idle ++ ret)
+          .map { case (u, id, us) => (id, us, u) })
+        .toDF("event_id", "us", "user_id")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    (src, t0, hourUs)
+  }
+
   test("idle-TTL bounds sessionize state to the active horizon, same session content") {
     import org.apache.spark.sql.functions._
     // A crafted backlog whose watermark advances are FINER than the
@@ -335,28 +365,7 @@ class StreamingSpec extends SparkTestBase {
     // are REMOVED mid-stream; without it they persist forever. The
     // only divergence is the documented one: user 11's second session
     // restarts idx at 1 — the session CONTENT set is identical.
-    val work = java.nio.file.Files.createTempDirectory("ttl-sessions").toString
-    val src = s"$work/src"
-    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, micros
-    val hourUs = 3600L * 1000000
-    val hours = 27
-    def ev(user: Long, us: Long): (Long, Long, Long) = (user, us, us) // id=ts
-    val byHour: Map[Int, Seq[(Long, Long, Long)]] =
-      (0 until hours).map { h =>
-        val base = t0 + h * hourUs
-        val active = (6L to 10L).map(u => ev(u, base + u * 1000))
-        val idle = if (h == 0) (1L to 5L).flatMap(u =>
-          (0 until 3).map(k => ev(u, base + k * 600L * 1000000 + u))) else Nil
-        val ret = if (h == 0 || h == 20) Seq(ev(11L, base + 11)) else Nil
-        h -> (active ++ idle ++ ret)
-      }.toMap
-    (0 until hours).foreach { h =>
-      spark.createDataFrame(byHour(h).map { case (u, id, us) => (id, us, u) })
-        .toDF("event_id", "us", "user_id")
-        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-          col("user_id"))
-        .coalesce(1).write.mode("append").parquet(src)
-    }
+    val (src, t0, hourUs) = craftTtlBacklog()
     val sch = spark.read.parquet(src).schema
     def run(name: String, ttl: Option[Long]) = {
       val df = EventStreams.sessionize(
@@ -480,6 +489,63 @@ class StreamingSpec extends SparkTestBase {
     val (fTtl, fNo) = (finalStateRows(ttlProg), finalStateRows(noTtlProg))
     assert(fNo == 11L && fTtl == 6L,
       s"TTL must shrink attribution state to the window (ttl=$fTtl nottl=$fNo)")
+  }
+
+  test("transformWithState sessionization == batch q39 (state-v2, bounded)") {
+    val stream = StreamingQueries.q158(spark, Sf).collect().toSet
+    val batch = EventsOps.q39(spark, Sf).collect().toSet
+    assert(stream.nonEmpty && stream == batch)
+  }
+
+  test("transformWithState continuous + idle TTL: explicit timers reproduce the gmws behavior") {
+    import org.apache.spark.sql.functions._
+    // same crafted backlog as the gmws TTL test; the state-v2 port
+    // must reproduce every observable: session content equal to the
+    // no-TTL gmws run, six marker removals, final state = active
+    // horizon, idx restart for the post-TTL returning user
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (src, t0, hourUs) = craftTtlBacklog()
+      val sch = spark.read.parquet(src).schema
+      def run(name: String, ttl: Option[Long], tws: Boolean) = {
+        val in = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val df =
+          if (tws) graft.streaming.StateV2.sessionize(in,
+            boundedBacklog = false, idleTtlUs = ttl).toDF()
+          else EventStreams.sessionize(in,
+            boundedBacklog = false, idleTtlUs = ttl).toDF()
+        EventStreams.runToMemoryTracked(df, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      val (gmwsOut, _) = run("tws_ref", None, tws = false)
+      val (twsOut, twsProg) = run("tws_ttl", Some(6L * hourUs), tws = true)
+      def content(df: org.apache.spark.sql.DataFrame) = df
+        .select("user_id", "n_events", "start_us", "end_us", "duration_s")
+        .collect().map(_.toSeq).toSet
+      assert(content(twsOut) == content(gmwsOut) && content(twsOut).nonEmpty)
+      val removed = twsProg.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsRemoved)).sum
+      assert(removed >= 6L,
+        s"state-v2 TTL timers must remove the idle rows (removed=$removed)")
+      val fin = twsProg.reverse.iterator.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .find(_ => true).getOrElse(-1L)
+      assert(fin == 6L, s"final state must be the active horizon (got $fin)")
+      val idx = twsOut
+        .where(col("user_id") === 11L &&
+          col("start_us") === t0 + 20L * hourUs + 11L)
+        .select("session_idx").collect().map(_.getLong(0)).toSeq
+      assert(idx == Seq(1L), s"post-TTL return must restart idx (got $idx)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
