@@ -18,6 +18,7 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_tf_embedding(str)`  — L2-normalized hashing-trick TF vector
   *   - `graft_byte_stats(bin)`    — fused min/max/mean/std over bytes
   *   - `graft_fp_simhash16(str)`  — [rolling fingerprint, 16-bit SimHash]
+  *   - `graft_rep_metrics(str)`   — Gopher repetition metrics, one pass
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
@@ -66,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_fp_simhash16",
       "_FUNC_(str) - [rolling fingerprint, 16-bit SimHash], one token pass",
       e => TextKernels.invokeExpr("fpSimhash16", TextKernels.fpSimhash16Type, e)))
+    ext.injectFunction(unary("graft_rep_metrics",
+      "_FUNC_(str) - struct(n_tok,top_word_frac,top_bigram_frac,dup_cov_frac): Gopher repetition metrics, one token pass",
+      e => TextKernels.invokeExpr("repMetrics", TextKernels.repMetricsType, e)))
     // binary: fully codegen'd (doGenCode) float-vector dot product
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot",

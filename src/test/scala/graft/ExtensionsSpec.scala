@@ -26,6 +26,15 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("graft_rep_metrics SQL == TextKernels column") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_rep_metrics(text) AS m FROM ext_docs")
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.TextKernels.repMetricsCol(col("text")).as("m"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("graft_byte_stats SQL == BinKernels column") {
     docs.createOrReplaceTempView("ext_docs")
     val viaSql = spark.sql(
