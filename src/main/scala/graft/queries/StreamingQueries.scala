@@ -294,7 +294,63 @@ object StreamingQueries {
     }
   }
 
+  // q159_stream_multitouch — linear multi-touch attribution on
+  // state-v2 MapState (StateV2.MultiTouchProcessor): every purchase
+  // splits its value across the user's prior click channels by count.
+  // Oracle: strictly-before join + per-purchase window total; weight
+  // and credit are single division expressions over exact integers,
+  // bit-identical cross-engine.
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_multitouch_${runId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      EventStreams.runToMemory(
+        graft.streaming.StateV2.multiTouch(
+          EventStreams.readEvents(spark, dir)).toDF(),
+        name, OutputMode.Append(), ReplayStateParts)
+        .orderBy(col("user_id"), col("purchase_id"), col("channel"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  val q159Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts,
+      |    'ch' || (json_extract_string(props, '$.k')::BIGINT % 3) AS chan
+      |  FROM events
+      |  WHERE event_type = 'click'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, event_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |pc AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, p.value, c.chan,
+      |    COUNT(*) AS clicks
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      |  GROUP BY 1, 2, 3, 4),
+      |t AS (SELECT pc.*, SUM(clicks) OVER (PARTITION BY purchase_id) AS total
+      |      FROM pc)
+      |SELECT user_id, purchase_id, chan AS channel, clicks::BIGINT AS clicks,
+      |  total::BIGINT AS total_clicks,
+      |  clicks::DOUBLE / total::DOUBLE AS weight,
+      |  value * clicks / total AS credit
+      |FROM t
+      |UNION ALL
+      |SELECT p.user_id, p.event_id, 'direct', 0, 0, 1.0, p.value
+      |FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM c WHERE c.user_id = p.user_id
+      |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
+      |ORDER BY user_id, purchase_id, channel""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q159_stream_multitouch" -> (q159 _),
     "q158_stream_sessions_tws" -> (q158 _),
     "q149_stream_anomaly" -> (q149 _),
     "q143_stream_attribution" -> (q143 _),
@@ -308,6 +364,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q159_stream_multitouch" -> q159Sql,
     "q158_stream_sessions_tws" -> EventsOps.q39Sql,
     "q149_stream_anomaly" -> EventsOps.q136Sql,
     "q143_stream_attribution" -> q143Sql,

@@ -113,6 +113,76 @@ object StateV2 {
     }
   }
 
+  case class TouchCredit(user_id: Long, purchase_id: Long, channel: String,
+    clicks: Long, total_clicks: Long, weight: Double, credit: Double)
+
+  /** Linear multi-touch attribution on MapState: each purchase splits
+    * its value across every channel the user clicked STRICTLY BEFORE
+    * it (by (ts, event_id) order), proportionally to per-channel
+    * click counts — the standard "linear attribution" model beside
+    * q143's last-touch. State is a MapState[channel → count]: one
+    * integer per (user, channel-seen), i.e. at most |channels| rows
+    * per user regardless of click volume — the map-shaped state this
+    * API exists for (a gmws port would serialize the whole map into
+    * one value blob per update; MapState updates one key).
+    *
+    * Purchases with no prior attributable click credit 'direct' in
+    * full (weight 1.0), mirroring q143's fallback.
+    */
+  class MultiTouchProcessor
+      extends StatefulProcessor[Long, EventStreams.AttrEvent, TouchCredit] {
+
+    @transient private var chans: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      chans = getHandle.getMapState("chans",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long,
+        it: Iterator[EventStreams.AttrEvent],
+        tv: TimerValues): Iterator[TouchCredit] = {
+      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[TouchCredit]()
+      sorted.foreach { e =>
+        if (e.event_type == "purchase") {
+          val entries = chans.iterator().toArray.sortBy(_._1)
+          val total = entries.map(_._2).sum
+          if (total > 0L) entries.foreach { case (ch, n) =>
+            out += TouchCredit(userId, e.event_id, ch, n, total,
+              n.toDouble / total.toDouble, e.value * n / total)
+          } else
+            out += TouchCredit(userId, e.event_id, "direct", 0L, 0L, 1d, e.value)
+        }
+        if (e.event_type == "click") e.chan.foreach { c =>
+          val n = if (chans.containsKey(c)) chans.getValue(c) else 0L
+          chans.updateValue(c, n + 1L)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming linear multi-touch attribution (see
+    * [[MultiTouchProcessor]]); correct across micro-batches when
+    * batches arrive in per-user event-time order — the same
+    * file-replay contract as [[EventStreams.attributeLastTouch]].
+    */
+  def multiTouch(events: DataFrame): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch"),
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))))
+          .as("chan"),
+        col("ts"))
+      .as[EventStreams.AttrEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new MultiTouchProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[EventStreams.sessionize]] on transformWithState; same modes,
     * same output.
     */

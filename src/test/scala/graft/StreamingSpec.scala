@@ -548,6 +548,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("multi-touch MapState attribution is batch-boundary invariant") {
+    import org.apache.spark.sql.functions._
+    // the carried channel-count map must make the sliced replay equal
+    // the single-batch run exactly: a purchase in batch N splits over
+    // clicks from batches 1..N — the cross-batch memory is the map
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.sources.Tables.events(spark, Sf)
+      val Array(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val work = java.nio.file.Files.createTempDirectory("mt-sliced").toString
+      val src = s"$work/src"
+      val cut = (k: Int) => minUs + (maxUs - minUs + 1) * k / 6
+      (0 until 6).foreach { k =>
+        ev.where(unix_micros(col("ts")) >= cut(k) &&
+            unix_micros(col("ts")) < cut(k + 1))
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val sch = ev.schema
+      val sliced = EventStreams.runToMemory(
+        graft.streaming.StateV2.multiTouch(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src)).toDF(),
+        "mt_sliced", org.apache.spark.sql.streaming.OutputMode.Append())
+        .collect().map(_.toSeq).toSet
+      val single = StreamingQueries.q159(spark, Sf).collect().map(_.toSeq).toSet
+      assert(sliced == single && sliced.nonEmpty,
+        "sliced replay must equal the single-batch multi-touch result")
+      // credit conservation: each purchase's credits sum to its value
+      val bad = StreamingQueries.q159(spark, Sf)
+        .groupBy("purchase_id")
+        .agg(sum(col("credit")).as("c"), first(col("weight")).as("w"))
+        .join(graft.sources.Tables.events(spark, Sf)
+            .where(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("value")),
+          "purchase_id")
+        .where(abs(col("c") - col("value")) > 1e-9)
+        .count()
+      assert(bad == 0L, "credit must conserve each purchase's value")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("STATEFUL recovery: last-touch attribution carries its channel across a restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._
