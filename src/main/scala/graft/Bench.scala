@@ -190,7 +190,11 @@ object Bench {
       .map(r => "\"" + r._1 + f"""\":${r._2}%.2f""").mkString("{", ",", "}")
     val maxSpread = results.collect { case (_, w, _, x, _) if w >= 0 => x }
       .foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"failed":$nFailed,"failedQueries":$failedNames,"setup_total":${f"$setupTotal%.2f"},"n_queries":${results.size},"worst":$worst,"max_spread":${f"$maxSpread%.2f"},"resampled":$nResampled,"sf":"$sfDir"}""")
+    // name the spread offender so a 96x noise window (the round-9
+    // artifact) is attributable at a glance without the full map
+    val maxSpreadQ = results.filter(_._2 >= 0)
+      .sortBy(-_._4).headOption.map(_._1).getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"failed":$nFailed,"failedQueries":$failedNames,"setup_total":${f"$setupTotal%.2f"},"n_queries":${results.size},"worst":$worst,"max_spread":${f"$maxSpread%.2f"},"max_spread_q":"$maxSpreadQ","resampled":$nResampled,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

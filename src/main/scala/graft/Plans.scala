@@ -88,7 +88,12 @@ object Plans {
       "q150_bpe_train" -> "BPE loop: vocab-frame pair counts, 1-row argmax per step, codegen'd fold re-segmentation",
       "q151_image_decode" -> "binaryFile scan -> ImageIO decode -> fused byte stats in ONE shuffle-free projection",
       "q152_bpe_apply" -> "trained merges fold over DISTINCT words, token counts joined back to the corpus (broadcast when the vocab fits)",
-      "q153_kcore" -> "k-core peel: per-round keyed degree count + endpoint anti-joins on a shrinking edge frame")
+      "q153_kcore" -> "k-core peel: per-round keyed degree count + endpoint anti-joins on a shrinking edge frame",
+      "q154_full_outer_reconcile" -> "aggregates-before-outer-join: both sides rolled up, ONE full-outer on the key, null-coalesced deltas",
+      "q155_dsir_weights" -> "DSIR importance weights: three distribution branches reuse ONE doc-bucket exchange, 1024-row weight table broadcast",
+      "q156_paragraph_dedup" -> "CCNet paragraph dedup: winHash block hashes, min(struct) first-occurrence winner, join-back on the uniform 60-bit key",
+      "q157_phrase_match" -> "positional-index phrase retrieval: w=term filters prune the bucketed index, posting-list (doc,pos+k) equi-joins",
+      "q161_heavy_hitters" -> "Misra-Gries heavy hitters: one m-bounded partial+final summary aggregate, broadcast candidate recount, exact top-k")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -481,6 +481,7 @@ object CorpusOps {
   private[graft] def bpeTrain(vocabSeg: DataFrame, nMerges: Int,
                               onStep: (Int, Double) => Unit = (_, _) => ())
       : Seq[(Int, String, String, String, Long)] = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
     var seg = vocabSeg.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
@@ -495,15 +496,21 @@ object CorpusOps {
         val rt = top(0).getAs[String]("rgt")
         merges += ((step, lf, rt, lf + rt, top(0).getAs[Long]("pair_count")))
         // localCheckpoint is eager: once the next frame is
-        // materialized the previous checkpoint's cached RDD is dead
+        // materialized the previous checkpoint's pinned RDD is dead
         // weight — at 8 merges that's noise, at a realistic 256+ it
-        // is merges × vocab-frame of pinned storage, so drop it
+        // is merges × vocab-frame of pinned storage. Dataset
+        // .unpersist is a NO-OP on a checkpoint (CacheManager never
+        // registered the internal RDD; cleanup would be GC-timing
+        // driven) — free the exact pinned RDD via the LogicalRDD
+        // handle instead, deterministically.
         val prev = seg
         seg = seg.withColumn("seg", mergeFold(lf, rt)).localCheckpoint()
-        prev.unpersist()
+        PlanBridge.checkpointRdd(prev).foreach(_.unpersist(blocking = false))
       }
       onStep(step, (System.nanoTime() - t0) / 1e9)
     }
+    // the final checkpoint is dead too once the merge list is out
+    PlanBridge.checkpointRdd(seg).foreach(_.unpersist(blocking = false))
     merges.result()
   }
 

@@ -429,11 +429,14 @@ object CurationOps {
   // vs q127/q130: those detect overlap (sliding windows, vs history)
   // — this one RESOLVES it with a global keep/drop decision per
   // block, which needs a canonical winner. The winner is
-  // min(doc_id·10^5 + block_idx) per content hash: one integer min
-  // aggregate, no window sort over the corpus. (At 100 TB swap the
-  // packed key for min(struct(doc_id, idx)) — same single
-  // aggregate; the packed BIGINT exists because DuckDB and Spark
-  // order structs differently in min().)
+  // min(struct(doc_id, block_idx)) per content hash — lexicographic
+  // struct min IS first-occurrence order, one aggregate, no window
+  // sort over the corpus, and safe at ANY block count / doc_id range
+  // (a packed doc_id·10^5 + idx BIGINT would silently corrupt the
+  // winner for docs with >=1e5 blocks — the megabyte-document regime
+  // q126's kernel enables — and can overflow for large ids). The
+  // oracle picks the same winner via a ROW_NUMBER window: exactness
+  // over scale is the right trade on the oracle side only.
   //
   // Scale shape: block hashes ride the q127 winHash kernel (one
   // JIT'd pass per doc, stride-indexed); the keep table is one keyed
@@ -458,11 +461,12 @@ object CurationOps {
       .select(col("doc_id"), col("b"),
         element_at(col("wh"), col("b") * ParaW + 1).as("h"))
     val keep = blocks.groupBy(col("h"))
-      .agg(min(col("doc_id") * 100000L + col("b")).as("keep_key"))
+      .agg(min(struct(col("doc_id"), col("b"))).as("keep_key"))
     blocks.join(keep, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("doc_id") * 100000L + col("b") === col("keep_key"), 1L)
+        sum(when(col("doc_id") === col("keep_key.doc_id") &&
+            col("b") === col("keep_key.b"), 1L)
           .otherwise(0L)).as("n_kept"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         rnd(col("n_kept").cast("double") / col("n_blocks").cast("double"), 4)
@@ -480,14 +484,15 @@ object CurationOps {
        |  SELECT doc_id, b,
        |    ${hash60Sql(s"array_to_string(t[(b*$ParaW+1):(b*$ParaW+$ParaW)], ' ')")} AS h
        |  FROM bl),
-       |keep AS (SELECT h, MIN(doc_id * 100000 + b) AS keep_key
-       |         FROM bh GROUP BY h)
+       |rk AS (
+       |  SELECT doc_id, b,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, b) AS rn
+       |  FROM bh)
        |SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
-       |  SUM(CASE WHEN doc_id * 100000 + b = keep_key THEN 1 ELSE 0 END)::BIGINT
-       |    AS n_kept,
-       |  ${rndSql("SUM(CASE WHEN doc_id * 100000 + b = keep_key THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE", 4)}
+       |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  ${rndSql("SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE", 4)}
        |    AS kept_frac
-       |FROM bh JOIN keep USING (h)
+       |FROM rk
        |GROUP BY doc_id
        |ORDER BY kept_frac, doc_id LIMIT $ParaTopK""".stripMargin
 

@@ -64,18 +64,27 @@ object Retrieval {
   private def probesSqlValues: String =
     Probes.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
 
-  /** The (doc_id, term, tf) inverted-index frame — q122's probe join
-    * and df aggregate both read it, so it materializes once per
-    * (session, dir); in production this is the persisted index table.
-    * Exposed so the Bench setup phase can charge the build where it
-    * belongs.
+  /** The (doc_id, term, tf) inverted index — q122's probe join and
+    * df aggregate both read it. PERSISTED: a fingerprinted,
+    * TERM-BUCKETED external Warehouse table (the production shape the
+    * round-9 verdict asked for — a cached frame dies with the JVM and
+    * at 100 TB doesn't fit memory anyway; an on-disk layout bucketed
+    * by `t` is built once per corpus fingerprint, survives the
+    * session, serves every probe with `t = term` filters that prune
+    * to one bucket's files, and feeds `groupBy("t")` aggregates
+    * without a shuffle). Bench charges the build to its setup phase;
+    * PersistedIndexSpec pins the build-once / re-register-from-files
+    * economics and content equality.
     */
-  private[graft] def tfIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.FrameCache.memoize("retrieval.tf", spark, dir) {
+  private[graft] def tfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_tf_index_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureBucketedTable(spark, table,
+      s"$dir/documents.parquet", "t", 8)(
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    }
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    spark.table(table)
+  }
 
   def q122(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -257,14 +266,15 @@ object Retrieval {
   // engines); matches verify ADJACENCY through the index: the
   // phrase's three posting lists join pairwise on (doc_id, pos+k).
   //
-  // Scale shape: the positional index (doc_id, pos, w) is built once
-  // per (session, dir) — in production a persisted Warehouse table,
-  // like q122's tfIndex, where the w = term filter pushes to the
-  // index scan and each join side is a POSTING LIST, not the corpus.
-  // The pairwise joins are composite-key equi-joins ((doc, pos+1) =
-  // (doc, pos)), so matching is hash-join work proportional to
-  // posting-list length; nothing rescans text. The argmax collect is
-  // 1 driver row (the BPE bound).
+  // Scale shape: the positional index (doc_id, pos, w) IS a persisted
+  // Warehouse table (fingerprinted, bucketed by w — see posIndex):
+  // built once per corpus fingerprint, surviving the JVM, with the
+  // w = term filter pushed to the index scan and pruned to one
+  // bucket's files, so each join side is a POSTING LIST, not the
+  // corpus. The pairwise joins are composite-key equi-joins
+  // ((doc, pos+1) = (doc, pos)), so matching is hash-join work
+  // proportional to posting-list length; nothing rescans text. The
+  // argmax collect is 1 driver row (the BPE bound).
   // ---------------------------------------------------------------
   final val PhraseTopK = 40
 
@@ -279,21 +289,31 @@ object Retrieval {
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("g")).limit(1)
         .head().getString(0)
-      val Array(a, b, c) = g.split(" ")
+      // limit -1: default split drops TRAILING empty strings, so a top
+      // trigram ending in an empty token (tokens() splits with -1 and
+      // can produce them) would destructure to <3 elements and throw
+      val Array(a, b, c) = g.split(" ", -1)
       (a, b, c)
     })
 
-  /** The positional index frame — one (doc_id, pos, w) row per token
-    * occurrence, memoized per (session, dir); Bench setup charges the
-    * build where it belongs.
+  /** The positional index — one (doc_id, pos, w) row per token
+    * occurrence. PERSISTED like [[tfIndex]]: a fingerprinted external
+    * Warehouse table bucketed by `w`, so each posting-list fetch
+    * (`w = term`) prunes to one bucket's files instead of scanning
+    * the corpus-sized index — the production shape the round-9
+    * verdict named as q157's one 100× gap. Built once per corpus
+    * fingerprint (Bench setup), survives the JVM.
     */
-  private[graft] def posIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.FrameCache.memoize("retrieval.pos", spark, dir) {
+  private[graft] def posIndex(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_pos_index_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureBucketedTable(spark, table,
+      s"$dir/documents.parquet", "w", 8)(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
-    }
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w")))
+    spark.table(table)
+  }
 
   def q157(spark: SparkSession, dir: String): DataFrame = {
     val (p1, p2, p3) = phraseFor(spark, dir)

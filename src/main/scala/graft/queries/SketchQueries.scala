@@ -412,7 +412,60 @@ object SketchQueries {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---------------------------------------------------------------
+  // q161_heavy_hitters — exact top-k frequent tokens via the
+  // mergeable Misra-Gries summary (graft.functions.MisraGriesAgg),
+  // rounding out the sketch family: KMV = distinct, CMS = point
+  // frequency, histogram = quantiles, MG = heavy hitters. Two-pass
+  // exact pattern: pass 1 is ONE partial+final MG aggregate (the
+  // exchange carries an m-entry summary per partition — never a
+  // vocabulary-sized shuffle); pass 2 recounts ONLY the <= m
+  // candidates exactly (broadcast semi-join; aggregate state bounded
+  // by m) and takes the top-k by exact count. The MG invariant
+  // guarantees every token with share > 1/(m+1) is among the
+  // candidates, so whenever the true top-k sits above that share the
+  // result is EXACT — the `guaranteed` flag (cnt·(m+1) > n, integer
+  // arithmetic) marks each row's containment proof. DuckDB oracles
+  // the whole thing as a plain exact recount.
+  //
+  // The corpus's 31-token vocabulary sits below m, so here the
+  // summary is exhaustive; PropertySpec drives vocab >> m streams
+  // through the same aggregate under 1/7/32-partition layouts and
+  // pins the non-trivial behavior (size cap, containment, error
+  // bound) that makes this the 100 TB path.
+  // ---------------------------------------------------------------
+  final val MgM = 64
+  final val MgK = 10
+
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAgg
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+    val sk = toks.agg(MisraGriesAgg.sketch(col("t"), MgM).as("cand"),
+      count(lit(1)).as("n"))
+    val cand = sk.select(explode(col("cand.token")).as("t"), col("n"))
+    toks.join(broadcast(cand), "t")
+      .groupBy(col("t"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("t").as("token"), col("cnt"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("share"),
+        (col("cnt") * (MgM + 1) > col("n")).as("guaranteed"))
+      .orderBy(desc("cnt"), col("token")).limit(MgK)
+  }
+
+  val q161Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |c AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+       |tot AS (SELECT SUM(cnt)::BIGINT AS n FROM c)
+       |SELECT t AS token, cnt::BIGINT AS cnt,
+       |  cnt::DOUBLE / n::DOUBLE AS share,
+       |  cnt * ${MgM + 1} > n AS guaranteed
+       |FROM c CROSS JOIN tot
+       |ORDER BY cnt DESC, token LIMIT $MgK""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q161_heavy_hitters" -> (q161 _),
     "q145_column_profile" -> (q145 _),
     "q48_corpus_sketch" -> (q48 _),
     "q49_skew_salted" -> (q49 _),
@@ -425,6 +478,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q161_heavy_hitters" -> q161Sql,
     "q145_column_profile" -> q145Sql,
     "q48_corpus_sketch" -> q48Sql,
     "q49_skew_salted" -> q49Sql,

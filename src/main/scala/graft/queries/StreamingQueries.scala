@@ -318,6 +318,30 @@ object StreamingQueries {
     }
   }
 
+  // q160_stream_attribution_tws — last-touch attribution on state-v2
+  // (StateV2.LastTouchProcessor: ValueState + explicit TTL timer),
+  // completing the streaming family on the modern API surface beside
+  // q158's sessionize and q159's multi-touch. Same semantics as q143,
+  // same oracle; StreamingSpec additionally pins tws == gmws on the
+  // crafted TTL backlog (credits, removals, final state count).
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_attr_tws_${runId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      EventStreams.runToMemory(
+        graft.streaming.StateV2.lastTouch(
+          EventStreams.readEvents(spark, dir)).toDF(),
+        name, OutputMode.Append(), ReplayStateParts)
+        .orderBy(col("user_id"), col("purchase_id"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   val q159Sql: String =
     """WITH c AS (
       |  SELECT user_id, event_id, ts,
@@ -350,6 +374,7 @@ object StreamingQueries {
       |ORDER BY user_id, purchase_id, channel""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "q160_stream_attribution_tws" -> (q160 _),
     "q159_stream_multitouch" -> (q159 _),
     "q158_stream_sessions_tws" -> (q158 _),
     "q149_stream_anomaly" -> (q149 _),
@@ -364,6 +389,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q160_stream_attribution_tws" -> q143Sql,
     "q159_stream_multitouch" -> q159Sql,
     "q158_stream_sessions_tws" -> EventsOps.q39Sql,
     "q149_stream_anomaly" -> EventsOps.q136Sql,

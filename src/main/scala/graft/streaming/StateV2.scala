@@ -128,8 +128,20 @@ object StateV2 {
     *
     * Purchases with no prior attributable click credit 'direct' in
     * full (weight 1.0), mirroring q143's fallback.
+    *
+    * `idleTtlUs` bounds the open-world key space the same way its
+    * siblings do (SessionizeProcessor's marker TTL above,
+    * attributeLastTouch's window): an event-time timer re-arms at
+    * (user's last event + TTL) on every batch that touches the user;
+    * on expiry the whole channel map is cleared. Steady-state is one
+    * map per user ACTIVE within the TTL horizon instead of one per
+    * user EVER SEEN. The accepted trade is the industry
+    * "attribution window": a purchase by a user idle past the TTL
+    * sees an empty map and credits 'direct'. Explicit timers, not
+    * the built-in TTLConfig — that one is PROCESSING-time based and
+    * would expire state by wall clock on a backlog replay.
     */
-  class MultiTouchProcessor
+  class MultiTouchProcessor(idleTtlUs: Option[Long] = None)
       extends StatefulProcessor[Long, EventStreams.AttrEvent, TouchCredit] {
 
     @transient private var chans: MapState[String, Long] = _
@@ -137,6 +149,14 @@ object StateV2 {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       chans = getHandle.getMapState("chans",
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    /** One live timer per key (the SessionizeProcessor.rearm pattern):
+      * drop the previous expiry, arm clamped ahead of the watermark.
+      */
+    private def rearm(expiryMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(expiryMs, tv.getCurrentWatermarkInMs + 1))
+    }
 
     override def handleInputRows(userId: Long,
         it: Iterator[EventStreams.AttrEvent],
@@ -158,18 +178,89 @@ object StateV2 {
           chans.updateValue(c, n + 1L)
         }
       }
+      idleTtlUs.foreach { ttl =>
+        if (chans.exists())
+          rearm(sorted.last.us / 1000 + ttl / 1000, tv)
+      }
       out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TouchCredit] = {
+      // idle past the attribution window: drop the whole channel map
+      // (only reachable with idleTtlUs set — no timer is ever armed
+      // otherwise)
+      chans.clear()
+      Iterator.empty
     }
   }
 
-  /** Streaming linear multi-touch attribution (see
-    * [[MultiTouchProcessor]]); correct across micro-batches when
-    * batches arrive in per-user event-time order — the same
-    * file-replay contract as [[EventStreams.attributeLastTouch]].
+  /** Last-touch attribution on state-v2 — the
+    * [[EventStreams.attributeLastTouch]] semantics 1:1 on the modern
+    * API: ValueState carries the single last-click channel per user;
+    * each purchase credits it ('direct' when none). `idleTtlUs` is
+    * the attribution window, on an explicit event-time timer exactly
+    * like the gmws version's EventTimeTimeout (the built-in TTLConfig
+    * is processing-time based — non-reproducible on replay). The spec
+    * pins tws == gmws on credits, removals, and final state count.
+    *
+    * Scale shape: O(1) state per user (one channel string), bounded
+    * to the ACTIVE horizon when the TTL is set; per-batch work sorts
+    * only the batch's slice.
     */
-  def multiTouch(events: DataFrame): Dataset[TouchCredit] = {
+  class LastTouchProcessor(idleTtlUs: Option[Long] = None)
+      extends StatefulProcessor[Long, EventStreams.AttrEvent, EventStreams.Credit] {
+
+    @transient private var last: ValueState[EventStreams.LastTouch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last",
+        Encoders.product[EventStreams.LastTouch], TTLConfig.NONE)
+
+    private def rearm(expiryMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(expiryMs, tv.getCurrentWatermarkInMs + 1))
+    }
+
+    override def handleInputRows(userId: Long,
+        it: Iterator[EventStreams.AttrEvent],
+        tv: TimerValues): Iterator[EventStreams.Credit] = {
+      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+      var cur = if (last.exists()) Option(last.get().chan) else None
+      val out = Vector.newBuilder[EventStreams.Credit]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          out += EventStreams.Credit(userId, e.event_id,
+            cur.getOrElse("direct"), e.value)
+        // channel-less clicks ignored — the q142 last(ignoreNulls)
+        // contract (see attributeLastTouch's comment)
+        if (e.event_type == "click") e.chan.foreach(c => cur = Some(c))
+      }
+      cur.foreach(c => last.update(EventStreams.LastTouch(c)))
+      idleTtlUs.foreach { ttl =>
+        if (last.exists()) rearm(sorted.last.us / 1000 + ttl / 1000, tv)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[EventStreams.Credit] = {
+      // attribution window closed: drop the carried channel (only
+      // reachable with idleTtlUs set)
+      last.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[EventStreams.attributeLastTouch]] on transformWithState; same
+    * modes, same output.
+    */
+  def lastTouch(events: DataFrame,
+                idleTtlUs: Option[Long] = None): Dataset[EventStreams.Credit] = {
     import events.sparkSession.implicits._
-    events
+    val src =
+      if (idleTtlUs.isDefined) events.withWatermark("ts", "2 hours") else events
+    src
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"),
         when(col("event_type") === "click",
@@ -179,8 +270,36 @@ object StateV2 {
         col("ts"))
       .as[EventStreams.AttrEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new MultiTouchProcessor(),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LastTouchProcessor(idleTtlUs),
+        if (idleTtlUs.isDefined) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming linear multi-touch attribution (see
+    * [[MultiTouchProcessor]]); correct across micro-batches when
+    * batches arrive in per-user event-time order — the same
+    * file-replay contract as [[EventStreams.attributeLastTouch]].
+    * With `idleTtlUs` the input gains the 2h event-time watermark the
+    * timers need (matching the sibling operators' continuous mode).
+    */
+  def multiTouch(events: DataFrame,
+                 idleTtlUs: Option[Long] = None): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (idleTtlUs.isDefined) events.withWatermark("ts", "2 hours") else events
+    src
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch"),
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))))
+          .as("chan"),
+        col("ts"))
+      .as[EventStreams.AttrEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new MultiTouchProcessor(idleTtlUs),
+        if (idleTtlUs.isDefined) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** [[EventStreams.sessionize]] on transformWithState; same modes,

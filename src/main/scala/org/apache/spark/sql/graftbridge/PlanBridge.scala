@@ -60,4 +60,22 @@ object PlanBridge {
     walk(df.asInstanceOf[CDataset[_]].queryExecution.executedPlan, 0)
     out.toSeq
   }
+
+  /** The PINNED RDD behind a localCheckpoint'd frame. `Dataset
+    * .unpersist` cannot free a checkpoint — it routes through the
+    * CacheManager, which never registered the checkpoint's internal
+    * RDD, so the MEMORY_AND_DISK blocks otherwise live until the
+    * ContextCleaner happens to GC the orphan. Iterative loops
+    * (BPE train, connected components) call this on the frame they
+    * are about to replace and unpersist the exact RDD — deterministic
+    * and thread-safe (no global persistent-RDD diffing, which could
+    * mis-attribute a concurrent session's persist).
+    *
+    * `LogicalRDD` is `private[sql]`, hence this bridge.
+    */
+  def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[CDataset[_]].queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

@@ -121,6 +121,30 @@ class CorpusOpsSpec extends SparkTestBase {
       (4, "p", "un", "pun", 12L)))
   }
 
+  test("bpeTrain frees every per-step checkpoint deterministically") {
+    import spark.implicits._
+    // the storage-metrics proof for the unpersist fix: Dataset
+    // .unpersist on a localCheckpoint'd frame is a CacheManager no-op
+    // (cleanup would be GC-timing driven); bpeTrain frees the exact
+    // pinned RDD via the LogicalRDD handle, so after training the
+    // persistent-RDD set must return to its baseline — no orphaned
+    // checkpoint blocks awaiting the ContextCleaner. (Deterministic
+    // here: forked test suites run sequentially, nothing else
+    // persists concurrently.)
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L)).toDF("w", "cnt")
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val seg0 = words.select(array_join(chars, "·").as("seg"), col("cnt"))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val merges = CorpusOps.bpeTrain(seg0, 4)
+    assert(merges.size == 4)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeTrain must unpersist every checkpoint it pinned (leaked: $leaked)")
+  }
+
   test("BPE merge fold is leftmost non-overlapping and delimiter-anchored") {
     import spark.implicits._
     // odd chain: a·a·a·a·a with (a,a) -> aa·aa·a (leftmost pairs);

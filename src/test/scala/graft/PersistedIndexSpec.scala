@@ -65,6 +65,42 @@ class PersistedIndexSpec extends SparkTestBase {
     assert(graft.queries.CurationOps.q130(spark, dir).count() > 0)
   }
 
+  test("retrieval tf + positional indexes persist, re-register, and keep q122/q157 exact") {
+    import graft.queries.Retrieval
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    val cases = Seq(
+      (s"graft_tf_index_${Integer.toHexString(dir.hashCode)}",
+        () => Retrieval.tfIndex(spark, dir),
+        () => Retrieval.q122(spark, dir)),
+      (s"graft_pos_index_${Integer.toHexString(dir.hashCode)}",
+        () => Retrieval.posIndex(spark, dir),
+        () => Retrieval.q157(spark, dir)))
+    cases.foreach { case (table, index, query) =>
+      // cold: no catalog entry, no surviving files
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, table))
+      if (loc.exists()) rm(loc)
+      val built = index()
+      assert(graft.io.Warehouse.lastProvision(spark, table).contains("written"),
+        s"$table: expected a cold build")
+      val content = built.collect().map(_.toSeq).toSet
+      val answer = query().collect().map(_.toSeq).toSeq
+      assert(content.nonEmpty && answer.nonEmpty)
+      // next JVM: catalog gone, files intact — one DDL re-registers
+      spark.sql(s"DROP TABLE $table")
+      val reread = index()
+      assert(graft.io.Warehouse.lastProvision(spark, table).contains("files"),
+        s"$table: expected files-reuse, got " +
+          s"${graft.io.Warehouse.lastProvision(spark, table)}")
+      assert(reread.collect().map(_.toSeq).toSet == content,
+        s"$table: re-registered content must be identical")
+      assert(query().collect().map(_.toSeq).toSeq == answer,
+        s"$table: query over the re-registered index must be row-identical")
+    }
+  }
+
   test("trained k-means codebook persists; files reread is bit-identical to training") {
     import graft.operators.KMeansCodebook
     import graft.queries.AnnTrained

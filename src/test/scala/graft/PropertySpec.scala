@@ -214,4 +214,56 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: Misra-Gries keeps the MG invariant under any partitioning") {
+    // the error-bound/merge proof behind q161's two-pass exactness,
+    // on a stream whose vocabulary DWARFS the capacity (the corpus's
+    // 31-token vocab can't exercise truncation): a skewed stream of
+    // n=60000 draws over ~4000 distinct keys through an m=32 summary,
+    // under three physical layouts (single partition = pure update
+    // path; 7 and 32 partitions = partial+final merge trees of
+    // different shapes). The SUMMARY CONTENTS legitimately differ by
+    // merge order — the INVARIANT may not:
+    //   (a) size <= m,
+    //   (b) every key with true count > n/(m+1) is present
+    //       (containment — what makes the candidate recount exact),
+    //   (c) for every kept key: est <= true and true - est <= n/(m+1)
+    //       (the two-sided MG error bound).
+    val m = 32
+    val rnd = new scala.util.Random(7)
+    // u^3 skew: a few hundred hot keys over a ~4000-key tail
+    val stream = Seq.fill(60000) {
+      val u = rnd.nextDouble()
+      s"k${(u * u * u * 4000).toInt}"
+    }
+    val n = stream.size.toLong
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = n / (m + 1).toLong // floor; strict > below is conservative
+    val mustContain = exact.collect { case (k, c) if c > bound => k }.toSet
+    assert(exact.size > 10 * m, "stream must out-card the capacity")
+    assert(mustContain.nonEmpty, "skew must produce guaranteed hitters")
+    val df = stream.toDF("t")
+    Seq(1, 7, 32).foreach { parts =>
+      val sk = df.repartition(parts)
+        .agg(graft.functions.MisraGriesAgg.sketch(col("t"), m).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.token"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= m, s"parts=$parts: summary exceeded capacity (${sk.size})")
+      // truncation proof: a 4000-key stream through 32 counters MUST
+      // have decremented — kept estimates can't cover the full mass
+      assert(sk.values.sum < n,
+        s"parts=$parts: truncation not exercised (estimates cover all $n)")
+      val missing = mustContain -- sk.keySet
+      assert(missing.isEmpty,
+        s"parts=$parts: guaranteed hitters missing from summary: $missing")
+      sk.foreach { case (k, est) =>
+        val truth = exact.getOrElse(k, 0L)
+        assert(est <= truth,
+          s"parts=$parts: overestimate for $k (est=$est true=$truth)")
+        assert(truth - est <= bound + 1,
+          s"parts=$parts: error bound broken for $k (est=$est true=$truth)")
+      }
+    }
+  }
 }

@@ -415,20 +415,20 @@ class StreamingSpec extends SparkTestBase {
       s"marker must continue idx without TTL (got ${idxOfReturn(noTtlOut)})")
   }
 
-  test("idle-TTL bounds attribution state to the attribution window, same credits") {
+  /** Crafted hourly attribution backlog (clicks + purchases) — the
+    * attribution-window twin of craftTtlBacklog, shared by the gmws
+    * TTL test, the state-v2 last-touch port test, and the MapState
+    * multi-touch TTL test. 27 hourly slice files.
+    *   users 1..5   idle:      click+purchase in hour 0 only
+    *   users 6..10  active:    click every hour; purchase when h%3=0
+    *   user  11     returning: click+purchase hour 0, idle 20h
+    *                           (> gap/TTL), click+purchase hour 20
+    * Click channel: users 1..10 get ch(u%3) (constant per user);
+    * user 11's k = hour, so hour 0 → ch0 and hour 20 → ch2.
+    * Returns (srcDir, t0Micros, hourMicros).
+    */
+  private def craftAttrBacklog(): (String, Long, Long) = {
     import org.apache.spark.sql.functions._
-    // Same crafted-backlog shape as the sessionize TTL test, applied
-    // to the OTHER stateful operator: without a TTL the carried
-    // LastTouch row is one channel string per user ever seen. TTL =
-    // 6h is the attribution window; clicks re-arm it, expiry removes
-    // the row. Credits are UNCHANGED because every purchase in the
-    // backlog follows a click inside the window (the crafted data
-    // has no post-expiry purchase — that case is the documented
-    // 'direct' fallback, i.e. the window semantics, not a loss).
-    //   users 1..5   idle:      click+purchase in hour 0 only
-    //   users 6..10  active:    click every hour; purchase when h%3=0
-    //   user  11     returning: click+purchase hour 0, idle 20h
-    //                           (> TTL), click+purchase hour 20
     val work = java.nio.file.Files.createTempDirectory("ttl-attr").toString
     val src = s"$work/src"
     val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, micros
@@ -460,6 +460,20 @@ class StreamingSpec extends SparkTestBase {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("append").parquet(src)
     }
+    (src, t0, hourUs)
+  }
+
+  test("idle-TTL bounds attribution state to the attribution window, same credits") {
+    import org.apache.spark.sql.functions._
+    // Same crafted-backlog shape as the sessionize TTL test, applied
+    // to the OTHER stateful operator: without a TTL the carried
+    // LastTouch row is one channel string per user ever seen. TTL =
+    // 6h is the attribution window; clicks re-arm it, expiry removes
+    // the row. Credits are UNCHANGED because every purchase in the
+    // backlog follows a click inside the window (the crafted data
+    // has no post-expiry purchase — that case is the documented
+    // 'direct' fallback, i.e. the window semantics, not a loss).
+    val (src, _, hourUs) = craftAttrBacklog()
     val sch = spark.read.parquet(src).schema
     def run(name: String, ttl: Option[Long]) = {
       val df = EventStreams.attributeLastTouch(
@@ -591,6 +605,128 @@ class StreamingSpec extends SparkTestBase {
         .where(abs(col("c") - col("value")) > 1e-9)
         .count()
       assert(bad == 0L, "credit must conserve each purchase's value")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("multi-touch idle TTL bounds the channel map to the attribution window") {
+    import org.apache.spark.sql.functions._
+    // The last unbounded-state surface from round 9: without a TTL
+    // MultiTouchProcessor keeps one channel-count map per user EVER
+    // SEEN. With the event-time TTL timer the map is cleared when the
+    // user idles past the window — state becomes one map per ACTIVE
+    // user. Observable trade on the crafted backlog: user 11's
+    // hour-20 purchase splits 50/50 over {hour-0 ch0, hour-20 ch2}
+    // without a TTL, but credits ch2 IN FULL with it (the hour-0
+    // click is outside the 6h window — the attribution-window
+    // semantics, not a loss). Every other purchase follows clicks
+    // inside the window, so all other credits are identical.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (src, t0, hourUs) = craftAttrBacklog()
+      val sch = spark.read.parquet(src).schema
+      def run(name: String, ttl: Option[Long]) = {
+        val df = graft.streaming.StateV2.multiTouch(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src), idleTtlUs = ttl).toDF()
+        EventStreams.runToMemoryTracked(df, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      val (noTtlOut, noTtlProg) = run("mt_nottl", None)
+      val (ttlOut, ttlProg) = run("mt_ttl", Some(6L * hourUs))
+      val pid = t0 + 20L * hourUs + 1011L // user 11's hour-20 purchase
+      def common(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("purchase_id") =!= pid).collect().map(_.toSeq).toSet
+      assert(common(ttlOut) == common(noTtlOut) && common(ttlOut).nonEmpty,
+        "TTL must not change credits for purchases inside the window")
+      // the window trade, in the OUTPUT: (channel, clicks, total,
+      // weight, credit) rows of user 11's post-idle purchase
+      def p11(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("purchase_id") === pid)
+        .select("channel", "clicks", "total_clicks", "weight", "credit")
+        .collect().map(_.toSeq).toSet
+      assert(p11(noTtlOut) == Set(
+        Seq("ch0", 1L, 2L, 0.5, 10.0), Seq("ch2", 1L, 2L, 0.5, 10.0)),
+        s"without TTL the purchase splits over both clicks (got ${p11(noTtlOut)})")
+      assert(p11(ttlOut) == Set(Seq("ch2", 1L, 1L, 1.0, 20.0)),
+        s"with TTL only the in-window click is credited (got ${p11(ttlOut)})")
+      def removed(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+        prog.flatMap(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsRemoved)).sum
+      def finalStateRows(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+        prog.reverse.iterator
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+          .find(_ => true).getOrElse(-1L)
+      assert(removed(noTtlProg) == 0L)
+      assert(removed(ttlProg) >= 6L,
+        s"TTL must remove the six idle channel maps (removed=${removed(ttlProg)})")
+      val (fTtl, fNo) = (finalStateRows(ttlProg), finalStateRows(noTtlProg))
+      // no-TTL: one map entry per (user, channel) ever = users 1..10
+      // (1 each) + user 11 {ch0, ch2} = 12; TTL: active users 6..10
+      // (1 each) + user 11 {ch2} = 6
+      assert(fNo == 12L && fTtl == 6L,
+        s"TTL must shrink the map state to the window (ttl=$fTtl nottl=$fNo)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("state-v2 last-touch port: tws == gmws on credits, removals, final state") {
+    import org.apache.spark.sql.functions._
+    // bounded replay parity on the real sf events — q160 shares
+    // q143's oracle, so the two full replays must be row-identical
+    val tws = StreamingQueries.q160(spark, Sf).collect().map(_.toSeq).toSeq
+    val gmws = StreamingQueries.q143(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(tws.nonEmpty && tws == gmws,
+      "state-v2 last-touch must equal the gmws replay row-for-row")
+    // continuous + TTL: the explicit-timer port reproduces the gmws
+    // attribution-window behavior on the crafted hourly backlog
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (src, _, hourUs) = craftAttrBacklog()
+      val sch = spark.read.parquet(src).schema
+      def run(name: String, useTws: Boolean) = {
+        val in = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val df =
+          if (useTws) graft.streaming.StateV2.lastTouch(in,
+            idleTtlUs = Some(6L * hourUs)).toDF()
+          else EventStreams.attributeLastTouch(in,
+            idleTtlUs = Some(6L * hourUs)).toDF()
+        EventStreams.runToMemoryTracked(df, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      val (gmwsOut, gmwsProg) = run("lt_gmws", useTws = false)
+      val (twsOut, twsProg) = run("lt_tws", useTws = true)
+      def credits(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(credits(twsOut) == credits(gmwsOut) && credits(twsOut).nonEmpty)
+      def removed(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+        prog.flatMap(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsRemoved)).sum
+      def finalStateRows(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+        prog.reverse.iterator
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+          .find(_ => true).getOrElse(-1L)
+      assert(removed(twsProg) >= 6L && removed(gmwsProg) >= 6L,
+        s"both APIs must remove the six idle rows " +
+          s"(tws=${removed(twsProg)} gmws=${removed(gmwsProg)})")
+      assert(finalStateRows(twsProg) == 6L && finalStateRows(gmwsProg) == 6L,
+        s"both APIs must end at the active horizon " +
+          s"(tws=${finalStateRows(twsProg)} gmws=${finalStateRows(gmwsProg)})")
     } finally {
       prev match {
         case Some(p) => spark.conf.set(key, p)
