@@ -20,6 +20,7 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_fp_simhash16(str)`  — [rolling fingerprint, 16-bit SimHash]
   *   - `graft_rep_metrics(str)`   — Gopher repetition metrics, one pass
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
+  *   - `graft_misra_gries(item, m)` — aggregate: MG heavy-hitter summary
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
   * (GraftSession does this) or
@@ -89,6 +90,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_countmin",
       "_FUNC_(hash) - Count-Min sketch (row-major d*w counter array)",
       e => CountMinSketch(e)))
+    // binary aggregate: (item, m-literal) — mergeable MG heavy-hitter
+    // summary (q161's kernel), completing the sketch family in SQL
+    ext.injectFunction((FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries",
+        "_FUNC_(item, m) - Misra-Gries m-counter heavy-hitter summary: " +
+          "array<struct<token,est>>, best-first; every item with share " +
+          "> 1/(m+1) is guaranteed present"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_misra_gries expects exactly 2 arguments")
+        val m = args(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "graft_misra_gries: m must be an integer literal")
+        }
+        graft.functions.MisraGriesAgg(args(0), m)
+      }))
     // binary: fully codegen'd (doGenCode) Morton interleave
     ext.injectFunction((FunctionIdentifier("graft_zorder"),
       info("graft_zorder",

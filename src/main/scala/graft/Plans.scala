@@ -121,6 +121,31 @@ object Plans {
       sb.append(metrics.mkString("\n"))
       sb.append("\n```\n")
     }
+    // Streaming stateful operators (q43/q143 gmws, q158/q159/q160
+    // state-v2): these run inside the streaming engine, so there is
+    // no batch executedPlan to meter — per-batch evidence
+    // (StateOperatorProgress rows added/removed/total, TTL removals)
+    // is pinned in StreamingSpec. What the document can show is the
+    // ANALYZED plan shape: ONE keyed stateful pass per operator
+    // (transformWithState / flatMapGroupsWithState) fed by a pure
+    // projection, watermark ahead of the stateful node in the
+    // TTL/continuous variants — no joins, no extra exchanges.
+    val events = streaming.EventStreams.readEvents(spark, dir)
+    val streamingPlans = Seq(
+      "q43/q158 sessionize (state-v2, continuous + 6h idle TTL)" ->
+        streaming.StateV2.sessionize(events, boundedBacklog = false,
+          idleTtlUs = Some(6L * 3600L * 1000000L)).toDF(),
+      "q159 multi-touch attribution (MapState, continuous + 6h idle TTL)" ->
+        streaming.StateV2.multiTouch(events,
+          idleTtlUs = Some(6L * 3600L * 1000000L)).toDF(),
+      "q143/q160 last-touch attribution (state-v2, continuous + 6h idle TTL)" ->
+        streaming.StateV2.lastTouch(events,
+          idleTtlUs = Some(6L * 3600L * 1000000L)).toDF())
+    sb.append("\n# Streaming stateful plans (analyzed shape; metrics in StreamingSpec)\n")
+    streamingPlans.foreach { case (name, df) =>
+      val plan = df.queryExecution.analyzed.treeString
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     spark.stop()
   }

@@ -129,6 +129,53 @@ object ScaleStress {
     train("bpe-bigram256", segBig, 256)
   }
 
+  /** BPE APPLY at realistic merge depth (`runMain graft.ScaleStress
+    * bpeapply`): trains 256 merges on the bigram-augmented sf0.1
+    * vocabulary (the bpe256 corpus), then segments that vocabulary
+    * (a) through the one-pass greedy kernel (q162's path: ONE
+    * StaticInvoke projection) and (b) through the rank-order fold
+    * (q152's path: one Catalyst column transform PER MERGE — plan
+    * depth grows with the table). The fold is additionally timed at
+    * 32/64/128 merges to expose the growth curve; the kernel at the
+    * same depths to show flatness. Numbers → SCALE_NOTES.md.
+    */
+  private def bpeApplyStress(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+    val toks = split(col("text"), " ")
+    val big = docs
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), element_at(toks, i + 1)))).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val segBig = big.select(col("w"), array_join(chars, "·").as("seg"), col("cnt"))
+    println(s"[stress] bpeapply vocabulary: ${big.count()} surface forms")
+    val merges = queries.CorpusOps.bpeTrain(
+      segBig.select(col("seg"), col("cnt")), 256)
+    println(s"[stress] trained ${merges.size} merges")
+    def timeNoop(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[stress] $name wall=${(System.nanoTime() - t0) / 1e9}%.2f s (noop sink)")
+    }
+    Seq(32, 64, 128, 256).foreach { depth =>
+      val sub = merges.take(depth)
+      timeNoop(s"bpe_apply_kernel@$depth") {
+        segBig.select(col("w"),
+          graft.functions.TextKernels.bpeEncodeCol(col("w"),
+            queries.CorpusOps.mergesLit(sub)).as("seg"))
+      }
+      timeNoop(s"bpe_apply_fold@$depth") {
+        sub.foldLeft(segBig.select(col("w"), col("seg"))) {
+          case (d, (_, lf, rt, _, _)) =>
+            d.withColumn("seg", queries.CorpusOps.testMergeFold(lf, rt))
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-scale-stress")
     srcSf = args.lift(1)
@@ -136,6 +183,9 @@ object ScaleStress {
       .getOrElse(srcSf)
     if (args.headOption.contains("len126")) {
       len126Stress(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("bpeapply")) {
+      bpeApplyStress(spark); spark.stop(); return
     }
     if (args.headOption.contains("bpe256")) {
       bpe256Stress(spark); spark.stop(); return

@@ -303,6 +303,92 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
   }
 
+  /** Separator between BPE symbols in segmentation strings — shared
+    * with CorpusOps' fold-based trainer/applier (symbols are token
+    * characters and their concatenations, never this glyph).
+    */
+  final val BpeSep = "·"
+
+  /** One-slot rank-map cache: the merges array reaches the kernel as
+    * the SAME ArrayData instance every row (it is a Literal), so a
+    * reference-equality check amortizes the parse to once per task
+    * instead of once per row. Volatile pair — concurrent tasks with
+    * different literals at worst re-parse (a few µs for thousands of
+    * merges), never read a wrong map.
+    */
+  @volatile private var bpeRanks: (AnyRef, java.util.HashMap[String, Integer]) = _
+
+  private def bpeRankMap(merges: ArrayData): java.util.HashMap[String, Integer] = {
+    val cached = bpeRanks
+    if (cached != null && (cached._1 eq merges)) return cached._2
+    val m = new java.util.HashMap[String, Integer](merges.numElements() * 2)
+    var i = 0
+    while (i < merges.numElements()) {
+      val s = merges.getUTF8String(i).toString // "lft rgt", rank = index
+      val sp = s.indexOf(' ')
+      m.put(s.substring(0, sp) + " " + s.substring(sp + 1), Integer.valueOf(i))
+      i += 1
+    }
+    bpeRanks = (merges, m)
+    m
+  }
+
+  /** Greedy BPE APPLY in one pass per word — the production encoder
+    * for realistic (10k–100k-entry) merge tables, where the fold
+    * applier (CorpusOps.mergeFold: one Catalyst column transform PER
+    * MERGE) stops being expressible: a 50k-merge vocabulary would
+    * need a 50k-node plan.
+    *
+    * Algorithm: char-split the word, then repeatedly find the
+    * LOWEST-RANK adjacent pair present and merge ALL its
+    * leftmost-non-overlapping occurrences, until no tracked pair
+    * remains. Cost is O(len² ) map lookups per word, INDEPENDENT of
+    * the merge-table size.
+    *
+    * Produces BIT-IDENTICAL segmentations to applying the merges
+    * sequentially in rank order (q150/q152's fold semantics):
+    * training creates merge r's pair from symbols that exist at step
+    * r, so a pair of rank r can never be (re)created by merging any
+    * rank > r — processing the minimal present rank therefore sees
+    * exactly the state the sequential pass r would, and a full
+    * leftmost-non-overlap merge of that pair IS pass r. KernelSpec
+    * pins the equality on adversarial symbol chains; q162 shares
+    * q152's DuckDB oracle through it.
+    */
+  def bpeEncode(word: UTF8String, merges: ArrayData): UTF8String = {
+    val w = word.toString
+    if (w.isEmpty) return word
+    val ranks = bpeRankMap(merges)
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    var done = false
+    while (!done && syms.size() > 1) {
+      var best = Integer.MAX_VALUE
+      var bi = -1
+      var j = 0
+      while (j < syms.size() - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = j }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val lf = syms.get(bi)
+        val rt = syms.get(bi + 1)
+        val out = new java.util.ArrayList[String](syms.size())
+        var p = 0
+        while (p < syms.size()) {
+          if (p + 1 < syms.size() && syms.get(p) == lf && syms.get(p + 1) == rt) {
+            out.add(lf + rt); p += 2
+          } else { out.add(syms.get(p)); p += 1 }
+        }
+        syms = out
+      }
+    }
+    UTF8String.fromString(String.join(BpeSep, syms))
+  }
+
   // -----------------------------------------------------------------
   // Column wrappers (StaticInvoke → stays inside whole-stage codegen)
   // -----------------------------------------------------------------
@@ -392,4 +478,16 @@ object TextKernels {
     ColumnBridge.column(invokeExpr2("winHash", winHashType,
       ColumnBridge.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Greedy BPE apply: (word, merges-array) → "·"-joined symbols.
+    * `merges` must be an array<string> literal of "lft rgt" entries
+    * in rank order (see bpeEncode's one-slot cache contract).
+    */
+  def bpeEncodeCol(word: Column, merges: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      kernelClass, StringType, "bpeEncode",
+      Seq(ColumnBridge.expression(word), ColumnBridge.expression(merges)),
+      inputTypes = Seq(StringType, ArrayType(StringType)),
+      propagateNull = true,
+      returnNullable = false))
 }

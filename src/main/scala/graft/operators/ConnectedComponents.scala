@@ -85,7 +85,15 @@ object ConnectedComponents {
         val nChanged = next.where(col("lbl") =!= col("prev")).count()
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"[cc] iter=$iter changed=$nChanged")
+        // nChanged materialized `next`, so the PREVIOUS round's
+        // checkpoint is dead — free its pinned RDD deterministically
+        // (Dataset.unpersist is a CacheManager no-op on checkpoints;
+        // see PlanBridge.checkpointRdd). The loop then pins O(1)
+        // rounds of storage instead of O(iterations).
+        val stale = labels
         labels = next.select(col("id"), col("lbl"))
+        org.apache.spark.sql.graftbridge.PlanBridge.checkpointRdd(stale)
+          .foreach(_.unpersist(blocking = false))
         converged = nChanged == 0L
         iter += 1
       }
@@ -175,8 +183,14 @@ object ConnectedComponents {
     var converged = cs._1 == 0L // empty edge set is already a star forest
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val ncs = checksum(next)
+      val ncs = checksum(next) // materializes next's checkpoint
+      // the previous round's checkpoint is now dead — free its pinned
+      // RDD (the bpeTrain discipline); only the FINAL round's
+      // checkpoint survives, as the returned labels frame reads it
+      val stale = e
       e = next
+      org.apache.spark.sql.graftbridge.PlanBridge.checkpointRdd(stale)
+        .foreach(_.unpersist(blocking = false))
       rounds += 1
       converged = ncs == cs
       cs = ncs

@@ -437,7 +437,7 @@ object CorpusOps {
   // never falsely re-match L because the delimiter anchors it.
   // ---------------------------------------------------------------
   final val BpeTrainMerges = 8
-  private final val SegSep = "·"
+  private final val SegSep = graft.functions.TextKernels.BpeSep
 
   /** One merge step applied to the '·'-joined `seg` column. */
   private def mergeFold(lf: String, rt: String): Column = {
@@ -600,23 +600,21 @@ object CorpusOps {
       (graft.CacheRegistry.sessionKey(spark), dir),
       bpeTrain(vocabSegFrame(spark, dir), BpeTrainMerges))
 
-  def q152(spark: SparkSession, dir: String): DataFrame = {
-    val merges = mergesFor(spark, dir)
-    val docWords = Tables.documents(spark, dir)
+  /** The per-(doc, source, word) count frame both appliers start
+    * from.
+    */
+  private def docWordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
       .groupBy(col("doc_id"), col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    val segmented = merges.foldLeft(
-        docWords.select(col("w")).distinct()
-          .select(col("w"), array_join(chars, SegSep).as("seg"))) {
-        case (df, (_, lf, rt, _, _)) => df.withColumn("seg", mergeFold(lf, rt))
-      }
-      .select(col("w"), size(split(col("seg"), SegSep)).as("n_bpe"),
-        length(col("w")).as("n_chars"))
+
+  /** Shared rollup: join a (w, n_bpe, n_chars) segmentation frame
+    * back to the per-(doc, word) counts and account tokens per doc.
+    */
+  private def bpeRollup(docWords: DataFrame, segmented: DataFrame): DataFrame =
     docWords
       // no broadcast HINT on purpose: a tested-SF vocabulary
       // broadcasts on Catalyst's own estimate, but a 10^8-word
@@ -633,7 +631,54 @@ object CorpusOps {
         rnd(col("n_chars").cast("double") /
           col("n_bpe_tokens").cast("double"), 4).as("chars_per_token"))
       .orderBy(col("doc_id"))
+
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    val docWords = docWordCounts(spark, dir)
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val segmented = merges.foldLeft(
+        docWords.select(col("w")).distinct()
+          .select(col("w"), array_join(chars, SegSep).as("seg"))) {
+        case (df, (_, lf, rt, _, _)) => df.withColumn("seg", mergeFold(lf, rt))
+      }
+      .select(col("w"), size(split(col("seg"), SegSep)).as("n_bpe"),
+        length(col("w")).as("n_chars"))
+    bpeRollup(docWords, segmented)
   }
+
+  // ---------------------------------------------------------------
+  // q162_bpe_encode_kernel — the SAME tokenizer application through
+  // the one-pass greedy encoder (TextKernels.bpeEncode): find the
+  // lowest-rank adjacent pair, merge all leftmost-non-overlapping
+  // occurrences, repeat. Segmentations are provably (and KernelSpec-
+  // pinned) bit-identical to q152's rank-order fold chain, so the
+  // two share one DuckDB oracle — but the PLAN is one StaticInvoke
+  // projection regardless of merge count, where the fold compiles
+  // ONE COLUMN TRANSFORM PER MERGE: at a production 50k-entry table
+  // the fold's 50k-node plan is unbuildable while the kernel's cost
+  // per word is O(len²) map lookups, independent of table size
+  // (ScaleStress `bpeapply` measures the gap at 256 merges).
+  // ---------------------------------------------------------------
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    val docWords = docWordCounts(spark, dir)
+    val segmented = docWords.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.TextKernels.bpeEncodeCol(col("w"),
+          mergesLit(merges)).as("seg"))
+      .select(col("w"), size(split(col("seg"), SegSep)).as("n_bpe"),
+        length(col("w")).as("n_chars"))
+    bpeRollup(docWords, segmented)
+  }
+
+  /** The merge table as an array<string> literal of "lft rgt" rows in
+    * rank order — plan-side constant data, like a broadcast dim.
+    */
+  private[graft] def mergesLit(
+      merges: Seq[(Int, String, String, String, Long)]): Column =
+    if (merges.isEmpty) array().cast("array<string>")
+    else array(merges.map { case (_, lf, rt, _, _) => lit(s"$lf $rt") }: _*)
 
   /** SQL twin: reuses [[q150Sql]]'s unrolled CTE chain up to segN,
     * whose (word → segmentation) frame IS the applied tokenizer.
@@ -672,7 +717,8 @@ object CorpusOps {
     "q110_epoch_weighting" -> (q110 _),
     "q114_boilerplate_scrub" -> (q114 _),
     "q150_bpe_train" -> (q150 _),
-    "q152_bpe_apply" -> (q152 _))
+    "q152_bpe_apply" -> (q152 _),
+    "q162_bpe_encode_kernel" -> (q162 _))
 
   def oracles: Map[String, String] = Map(
     "q105_boilerplate_ngrams" -> q105Sql,
@@ -683,5 +729,6 @@ object CorpusOps {
     "q110_epoch_weighting" -> q110Sql,
     "q114_boilerplate_scrub" -> q114Sql,
     "q150_bpe_train" -> q150Sql,
-    "q152_bpe_apply" -> q152Sql)
+    "q152_bpe_apply" -> q152Sql,
+    "q162_bpe_encode_kernel" -> q152Sql)
 }

@@ -29,6 +29,30 @@ class CCStarSpec extends SparkTestBase {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("iterative loops pin O(1) checkpoints, not O(rounds)") {
+    // both CC loops free the previous round's pinned checkpoint RDD
+    // once the next round is materialized (the bpeTrain discipline —
+    // Dataset.unpersist is a CacheManager no-op on checkpoints).
+    // After a many-round run, the persistent-RDD set may keep only
+    // the FINAL round's checkpoint (the returned labels frame reads
+    // it) plus the pointer-jumping loop's persisted edge frame —
+    // never one entry per round. The 1024-chain takes ~2*log2(n)
+    // rounds, so a per-round leak would show up as ~20 extra ids.
+    val n = 1024
+    val chain = edgesOf((0L until (n - 1).toLong).map(i => (i, i + 1)))
+    val sc = spark.sparkContext
+    Seq[DataFrame => DataFrame](
+      ConnectedComponents.runStar(_),
+      ConnectedComponents.run(_)).zipWithIndex.foreach { case (algo, i) =>
+      val before = sc.getPersistentRDDs.keySet
+      algo(chain).count()
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 2,
+        s"algo $i pinned ${leaked.size} RDDs after completion " +
+          s"(expected <= 2: final checkpoint + cached edges): $leaked")
+    }
+  }
+
   test("matches min-label propagation on mixed graph shapes") {
     // two cliques, a chain bridge, an isolated pair, a self-contained
     // triangle with non-contiguous ids

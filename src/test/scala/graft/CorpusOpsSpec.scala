@@ -145,6 +145,52 @@ class CorpusOpsSpec extends SparkTestBase {
       s"bpeTrain must unpersist every checkpoint it pinned (leaked: $leaked)")
   }
 
+  test("bpeEncode kernel == rank-order fold for trained tables on arbitrary words") {
+    import spark.implicits._
+    // q162's correctness hinge: the one-pass greedy encoder (merge
+    // the lowest-rank pair present, all leftmost-non-overlapping
+    // occurrences, repeat) must segment EXACTLY like applying the
+    // trained merges sequentially in rank order (q152's fold). The
+    // equivalence relies on the table being TRAINED (a rank-r pair
+    // can only use symbols that exist at step r, so later merges can
+    // never re-create it) — hence both tables here come from real
+    // bpeTrain runs: the classic toy corpus and a random 3-letter
+    // corpus whose merges produce overlapping/prefix-heavy symbols.
+    val rnd = new scala.util.Random(11)
+    def charsOf(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+    val corpora: Seq[Seq[(String, Long)]] = Seq(
+      Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L)),
+      Seq.fill(40)((
+        Seq.fill(3 + rnd.nextInt(6))("abc" (rnd.nextInt(3))).mkString,
+        (1 + rnd.nextInt(20)).toLong)))
+    corpora.zipWithIndex.foreach { case (words, ci) =>
+      val seg0 = words.toDF("w", "cnt")
+        .groupBy("w").agg(sum("cnt").as("cnt"))
+        .select(array_join(charsOf(col("w")), "·").as("seg"), col("cnt"))
+      val merges = CorpusOps.bpeTrain(seg0, 8)
+      assert(merges.nonEmpty)
+      val alphabet = "abcgunshp"
+      val testWords = Seq.fill(300)(
+        Seq.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString).distinct
+      val wdf = testWords.toDF("w")
+      val viaFold = merges.foldLeft(
+          wdf.select(col("w"), array_join(charsOf(col("w")), "·").as("seg"))) {
+          case (d, (_, lf, rt, _, _)) =>
+            d.withColumn("seg", CorpusOps.testMergeFold(lf, rt))
+        }.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val viaKernel = wdf.select(col("w"),
+          graft.functions.TextKernels.bpeEncodeCol(col("w"),
+            CorpusOps.mergesLit(merges)).as("seg"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val diff = testWords.filter(w => viaFold(w) != viaKernel(w))
+      assert(diff.isEmpty,
+        s"corpus $ci: kernel diverged from fold on ${diff.take(5).map(w =>
+          s"$w: fold=${viaFold(w)} kernel=${viaKernel(w)}")}")
+    }
+  }
+
   test("BPE merge fold is leftmost non-overlapping and delimiter-anchored") {
     import spark.implicits._
     // odd chain: a·a·a·a·a with (a,a) -> aa·aa·a (leftmost pairs);

@@ -94,4 +94,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.count() > 0)
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
+
+  test("graft_misra_gries aggregates through SQL; exact below capacity") {
+    import spark.implicits._
+    // vocabulary below capacity → the MG summary IS the exact count
+    // table (no decrement ever fires), so SQL output is deterministic
+    // and checkable against a plain GROUP BY
+    Seq("a", "b", "a", "c", "a", "b").toDF("t")
+      .createOrReplaceTempView("ext_mg")
+    val got = spark.sql(
+      "SELECT graft_misra_gries(t, 8) AS s FROM ext_mg")
+      .select(explode(col("s")).as("e"))
+      .select(col("e.token"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)),
+      s"summary must be the exact best-first counts (got $got)")
+    // and it equals the column API bit-for-bit
+    val viaCol = Seq("a", "b", "a", "c", "a", "b").toDF("t")
+      .agg(graft.functions.MisraGriesAgg.sketch(col("t"), 8).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.token"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == viaCol)
+  }
 }
