@@ -21,6 +21,7 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_rep_metrics(str)`   — Gopher repetition metrics, one pass
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
   *   - `graft_misra_gries(item, m)` — aggregate: MG heavy-hitter summary
+  *   - `graft_bpe_encode(word, merges)` — one-pass greedy BPE segmentation
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
   * (GraftSession does this) or
@@ -114,6 +115,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "graft_zorder expects exactly 2 arguments")
         org.apache.spark.sql.graftbridge.ZOrderLong(args(0), args(1))
+      }))
+    // binary: (word, merges-array) — one-pass greedy BPE apply
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "_FUNC_(word, merges) - greedy BPE segmentation ('·'-joined) of " +
+          "word under an array<string> of 'lft rgt' merges in rank order"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_bpe_encode expects exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.functions.TextKernels"),
+          org.apache.spark.sql.types.StringType, "bpeEncode",
+          Seq(args(0), args(1)),
+          inputTypes = Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)),
+          propagateNull = true,
+          returnNullable = false)
       }))
     // binary: (text, k) — hash60 of every k-token window (q127 basis)
     ext.injectFunction((FunctionIdentifier("graft_win_hash"),

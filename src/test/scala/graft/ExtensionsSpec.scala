@@ -95,6 +95,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("graft_bpe_encode SQL == bpeEncodeCol on the toy merge table") {
+    import spark.implicits._
+    Seq("hug", "pug", "pun", "bun", "hugs", "gg", "u").toDF("w")
+      .createOrReplaceTempView("ext_bpe")
+    // the classic toy table: (u,g) (u,n) (h,ug) (p,un)
+    val viaSql = spark.sql(
+      """SELECT w, graft_bpe_encode(w,
+        |  array('u g', 'u n', 'h ug', 'p un')) AS seg FROM ext_bpe""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaSql == Map(
+      "hug" -> "hug", "pug" -> "p·ug", "pun" -> "pun", "bun" -> "b·un",
+      "hugs" -> "hug·s", "gg" -> "g·g", "u" -> "u"))
+  }
+
   test("graft_misra_gries aggregates through SQL; exact below capacity") {
     import spark.implicits._
     // vocabulary below capacity → the MG summary IS the exact count
