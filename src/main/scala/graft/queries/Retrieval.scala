@@ -358,13 +358,173 @@ object Retrieval {
        |ORDER BY n_matches DESC, doc_id LIMIT $PhraseTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q163_hybrid_rrf — hybrid sparse+dense retrieval fused by
+  // reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+  // the retrieval stack's standard ensembling step, and the shape a
+  // curation pipeline uses for retrieval-based decontamination and
+  // "more-like-this" data selection (one lexical list catches exact
+  // wording, one embedding list catches paraphrase; RRF needs no score
+  // calibration between the two). Probe docs (doc_id % 100 = 0) rank
+  // the corpus twice — a more-like-this BM25 over the probe's own
+  // distinct terms, and cosine over `embeddings` — and each doc's
+  // fused score is Σ 1/(k0 + rank), summed over the lists it appears
+  // in (top-N each).
+  //
+  // Scale shape: the sparse side re-reads the PERSISTED term-bucketed
+  // tf index (tfIndex — same artifact q122 probes); the probe-term
+  // table is probes × probe-doc vocabulary, broadcast onto the index
+  // so the corpus-sized side never moves. The dense side broadcasts
+  // the probe vectors (q36's argument) — the corpus embeddings never
+  // shuffle. BOTH rankings ride the bounded-heap TopKAgg, so each
+  // exchange carries probes × N rows and nothing sorts a posting
+  // list; the fusion join and final window touch ≤ 2N rows per probe.
+  //
+  // Float parity: ranks are ints, so 1/(k0+rank) is one correctly-
+  // rounded IEEE division of identical inputs in both engines, and
+  // the fused sum adds at most two such terms — no order sensitivity.
+  // BM25 contributions stay half-up scaled longs (the q122
+  // discipline); cosine rides rnd(·,4) (the q36 discipline).
+  // ---------------------------------------------------------------
+  final val RrfK0 = 60
+  final val RrfListN = 20
+  final val RrfTopK = 10
+  private final val RrfProbe = "% 100 = 0"
+
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TopKAgg, VecFns}
+    import graft.functions.TextFns.rnd
+    // -- sparse: more-like-this BM25 from the persisted tf index --
+    val tf = tfIndex(spark, dir)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // the probe's term set IS its tf-index slice (already distinct per
+    // (doc, t)); probes are a pruned read of the same bucketed table
+    val probeTerms = tf.where(expr(s"doc_id $RrfProbe"))
+      .select(col("doc_id").as("query_id"), col("t"))
+    val dfProbe = dfT.join(
+      broadcast(probeTerms.select("t").distinct()), "t")
+    val contrib = tf
+      .join(broadcast(probeTerms), "t")
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfProbe), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .select(col("query_id"), col("doc_id"),
+        floor((
+          log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) * (lit(1 - BmB) + lit(BmB) *
+            col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+        ) * BmScale + lit(0.5)).cast("long").as("c"))
+    val sparse = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("s").cast("double"), col("doc_id"),
+        lit(0L), RrfListN).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id1").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank_sparse"))
+    // -- dense: cosine over embeddings, probe side broadcast --
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val qv = v.where(expr(s"vec_id $RrfProbe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val dense = v.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
+          .as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("cosine"), col("doc_id"),
+        lit(0L), RrfListN).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id1").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank_dense"))
+    // -- fuse: Σ 1/(k0 + rank) over the lists the doc appears in --
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK0) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("rank_dense")), lit(0.0))).as("rrf"),
+        col("rank_sparse"), col("rank_dense"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("rank_sparse"), col("rank_dense"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q163Sql: String = {
+    import graft.functions.VecFns
+    import graft.functions.TextFns.rndSql
+    val cos = rndSql(
+      s"${VecFns.dotSql("v.embedding", "q.e_q")} / (v.nrm * q.n_q)", 4)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |consts AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM dl),
+       |pt AS (SELECT doc_id AS query_id, t FROM tf WHERE doc_id $RrfProbe),
+       |contrib AS (
+       |  SELECT p.query_id, tf.doc_id,
+       |    CAST(floor((
+       |      ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |      (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}) /
+       |      (tf.tf + $BmK1 * (${1 - BmB} + $BmB *
+       |        dl.dl / (sum_dl::DOUBLE / n_docs)))
+       |    ) * $BmScale + 0.5) AS BIGINT) AS cv
+       |  FROM tf JOIN pt p ON tf.t = p.t AND tf.doc_id <> p.query_id
+       |    JOIN df ON tf.t = df.t
+       |    JOIN dl ON tf.doc_id = dl.doc_id
+       |    CROSS JOIN consts c),
+       |ss AS (SELECT query_id, doc_id, SUM(cv)::BIGINT AS s
+       |       FROM contrib GROUP BY query_id, doc_id),
+       |sl AS (
+       |  SELECT query_id, doc_id, rk FROM (
+       |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS rk FROM ss)
+       |  WHERE rk <= $RrfListN),
+       |v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS e_q, nrm AS n_q
+       |      FROM v WHERE vec_id $RrfProbe),
+       |dc AS (SELECT q.query_id, v.vec_id AS doc_id, $cos AS cosine
+       |       FROM v JOIN q ON v.vec_id <> q.query_id),
+       |dn AS (
+       |  SELECT query_id, doc_id, rk FROM (
+       |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, doc_id) AS rk FROM dc)
+       |  WHERE rk <= $RrfListN),
+       |f AS (
+       |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+       |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(1.0::DOUBLE / ($RrfK0 + s.rk), 0.0::DOUBLE) +
+       |      COALESCE(1.0::DOUBLE / ($RrfK0 + d.rk), 0.0::DOUBLE) AS rrf,
+       |    CAST(s.rk AS INT) AS rank_sparse, CAST(d.rk AS INT) AS rank_dense
+       |  FROM sl s FULL OUTER JOIN dn d
+       |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       |SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |  doc_id, rrf, rank_sparse, rank_dense
+       |FROM f QUALIFY rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q122_bm25_topk" -> (q122 _),
     "q123_lm_quality" -> (q123 _),
-    "q157_phrase_match" -> (q157 _))
+    "q157_phrase_match" -> (q157 _),
+    "q163_hybrid_rrf" -> (q163 _))
 
   def oracles: Map[String, String] = Map(
     "q122_bm25_topk" -> q122Sql,
     "q123_lm_quality" -> q123Sql,
-    "q157_phrase_match" -> q157Sql)
+    "q157_phrase_match" -> q157Sql,
+    "q163_hybrid_rrf" -> q163Sql)
 }

@@ -137,7 +137,8 @@ class PlanSpec extends SparkTestBase {
     "q128_priority_sample",   // 1-row tau threshold × K sampled rows
     "q138_salted_join",       // 5-row weight dim × 16-row salt range (dim build)
     "q139_triangle_count",    // three 1-row census frames joined for the summary
-    "q153_kcore")             // per-round 1-row (n_removed × n_edges) stat frames
+    "q153_kcore",             // per-round 1-row (n_removed × n_edges) stat frames
+    "q163_hybrid_rrf")        // probe vectors × corpus (q36 shape) + 1-row scalar frame
 
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that

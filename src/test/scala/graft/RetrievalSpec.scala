@@ -90,6 +90,75 @@ class RetrievalSpec extends SparkTestBase {
       }
   }
 
+  test("q163: fused ranking equals a full plain-Scala RRF recount") {
+    // independent reimplementation: tokenize + BM25 more-like-this and
+    // cosine ranking in driver-side Scala, fuse with 1/(k0+rank), and
+    // demand row-exact equality with the engine's plan
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = docs.size
+    val dl = docs.view.mapValues(_.length).toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val tf = docs.view.mapValues(_.groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val probes = docs.keys.filter(_ % 100 == 0).toSeq.sorted
+    assert(probes.nonEmpty)
+    def sparseRanks(q: Long): Map[Long, Int] = {
+      val qTerms = docs(q).distinct
+      // candidate = shares >=1 term (the join's semantics), even if
+      // every contribution rounds to 0
+      val scored = docs.keys.filter(_ != q).flatMap { d =>
+        if (!qTerms.exists(t => tf(d).getOrElse(t, 0) > 0)) None
+        else Some(d -> qTerms.map { t =>
+          val f = tf(d).getOrElse(t, 0)
+          if (f == 0) 0L
+          else {
+            val idf = math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            val c = idf * (f * (Retrieval.BmK1 + 1)) /
+              (f + Retrieval.BmK1 * (1 - Retrieval.BmB + Retrieval.BmB * dl(d) / avgdl))
+            math.floor(c * Retrieval.BmScale + 0.5).toLong
+          }
+        }.sum)
+      }.toSeq
+      scored.sortBy { case (d, s) => (-s, d) }.take(Retrieval.RrfListN)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    }
+    def denseRanks(q: Long): Map[Long, Int] = {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i)) // the kernel's fold order
+      def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+      val eq = vecs(q)
+      vecs.keys.filter(_ != q).map { d =>
+        val c = dot(vecs(d), eq) / (nrm(vecs(d)) * nrm(eq))
+        d -> math.floor(c * 10000 + 0.5) / 10000 // rnd(,4)
+      }.toSeq.sortBy { case (d, c) => (-c, d) }.take(Retrieval.RrfListN)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    }
+    val expected = probes.flatMap { q =>
+      val sr = sparseRanks(q); val dr = denseRanks(q)
+      (sr.keySet ++ dr.keySet).toSeq.map { d =>
+        val rrf = sr.get(d).map(r => 1.0 / (Retrieval.RrfK0 + r)).getOrElse(0.0) +
+          dr.get(d).map(r => 1.0 / (Retrieval.RrfK0 + r)).getOrElse(0.0)
+        (q, d, rrf, sr.get(d), dr.get(d))
+      }.sortBy { case (_, d, rrf, _, _) => (-rrf, d) }
+        .take(Retrieval.RrfTopK).zipWithIndex
+        .map { case ((q2, d, rrf, rs, rd), i) => (q2, i + 1, d, rrf, rs, rd) }
+    }
+    val rows = Retrieval.q163(spark, Sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))
+    }.toSeq
+    assert(rows == expected, s"engine=${rows.take(3)}... reference=${expected.take(3)}...")
+    // ensembling sanity: the fused list must actually draw on BOTH lists
+    assert(rows.exists(_._5.isEmpty) || rows.exists(_._6.isEmpty) ||
+      rows.exists(r => r._5.nonEmpty && r._6.nonEmpty))
+  }
+
   test("q123: probabilities in (0,1), bigram conservation, calibrated cull") {
     val rows = Retrieval.q123(spark, Sf).collect()
     val docsWithBigrams = Tables.documents(spark, Sf)
