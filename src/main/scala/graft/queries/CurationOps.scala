@@ -496,7 +496,91 @@ object CurationOps {
        |GROUP BY doc_id
        |ORDER BY kept_frac, doc_id LIMIT $ParaTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q164_cdc_chunks — content-defined chunking (the FastCDC family:
+  // Xia et al., USENIX ATC 2016; rolling-hash cut-points from Muthi-
+  // tacharoen et al.'s LBFS, SOSP 2001) + chunk-level dedup: cut each
+  // document where the rolling K-token window hash satisfies
+  // h % D == 0, hash every resulting chunk, and report the most
+  // duplicated chunks across the corpus. The primitive storage and
+  // curation systems use when duplicated text does NOT align to fixed
+  // windows or natural paragraphs: content-defined boundaries are
+  // SHIFT-RESISTANT — inserting a token early in a doc moves every
+  // fixed window (q127) but only the one chunk containing the edit,
+  // so shared tails still dedup. Complements q127 (overlap
+  // detection) and q156 (natural-boundary blocks).
+  //
+  // Cut rule (deterministic in both engines): windows are the q127
+  // winHash stream; a cut lands AFTER token e = i+K-1 when the
+  // window starting at i (1-based) has W[i] % D == 0 and e < n;
+  // chunks are the maximal spans between cuts (last chunk runs to
+  // n; a doc shorter than K is one chunk). Expected chunk length is
+  // ~D windows.
+  //
+  // Scale shape: cuts + chunk spans are per-row array expressions on
+  // the winHash kernel output — one scan, no shuffle until the
+  // aggregate; the shuffled stream carries (doc_id, chunk_hash, len)
+  // — never chunk text; the group-by key is a uniform 60-bit hash
+  // (skew-free) and the result is bounded by TopK. At 100 TB the
+  // chunk-hash table persists via Warehouse exactly like q127's
+  // dup-window index.
+  // ---------------------------------------------------------------
+  final val CdcK = 4
+  final val CdcD = 8
+  final val CdcTopK = 30
+
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"),
+        graft.functions.TextKernels.winHashCol(col("text"), CdcK).as("wh"))
+      .withColumn("n", size(col("t")))
+    // wh index j is 0-based (window start j+1) → cut after e = j + K
+    val spans = base
+      .withColumn("cuts", filter(
+        transform(col("wh"), (h, j) =>
+          when(pmod(h, lit(CdcD.toLong)) === 0, j + lit(CdcK)).otherwise(lit(-1))),
+        c => c =!= -1 && c < col("n")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("cuts"), c => c + 1)))
+      .withColumn("ends", concat(col("cuts"), array(col("n"))))
+      .select(col("doc_id"), col("t"),
+        posexplode(arrays_zip(col("starts"), col("ends"))).as(Seq("ci", "se")))
+      .select(col("doc_id"),
+        hash60(array_join(
+          slice(col("t"), col("se.starts"),
+            col("se.ends") - col("se.starts") + 1), " ")).as("chunk_hash"),
+        (col("se.ends") - col("se.starts") + 1).cast("long").as("clen"))
+    spans.groupBy(col("chunk_hash"))
+      .agg(min(col("clen")).as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_hash"))
+      .limit(CdcTopK)
+  }
+
+  val q164Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |cu AS (SELECT doc_id, t, n,
+       |  list_filter(list_transform(generate_series(1, len(t) - ${CdcK - 1}),
+       |    i -> CASE WHEN ${hash60Sql(s"array_to_string(t[i:i+${CdcK - 1}], ' ')")} % $CdcD = 0
+       |            AND i + ${CdcK - 1} < n THEN i + ${CdcK - 1} ELSE -1 END),
+       |    c -> c <> -1) AS cuts
+       |  FROM d),
+       |sp AS (SELECT doc_id, t,
+       |  list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+       |  list_append(cuts, n) AS ends FROM cu),
+       |chunks AS (SELECT doc_id,
+       |  ${hash60Sql("array_to_string(t[starts[k]:ends[k]], ' ')")} AS chunk_hash,
+       |  (ends[k] - starts[k] + 1)::BIGINT AS clen
+       |  FROM sp, unnest(generate_series(1, len(starts))) AS u(k))
+       |SELECT chunk_hash, MIN(clen)::BIGINT AS chunk_len,
+       |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_occ
+       |FROM chunks GROUP BY chunk_hash
+       |ORDER BY n_occ DESC, n_docs DESC, chunk_hash LIMIT $CdcTopK""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q164_cdc_chunks" -> (q164 _),
     "q156_paragraph_dedup" -> (q156 _),
     "q126_repetition_suite" -> (q126 _),
     "q127_window_dedup" -> (q127 _),
@@ -506,6 +590,7 @@ object CurationOps {
     "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
+    "q164_cdc_chunks" -> q164Sql,
     "q156_paragraph_dedup" -> q156Sql,
     "q126_repetition_suite" -> q126Sql,
     "q127_window_dedup" -> q127Sql,

@@ -66,6 +66,43 @@ class CurationOpsSpec extends SparkTestBase {
       "corpus must contain at least one non-first-occurrence block")
   }
 
+  test("q164 CDC chunks match a plain-Scala chunking recount on content") {
+    import graft.functions.TextKernels
+    val k = CurationOps.CdcK
+    val dMask = CurationOps.CdcD
+    def h(s: String): Long =
+      TextKernels.hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // recount on chunk CONTENT (certifies hash collision-freedom too)
+    val chunks = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val n = t.length
+      val cuts = (0 to n - k).flatMap { j => // 0-based window start
+        val e = j + k // 1-based cut-after position
+        if (h(t.slice(j, j + k).mkString(" ")) % dMask == 0 && e < n) Some(e)
+        else None
+      }
+      val starts = 1 +: cuts.map(_ + 1)
+      val ends = cuts :+ n
+      starts.zip(ends).map { case (s, e) =>
+        (id, t.slice(s - 1, e).mkString(" "), (e - s + 1).toLong)
+      }
+    }
+    val expected = chunks.groupBy(_._2).map { case (content, cs) =>
+      (h(content), cs.head._3, cs.map(_._1).distinct.size.toLong, cs.size.toLong)
+    }.toSeq.sortBy { case (hh, _, nd, no) => (-no, -nd, hh) }
+      .take(CurationOps.CdcTopK)
+    val rows = CurationOps.q164(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == expected && rows.nonEmpty)
+    // the operator must actually CUT and actually DEDUP on this corpus
+    assert(chunks.groupBy(_._1).exists(_._2.size > 1),
+      "no document produced more than one chunk — cut rule never fired")
+    assert(rows.exists(_._3 >= 2), "no cross-document duplicate chunks found")
+  }
+
   test("q127 duplicated-window coverage matches a brute-force window map") {
     val k = CurationOps.WinK
     // window -> distinct docs, over the whole corpus, in plain Scala
