@@ -66,10 +66,27 @@ class CurationOpsSpec extends SparkTestBase {
       "corpus must contain at least one non-first-occurrence block")
   }
 
-  test("q164 CDC chunks match a plain-Scala chunking recount on content") {
+  /** The q164 cut rule in plain Scala: chunk contents of one doc. */
+  private def cdcChunks(text: String): Seq[String] = {
     import graft.functions.TextKernels
     val k = CurationOps.CdcK
-    val dMask = CurationOps.CdcD
+    def h(s: String): Long =
+      TextKernels.hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val t = text.split(" ", -1)
+    val n = t.length
+    val cuts = (0 to n - k).flatMap { j => // 0-based window start
+      val e = j + k // 1-based cut-after position
+      if (h(t.slice(j, j + k).mkString(" ")) % CurationOps.CdcD == 0 && e < n)
+        Some(e)
+      else None
+    }
+    val starts = 1 +: cuts.map(_ + 1)
+    val ends = cuts :+ n
+    starts.zip(ends).map { case (s, e) => t.slice(s - 1, e).mkString(" ") }
+  }
+
+  test("q164 CDC chunks match a plain-Scala chunking recount on content") {
+    import graft.functions.TextKernels
     def h(s: String): Long =
       TextKernels.hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val docs = graft.sources.Tables.documents(spark, Sf)
@@ -77,18 +94,8 @@ class CurationOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     // recount on chunk CONTENT (certifies hash collision-freedom too)
     val chunks = docs.flatMap { case (id, text) =>
-      val t = text.split(" ", -1)
-      val n = t.length
-      val cuts = (0 to n - k).flatMap { j => // 0-based window start
-        val e = j + k // 1-based cut-after position
-        if (h(t.slice(j, j + k).mkString(" ")) % dMask == 0 && e < n) Some(e)
-        else None
-      }
-      val starts = 1 +: cuts.map(_ + 1)
-      val ends = cuts :+ n
-      starts.zip(ends).map { case (s, e) =>
-        (id, t.slice(s - 1, e).mkString(" "), (e - s + 1).toLong)
-      }
+      cdcChunks(text).map(c =>
+        (id, c, (c.count(_ == ' ') + 1).toLong))
     }
     val expected = chunks.groupBy(_._2).map { case (content, cs) =>
       (h(content), cs.head._3, cs.map(_._1).distinct.size.toLong, cs.size.toLong)
@@ -101,6 +108,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(chunks.groupBy(_._1).exists(_._2.size > 1),
       "no document produced more than one chunk — cut rule never fired")
     assert(rows.exists(_._3 >= 2), "no cross-document duplicate chunks found")
+  }
+
+  test("q164 boundaries are shift-resistant: a prepended token leaves the tail chunks intact") {
+    // the property that earns CDC its place beside fixed windows: an
+    // edit at the head of a document moves EVERY fixed window (q127)
+    // and every fixed block (q156), but only the chunks touching the
+    // edit — boundaries are functions of local content, so the tail
+    // chunk sequence survives verbatim and still dedups against the
+    // unedited original
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect().map(_.getString(0))
+    val multi = texts.map(t => t -> cdcChunks(t)).filter(_._2.length >= 3)
+    assert(multi.length >= 10, "need docs with >= 3 chunks to exercise the property")
+    var preserved = 0
+    multi.foreach { case (t, before) =>
+      val after = cdcChunks("zzz " + t)
+      // longest common suffix of the two chunk-content sequences
+      val lcs = before.reverse.zip(after.reverse).takeWhile {
+        case (a, b) => a == b
+      }.length
+      // the edit may reshape the chunk containing it and (by creating
+      // or destroying one cut) its immediate neighbor — never more
+      if (lcs >= before.length - 2) preserved += 1
+    }
+    assert(preserved == multi.length,
+      s"only $preserved/${multi.length} docs kept their tail chunks after a head edit")
   }
 
   test("q127 duplicated-window coverage matches a brute-force window map") {
