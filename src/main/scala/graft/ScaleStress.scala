@@ -276,7 +276,30 @@ object ScaleStress {
     // the replica is again adversarial (every window occurs 10x, so
     // the ENTIRE corpus becomes duplicated spans — maximal hit lists)
     time("q127_window_dedup@10x")(queries.CurationOps.q127(spark, cdir).count())
+    // CDC chunking at 10x: same winHash scan as q127 but the shuffle
+    // carries one row per CHUNK (~n/D windows), not per window; the
+    // replica is adversarial as above (every chunk duplicated 10x)
+    time("q164_cdc_chunks@10x")(queries.CurationOps.q164(spark, cdir).count())
     time("q131_source_overlap@10x")(queries.CurationOps.q131(spark, cdir).count())
+    // hybrid RRF at 10x: replicate embeddings alongside the documents
+    // (vec_id shifted identically) — probes grow 10x with the corpus,
+    // so the dense brute-force leg scales (probes x corpus); the
+    // sparse leg rebuilds the replica's own term-bucketed tf index
+    val srcVecs = spark.read.parquet(s"$srcSf/embeddings.parquet")
+    srcVecs
+      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
+        col("vec_id"), col("embedding"), col("label"))
+      .select((col("vec_id") + col("k") * nDocs).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    time("q163_hybrid_rrf@10x")(queries.Retrieval.q163(spark, cdir).count())
+    // the documented dense-leg swap, measured: IVF cell pruning
+    // (64 cells, nprobe 4 → ~1/16 of the corpus per probe) replaces
+    // the probes x corpus brute-force cosine; the sparse leg and the
+    // fusion are byte-identical code paths
+    time("q163_hybrid_rrf_ivf@10x")(
+      queries.Retrieval.q163Ivf(spark, cdir, cells = 64, nprobe = 4).count())
     // streaming ingest trim at 10x: builds the replica's own warehouse
     // window index (fingerprinted to the temp corpus), then the
     // stream-static probe — state is the alert set, never the stream

@@ -372,13 +372,24 @@ object Retrieval {
   // in (top-N each).
   //
   // Scale shape: the sparse side re-reads the PERSISTED term-bucketed
-  // tf index (tfIndex — same artifact q122 probes); the probe-term
-  // table is probes × probe-doc vocabulary, broadcast onto the index
-  // so the corpus-sized side never moves. The dense side broadcasts
-  // the probe vectors (q36's argument) — the corpus embeddings never
-  // shuffle. BOTH rankings ride the bounded-heap TopKAgg, so each
-  // exchange carries probes × N rows and nothing sorts a posting
-  // list; the fusion join and final window touch ≤ 2N rows per probe.
+  // tf index (tfIndex — same artifact q122 probes), and each probe
+  // queries only its M most DISTINCTIVE terms (lowest df, the Lucene
+  // MoreLikeThis "interesting terms" rule): without the cap, a probe
+  // whose common terms appear corpus-wide drags the contribution
+  // stream to probes × corpus rows — measured as a 325 s blowup at
+  // the 10× stress on this small-vocabulary corpus — while rare
+  // terms carry essentially all of the BM25 mass anyway (common
+  // terms have idf ≈ 0). With the cap, contribution volume is
+  // probes × M × posting-list length, set by the corpus's term
+  // selectivity, not its document count. The M-term selection itself
+  // is a window over probes × probe vocabulary — probe-sized, not
+  // corpus-sized. The dense side broadcasts the probe vectors (q36's
+  // argument) — the corpus embeddings never shuffle; at 100 TB the
+  // brute-force leg swaps for the IVF list (q59) unchanged, since
+  // RRF only consumes ranks. BOTH rankings ride the bounded-heap
+  // TopKAgg, so each exchange carries probes × N rows and nothing
+  // sorts a posting list; the fusion join and final window touch
+  // ≤ 2N rows per probe.
   //
   // Float parity: ranks are ints, so 1/(k0+rank) is one correctly-
   // rounded IEEE division of identical inputs in both engines, and
@@ -389,21 +400,52 @@ object Retrieval {
   final val RrfK0 = 60
   final val RrfListN = 20
   final val RrfTopK = 10
+  /** Per-probe query-term budget: the M lowest-df (most distinctive)
+    * terms of the probe document, df-then-term tiebreak.
+    */
+  final val RrfMltTerms = 8
   private final val RrfProbe = "% 100 = 0"
 
-  def q163(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TopKAgg, VecFns}
-    import graft.functions.TextFns.rnd
+  def q163(spark: SparkSession, dir: String): DataFrame =
+    fuseRrf(sparseRanks(spark, dir), denseRanksBrute(spark, dir))
+
+  /** The documented 100 TB swap, executable: same fusion, same
+    * sparse leg, but the dense list comes from IVF cell pruning
+    * (q59's shape — deterministic lowest-vec_id codebook, broadcast
+    * assignment, nprobe nearest cells per probe) instead of the
+    * brute-force probes × corpus cosine. With nprobe = cells the
+    * candidate set is the whole corpus and the output EQUALS q163
+    * (RetrievalSpec pins the bit-equality — the q59 "full-probe ==
+    * brute force" anchor); at production nprobe ≪ cells the dense
+    * leg touches ~nprobe/cells of the corpus per probe. Not in the
+    * oracle map (approximate below full probe); measured beside
+    * q163 in the 10× ScaleStress.
+    */
+  def q163Ivf(spark: SparkSession, dir: String,
+      cells: Int = Similarity.IvfCells,
+      nprobe: Int = Similarity.IvfProbe): DataFrame =
+    fuseRrf(sparseRanks(spark, dir),
+      denseRanksIvf(spark, dir, cells, nprobe))
+
+  private def sparseRanks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAgg
     // -- sparse: more-like-this BM25 from the persisted tf index --
     val tf = tfIndex(spark, dir)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val scalars = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    // the probe's term set IS its tf-index slice (already distinct per
-    // (doc, t)); probes are a pruned read of the same bucketed table
+    // the probe's candidate terms are its tf-index slice (already
+    // distinct per (doc, t)) — a pruned read of the same bucketed
+    // table — cut to the M rarest by corpus df (MoreLikeThis rule)
+    val wMlt = Window.partitionBy(col("query_id"))
+      .orderBy(col("df"), col("t"))
     val probeTerms = tf.where(expr(s"doc_id $RrfProbe"))
       .select(col("doc_id").as("query_id"), col("t"))
+      .join(dfT, "t")
+      .withColumn("tr", row_number().over(wMlt))
+      .where(col("tr") <= RrfMltTerms)
+      .select(col("query_id"), col("t"))
     val dfProbe = dfT.join(
       broadcast(probeTerms.select("t").distinct()), "t")
     val contrib = tf
@@ -419,7 +461,7 @@ object Retrieval {
           (col("tf") + lit(BmK1) * (lit(1 - BmB) + lit(BmB) *
             col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
         ) * BmScale + lit(0.5)).cast("long").as("c"))
-    val sparse = contrib.groupBy(col("query_id"), col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("s"))
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("s").cast("double"), col("doc_id"),
@@ -427,14 +469,29 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id1").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank_sparse"))
-    // -- dense: cosine over embeddings, probe side broadcast --
+  }
+
+  /** Corpus embeddings with their norm, plus the probe slice. */
+  private def denseSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.VecFns
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.normK(col("embedding")).as("nrm"))
     val qv = v.where(expr(s"vec_id $RrfProbe"))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"))
-    val dense = v.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+    (v, qv)
+  }
+
+  /** Candidate (corpus-row, probe) cosines → per-probe dense rank
+    * list via the bounded heap. Both dense legs end here, so their
+    * rank lists agree whenever their candidate sets do.
+    */
+  private def denseRank(cand: DataFrame): DataFrame = {
+    import graft.functions.{TopKAgg, VecFns}
+    import graft.functions.TextFns.rnd
+    cand
       .select(col("query_id"), col("vec_id").as("doc_id"),
         rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
           .as("cosine"))
@@ -444,7 +501,53 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id1").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank_dense"))
-    // -- fuse: Σ 1/(k0 + rank) over the lists the doc appears in --
+  }
+
+  // -- dense: cosine over embeddings, probe side broadcast --
+  private def denseRanksBrute(spark: SparkSession, dir: String): DataFrame = {
+    val (v, qv) = denseSides(spark, dir)
+    denseRank(v.join(broadcast(qv), col("vec_id") =!= col("query_id")))
+  }
+
+  // -- dense, IVF-pruned: q59's cell machinery feeding the same
+  // rank list; candidates = vectors in the probe's nprobe nearest
+  // cells only --
+  private def denseRanksIvf(spark: SparkSession, dir: String,
+      cells: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VecFns
+    val (v, qv) = denseSides(spark, dir)
+    val cents = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("e_c"),
+        col("nrm").as("n_c"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    // nearest centroid per vector: the embedding column never moves —
+    // only the skinny (vec_id, cid, cos) frame reaches the window
+    val assign = v.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probeCells = qv.join(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        (VecFns.dotCol(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = assign.join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(v, "vec_id")
+      .join(broadcast(qv), "query_id")
+    denseRank(cand)
+  }
+
+  // -- fuse: Σ 1/(k0 + rank) over the lists the doc appears in --
+  private def fuseRrf(sparse: DataFrame, dense: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("rrf"), col("doc_id"))
     sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
@@ -470,7 +573,12 @@ object Retrieval {
        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
        |consts AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM dl),
-       |pt AS (SELECT doc_id AS query_id, t FROM tf WHERE doc_id $RrfProbe),
+       |pt0 AS (SELECT doc_id AS query_id, t FROM tf WHERE doc_id $RrfProbe),
+       |ptr AS (
+       |  SELECT query_id, t, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY df.df, t) AS tr
+       |  FROM pt0 JOIN df USING (t)),
+       |pt AS (SELECT query_id, t FROM ptr WHERE tr <= $RrfMltTerms),
        |contrib AS (
        |  SELECT p.query_id, tf.doc_id,
        |    CAST(floor((

@@ -302,6 +302,90 @@ object SketchQueries {
   }
 
   // ---------------------------------------------------------------
+  // q165_exact_quantiles — EXACT per-group quantiles at scale via a
+  // sketch-pruned second pass. q51's percentile_cont sorts every
+  // group in full; q73's histogram is O(bins) state but only
+  // bin-width accurate. This query composes them into the standard
+  // two-pass exact algorithm (Munro–Paterson shape): pass 1 builds
+  // the mergeable q73 histogram (partial+final, bins+2 longs per
+  // group on the exchange) and locates, for every (group, q), the
+  // single bin that CONTAINS rank ceil(q·n) plus the local rank
+  // inside it — a groups × quantiles candidate table, broadcast.
+  // Pass 2 rescans, recomputes each row's bin with the same
+  // clamp+floor arithmetic as the kernel, and broadcast-joins the
+  // candidate table, so only the ~n/bins rows that land in a
+  // candidate bin survive to the (group, q) window; the exact
+  // answer is the lrank-th smallest value within the bin. No group
+  // is ever fully sorted: the second-pass sort touches
+  // groups × quantiles × (n/bins) rows — at 100 TB with 512 bins
+  // that is ~0.2% of the data moving through the window exchange,
+  // and the bin histogram itself never exceeds a few KB per group.
+  // The output is a VALUE PRESENT IN THE DATA (quantile_disc
+  // semantics, rank ceil(q·n)), so no float arithmetic is
+  // introduced and the DuckDB oracle — a brute-force full sort —
+  // matches bit-for-bit.
+  // ---------------------------------------------------------------
+  private val ExactQs = Seq(0.5, 0.9, 0.99)
+
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+    val x = col("l_extendedprice").cast("double")
+    // pass 1: mergeable histogram → candidate (bin, local rank) per q
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.HistogramSketch.histogram(
+        x, HistLo, HistHi, HistBins).as("h"))
+    val cells = sk
+      .select(col("l_returnflag"), posexplode(col("h")).as(Seq("bin", "c")))
+      .where(col("c") > 0)
+    val flagW = Window.partitionBy(col("l_returnflag"))
+    val t = cells
+      .withColumn("cum", sum(col("c")).over(flagW.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(flagW))
+    val qsDf = spark.range(1).select(explode(array(ExactQs.map(lit): _*)).as("q"))
+    val ranked = t.crossJoin(broadcast(qsDf))
+      .withColumn("rank", ceil(col("q") * col("n").cast("double")).cast("long"))
+      .where(col("cum") >= col("rank"))
+    val firstBin = Window.partitionBy(col("l_returnflag"), col("q"))
+      .orderBy(col("bin"))
+    val cand = ranked.withColumn("rk", row_number().over(firstBin))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag").as("cf"), col("q"),
+        col("bin").as("cbin"),
+        (col("rank") - (col("cum") - col("c"))).as("lrank"))
+    // pass 2: the kernel's exact clamp+floor bin id, division before
+    // multiplication (HistogramSketch.update / binSql parity)
+    val rowBin = when(x < HistLo, 0)
+      .when(x >= HistHi, HistBins + 1)
+      .otherwise(floor((x - lit(HistLo)) / lit(HistHi - HistLo)
+        * lit(HistBins)).cast("int") + 1)
+    val pick = Window.partitionBy(col("l_returnflag"), col("q"))
+      .orderBy(col("v"))
+    li.select(col("l_returnflag"), x.as("v"), rowBin.as("bin"))
+      .join(broadcast(cand),
+        col("l_returnflag") === col("cf") && col("bin") === col("cbin"))
+      .withColumn("vrk", row_number().over(pick))
+      .where(col("vrk") === col("lrank"))
+      .select(col("l_returnflag"), col("q"), col("v").as("p_exact"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  // the oracle is the UNPRUNED semantics: a full per-group sort and
+  // a direct rank pick — proving the two-pass plan changes nothing
+  val q165Sql: String =
+    s"""WITH qs AS (SELECT unnest([${ExactQs.mkString(", ")}]::DOUBLE[]) AS q),
+       |r AS (
+       |  SELECT l_returnflag, l_extendedprice::DOUBLE AS v,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice::DOUBLE) AS rk,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem)
+       |SELECT l_returnflag, q, v AS p_exact
+       |FROM r CROSS JOIN qs
+       |WHERE rk = CAST(CEIL(q * n::DOUBLE) AS BIGINT)
+       |ORDER BY l_returnflag, q""".stripMargin
+
+  // ---------------------------------------------------------------
   // q77_bloom_prune — Bloom semi-join reduction: build a bloom over
   // the BUILDING-segment customers' key hashes (the small side),
   // prune orders MAP-SIDE with the pure-Column membership test before
@@ -475,6 +559,7 @@ object SketchQueries {
     "q65_countmin_freq" -> (q65 _),
     "q66_asof_native" -> (q66 _),
     "q73_histogram_quantiles" -> (q73 _),
+    "q165_exact_quantiles" -> (q165 _),
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
@@ -488,5 +573,6 @@ object SketchQueries {
     "q65_countmin_freq" -> q65Sql,
     "q66_asof_native" -> q50Sql,
     "q73_histogram_quantiles" -> q73Sql,
+    "q165_exact_quantiles" -> q165Sql,
     "q77_bloom_prune" -> q77Sql)
 }

@@ -108,7 +108,9 @@ class RetrievalSpec extends SparkTestBase {
     val probes = docs.keys.filter(_ % 100 == 0).toSeq.sorted
     assert(probes.nonEmpty)
     def sparseRanks(q: Long): Map[Long, Int] = {
+      // MoreLikeThis term budget: the M rarest terms, (df, term) order
       val qTerms = docs(q).distinct
+        .sortBy(t => (dfm(t), t)).take(Retrieval.RrfMltTerms)
       // candidate = shares >=1 term (the join's semantics), even if
       // every contribution rounds to 0
       val scored = docs.keys.filter(_ != q).flatMap { d =>
@@ -157,6 +159,31 @@ class RetrievalSpec extends SparkTestBase {
     // ensembling sanity: the fused list must actually draw on BOTH lists
     assert(rows.exists(_._5.isEmpty) || rows.exists(_._6.isEmpty) ||
       rows.exists(r => r._5.nonEmpty && r._6.nonEmpty))
+  }
+
+  test("q163Ivf: full-probe IVF hybrid equals the brute-force hybrid exactly") {
+    // the q59 anchor, applied to the fused query: nprobe = cells makes
+    // the IVF candidate set the whole corpus, so every (cosine, rank)
+    // and hence the fused output must be BIT-identical to q163 —
+    // pinning that the 100 TB dense-leg swap changes the candidate
+    // set, never the scoring or fusion
+    val cells = 8
+    val exact = Retrieval.q163(spark, Sf).collect().toSeq
+    val ivf = Retrieval.q163Ivf(spark, Sf, cells = cells, nprobe = cells)
+      .collect().toSeq
+    assert(ivf == exact)
+    // and a pruned probe stays rank-list-shaped: same schema, same
+    // probes, <= TopK rows each, fused score still in (0, 2/(k0+1)]
+    val pruned = Retrieval.q163Ivf(spark, Sf, cells = cells, nprobe = 2)
+      .collect()
+    val probes = exact.map(_.getLong(0)).distinct.sorted
+    assert(pruned.map(_.getLong(0)).distinct.sorted.toSeq == probes.toSeq)
+    val perProbe = pruned.groupBy(_.getLong(0)).values
+    assert(perProbe.forall(_.length <= Retrieval.RrfTopK))
+    assert(pruned.forall { r =>
+      val s = r.getDouble(3)
+      s > 0.0 && s <= 2.0 / (Retrieval.RrfK0 + 1)
+    })
   }
 
   test("q123: probabilities in (0,1), bigram conservation, calibrated cull") {
