@@ -688,7 +688,104 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q166_editdist_join — typo-tolerant entity matching: all pairs of
+  // DISTINCT part names within Levenshtein distance k, via PassJoin
+  // (Li, Deng & Feng, VLDB 2011) segment signatures. The pigeonhole
+  // filter: split each indexed name into k+1 contiguous segments; if
+  // ed(r, s) <= k then r must contain SOME segment of s verbatim,
+  // shifted by at most k from its home position. So the index side
+  // emits k+1 (segment, i, len) keys per name, the probe side emits
+  // substrings at the (2k+1) positions around each segment start for
+  // each candidate target length in [len-k, len] (the shorter string
+  // is always the segmented one — |len diff| > k pairs can't match
+  // anyway), and candidates are an equi-join on (key, i, target len)
+  // — (k+1)²(2k+1) keys per name, NO quadratic step. Survivors are
+  // verified with levenshtein(a, b, k) (early-exit threshold form).
+  //
+  // Candidate generation is COMPLETE — unlike an ER blocking key, no
+  // true pair can escape — so the oracle is the clean UNBLOCKED
+  // semantics: brute-force levenshtein over all distinct-name pairs.
+  //
+  // Scale shape: everything quadratic-looking runs on the DISTINCT
+  // name vocabulary (groupBy p_name first — bounded by the catalog's
+  // naming scheme, not row count; the full table contributes only
+  // per-name counts via one hash aggregate). The segment/probe
+  // explosion is a constant 45 keys per distinct name at k=2, the
+  // equi-join keys are (short substring, int, int) — uniform,
+  // skew-free — and the verify step touches candidates only. At
+  // 100 TB this is the standard fuzzy-join: vocabulary-sized
+  // signature index, one keyed shuffle, per-candidate verify.
+  // ---------------------------------------------------------------
+  final val EdK = 2
+
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val k = EdK
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("p_name")))
+    def segStart(i: Int, len: Column): Column =
+      floor(lit(i) * len / lit(k + 1)).cast("int")
+    // index side: k+1 contiguous segments per name
+    val segs = names.select(col("p_name").as("s_name"), col("len").as("s_len"),
+      explode(array((0 to k).map { i =>
+        val st = segStart(i, col("len"))
+        val sl = segStart(i + 1, col("len")) - st
+        struct(lit(i).as("i"), col("p_name").substr(st + 1, sl).as("key"))
+      }: _*)).as("seg"))
+      .select(col("s_name"), col("s_len"),
+        col("seg.i").as("i"), col("seg.key").as("key"))
+    // probe side: substrings at ±k around each segment's home start,
+    // for every candidate (shorter) target length len-d
+    val probeStructs = for {
+      d <- 0 to k; i <- 0 to k; off <- -k to k
+    } yield {
+      val ls = col("len") - d
+      val st = segStart(i, ls)
+      val sl = segStart(i + 1, ls) - st
+      val p = st + off
+      struct(ls.as("ls"), lit(i).as("i"), p.as("p"), sl.as("sl"),
+        col("p_name").substr(p + 1, sl).as("key"))
+    }
+    val probes = names.select(col("p_name").as("r_name"), col("len").as("r_len"),
+      explode(array(probeStructs: _*)).as("pr"))
+      .where(col("pr.ls") >= 1 && col("pr.sl") >= 1 &&
+        col("pr.p") >= 0 && col("pr.p") + col("pr.sl") <= col("r_len"))
+      .select(col("r_name"), col("pr.ls").as("ls"),
+        col("pr.i").as("i"), col("pr.key").as("key"))
+    val cand = probes.join(segs,
+        probes("key") === segs("key") && probes("i") === segs("i") &&
+          probes("ls") === segs("s_len") &&
+          probes("r_name") =!= segs("s_name"))
+      .select(least(col("r_name"), col("s_name")).as("name_a"),
+        greatest(col("r_name"), col("s_name")).as("name_b"))
+      .distinct()
+    val a = names.select(col("p_name").as("name_a"), col("cnt").as("ca"))
+    val b = names.select(col("p_name").as("name_b"), col("cnt").as("cb"))
+    cand
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), k).cast("long"))
+      .where(col("dist") >= 0)
+      .join(broadcast(a), "name_a").join(broadcast(b), "name_b")
+      .select(col("name_a"), col("name_b"), col("dist"),
+        (col("ca") * col("cb")).as("pair_count"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  // the unblocked brute force: PassJoin's completeness means the
+  // oracle needs no knowledge of the signature scheme at all
+  val q166Sql: String =
+    s"""WITH n AS (SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY 1)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
+       |  (a.cnt * b.cnt)::BIGINT AS pair_count
+       |FROM n a JOIN n b
+       |  ON a.p_name < b.p_name
+       | AND levenshtein(a.p_name, b.p_name) <= $EdK
+       |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q166_editdist_join" -> (q166 _),
     "q147_neardup_prune" -> (q147 _),
     "q121_ssjoin_exact" -> (q121 _),
     "q32_dedup_exact_docs" -> (q32 _),
@@ -702,6 +799,7 @@ object Dedup {
     "q87_incremental_dedup" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
+    "q166_editdist_join" -> q166Sql,
     "q147_neardup_prune" -> q147Sql,
     "q121_ssjoin_exact" -> q121Sql,
     "q32_dedup_exact_docs" -> q32Sql,

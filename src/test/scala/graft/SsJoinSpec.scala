@@ -46,6 +46,72 @@ class SsJoinSpec extends SparkTestBase {
       s"exact join missed LSH-found pairs: ${(lsh -- exact).take(5)}")
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("q166 equals the brute-force edit-distance definition on the real catalog") {
+    val got = Dedup.q166(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val names = Tables.part(spark, Sf).groupBy(col("p_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- names.keys; b <- names.keys if a < b
+      d = lev(a, b) if d <= Dedup.EdK
+    } yield (a, b, d.toLong, names(a) * names(b))).toSet
+    assert(want.nonEmpty, "no close name pairs — test catalog drifted")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("q166 PassJoin signatures are complete on an adversarial mutated vocabulary") {
+    // craft names AS random <=k-edit mutations of seed words over a
+    // 2-letter alphabet (maximal accidental collisions), write them
+    // as a part table, and demand set equality with brute force —
+    // the pigeonhole argument has to survive edits that straddle
+    // segment boundaries, not just the tame real catalog
+    val rnd = new scala.util.Random(42)
+    def word(n: Int) = Seq.fill(n)("ab" (rnd.nextInt(2))).mkString
+    def mutate(s: String): String = (1 to rnd.nextInt(Dedup.EdK + 1))
+      .foldLeft(s) { (w, _) =>
+        if (w.isEmpty) w
+        else rnd.nextInt(3) match {
+          case 0 => val i = rnd.nextInt(w.length)          // substitute
+            w.updated(i, if (w(i) == 'a') 'b' else 'a')
+          case 1 => val i = rnd.nextInt(w.length + 1)      // insert
+            w.substring(0, i) + "ab" (rnd.nextInt(2)) + w.substring(i)
+          case 2 => val i = rnd.nextInt(w.length)          // delete
+            w.substring(0, i) + w.substring(i + 1)
+        }
+      }
+    val seeds = Seq.fill(24)(word(4 + rnd.nextInt(8)))
+    val vocab = (seeds ++ seeds.flatMap(s => Seq.fill(3)(mutate(s)))).distinct
+    val dir = java.nio.file.Files.createTempDirectory("passjoin").toString
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Dedup.q166(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= Dedup.EdK
+    } yield (a, b, d.toLong)).toSet
+    assert(want.nonEmpty, "mutation scheme produced no close pairs")
+    assert(got == want,
+      s"completeness broken: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("q121 plans as equi-joins; candidate count stays far below all-pairs") {
     val df = Dedup.q121(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
