@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns.{rnd, rndSql, shinglesSql}
+import graft.functions.TextFns.{rnd, rndSql, shinglesSql, tokens}
 import graft.functions.TextKernels
 import graft.sources.Tables
 
@@ -385,6 +385,98 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // q167_token_waterfill — token-budget allocation across sources by
+  // water-filling: given a global training-token budget B (here 60%
+  // of the corpus total), give every source an equal share λ of the
+  // budget, capped at what the source actually has — the allocation
+  // rule behind "balanced mixture under a budget" (the max-min fair
+  // allocation; same waterline geometry as power/water-filling in
+  // information theory). Closed form, no iteration: sort sources by
+  // availability ASCENDING; scanning in that order, the first source
+  // j where λ_j = (B - Σ_{i<j} avail_i) / (N - j + 1) fits under
+  // avail_j pins the waterline — every smaller source is exhausted,
+  // every larger source gets exactly λ.
+  //
+  // Scale shape: ONE corpus-wide aggregate (per-source token sums —
+  // partial+final, map-side combined); everything after runs on the
+  // sources-sized frame (a handful of rows) through two tiny window
+  // passes. The waterline solve never touches the corpus again — at
+  // 100 TB this is a profiling pass plus driver-scale arithmetic.
+  //
+  // Float parity: avail/cum/N/B are exact longs; λ is ONE IEEE
+  // division of exact integers (bit-identical across engines); the
+  // feasibility compare and `least` are order-free; outputs ride
+  // rnd(·, 4).
+  // ---------------------------------------------------------------
+  final val WaterfillBudgetPct = 60L
+
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val wAsc = Window.orderBy(col("avail"), col("source"))
+    val stats = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("avail"))
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("budget", expr(s"total * $WaterfillBudgetPct DIV 100"))
+      .withColumn("j", row_number().over(wAsc))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("cum_before",
+        coalesce(sum(col("avail")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lambda_j",
+        (col("budget") - col("cum_before")).cast("double")
+          / (col("n_src") - col("j") + 1).cast("double"))
+    val solved = stats
+      .withColumn("jstar",
+        min(when(col("lambda_j") <= col("avail").cast("double"), col("j")))
+          .over(wAll))
+      .withColumn("waterline",
+        max(when(col("j") === col("jstar"), col("lambda_j"))).over(wAll))
+    solved
+      .select(col("source"), col("avail").as("avail_tokens"),
+        rnd(least(col("avail").cast("double"),
+          coalesce(col("waterline"), col("avail").cast("double"))), 4)
+          .as("alloc_tokens"),
+        rnd(least(col("avail").cast("double"),
+          coalesce(col("waterline"), col("avail").cast("double")))
+          / col("budget").cast("double"), 4).as("budget_share"))
+      .orderBy(col("source"))
+  }
+
+  val q167Sql: String =
+    s"""WITH stats AS (
+       |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS avail
+       |  FROM documents GROUP BY source),
+       |w1 AS (
+       |  SELECT *,
+       |    (SUM(avail) OVER ())::BIGINT AS total,
+       |    ROW_NUMBER() OVER (ORDER BY avail, source) AS j,
+       |    (COUNT(*) OVER ())::BIGINT AS n_src,
+       |    COALESCE(SUM(avail) OVER (ORDER BY avail, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cum_before
+       |  FROM stats),
+       |w2 AS (
+       |  SELECT *, total * $WaterfillBudgetPct // 100 AS budget FROM w1),
+       |w3 AS (
+       |  SELECT *,
+       |    (budget - cum_before)::DOUBLE / (n_src - j + 1)::DOUBLE AS lambda_j
+       |  FROM w2),
+       |w4 AS (
+       |  SELECT *,
+       |    MIN(CASE WHEN lambda_j <= avail::DOUBLE THEN j END) OVER () AS jstar
+       |  FROM w3),
+       |w5 AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN j = jstar THEN lambda_j END) OVER () AS waterline
+       |  FROM w4)
+       |SELECT source, avail AS avail_tokens,
+       |  ${rndSql("LEAST(avail::DOUBLE, COALESCE(waterline, avail::DOUBLE))", 4)} AS alloc_tokens,
+       |  ${rndSql("LEAST(avail::DOUBLE, COALESCE(waterline, avail::DOUBLE)) / budget::DOUBLE", 4)} AS budget_share
+       |FROM w5 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q124_semantic_decontamination — embedding-space benchmark
   // decontamination, the semantic complement to q100's n-gram
   // overlap: training vectors whose max cosine against ANY eval-set
@@ -649,7 +741,8 @@ object PipelineOps {
     "q101_repetition_score" -> (q101 _),
     "q102_sequence_packing" -> (q102 _),
     "q103_semantic_dedup" -> (q103 _),
-    "q113_temperature_mixture" -> (q113 _))
+    "q113_temperature_mixture" -> (q113 _),
+    "q167_token_waterfill" -> (q167 _))
 
   def oracles: Map[String, String] = Map(
     "q155_dsir_weights" -> q155Sql,
@@ -660,5 +753,6 @@ object PipelineOps {
     "q101_repetition_score" -> q101Sql,
     "q102_sequence_packing" -> q102Sql,
     "q103_semantic_dedup" -> q103Sql,
-    "q113_temperature_mixture" -> q113Sql)
+    "q113_temperature_mixture" -> q113Sql,
+    "q167_token_waterfill" -> q167Sql)
 }

@@ -91,6 +91,36 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q167 waterfill matches an independent bisection solve and is max-min fair") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.q167(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val avail = rows.map { case (_, a, _) => a }
+    val budget = avail.sum * PipelineOps.WaterfillBudgetPct / 100
+    // independent solve: bisect the waterline instead of the query's
+    // sorted-prefix closed form
+    def allocated(lam: Double) = avail.map(a => math.min(a.toDouble, lam)).sum
+    var (lo, hi) = (0.0, avail.max.toDouble)
+    for (_ <- 1 to 200) {
+      val mid = (lo + hi) / 2
+      if (allocated(mid) < budget) lo = mid else hi = mid
+    }
+    val lam = (lo + hi) / 2
+    rows.foreach { case (s, a, alloc) =>
+      assert(math.abs(alloc - math.min(a.toDouble, lam)) < 1e-3,
+        s"$s: got $alloc, bisection says ${math.min(a.toDouble, lam)}")
+    }
+    // the budget is spent exactly (up to output rounding)
+    assert(math.abs(rows.map(_._3).sum - budget.toDouble) < 0.01 * rows.length)
+    // max-min fairness: every non-exhausted source gets the SAME share
+    val unexhausted = rows.filter { case (_, a, alloc) => alloc < a - 1e-6 }
+    assert(unexhausted.map(_._3).distinct.length <= 1,
+      "two non-exhausted sources got different allocations")
+    // and no exhausted source had more than the waterline available
+    assert(rows.forall { case (_, a, alloc) =>
+      alloc <= a + 1e-9 && alloc >= 0 })
+  }
+
   test("q103 dedup manifest is internally consistent") {
     PipelineOps.q103(spark, Sf).collect().foreach { r =>
       val m = r.getAs[Long]("n_members")
