@@ -96,7 +96,9 @@ object Plans {
       "q161_heavy_hitters" -> "Misra-Gries heavy hitters: one m-bounded partial+final summary aggregate, broadcast candidate recount, exact top-k",
       "q162_bpe_encode_kernel" -> "one-pass greedy BPE apply: single StaticInvoke projection, cost independent of merge-table depth (vs q152's per-merge fold)",
       "q163_hybrid_rrf" -> "hybrid RRF: broadcast probe terms onto the persisted tf index + broadcast probe vectors, both lists via bounded-heap TopKAgg, fusion touches <=2N rows/probe",
-      "q164_cdc_chunks" -> "content-defined chunking: winHash kernel + per-row cut/span array exprs, shuffle carries only (doc, hash, len), uniform 60-bit group key")
+      "q164_cdc_chunks" -> "content-defined chunking: winHash kernel + per-row cut/span array exprs, shuffle carries only (doc, hash, len), uniform 60-bit group key",
+      "q165_exact_quantiles" -> "exact quantiles in two passes: O(bins) histogram aggregate locates candidate bins, broadcast-pruned rescan sorts only ~n/bins rows per (group, q)",
+      "q166_editdist_join" -> "PassJoin fuzzy match: segment-signature equi-join over the DISTINCT name vocabulary, threshold-levenshtein verify on candidates only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

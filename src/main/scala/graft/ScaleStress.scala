@@ -27,6 +27,59 @@ object ScaleStress {
   private var srcSf: String = "/root/testdata/sf0.1"
 
   /** 10 order-key-shifted copies of the source fact tables → temp dir. */
+  /** 10 doc_id/vec_id-shifted copies of the source corpus (documents
+    * + embeddings), written to a fresh temp dir. Text payloads repeat,
+    * which only makes dedup/similarity paths WORK HARDER (every doc
+    * gains 9 exact duplicates), so replica timings upper-bound
+    * organic 10x growth.
+    */
+  private def buildCorpusReplica(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val srcDocs = spark.read.parquet(s"$srcSf/documents.parquet")
+    val nDocs = srcDocs.count()
+    val cdir = java.nio.file.Files.createTempDirectory("corpus10x").toString
+    srcDocs
+      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .select((col("doc_id") + col("k") * nDocs).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    spark.read.parquet(s"$srcSf/embeddings.parquet")
+      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
+        col("vec_id"), col("embedding"), col("label"))
+      .select((col("vec_id") + col("k") * nDocs).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    cdir
+  }
+
+  /** Focused 10x audit of the hybrid-RRF pair: brute-force dense leg
+    * vs the IVF-pruned swap on the same replica corpus.
+    */
+  private def rrf10xStress(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cdir = buildCorpusReplica(spark)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("q163_hybrid_rrf@10x")(queries.Retrieval.q163(spark, cdir).count())
+    time("q163_hybrid_rrf_ivf@10x")(
+      queries.Retrieval.q163Ivf(spark, cdir, cells = 64, nprobe = 4).count())
+    // leg decomposition: on THIS adversarial replica (tiny shared
+    // vocabulary, posting lists ~corpus-sized) the sparse leg's
+    // contribution volume dominates both hybrids equally; the IVF
+    // gain is only visible leg-by-leg
+    time("q163_sparse_leg@10x")(
+      queries.Retrieval.sparseRanks(spark, cdir).count())
+    time("q163_dense_brute_leg@10x")(
+      queries.Retrieval.denseRanksBrute(spark, cdir).count())
+    time("q163_dense_ivf_leg@10x")(
+      queries.Retrieval.denseRanksIvf(spark, cdir, 64, 4).count())
+  }
+
   private def buildFactReplica(spark: org.apache.spark.sql.SparkSession): String = {
     val src = srcSf
     val d = java.nio.file.Files.createTempDirectory("sf1-replica").toString
@@ -190,6 +243,9 @@ object ScaleStress {
     if (args.headOption.contains("bpe256")) {
       bpe256Stress(spark); spark.stop(); return
     }
+    if (args.headOption.contains("rrf10x")) {
+      rrf10xStress(spark); spark.stop(); return
+    }
     val dir = args.headOption.getOrElse(buildFactReplica(spark))
 
     def time(name: String)(f: => Long): Unit = {
@@ -241,16 +297,7 @@ object ScaleStress {
     // payloads repeat, which only makes the dedup paths WORK HARDER
     // (every doc gains 9 exact near-duplicates), so these timings are
     // an upper bound on organic 10x growth.
-    val srcDocs = spark.read.parquet(s"$srcSf/documents.parquet")
-    val nDocs = srcDocs.count()
-    val cdir = java.nio.file.Files.createTempDirectory("corpus10x").toString
-    srcDocs
-      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
-        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-      .select((col("doc_id") + col("k") * nDocs).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    val cdir = buildCorpusReplica(spark)
     time("q105_boilerplate_ngrams@10x")(queries.CorpusOps.q105(spark, cdir).count())
     time("q100_decontamination@10x")(queries.PipelineOps.q100(spark, cdir).count())
     time("q109_bpe_pairs@10x")(queries.CorpusOps.q109(spark, cdir).count())
@@ -281,18 +328,9 @@ object ScaleStress {
     // replica is adversarial as above (every chunk duplicated 10x)
     time("q164_cdc_chunks@10x")(queries.CurationOps.q164(spark, cdir).count())
     time("q131_source_overlap@10x")(queries.CurationOps.q131(spark, cdir).count())
-    // hybrid RRF at 10x: replicate embeddings alongside the documents
-    // (vec_id shifted identically) — probes grow 10x with the corpus,
-    // so the dense brute-force leg scales (probes x corpus); the
-    // sparse leg rebuilds the replica's own term-bucketed tf index
-    val srcVecs = spark.read.parquet(s"$srcSf/embeddings.parquet")
-    srcVecs
-      .select(explode(sequence(lit(0L), lit(9L))).as("k"),
-        col("vec_id"), col("embedding"), col("label"))
-      .select((col("vec_id") + col("k") * nDocs).as("vec_id"),
-        col("embedding"), col("label"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    // hybrid RRF at 10x: probes grow 10x with the corpus, so the
+    // dense brute-force leg scales (probes x corpus); the sparse leg
+    // rebuilds the replica's own term-bucketed tf index
     time("q163_hybrid_rrf@10x")(queries.Retrieval.q163(spark, cdir).count())
     // the documented dense-leg swap, measured: IVF cell pruning
     // (64 cells, nprobe 4 → ~1/16 of the corpus per probe) replaces

@@ -427,7 +427,7 @@ object Retrieval {
     fuseRrf(sparseRanks(spark, dir),
       denseRanksIvf(spark, dir, cells, nprobe))
 
-  private def sparseRanks(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sparseRanks(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKAgg
     // -- sparse: more-like-this BM25 from the persisted tf index --
     val tf = tfIndex(spark, dir)
@@ -504,7 +504,7 @@ object Retrieval {
   }
 
   // -- dense: cosine over embeddings, probe side broadcast --
-  private def denseRanksBrute(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def denseRanksBrute(spark: SparkSession, dir: String): DataFrame = {
     val (v, qv) = denseSides(spark, dir)
     denseRank(v.join(broadcast(qv), col("vec_id") =!= col("query_id")))
   }
@@ -512,7 +512,7 @@ object Retrieval {
   // -- dense, IVF-pruned: q59's cell machinery feeding the same
   // rank list; candidates = vectors in the probe's nprobe nearest
   // cells only --
-  private def denseRanksIvf(spark: SparkSession, dir: String,
+  private[graft] def denseRanksIvf(spark: SparkSession, dir: String,
       cells: Int, nprobe: Int): DataFrame = {
     import graft.functions.VecFns
     val (v, qv) = denseSides(spark, dir)
