@@ -21,6 +21,8 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_rep_metrics(str)`   — Gopher repetition metrics, one pass
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
   *   - `graft_misra_gries(item, m)` — aggregate: MG heavy-hitter summary
+  *   - `graft_histogram(x, lo, hi, bins)` — aggregate: fixed-grid counters
+  *   - `graft_topk(score, id, k)` — aggregate: bounded-heap exact top-k
   *   - `graft_bpe_encode(word, merges)` — one-pass greedy BPE segmentation
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
@@ -107,6 +109,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_misra_gries: m must be an integer literal")
         }
         graft.functions.MisraGriesAgg(args(0), m)
+      }))
+    // 4-ary aggregate: (x, lo, hi, bins — bounds/bins literal) — the
+    // mergeable fixed-grid histogram (q73/q165's pass-1 state) in SQL
+    ext.injectFunction((FunctionIdentifier("graft_histogram"),
+      info("graft_histogram",
+        "_FUNC_(x, lo, hi, bins) - fixed-grid histogram counters " +
+          "[underflow, bin_1..bin_bins, overflow] as array<bigint>"),
+      { args: Seq[Expression] =>
+        require(args.length == 4, "graft_histogram expects exactly 4 arguments")
+        def dbl(e: Expression, n: String): Double = e match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Float, _)  => v.toDouble
+          case Literal(v: Int, _)    => v.toDouble
+          case Literal(v: Long, _)   => v.toDouble
+          // SQL text like `10.0` parses as a DECIMAL literal
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case _ => throw new IllegalArgumentException(
+            s"graft_histogram: $n must be a numeric literal")
+        }
+        val bins = args(3) match {
+          case Literal(v: Int, _)  => v
+          case Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "graft_histogram: bins must be an integer literal")
+        }
+        graft.functions.HistogramSketch(
+          args(0), dbl(args(1), "lo"), dbl(args(2), "hi"), bins)
+      }))
+    // ternary aggregate: (score, id, k-literal) — the bounded-heap
+    // exact top-k (q83/q122/q163's ranking kernel) in SQL
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "_FUNC_(score, id, k) - exact top-k (score desc, id asc) as " +
+          "array<struct<score,id1,id2>>; O(k) state, mergeable"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "graft_topk expects exactly 3 arguments")
+        val k = args(2) match {
+          case Literal(v: Int, _)  => v
+          case Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "graft_topk: k must be an integer literal")
+        }
+        graft.functions.TopKAgg(args(0), args(1), Literal(0L), k)
       }))
     // binary: fully codegen'd (doGenCode) Morton interleave
     ext.injectFunction((FunctionIdentifier("graft_zorder"),

@@ -255,6 +255,10 @@ object ScaleStress {
     }
 
     time("q82_range_join_binned")(queries.RangeJoin.q82(spark, dir).count())
+    // two-pass exact quantiles on the 6M-row replica: the rescan's
+    // candidate-bin filter keeps the window sort at ~n/512 rows/group
+    time("q165_exact_quantiles@10x")(
+      queries.SketchQueries.q165(spark, dir).count())
     time("q86_zorder_layout")(queries.Layout.q86(spark, dir).count())
     time("q88_range_join_auto")(queries.RangeJoin.q88(spark, dir).count())
     time("q92_spatial_join")(queries.RangeJoin.q92(spark, dir).count())
@@ -299,6 +303,10 @@ object ScaleStress {
     // an upper bound on organic 10x growth.
     val cdir = buildCorpusReplica(spark)
     time("q105_boilerplate_ngrams@10x")(queries.CorpusOps.q105(spark, cdir).count())
+    // water-filling at 10x: one per-source token aggregate, then
+    // sources-sized window math — the corpus-scale cost IS the scan
+    time("q167_token_waterfill@10x")(
+      queries.PipelineOps.q167(spark, cdir).count())
     time("q100_decontamination@10x")(queries.PipelineOps.q100(spark, cdir).count())
     time("q109_bpe_pairs@10x")(queries.CorpusOps.q109(spark, cdir).count())
     time("q102_sequence_packing@10x")(queries.PipelineOps.q102(spark, cdir).count())

@@ -131,4 +131,42 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == viaCol)
   }
+
+  test("graft_histogram aggregates through SQL == the column API") {
+    import spark.implicits._
+    Seq(-1.0, 0.0, 2.5, 5.0, 9.99, 10.0, 42.0).toDF("x")
+      .createOrReplaceTempView("ext_hist")
+    val got = spark.sql(
+      "SELECT graft_histogram(x, 0.0, 10.0, 4) AS h FROM ext_hist")
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    // [underflow, 4 bins over [0,10) width 2.5, overflow]:
+    // -1→uf; 0.0→b1; 2.5→b2 (left-closed); 5.0→b3; 9.99→b4; 10,42→of
+    assert(got == Seq(1L, 1L, 1L, 1L, 1L, 2L), s"got $got")
+    val viaCol = Seq(-1.0, 0.0, 2.5, 5.0, 9.99, 10.0, 42.0).toDF("x")
+      .agg(graft.functions.HistogramSketch.histogram(
+        col("x"), 0.0, 10.0, 4).as("h"))
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(got == viaCol)
+  }
+
+  test("graft_topk aggregates through SQL == the column API") {
+    import spark.implicits._
+    Seq((3.0, 30L), (1.0, 10L), (9.0, 90L), (9.0, 5L), (4.0, 40L))
+      .toDF("s", "id").createOrReplaceTempView("ext_topk")
+    val got = spark.sql(
+      "SELECT graft_topk(s, id, 3) AS t FROM ext_topk")
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.id1"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // score desc, id asc tiebreak, exactly k rows
+    assert(got == Seq((9.0, 5L), (9.0, 90L), (4.0, 40L)), s"got $got")
+    val viaCol = Seq((3.0, 30L), (1.0, 10L), (9.0, 90L), (9.0, 5L), (4.0, 40L))
+      .toDF("s", "id")
+      .agg(graft.functions.TopKAgg.topK(
+        col("s"), col("id"), lit(0L), 3).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.id1"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == viaCol)
+  }
 }
