@@ -145,7 +145,10 @@ object Plans {
           idleTtlUs = Some(6L * 3600L * 1000000L)).toDF(),
       "q143/q160 last-touch attribution (state-v2, continuous + 6h idle TTL)" ->
         streaming.StateV2.lastTouch(events,
-          idleTtlUs = Some(6L * 3600L * 1000000L)).toDF())
+          idleTtlUs = Some(6L * 3600L * 1000000L)).toDF(),
+      "q168 trending heavy hitters (MG summary as window state, continuous)" ->
+        streaming.StateV2.trendingUsers(events,
+          boundedBacklog = false).toDF())
     sb.append("\n# Streaming stateful plans (analyzed shape; metrics in StreamingSpec)\n")
     streamingPlans.foreach { case (name, df) =>
       val plan = df.queryExecution.analyzed.treeString

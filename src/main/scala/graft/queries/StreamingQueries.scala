@@ -373,7 +373,75 @@ object StreamingQueries {
       |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
       |ORDER BY user_id, purchase_id, channel""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q168_stream_trending — streaming heavy hitters: per hourly window
+  // StateV2.TrendingProcessor carries an m-bounded Misra-Gries
+  // summary as the window's ENTIRE state (a few KB regardless of
+  // distinct-user count — a plain streaming groupBy(window, user)
+  // keeps one state row per pair), emits the candidate set at window
+  // close, and the declared query recounts candidates EXACTLY against
+  // the batch table — q161's two-phase sketch-then-recount
+  // discipline, applied at ingest. With TrendingM far above any test
+  // window's user count the summary is exact at all three SFs, so the
+  // oracle is the clean per-window exact top-k; at firehose scale the
+  // MG guarantee (every user with share > 1/(m+1) is a candidate)
+  // bounds what the recount can miss.
+  // ---------------------------------------------------------------
+  final val TrendTopK = 5
+
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"stream_trending_${runId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cands = EventStreams.runToMemory(
+        graft.streaming.StateV2.trendingUsers(
+          EventStreams.readEvents(spark, dir)).toDF(),
+        name, OutputMode.Append(), ReplayStateParts)
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+          col("user_id"))
+      val counts = ev.groupBy("win_us", "user_id").agg(count(lit(1)).as("cnt"))
+      val totals = ev.groupBy("win_us").agg(count(lit(1)).as("win_total"))
+      val w = Window.partitionBy(col("win_us"))
+        .orderBy(desc("cnt"), col("user_id"))
+      cands.select(col("win_us"), col("user_id"))
+        .join(counts, Seq("win_us", "user_id"))
+        .join(totals, "win_us")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= TrendTopK)
+        .select(timestamp_micros(col("win_us")).as("win_start"), col("rank"),
+          col("user_id"), col("cnt"),
+          (col("cnt") * (graft.streaming.StateV2.TrendingM + 1)
+            > col("win_total")).as("guaranteed"))
+        .orderBy(col("win_start"), col("rank"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  val q168Sql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       |    user_id, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT win_start, SUM(cnt)::BIGINT AS win_total FROM c GROUP BY 1),
+       |r AS (
+       |  SELECT c.*, t.win_total,
+       |    ROW_NUMBER() OVER (PARTITION BY c.win_start
+       |      ORDER BY cnt DESC, user_id) AS rank
+       |  FROM c JOIN t USING (win_start))
+       |SELECT win_start, CAST(rank AS INT) AS rank, user_id, cnt,
+       |  cnt * ${graft.streaming.StateV2.TrendingM + 1} > win_total AS guaranteed
+       |FROM r WHERE rank <= $TrendTopK
+       |ORDER BY win_start, rank""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q168_stream_trending" -> (q168 _),
     "q160_stream_attribution_tws" -> (q160 _),
     "q159_stream_multitouch" -> (q159 _),
     "q158_stream_sessions_tws" -> (q158 _),
@@ -389,6 +457,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q168_stream_trending" -> q168Sql,
     "q160_stream_attribution_tws" -> q143Sql,
     "q159_stream_multitouch" -> q159Sql,
     "q158_stream_sessions_tws" -> EventsOps.q39Sql,

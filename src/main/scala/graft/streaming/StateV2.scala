@@ -302,6 +302,126 @@ object StateV2 {
         OutputMode.Append())
   }
 
+  case class WinItem(win_us: Long, user_id: Long, us: Long, event_id: Long,
+    ts: java.sql.Timestamp)
+  case class MgSummary(ids: Array[Long], counts: Array[Long])
+  case class Trend(win_us: Long, user_id: Long, est: Long)
+
+  /** Streaming heavy hitters — a Misra-Gries summary AS the window's
+    * state (sketch-as-state): per hourly window the state is m
+    * (id, count) pairs, NEVER the per-user count table, so state per
+    * window is a fixed few KB regardless of how many distinct users
+    * the window sees — the composition that makes trending detection
+    * viable at firehose scale (a plain streaming groupBy(window, user)
+    * carries one state row per (window, user) pair).
+    *
+    * The MG invariant survives merging and batching: any user with
+    * more than n/(m+1) of a window's events is guaranteed present in
+    * that window's summary, and est <= true <= est + (decrements) <=
+    * est + n/(m+1). q168 recounts the emitted candidates exactly
+    * against the batch table (the q161 two-phase discipline), so the
+    * DECLARED output is exact top-k whenever the true top-k is inside
+    * the candidate set — always, at any m >= the guarantee threshold
+    * of the heaviest non-candidate.
+    *
+    * Determinism: the per-batch fold sorts its slice by (us,
+    * event_id), and the MG transition (hit +1 / insert below capacity
+    * / decrement-all) is independent of map iteration order, so the
+    * summary is a pure function of the window's event sequence.
+    *
+    * Window close mirrors SessionizeProcessor: boundedBacklog folds
+    * and emits inline (one-batch replay, TimeMode.None); continuous
+    * mode keeps the summary in ValueState and emits on an event-time
+    * timer at window end (clamped past the watermark), clearing the
+    * state — bounded to windows inside the watermark horizon.
+    */
+  class TrendingProcessor(m: Int, boundedBacklog: Boolean)
+      extends StatefulProcessor[Long, WinItem, Trend] {
+
+    @transient private var mg: ValueState[MgSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mg = getHandle.getValueState("mg",
+        Encoders.product[MgSummary], TTLConfig.NONE)
+
+    private def fold(prev: MgSummary, items: Array[WinItem]): MgSummary = {
+      val cur = scala.collection.mutable.HashMap.empty[Long, Long]
+      prev.ids.indices.foreach(i => cur(prev.ids(i)) = prev.counts(i))
+      items.foreach { e =>
+        val id = e.user_id
+        if (cur.contains(id)) cur(id) += 1L
+        else if (cur.size < m) cur(id) = 1L
+        else {
+          // decrement-all (the new item is absorbed by the shared
+          // decrement); drop zeros — order-independent, deterministic
+          cur.keys.toArray.foreach { k =>
+            val v = cur(k) - 1L
+            if (v == 0L) cur.remove(k) else cur(k) = v
+          }
+        }
+      }
+      val sorted = cur.toArray.sortBy(_._1)
+      MgSummary(sorted.map(_._1), sorted.map(_._2))
+    }
+
+    private def emit(winUs: Long, s: MgSummary): Iterator[Trend] =
+      s.ids.indices.iterator.map(i => Trend(winUs, s.ids(i), s.counts(i)))
+
+    private def rearm(expiryMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(expiryMs, tv.getCurrentWatermarkInMs + 1))
+    }
+
+    override def handleInputRows(winUs: Long, it: Iterator[WinItem],
+        tv: TimerValues): Iterator[Trend] = {
+      val items = it.toArray.sortBy(e => (e.us, e.event_id))
+      val prev = if (mg.exists()) mg.get() else MgSummary(Array.empty, Array.empty)
+      val next = fold(prev, items)
+      if (boundedBacklog) {
+        mg.clear()
+        emit(winUs, next)
+      } else {
+        mg.update(next)
+        // fire when the watermark passes the window end
+        rearm(winUs / 1000 + 3600L * 1000, tv)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(winUs: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Trend] = {
+      val out = if (mg.exists()) emit(winUs, mg.get()) else Iterator.empty
+      mg.clear()
+      out
+    }
+  }
+
+  /** Per-hourly-window trending-user candidates via [[TrendingProcessor]];
+    * q168 recounts them exactly batch-side.
+    */
+  def trendingUsers(events: DataFrame, m: Int = TrendingM,
+      boundedBacklog: Boolean = true): Dataset[Trend] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (boundedBacklog) events else events.withWatermark("ts", "2 hours")
+    src
+      .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+        col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("ts"))
+      .as[WinItem]
+      .groupByKey(_.win_us)
+      .transformWithState(new TrendingProcessor(m, boundedBacklog),
+        if (boundedBacklog) TimeMode.None() else TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Summary capacity: far above any test window's distinct users (so
+    * the declared replay is EXACT — no decrement ever fires at the
+    * three SFs) yet a fixed ~8 KB of state per window at any corpus
+    * size; production sets it from the guarantee share 1/(m+1).
+    */
+  final val TrendingM = 512
+
   /** [[EventStreams.sessionize]] on transformWithState; same modes,
     * same output.
     */

@@ -809,4 +809,104 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming MG trending: continuous timers == bounded replay; state is closed windows only") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StateV2
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 time-ordered slices + a far-future sentinel event that
+      // pushes the watermark past every real window, so each real
+      // window's timer fires during the replay
+      val mdir = java.nio.file.Files.createTempDirectory("trend-multi").toString
+      val ev = graft.sources.Tables.events(spark, Sf)
+      val sliced = ev.withColumn("slice",
+        ntile(3).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      (1 to 3).foreach { s =>
+        sliced.where(col("slice") === s).drop("slice")
+          .coalesce(1).write.mode("append").parquet(mdir)
+      }
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(
+          maxTs.getTime + 12L * 3600 * 1000)))
+      sentinel.coalesce(1).write.mode("append").parquet(mdir)
+      val sch = spark.read.parquet(mdir).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(mdir)
+      val (out, progress) = EventStreams.runToMemoryTracked(
+        StateV2.trendingUsers(stream, boundedBacklog = false).toDF(),
+        "trend_cont", OutputMode.Append(), Some(4))
+      val sentinelWin = (maxTs.getTime + 12L * 3600 * 1000) / 3600000L * 3600000000L
+      val contin = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 < sentinelWin).toSet
+      // bounded one-batch replay over the SAME backlog (sentinel incl.)
+      val bounded = StateV2.trendingUsers(
+          spark.read.parquet(mdir), boundedBacklog = true).toDF().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 < sentinelWin).toSet
+      assert(contin.nonEmpty && contin == bounded,
+        s"missing=${(bounded -- contin).take(5)} extra=${(contin -- bounded).take(5)}")
+      // every real window fired and cleared: final state holds at most
+      // the sentinel's own (unfired) window summary
+      val finalRows = progress.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+      assert(finalRows >= 0L && finalRows <= 1L,
+        s"state must be closed-window-free at stream end (got $finalRows rows)")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("MG trending under decrements: containment guarantee and estimate bounds at m=4") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.StateV2
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // one hour-window, adversarial mix: user 1 heavy (50 events),
+      // users 100..119 one event each — m=4 forces decrements
+      val base = 1700000000000000L // us, hour-aligned enough: floor applies
+      val rows = (1 to 50).map(i => (i.toLong, 1L, base + i * 1000L)) ++
+        (0 until 20).map(i => (1000L + i, 100L + i, base + 60000L + i * 1000L))
+      val df = rows.toDF("event_id", "user_id", "us")
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(us)").as("ts"),
+          lit("view").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+      val tdir = java.nio.file.Files.createTempDirectory("trend-mg").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tdir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(tdir).schema).parquet(tdir)
+      val cands = EventStreams.runToMemory(
+          StateV2.trendingUsers(stream, m = 4).toDF(),
+          "trend_mg", OutputMode.Append(), Some(2)).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val n = rows.length
+      val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(cands.length <= 4, "summary must respect the m bound")
+      // containment: share > 1/(m+1) guarantees presence
+      truth.filter { case (_, c) => c * 5 > n }.keys.foreach { u =>
+        assert(cands.exists(_._1 == u), s"guaranteed-heavy user $u missing")
+      }
+      // estimate bounds: est <= true <= est + n/(m+1)
+      cands.foreach { case (u, est) =>
+        val t = truth(u)
+        assert(est <= t && t - est <= n / 5,
+          s"user $u: est=$est true=$t violates MG bounds")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
