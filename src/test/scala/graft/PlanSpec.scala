@@ -125,6 +125,7 @@ class PlanSpec extends SparkTestBase {
     "q65_countmin_freq",      // heavy-hitter candidate literal
     "q70_ann_ivf_kmeans",     // probe × trained codebook
     "q73_histogram_quantiles", // 3-row quantile literal
+    "q165_exact_quantiles",   // same 3-row quantile literal (pass 1)
     "q85_ivfpq_search",       // probe × ADC tables
     "q103_semantic_dedup",    // cell assignment × trained codebook
     "q105_boilerplate_ngrams", // 1-row corpus count × df frame
