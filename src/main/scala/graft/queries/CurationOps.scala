@@ -579,7 +579,98 @@ object CurationOps {
        |FROM chunks GROUP BY chunk_hash
        |ORDER BY n_occ DESC, n_docs DESC, chunk_hash LIMIT $CdcTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q169_pii_redact — PII detection + masking, the hygiene transform
+  // every public curation pipeline ships (Dolma's PII tagger, the
+  // RefinedWeb / FineWeb postprocessors; see Soldaini et al. 2024,
+  // "Dolma", §2.3): emails, NANP-style phone numbers, and IPv4
+  // addresses are matched with the conventional regex classes and
+  // masked with typed placeholders. The synthetic corpus is
+  // letters-only, so the PII surface is INJECTED deterministically
+  // from doc_id — identically in the DuckDB oracle — with presence
+  // and digits varying per document (second email on doc_id%3==0,
+  // IPv4 on %2==0, phone unless %5==4), so the redaction does
+  // document-varying work and every per-class count is non-trivial.
+  //
+  // Scale shape: detection + masking is a pure regexp projection
+  // (codegen'd, ZERO shuffle); the audit report is one partial+final
+  // aggregate keyed by source (a handful of groups). The content
+  // checksum is bit_xor over per-doc 60-bit signatures of the masked
+  // text — commutative, constant agg-buffer state, map-side
+  // combinable (an ORDER BY string_agg checksum would buffer a
+  // group's whole corpus). At 100 TB the masked corpus streams
+  // straight to a sink; this query is the audit view, and the
+  // checksum pins the full rewrite byte-for-byte against the oracle.
+  // ---------------------------------------------------------------
+  final val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  final val PhoneRe = """\+1 555-[0-9]{3}-[0-9]{4}"""
+  final val IpRe =
+    """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val dirty = concat(
+      col("text"),
+      lit(" contact user"), s(d), lit("@example.com"),
+      when(d % 3 === 0, lit(" cc admin@mail.example.org")).otherwise(lit("")),
+      when(d % 2 === 0, concat(lit(" from "),
+        s((d * 7 + 13) % 223 + 1), lit("."), s((d * 3 + 5) % 256), lit("."),
+        s((d * 11 + 1) % 256), lit("."), s(d % 254 + 1))).otherwise(lit("")),
+      when(d % 5 =!= 4, concat(lit(" call +1 555-"),
+        s(d % 900 + 100), lit("-"),
+        lpad(s(d % 10000), 4, "0"))).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), dirty.as("dirty"))
+      .withColumn("n_email", regexp_count(col("dirty"), lit(EmailRe)))
+      .withColumn("n_phone", regexp_count(col("dirty"), lit(PhoneRe)))
+      .withColumn("n_ip", regexp_count(col("dirty"), lit(IpRe)))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .withColumn("sig", hash60(col("clean")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_phone")).as("phones"),
+        sum(col("n_ip")).as("ips"),
+        sum((length(col("dirty")) - length(col("clean"))).cast("long"))
+          .as("chars_redacted"),
+        expr("bit_xor(sig)").as("content_sig"))
+      .orderBy(col("source"))
+  }
+
+  val q169Sql: String =
+    s"""WITH dirty AS (SELECT doc_id, source,
+       |  text || ' contact user' || doc_id::VARCHAR || '@example.com'
+       |  || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@mail.example.org'
+       |     ELSE '' END
+       |  || CASE WHEN doc_id % 2 = 0 THEN ' from '
+       |     || ((doc_id * 7 + 13) % 223 + 1)::VARCHAR || '.'
+       |     || ((doc_id * 3 + 5) % 256)::VARCHAR || '.'
+       |     || ((doc_id * 11 + 1) % 256)::VARCHAR || '.'
+       |     || (doc_id % 254 + 1)::VARCHAR ELSE '' END
+       |  || CASE WHEN doc_id % 5 <> 4 THEN ' call +1 555-'
+       |     || (doc_id % 900 + 100)::VARCHAR || '-'
+       |     || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS dirty
+       |  FROM documents),
+       |red AS (SELECT doc_id, source, dirty,
+       |  len(regexp_extract_all(dirty, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(dirty, '$IpRe')) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g') AS clean
+       |  FROM dirty)
+       |SELECT source, COUNT(*)::BIGINT AS docs,
+       |  SUM(n_email)::BIGINT AS emails, SUM(n_phone)::BIGINT AS phones,
+       |  SUM(n_ip)::BIGINT AS ips,
+       |  SUM(len(dirty) - len(clean))::BIGINT AS chars_redacted,
+       |  bit_xor(${hash60Sql("clean")}) AS content_sig
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q169_pii_redact" -> (q169 _),
     "q164_cdc_chunks" -> (q164 _),
     "q156_paragraph_dedup" -> (q156 _),
     "q126_repetition_suite" -> (q126 _),
@@ -590,6 +681,7 @@ object CurationOps {
     "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
+    "q169_pii_redact" -> q169Sql,
     "q164_cdc_chunks" -> q164Sql,
     "q156_paragraph_dedup" -> q156Sql,
     "q126_repetition_suite" -> q126Sql,

@@ -254,4 +254,63 @@ class CurationOpsSpec extends SparkTestBase {
         s"$src min_ttr not descending: ${mins.toSeq}")
     }
   }
+
+  test("q169 PII redaction matches a plain java.util.regex recount") {
+    val rows = CurationOps.q169(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def dirtyOf(id: Long, text: String): String = {
+      val sb = new StringBuilder(text)
+      sb.append(" contact user").append(id).append("@example.com")
+      if (id % 3 == 0) sb.append(" cc admin@mail.example.org")
+      if (id % 2 == 0) sb.append(" from ").append((id * 7 + 13) % 223 + 1)
+        .append('.').append((id * 3 + 5) % 256).append('.')
+        .append((id * 11 + 1) % 256).append('.').append(id % 254 + 1)
+      if (id % 5 != 4) sb.append(" call +1 555-").append(id % 900 + 100)
+        .append('-').append(f"${id % 10000}%04d")
+      sb.toString
+    }
+    val res = Seq(CurationOps.EmailRe -> "<EMAIL>",
+      CurationOps.PhoneRe -> "<PHONE>", CurationOps.IpRe -> "<IP>")
+    def cleanOf(dirty: String): String =
+      res.foldLeft(dirty) { case (s, (re, m)) => s.replaceAll(re, m) }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      var (ne, np, ni, chars, sig) = (0L, 0L, 0L, 0L, 0L)
+      ds.foreach { case (id, _, text) =>
+        val dirty = dirtyOf(id, text)
+        val clean = cleanOf(dirty)
+        ne += CurationOps.EmailRe.r.findAllIn(dirty).length
+        np += CurationOps.PhoneRe.r.findAllIn(dirty).length
+        ni += CurationOps.IpRe.r.findAllIn(dirty).length
+        chars += dirty.length - clean.length
+        sig ^= h60(clean)
+        // idempotence: a second pass over masked text changes nothing
+        assert(cleanOf(clean) == clean)
+      }
+      src -> ((ds.length.toLong, ne, np, ni, chars, sig))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (docsN, ne, np, ni, chars, sig) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("docs") == docsN)
+      assert(r.getAs[Long]("emails") == ne && ne > docsN,
+        s"emails $ne vs docs $docsN") // every doc has >=1, %3 docs have 2
+      // sources are round-robin doc_id % nSources, so a source's ids
+      // share a mod-2/mod-5 residue: phone/ip counts can be 0 for
+      // SOME sources by construction — positivity is global, below
+      assert(r.getAs[Long]("phones") == np)
+      assert(r.getAs[Long]("ips") == ni)
+      assert(r.getAs[Long]("chars_redacted") == chars && chars > 0)
+      assert(r.getAs[Long]("content_sig") == sig)
+    }
+    assert(rows.map(_.getAs[Long]("phones")).sum > 0)
+    assert(rows.map(_.getAs[Long]("ips")).sum > 0)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, EventsOps, Relational}
+import graft.queries.{CurationOps, Dedup, EventsOps, Relational}
 
 /** Physical-plan assertions: the scale-critical properties promised in
   * the operator Scaladocs, checked against the actual executed plans —
@@ -110,6 +110,18 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Relational.q01(spark, Sf))
     val hashAggs = p.split('\n').count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, "expected partial + final HashAggregate")
+  }
+
+  test("q169: redaction is a shuffle-free projection; ONE exchange total") {
+    val p = plan(CurationOps.q169(spark, Sf))
+    val lines = p.split('\n')
+    // one hash-partitioned exchange (the source rollup) + the
+    // single-partition sort exchange; nothing shuffles document text
+    assert(lines.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p)
+    val hashAggs = lines.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, "expected partial + final HashAggregate")
+    assert(!p.contains("Join"), "redaction must not join")
   }
 
   /** Queries whose plan legitimately contains a
