@@ -669,7 +669,123 @@ object CurationOps {
        |  bit_xor(${hash60Sql("clean")}) AS content_sig
        |FROM red GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q170_dist_drift — corpus distribution-drift audit between two
+  // snapshots: the data-quality monitor every continuously-ingesting
+  // pretraining pipeline runs (the "is the new crawl the same corpus
+  // we trained on?" gate; cf. the drift sections of ML monitoring
+  // practice — PSI/chi-square/TVD over binned feature histograms).
+  // Snapshots are deterministic doc_id // 20 block halves (one doc
+  // per source per block, so both halves cover every source), and a
+  // pipeline REGRESSION is injected into the "current" half for
+  // even-index sources: documents of >= DriftTokMin tokens are
+  // dropped, simulating an extractor that started truncating long
+  // pages. The audit bins per-document token counts (width-8 bins,
+  // capped at 15), Laplace-smooths per-source bin proportions over
+  // the observed bins, and emits two log-free drift statistics per
+  // source — chi-square (n_cur * sum (p_cur-p_ref)^2/p_ref) and
+  // total-variation distance (0.5 * sum |p_cur-p_ref|) — plus the
+  // drift flag at TVD > DriftTvdMax. At sf0.1 the flag isolates
+  // exactly the injected sources; at tiny SFs sampling noise
+  // dominates (2-3 docs/source) and the flag just agrees with the
+  // oracle, which computes the identical statistic.
+  //
+  // No logarithms by design: PSI's ln(p_cur/p_ref) is libm-dependent
+  // and DuckDB/JVM last-ulp parity is not guaranteed; chi-square and
+  // TVD carry the same drift signal on +,-,*,/ alone, where IEEE 754
+  // results are bit-identical for identical expression trees. Per-bin
+  // terms ride the 1e-6 fixed-point lattice and sum as exact longs
+  // (commutative — safe under any partial-aggregation order).
+  //
+  // Scale shape: ONE corpus scan into a (source, bin) partial+final
+  // aggregate (map-side combined, source x 16 groups); every later
+  // step runs on that tiny frame through per-source windows. At
+  // 100 TB this is a profiling pass — the same shape as q145's
+  // ANALYZE — and the snapshot tag would be a partition column, so
+  // each half reads partition-pruned.
+  // ---------------------------------------------------------------
+  final val DriftBinW = 8
+  final val DriftTokMin = 48
+  final val DriftTvdMax = 0.30
+
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy(col("source"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(col("source"), 4, 10).cast("int").as("src_idx"),
+        size(tokens(col("text"))).as("n_tok"))
+      .withColumn("b", least(expr(s"n_tok DIV $DriftBinW"), lit(15)))
+      .withColumn("is_ref", expr("(doc_id DIV 20) % 2 = 0"))
+      .withColumn("is_cur",
+        expr(s"(doc_id DIV 20) % 2 = 1 AND NOT (src_idx % 2 = 0 AND n_tok >= $DriftTokMin)"))
+    val bins = base.groupBy(col("source"), col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_cnt"))
+    val terms = bins
+      .withColumn("n_ref", sum(col("ref_cnt")).over(wSrc))
+      .withColumn("n_cur", sum(col("cur_cnt")).over(wSrc))
+      .withColumn("nb", count(lit(1)).over(wSrc))
+      .withColumn("p_ref",
+        (col("ref_cnt") + 1).cast("double") / (col("n_ref") + col("nb")).cast("double"))
+      .withColumn("p_cur",
+        (col("cur_cnt") + 1).cast("double") / (col("n_cur") + col("nb")).cast("double"))
+      .withColumn("chi_fp",
+        floor((col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
+          / col("p_ref") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("tvd_fp",
+        floor(abs(col("p_cur") - col("p_ref")) * 1000000.0 + 0.5).cast("long"))
+    terms.groupBy(col("source"), col("n_ref"), col("n_cur"), col("nb"))
+      .agg(sum(col("chi_fp")).as("schi"), sum(col("tvd_fp")).as("stvd"))
+      .select(col("source"), col("n_ref"), col("n_cur"),
+        col("nb").as("n_bins"),
+        rnd(col("n_cur").cast("double") * (col("schi").cast("double") / 1000000.0), 4)
+          .as("chi2"),
+        rnd(lit(0.5) * (col("stvd").cast("double") / 1000000.0), 6).as("tvd"))
+      .withColumn("drifted", col("tvd") > DriftTvdMax)
+      .orderBy(col("source"))
+  }
+
+  val q170Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_idx,
+       |    len(string_split(text, ' ')) AS n_tok FROM documents),
+       |tagged AS (
+       |  SELECT *, LEAST(n_tok // $DriftBinW, 15) AS b,
+       |    ((doc_id // 20) % 2 = 0) AS is_ref,
+       |    ((doc_id // 20) % 2 = 1
+       |      AND NOT (src_idx % 2 = 0 AND n_tok >= $DriftTokMin)) AS is_cur
+       |  FROM base),
+       |bins AS (
+       |  SELECT source, b,
+       |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ref_cnt,
+       |    SUM(CASE WHEN is_cur THEN 1 ELSE 0 END)::BIGINT AS cur_cnt
+       |  FROM tagged GROUP BY source, b),
+       |tot AS (
+       |  SELECT *, SUM(ref_cnt) OVER (PARTITION BY source)::BIGINT AS n_ref,
+       |    SUM(cur_cnt) OVER (PARTITION BY source)::BIGINT AS n_cur,
+       |    (COUNT(*) OVER (PARTITION BY source))::BIGINT AS nb
+       |  FROM bins),
+       |terms AS (
+       |  SELECT source, n_ref, n_cur, nb,
+       |    (ref_cnt + 1)::DOUBLE / (n_ref + nb)::DOUBLE AS p_ref,
+       |    (cur_cnt + 1)::DOUBLE / (n_cur + nb)::DOUBLE AS p_cur
+       |  FROM tot),
+       |fp AS (
+       |  SELECT source, n_ref, n_cur, nb,
+       |    floor((p_cur - p_ref) * (p_cur - p_ref) / p_ref * 1000000.0 + 0.5)::BIGINT AS chi_fp,
+       |    floor(abs(p_cur - p_ref) * 1000000.0 + 0.5)::BIGINT AS tvd_fp
+       |  FROM terms),
+       |agg AS (
+       |  SELECT source, n_ref, n_cur, nb AS n_bins,
+       |    ${rndSql("n_cur::DOUBLE * (SUM(chi_fp)::DOUBLE / 1000000.0)", 4)} AS chi2,
+       |    ${rndSql("0.5 * (SUM(tvd_fp)::DOUBLE / 1000000.0)", 6)} AS tvd
+       |  FROM fp GROUP BY source, n_ref, n_cur, nb)
+       |SELECT source, n_ref, n_cur, n_bins, chi2, tvd,
+       |  tvd > $DriftTvdMax AS drifted
+       |FROM agg ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q170_dist_drift" -> (q170 _),
     "q169_pii_redact" -> (q169 _),
     "q164_cdc_chunks" -> (q164 _),
     "q156_paragraph_dedup" -> (q156 _),
@@ -681,6 +797,7 @@ object CurationOps {
     "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
+    "q170_dist_drift" -> q170Sql,
     "q169_pii_redact" -> q169Sql,
     "q164_cdc_chunks" -> q164Sql,
     "q156_paragraph_dedup" -> q156Sql,

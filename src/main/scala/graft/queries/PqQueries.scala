@@ -362,13 +362,99 @@ object PqQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q171_sq8_quantize — scalar int8 quantization (SQ8), the OTHER
+  // standard embedding-compression scheme next to PQ (q75/q76): each
+  // dimension gets a symmetric max-abs scale (scale_d = max|x_d| /
+  // 127) and every value stores as round(x / scale_d) in [-127, 127]
+  // — 4x compression with per-element error bounded by scale_d / 2,
+  // and, unlike PQ, exact per-dimension decode (FAISS's
+  // ScalarQuantizer QT_8bit family; re-derived on DataFrames). The
+  // audit emitted here is what a vector-store build job reports:
+  // per-label value counts, mean/max absolute reconstruction error,
+  // and a bit_xor signature over every (vec_id, dim, code) triple
+  // pinning the complete codebook-free encode against the oracle.
+  //
+  // Scale shape: per-dimension stats are ONE partial+final aggregate
+  // with exactly Dim=64 groups (map-side combined — executors each
+  // reduce their slice to 64 partial maxima before any shuffle); the
+  // 64-row scale table then BROADCASTS back, so the encode itself is
+  // a map-only projection — corpus embeddings never shuffle, exactly
+  // like q75's sub-codebook assignment. The audit rollup is one more
+  // partial+final aggregate keyed by label (10 groups). At 100 TB:
+  // two corpus scans (stats, encode+audit), zero corpus shuffles,
+  // and the encode stream writes straight to the compressed store.
+  //
+  // Float parity: max(abs(x)) over float32 is exact (no summation);
+  // scale and x/scale are single IEEE double ops mirrored
+  // tree-for-tree in the oracle; round is half-away-from-zero in
+  // both engines; error terms ride the 1e-7 fixed-point lattice and
+  // sum as exact longs (max needs no lattice — order-free).
+  // ---------------------------------------------------------------
+  final val SqLevels = 127
+
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val elem = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+    val stats = elem.groupBy(col("d"))
+      .agg(max(abs(col("x"))).as("maxabs"))
+    val enc = elem.join(broadcast(stats), "d")
+      .withColumn("xd", col("x").cast("double"))
+      .withColumn("scale", col("maxabs").cast("double") / lit(127.0))
+      .withColumn("code",
+        when(col("maxabs") === 0f, 0L).otherwise(
+          greatest(lit(-SqLevels.toLong), least(lit(SqLevels.toLong),
+            round(col("xd") / (col("maxabs").cast("double") / lit(127.0)))
+              .cast("long")))))
+      .withColumn("err", abs(col("xd") - col("code").cast("double") * col("scale")))
+      .withColumn("err_fp", floor(col("err") * 10000000.0 + 0.5).cast("long"))
+      .withColumn("sig",
+        hash60(concat_ws(":", col("vec_id"), col("d"), col("code"))))
+    enc.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vals"),
+        rnd(sum(col("err_fp")).cast("double") / lit(10000000.0)
+          / count(lit(1)).cast("double"), 7).as("mean_abs_err"),
+        rnd(max(col("err")), 7).as("max_abs_err"),
+        expr("bit_xor(sig)").as("code_sig"))
+      .orderBy(col("label"))
+  }
+
+  val q171Sql: String = {
+    import graft.functions.TextFns.{hash60Sql, rndSql}
+    s"""WITH elem AS (
+       |  SELECT vec_id, label, i - 1 AS d, embedding[i] AS x
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |stats AS (
+       |  SELECT d, MAX(ABS(x)) AS maxabs FROM elem GROUP BY d),
+       |enc AS (
+       |  SELECT e.vec_id, e.label, e.d, e.x::DOUBLE AS xd,
+       |    s.maxabs::DOUBLE / 127.0 AS scale,
+       |    CASE WHEN s.maxabs = 0 THEN 0
+       |      ELSE GREATEST(-$SqLevels, LEAST($SqLevels,
+       |        round(e.x::DOUBLE / (s.maxabs::DOUBLE / 127.0))::BIGINT)) END AS code
+       |  FROM elem e JOIN stats s USING (d)),
+       |r AS (
+       |  SELECT vec_id, label, d, code,
+       |    ABS(xd - code::DOUBLE * scale) AS err
+       |  FROM enc)
+       |SELECT label, COUNT(*)::BIGINT AS n_vals,
+       |  ${rndSql("SUM(floor(err * 10000000.0 + 0.5)::BIGINT)::DOUBLE / 10000000.0 / COUNT(*)::DOUBLE", 7)} AS mean_abs_err,
+       |  ${rndSql("MAX(err)", 7)} AS max_abs_err,
+       |  bit_xor(${hash60Sql("vec_id::VARCHAR || ':' || d::VARCHAR || ':' || code::VARCHAR")}) AS code_sig
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q75_pq_encode" -> (q75 _),
     "q76_pq_adc" -> (q76 _),
-    "q85_ivfpq_search" -> (q85 _))
+    "q85_ivfpq_search" -> (q85 _),
+    "q171_sq8_quantize" -> (q171 _))
 
   def oracles: Map[String, String] = Map(
     "q75_pq_encode" -> q75Sql,
     "q76_pq_adc" -> q76Sql,
-    "q85_ivfpq_search" -> q85Sql)
+    "q85_ivfpq_search" -> q85Sql,
+    "q171_sq8_quantize" -> q171Sql)
 }

@@ -90,4 +90,64 @@ class AnnSpec extends SparkTestBase {
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
     assert(a.zip(init).exists { case (c, i) => !java.util.Arrays.equals(c, i) })
   }
+
+  test("q171 SQ8 quantization matches a plain-Scala recount and the scale/2 error bound") {
+    val rows = graft.queries.PqQueries.q171(spark, Sf).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val dim = graft.queries.PqQueries.Dim
+    // per-dimension symmetric max-abs scale over FLOATS (exact max)
+    val maxabs = Array.fill(dim)(0f)
+    vecs.foreach { case (_, _, e) =>
+      var d = 0
+      while (d < dim) { val a = math.abs(e(d)); if (a > maxabs(d)) maxabs(d) = a; d += 1 }
+    }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // Spark's round() on DoubleType: BigDecimal(shortest repr), HALF_UP
+    def sparkRound(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def rn(x: Double, n: Int): Double = {
+      val k = math.pow(10, n); math.floor(x * k + 0.5) / k
+    }
+    val L = graft.queries.PqQueries.SqLevels.toLong
+    case class Acc(var n: Long = 0L, var errFp: Long = 0L,
+      var maxErr: Double = 0.0, var sig: Long = 0L)
+    val byLabel = scala.collection.mutable.Map.empty[Int, Acc]
+    vecs.foreach { case (id, label, e) =>
+      val acc = byLabel.getOrElseUpdate(label, Acc())
+      var d = 0
+      while (d < dim) {
+        val xd = e(d).toDouble
+        val scale = maxabs(d).toDouble / 127.0
+        val code =
+          if (maxabs(d) == 0f) 0L
+          else math.max(-L, math.min(L, sparkRound(xd / (maxabs(d).toDouble / 127.0))))
+        val err = math.abs(xd - code.toDouble * scale)
+        // FAISS-style SQ8 invariant: in-range values reconstruct to
+        // within half a quantization step of the stored float
+        assert(err <= scale / 2.0 + 1e-12, s"dim $d err $err > ${scale / 2}")
+        acc.n += 1
+        acc.errFp += math.floor(err * 10000000.0 + 0.5).toLong
+        if (err > acc.maxErr) acc.maxErr = err
+        acc.sig ^= h60(s"$id:$d:$code")
+        d += 1
+      }
+    }
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val a = byLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vals") == a.n)
+      assert(r.getAs[Double]("mean_abs_err") ==
+        rn(a.errFp.toDouble / 10000000.0 / a.n.toDouble, 7))
+      assert(r.getAs[Double]("max_abs_err") == rn(a.maxErr, 7))
+      assert(r.getAs[Long]("code_sig") == a.sig)
+    }
+  }
 }

@@ -313,4 +313,58 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("phones")).sum > 0)
     assert(rows.map(_.getAs[Long]("ips")).sum > 0)
   }
+
+  test("q170 distribution drift matches a plain-Scala recount") {
+    val rows = CurationOps.q170(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length == bySrc.size)
+    def rn(x: Double, n: Int): Double = {
+      val k = math.pow(10, n); math.floor(x * k + 0.5) / k
+    }
+    var anyDropped = false
+    rows.foreach { row =>
+      val src = row.getAs[String]("source")
+      val srcIdx = src.drop(3).toInt
+      val binned = bySrc(src).map { case (id, _, text) =>
+        val nTok = text.split(" ", -1).length
+        val dropped = srcIdx % 2 == 0 && nTok >= CurationOps.DriftTokMin
+        val b = math.min(nTok / CurationOps.DriftBinW, 15)
+        val isRef = (id / 20) % 2 == 0
+        val isCur = (id / 20) % 2 == 1 && !dropped
+        if (!isRef && (id / 20) % 2 == 1 && dropped) anyDropped = true
+        (b, isRef, isCur)
+      }
+      // every doc contributes an observed bin, including cur-half
+      // docs the injected regression dropped (0/0 bins are real bins)
+      val bins = binned.groupBy(_._1).map { case (b, xs) =>
+        (b, xs.count(_._2).toLong, xs.count(_._3).toLong)
+      }.toArray
+      val nb = bins.length.toLong
+      val nRef = bins.map(_._2).sum
+      val nCur = bins.map(_._3).sum
+      var schi = 0L
+      var stvd = 0L
+      bins.foreach { case (_, rc, cc) =>
+        val pRef = (rc + 1).toDouble / (nRef + nb).toDouble
+        val pCur = (cc + 1).toDouble / (nCur + nb).toDouble
+        schi += math.floor(
+          (pCur - pRef) * (pCur - pRef) / pRef * 1000000.0 + 0.5).toLong
+        stvd += math.floor(math.abs(pCur - pRef) * 1000000.0 + 0.5).toLong
+      }
+      val chi2 = rn(nCur.toDouble * (schi.toDouble / 1000000.0), 4)
+      val tvd = rn(0.5 * (stvd.toDouble / 1000000.0), 6)
+      assert(row.getAs[Long]("n_ref") == nRef, s"$src n_ref")
+      assert(row.getAs[Long]("n_cur") == nCur, s"$src n_cur")
+      assert(row.getAs[Long]("n_bins") == nb, s"$src n_bins")
+      assert(row.getAs[Double]("chi2") == chi2, s"$src chi2")
+      assert(row.getAs[Double]("tvd") == tvd, s"$src tvd")
+      assert(row.getAs[Boolean]("drifted") ==
+        (tvd > CurationOps.DriftTvdMax), s"$src drifted")
+    }
+    // the injected extractor regression actually fires somewhere
+    assert(anyDropped, "no doc hit the injected truncation — dead test")
+  }
 }
