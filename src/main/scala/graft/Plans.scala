@@ -99,7 +99,9 @@ object Plans {
       "q164_cdc_chunks" -> "content-defined chunking: winHash kernel + per-row cut/span array exprs, shuffle carries only (doc, hash, len), uniform 60-bit group key",
       "q165_exact_quantiles" -> "exact quantiles in two passes: O(bins) histogram aggregate locates candidate bins, broadcast-pruned rescan sorts only ~n/bins rows per (group, q)",
       "q166_editdist_join" -> "PassJoin fuzzy match: segment-signature equi-join over the DISTINCT name vocabulary, threshold-levenshtein verify on candidates only",
-      "q169_pii_redact" -> "PII masking: codegen'd regexp projection (zero shuffle), ONE partial+final source rollup, commutative bit_xor content checksum")
+      "q169_pii_redact" -> "PII masking: codegen'd regexp projection (zero shuffle), ONE partial+final source rollup, commutative bit_xor content checksum",
+      "q170_dist_drift" -> "snapshot drift audit: ONE corpus scan into a (source, bin) partial+final aggregate, per-source windows on the tiny bin frame, log-free chi2/TVD",
+      "q171_sq8_quantize" -> "SQ8 encode: 64-group max-abs aggregate broadcast back, shuffle-free encode projection, O(labels) error rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")
