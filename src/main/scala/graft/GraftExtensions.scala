@@ -21,6 +21,7 @@ import graft.functions.{BinKernels, CountMinSketch, KmvSketch, MinHashMerge, Tex
   *   - `graft_rep_metrics(str)`   — Gopher repetition metrics, one pass
   *   - `graft_minhash_merge(sig)` — aggregate: elementwise-min sketch merge
   *   - `graft_misra_gries(item, m)` — aggregate: MG heavy-hitter summary
+  *   - `graft_hll(hash)`          — aggregate: HyperLogLog [S, zero_regs]
   *   - `graft_histogram(x, lo, hi, bins)` — aggregate: fixed-grid counters
   *   - `graft_topk(score, id, k)` — aggregate: bounded-heap exact top-k
   *   - `graft_bpe_encode(word, merges)` — one-pass greedy BPE segmentation
@@ -93,6 +94,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_countmin",
       "_FUNC_(hash) - Count-Min sketch (row-major d*w counter array)",
       e => CountMinSketch(e)))
+    ext.injectFunction(unary("graft_hll",
+      "_FUNC_(hash) - HyperLogLog m=256 summary as [S, zero_registers]: " +
+        "S = sum 2^(53 - M_j) exact; raw estimate = " +
+        "0.7213/(1+1.079/256) * 65536 * 2^53 / S",
+      e => graft.functions.HllSketch(e)))
     // binary aggregate: (item, m-literal) — mergeable MG heavy-hitter
     // summary (q161's kernel), completing the sketch family in SQL
     ext.injectFunction((FunctionIdentifier("graft_misra_gries"),

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch (Flajolet et al., "HyperLogLog:
+  * the analysis of a near-optimal cardinality estimation algorithm",
+  * AofA'07) as a custom Catalyst aggregate, completing the sketch
+  * family next to KMV (order statistics), Count-Min (frequency),
+  * Misra-Gries (heavy hitters) and the fixed-grid histogram.
+  *
+  * m = 256 registers (p = 8, standard error 1.04/sqrt(m) = 6.5%):
+  * for a 60-bit hash h, register j = h mod m takes the max over the
+  * group of rho(w) = 53 - bitLength(w) where w = h div m is the
+  * remaining 52-bit suffix (rho = "1 + leading zeros of w in 52
+  * bits"; rho = 53 for w = 0). Merge = elementwise register max ⇒
+  * associative + commutative ⇒ partial+final with 256 BYTES of state
+  * per (partition, group) on the exchange — the reason HLL, not
+  * exact distinct, is what a 100 TB profiling pass ships: the full
+  * distinct shuffle is replaced by a constant-size summary.
+  *
+  * Cross-engine determinism (what makes this driver-oracle-checkable
+  * where Spark's own approx_count_distinct HLL++ is not): registers
+  * are an exact deterministic function of the hash set, and the
+  * harmonic sum Σ 2^(-M_j) is emitted as the EXACT integer
+  * S = Σ 2^(53 - M_j) (M_j ≤ 53, 256 registers ⇒ S < 2^61 fits a
+  * long) — a SQL engine recomputing registers via
+  * `53 - length(bin(h // 256))` reproduces S bit-for-bit, and the
+  * raw estimate alpha_m · m² · 2^53 / S is then one identical IEEE
+  * double expression tree in both engines. The raw (uncorrected)
+  * estimator is emitted by design: the small-range linear-counting
+  * correction needs ln(), whose last-ulp behavior is libm-dependent.
+  *
+  * eval returns array<bigint> [S, zero_registers]: S feeds
+  * [[HllSketch.estimate]]; zero_registers is the standard "are we in
+  * the biased small-range regime" diagnostic a profiling job reports
+  * alongside the estimate.
+  */
+case class HllSketch(
+  child: Expression,
+  override val mutableAggBufferOffset: Int = 0,
+  override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch.{M, RhoMax}
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h % M).toInt
+      val w = h / M
+      val rho =
+        if (w == 0L) RhoMax
+        else RhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  /** [S = Σ 2^(53 - M_j) (exact long), zero-register count]. */
+  override def eval(buf: Array[Byte]): Any = {
+    var s = 0L
+    var zeros = 0L
+    var j = 0
+    while (j < M) {
+      s += 1L << (RhoMax - buf(j))
+      if (buf(j) == 0) zeros += 1
+      j += 1
+    }
+    new GenericArrayData(Array(s, zeros))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_summary"
+}
+
+object HllSketch {
+  /** Register count m = 2^8; hash60 suffix width 52 bits; rho ≤ 53. */
+  final val M = 256
+  final val RhoMax = 53
+
+  /** Aggregate a hash60 column into [S, zero_registers]. */
+  def hllSummary(hash: Column): Column =
+    ColumnBridge.column(
+      HllSketch(ColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** Raw HLL estimate alpha_256 · 256² · 2^53 / S from the exact
+    * integer S. The constant tree (not a pre-folded Scala double) is
+    * mirrored token-for-token in [[estimateSql]] so both engines
+    * evaluate the identical left-associated IEEE sequence.
+    */
+  def estimate(sFp: Column): Column =
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / sFp.cast("double")
+
+  /** DuckDB twin of [[estimate]] over an exact-S expression. */
+  def estimateSql(s: String): String =
+    s"0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / ($s)::DOUBLE"
+
+  /** DuckDB twin of the register computation over a hash column `h`
+    * (uniform on [0, 2^60)): groupable (j, rho) pairs; the caller
+    * aggregates MAX(rho) per (group, j) and folds absent registers
+    * as 2^53 each. `bin(w)` has no leading zeros, so its length IS
+    * bitLength(w), matching 64 - numberOfLeadingZeros(w) exactly.
+    */
+  def registerSql(h: String): String =
+    s"($h) % $M AS j, CASE WHEN ($h) // $M = 0 THEN $RhoMax " +
+      s"ELSE $RhoMax - length(bin(($h) // $M)) END AS rho"
+}

@@ -548,7 +548,58 @@ object SketchQueries {
        |FROM c CROSS JOIN tot
        |ORDER BY cnt DESC, token LIMIT $MgK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q172_hll_distinct — per-source vocabulary size via HyperLogLog
+  // (functions/HllSketch.scala), q62's KMV twin on the same token
+  // stream so the two estimators are directly comparable against the
+  // same exact ground truth. 256 BYTES of mergeable register state
+  // per (partition, source) on the exchange — constant, vs the exact
+  // count's full distinct shuffle (kept only because the test corpus
+  // affords the truth). zero_regs reports how far the group is from
+  // the biased small-range regime. The estimate is the RAW harmonic
+  // formula from the exact integer S = sum 2^(53 - M_j) — register
+  // contents, S, and the single IEEE expression tree are identical
+  // in DuckDB (see HllSketch scaladoc), which is what makes an HLL
+  // hash-oracle-checkable where approx_count_distinct is not.
+  // ---------------------------------------------------------------
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("source"), TextKernels.hash60StrCol(col("tok")).as("h"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("h")).as("exact_distinct"),
+        HllSketch.hllSummary(col("h")).as("hs"))
+      .select(col("source"), col("exact_distinct"),
+        element_at(col("hs"), 2).as("zero_regs"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4)
+          .as("est_hll"))
+      .orderBy(col("source"))
+  }
+
+  val q172Sql: String = {
+    import graft.functions.HllSketch
+    s"""WITH h AS (
+       |  SELECT source, ${TextFns.hash60Sql("t")} AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |r AS (SELECT source, ${HllSketch.registerSql("h")} FROM h),
+       |regs AS (SELECT source, j, MAX(rho) AS mj FROM r GROUP BY source, j),
+       |agg AS (
+       |  SELECT source,
+       |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+       |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp,
+       |    (${HllSketch.M} - COUNT(*))::BIGINT AS zero_regs
+       |  FROM regs GROUP BY source),
+       |ex AS (SELECT source, COUNT(DISTINCT h)::BIGINT AS exact_distinct
+       |       FROM h GROUP BY source)
+       |SELECT source, exact_distinct, zero_regs,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_hll
+       |FROM agg JOIN ex USING (source) ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q172_hll_distinct" -> (q172 _),
     "q161_heavy_hitters" -> (q161 _),
     "q145_column_profile" -> (q145 _),
     "q48_corpus_sketch" -> (q48 _),
@@ -563,6 +614,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q172_hll_distinct" -> q172Sql,
     "q161_heavy_hitters" -> q161Sql,
     "q145_column_profile" -> q145Sql,
     "q48_corpus_sketch" -> q48Sql,

@@ -169,4 +169,19 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
     assert(got == viaCol)
   }
+
+  test("graft_hll aggregates through SQL == the column API, with a hand-checked tiny case") {
+    import spark.implicits._
+    // two distinct hashes, chosen so registers are hand-computable:
+    // h=5 → j=5, w=0 → rho=53; h=256 → j=0, w=1 → rho=52
+    Seq(5L, 256L, 5L).toDF("h").createOrReplaceTempView("ext_hll")
+    val got = spark.sql("SELECT graft_hll(h) AS s FROM ext_hll")
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    val expectS = (1L << 0) + (1L << 1) + 254L * (1L << 53)
+    assert(got == Seq(expectS, 254L), s"got $got")
+    val viaCol = Seq(5L, 256L, 5L).toDF("h")
+      .agg(graft.functions.HllSketch.hllSummary(col("h")).as("s"))
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(got == viaCol)
+  }
 }

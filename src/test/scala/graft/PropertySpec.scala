@@ -266,4 +266,49 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: HLL registers are partition-independent, match a " +
+    "plain-Scala recount, and estimate within 3 sigma") {
+    import graft.functions.HllSketch
+    val rnd = new scala.util.Random(11)
+    // ~11k distinct over 40k draws: well past the biased small range
+    val vals = Seq.fill(40000)(s"v${rnd.nextInt(12000)}")
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val hashes = vals.map(h60)
+    val exact = hashes.distinct.size
+    val regs = Array.fill(HllSketch.M)(0)
+    hashes.foreach { h =>
+      val j = (h % HllSketch.M).toInt
+      val w = h / HllSketch.M
+      val rho =
+        if (w == 0L) HllSketch.RhoMax
+        else HllSketch.RhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val sTrue = regs.map(m => 1L << (HllSketch.RhoMax - m)).sum
+    val zerosTrue = regs.count(_ == 0).toLong
+    val df = vals.toDF("t")
+      .select(TextKernels.hash60StrCol(col("t")).as("h"))
+    // 1 partition = pure update path; 7 and 32 = different-shape
+    // partial+final merge trees. Register maxes are order-free, so
+    // unlike MG the SUMMARY itself must be bit-identical in all three.
+    Seq(1, 7, 32).foreach { parts =>
+      val arr = df.repartition(parts)
+        .agg(HllSketch.hllSummary(col("h")).as("hs"))
+        .head().getSeq[Long](0)
+      assert(arr(0) == sTrue, s"parts=$parts: S ${arr(0)} != $sTrue")
+      assert(arr(1) == zerosTrue, s"parts=$parts: zeros ${arr(1)} != $zerosTrue")
+    }
+    val est = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      9007199254740992.0 / sTrue.toDouble
+    // m=256: sigma = 1.04/16 = 6.5%; 3 sigma ~ 19.5%
+    val relErr = math.abs(est - exact.toDouble) / exact.toDouble
+    assert(relErr < 0.2, s"raw HLL estimate off by $relErr (est=$est exact=$exact)")
+    assert(zerosTrue == 0L, "11k distinct must fill all 256 registers")
+  }
 }
