@@ -446,15 +446,104 @@ object PqQueries {
        |FROM r GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q173_rand_proj — sparse sign random projection (Achlioptas,
+  // "Database-friendly random projections", PODS'01): project the
+  // 64-dim embeddings to RpK=16 dims through a deterministic ±1
+  // matrix, s(d,k) = parity of hash60("d:k") — the third standard
+  // embedding-compression scheme beside PQ (q75/q76) and SQ8 (q171),
+  // and the cheap front-end for LSH/sketched ANN. The audit is the
+  // Johnson-Lindenstrauss check a pipeline reports: per-label mean/
+  // min/max norm distortion ||y||²/(K·||x||²) (≈1 in expectation)
+  // plus a bit_xor signature over every projected vector, pinning
+  // the complete encode against the oracle.
+  //
+  // Scale shape: the sign matrix depends only on (d, k), so it is
+  // baked into the PLAN as a 16x64 literal — the "broadcast the tiny
+  // matrix" step done at compile time. Elements are quantized to an
+  // exact 1e-7 integer lattice FIRST, so every projected coordinate
+  // and both squared norms are exact integer folds (order-free,
+  // overflow-safe: |y_fp| <= 64·|x|·1e7 ⇒ y_fp² <= ~4e17 per term,
+  // 16 terms < 2^63) — the whole encode is ONE shuffle-free
+  // map projection over the corpus; only the O(labels) audit rollup
+  // exchanges. The oracle re-derives the same matrix from the same
+  // md5 parity and sums the same integers.
+  // ---------------------------------------------------------------
+  final val RpK = 16
+  final val RpFp = 10000000.0
+
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val signs: Seq[Seq[Long]] = (0 until RpK).map { k =>
+      (0 until Dim).map { d =>
+        if (graft.functions.TextKernels.hash60(
+          s"$d:$k".getBytes("UTF-8")) % 2 == 0L) 1L else -1L
+      }
+    }
+    val base = Tables.embeddings(spark, dir)
+      .withColumn("xfp", transform(col("embedding"),
+        x => floor(x.cast("double") * RpFp + 0.5).cast("long")))
+      .withColumn("yfp", transform(sequence(lit(0), lit(RpK - 1)), k =>
+        aggregate(zip_with(col("xfp"), element_at(typedlit(signs), k + 1),
+          (x, s) => x * s), lit(0L), (acc, v) => acc + v)))
+      .withColumn("nx2", aggregate(col("xfp"), lit(0L), (a, v) => a + v * v))
+      .withColumn("ny2", aggregate(col("yfp"), lit(0L), (a, v) => a + v * v))
+      .filter(col("nx2") > 0L)
+      .withColumn("dist",
+        (col("ny2").cast("double") / lit(RpK.toDouble)) / col("nx2").cast("double"))
+      .withColumn("dist_fp", floor(col("dist") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("sig",
+        hash60(concat_ws(":", col("vec_id"), array_join(col("yfp"), ","))))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        rnd(sum(col("dist_fp")).cast("double") / lit(1000000.0)
+          / count(lit(1)).cast("double"), 6).as("mean_dist"),
+        rnd(min(col("dist")), 6).as("min_dist"),
+        rnd(max(col("dist")), 6).as("max_dist"),
+        expr("bit_xor(sig)").as("proj_sig"))
+      .orderBy(col("label"))
+  }
+
+  val q173Sql: String = {
+    import graft.functions.TextFns.{hash60Sql, rndSql}
+    s"""WITH elem AS (
+       |  SELECT vec_id, label, i - 1 AS d,
+       |    floor(embedding[i]::DOUBLE * $RpFp + 0.5)::BIGINT AS xfp
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |proj AS (
+       |  SELECT vec_id, label, k,
+       |    SUM(CASE WHEN ${hash60Sql("d::VARCHAR || ':' || k::VARCHAR")} % 2 = 0
+       |        THEN xfp ELSE -xfp END)::BIGINT AS yfp
+       |  FROM elem, generate_series(0, ${RpK - 1}) g(k)
+       |  GROUP BY vec_id, label, k),
+       |nx AS (SELECT vec_id, label, SUM(xfp * xfp)::BIGINT AS nx2
+       |       FROM elem GROUP BY vec_id, label),
+       |ny AS (SELECT vec_id, label, SUM(yfp * yfp)::BIGINT AS ny2,
+       |         string_agg(yfp::VARCHAR, ',' ORDER BY k) AS ystr
+       |       FROM proj GROUP BY vec_id, label),
+       |v AS (
+       |  SELECT nx.vec_id, nx.label,
+       |    (ny2::DOUBLE / $RpK.0) / nx2::DOUBLE AS dist, ystr
+       |  FROM nx JOIN ny USING (vec_id, label) WHERE nx2 > 0)
+       |SELECT label, COUNT(*)::BIGINT AS n_vecs,
+       |  ${rndSql("SUM(floor(dist * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0 / COUNT(*)::DOUBLE", 6)} AS mean_dist,
+       |  ${rndSql("MIN(dist)", 6)} AS min_dist,
+       |  ${rndSql("MAX(dist)", 6)} AS max_dist,
+       |  bit_xor(${hash60Sql("vec_id::VARCHAR || ':' || ystr")}) AS proj_sig
+       |FROM v GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q75_pq_encode" -> (q75 _),
     "q76_pq_adc" -> (q76 _),
     "q85_ivfpq_search" -> (q85 _),
-    "q171_sq8_quantize" -> (q171 _))
+    "q171_sq8_quantize" -> (q171 _),
+    "q173_rand_proj" -> (q173 _))
 
   def oracles: Map[String, String] = Map(
     "q75_pq_encode" -> q75Sql,
     "q76_pq_adc" -> q76Sql,
     "q85_ivfpq_search" -> q85Sql,
-    "q171_sq8_quantize" -> q171Sql)
+    "q171_sq8_quantize" -> q171Sql,
+    "q173_rand_proj" -> q173Sql)
 }

@@ -150,4 +150,68 @@ class AnnSpec extends SparkTestBase {
       assert(r.getAs[Long]("code_sig") == a.sig)
     }
   }
+
+  test("q173 random projection matches a plain-Scala recount; JL distortion centered on 1") {
+    import graft.queries.PqQueries
+    val rows = PqQueries.q173(spark, Sf).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val dim = PqQueries.Dim
+    val K = PqQueries.RpK
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // independent sign matrix from the same public md5-parity rule
+    val signs = Array.tabulate(K, dim)((k, d) =>
+      if (h60(s"$d:$k") % 2 == 0L) 1L else -1L)
+    def rn(x: Double, n: Int): Double = {
+      val p = math.pow(10, n); math.floor(x * p + 0.5) / p
+    }
+    case class Acc(var n: Long = 0L, var distFp: Long = 0L,
+      var minD: Double = Double.MaxValue, var maxD: Double = Double.MinValue,
+      var sig: Long = 0L)
+    val byLabel = scala.collection.mutable.Map.empty[Int, Acc]
+    var globalDistSum = 0.0
+    var globalN = 0L
+    vecs.foreach { case (id, label, e) =>
+      val xfp = e.map(x => math.floor(x.toDouble * PqQueries.RpFp + 0.5).toLong)
+      val yfp = Array.tabulate(K) { k =>
+        var s = 0L; var d = 0
+        while (d < dim) { s += xfp(d) * signs(k)(d); d += 1 }
+        s
+      }
+      val nx2 = xfp.map(v => v * v).sum
+      val ny2 = yfp.map(v => v * v).sum
+      if (nx2 > 0L) {
+        val dist = (ny2.toDouble / K.toDouble) / nx2.toDouble
+        val acc = byLabel.getOrElseUpdate(label, Acc())
+        acc.n += 1
+        acc.distFp += math.floor(dist * 1000000.0 + 0.5).toLong
+        if (dist < acc.minD) acc.minD = dist
+        if (dist > acc.maxD) acc.maxD = dist
+        acc.sig ^= h60(s"$id:${yfp.mkString(",")}")
+        globalDistSum += dist
+        globalN += 1
+      }
+    }
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val a = byLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == a.n)
+      assert(r.getAs[Double]("mean_dist") ==
+        rn(a.distFp.toDouble / 1000000.0 / a.n.toDouble, 6))
+      assert(r.getAs[Double]("min_dist") == rn(a.minD, 6))
+      assert(r.getAs[Double]("max_dist") == rn(a.maxD, 6))
+      assert(r.getAs[Long]("proj_sig") == a.sig)
+    }
+    // Johnson-Lindenstrauss: E[||y||^2 / (K ||x||^2)] = 1; at K=16
+    // the corpus-wide mean over hundreds of vectors is tightly
+    // concentrated even though single vectors swing +-3 sigma
+    val gMean = globalDistSum / globalN.toDouble
+    assert(gMean > 0.7 && gMean < 1.3, s"JL mean distortion off: $gMean")
+  }
 }
