@@ -124,6 +124,43 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "redaction must not join")
   }
 
+  test("q171: scale table broadcasts; corpus embeddings never shuffle before the label rollup") {
+    val p = plan(graft.queries.PqQueries.q171(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row scale table must broadcast, plan:\n$p")
+    // exchanges: the 64-group stats aggregate, the label rollup, and
+    // the final sort — NO exchange carries the exploded corpus into
+    // the join (that's what the broadcast buys)
+    val lines = p.split('\n')
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(!p.contains("SortMergeJoin"), "encode join must not sort-merge")
+  }
+
+  test("q173: encode is map-only — no join, one rollup exchange, sign matrix is a literal") {
+    val p = plan(graft.queries.PqQueries.q173(spark, Sf))
+    assert(!p.contains("Join"), s"projection must not join, plan:\n$p")
+    val lines = p.split('\n')
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // the 16x64 sign matrix rides the plan as a folded array literal,
+    // not a scan or broadcast
+    assert(lines.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("q170: one corpus exchange; windows run on the (source, bin) frame") {
+    val p = plan(graft.queries.CurationOps.q170(spark, Sf))
+    val lines = p.split('\n')
+    // corpus leaves the scan exactly once: the (source, bin) partial+
+    // final aggregate. The window + second aggregate run on the tiny
+    // bin frame, repartitioned by source — also hash exchanges, but
+    // carrying O(sources x 16) rows, never documents
+    assert(lines.count(_.contains("Scan parquet")) == 1, p)
+    val aggExchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(aggExchangeIdx >= 0, p)
+    assert(!p.contains("Join"), "drift audit must not join")
+    assert(lines.count(_.contains("Window")) >= 1, p)
+  }
+
   /** Queries whose plan legitimately contains a
     * BroadcastNestedLoopJoin: the loop side is a BROADCAST of a
     * bounded O(k) frame (ANN probe sets, the 3-row quantile literal),
