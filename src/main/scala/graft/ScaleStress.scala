@@ -362,6 +362,25 @@ object ScaleStress {
     timeNoop("q30_fingerprint@10x")(queries.TextAnalysis.q30(spark, cdir))
     timeNoop("q126_repetition_suite@10x")(queries.CurationOps.q126(spark, cdir))
     timeNoop("q90_resize_grid@10x")(queries.MultimodalQueries.q90(spark, cdir))
+    // round-10 family at 10x — collect(), not count(): these end in
+    // tiny label/source rollups, and count() would let Catalyst prune
+    // the very encode/audit expressions under measurement. Outputs
+    // are <= 20 rows, driver-safe by construction.
+    def timeCollect(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.collect().length
+      println(f"[stress] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s (collect)")
+    }
+    // SQ8 + random projection over 500k embeddings: both are scan-
+    // dominated map passes (broadcast scales / literal sign matrix)
+    timeCollect("q171_sq8_quantize@10x")(queries.PqQueries.q171(spark, cdir))
+    timeCollect("q173_rand_proj@10x")(queries.PqQueries.q173(spark, cdir))
+    // HLL over the 10x token stream: the replica repeats text, so
+    // exact_distinct is UNCHANGED while n_tokens grows 10x — register
+    // state (and the estimate) must be replica-invariant
+    timeCollect("q172_hll_distinct@10x")(queries.SketchQueries.q172(spark, cdir))
+    // drift audit at 10x: one corpus scan into sources x 16 bins
+    timeCollect("q170_dist_drift@10x")(queries.CurationOps.q170(spark, cdir))
     // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
     // star (replica fact keys verified in-range). Assembled in a TEMP
