@@ -153,7 +153,9 @@ object Plans {
           idleTtlUs = Some(6L * 3600L * 1000000L)).toDF(),
       "q168 trending heavy hitters (MG summary as window state, continuous)" ->
         streaming.StateV2.trendingUsers(events,
-          boundedBacklog = false).toDF())
+          boundedBacklog = false).toDF(),
+      "q174 drift histogram maintenance (Complete-mode agg; state = types x <=16 bins by construction)" ->
+        queries.StreamingQueries.driftBinned(spark, dir))
     sb.append("\n# Streaming stateful plans (analyzed shape; metrics in StreamingSpec)\n")
     streamingPlans.foreach { case (name, df) =>
       val plan = df.queryExecution.analyzed.treeString

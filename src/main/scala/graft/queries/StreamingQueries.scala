@@ -440,7 +440,121 @@ object StreamingQueries {
        |FROM r WHERE rank <= $TrendTopK
        |ORDER BY win_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q174_stream_drift — ONLINE distribution-drift detection: q170's
+  // data-quality gate moved to ingest time, the ML-monitoring shape
+  // where the reference histogram is trained in batch and the live
+  // histogram is maintained BY THE STREAM. Events bin their `value`
+  // (width-32, capped at 15); the reference half is event_id-block
+  // even, and a collector regression is injected into the current
+  // half for odd-length event types (values >= DriftVMax dropped —
+  // a feed that silently stopped shipping large transactions). The
+  // stream maintains one (event_type, bin) frame with both counters
+  // — streaming state is event-types x <=16 bins, BOUNDED BY
+  // CONSTRUCTION regardless of stream length (contrast q43/q158,
+  // whose state tracks live keys). The drift statistics then run on
+  // the finalized tiny frame: the same log-free Laplace-smoothed
+  // chi-square + total-variation math as q170 (see its scaladoc for
+  // the IEEE-parity argument), flagged at TVD > DriftCut.
+  //
+  // At sf0.1 the flag isolates exactly the two injected types (TVD
+  // 0.045-0.053 vs 0.007-0.013 clean); at smaller SFs sampling noise
+  // puts every type over the cut — deterministic either way, and the
+  // oracle computes the identical statistic. Replaying the bounded
+  // backlog makes the stream's histogram equal the batch histogram,
+  // so the oracle is the batch twin's SQL over the same parquet.
+  // ---------------------------------------------------------------
+  final val DriftW = 32.0
+  final val DriftVMax = 150.0
+  final val DriftCut = 0.03
+
+  /** The streaming histogram maintenance: one (event_type, bin) frame
+    * with both snapshot counters. Exposed for the spec, which pins the
+    * state bound (types x <=16 bins) via StateOperatorProgress.
+    */
+  private[graft] def driftBinned(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.readEvents(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("b", least(floor(col("value") / DriftW).cast("int"), lit(15)))
+      .withColumn("is_ref", expr("(event_id DIV 100) % 2 = 0"))
+      .withColumn("is_cur", expr(
+        s"(event_id DIV 100) % 2 = 1 AND NOT (length(event_type) % 2 = 1 AND value >= $DriftVMax)"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_cnt"))
+
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.rnd
+    import org.apache.spark.sql.expressions.Window
+    val name = s"stream_drift_${runId.incrementAndGet()}"
+    val counts = EventStreams.runToMemory(
+      driftBinned(spark, dir), name, OutputMode.Complete(), ReplayStateParts)
+    val wTyp = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("n_ref", sum(col("ref_cnt")).over(wTyp))
+      .withColumn("n_cur", sum(col("cur_cnt")).over(wTyp))
+      .withColumn("nb", count(lit(1)).over(wTyp))
+      .withColumn("p_ref",
+        (col("ref_cnt") + 1).cast("double") / (col("n_ref") + col("nb")).cast("double"))
+      .withColumn("p_cur",
+        (col("cur_cnt") + 1).cast("double") / (col("n_cur") + col("nb")).cast("double"))
+      .withColumn("chi_fp",
+        floor((col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
+          / col("p_ref") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("tvd_fp",
+        floor(abs(col("p_cur") - col("p_ref")) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"), col("nb"))
+      .agg(sum(col("chi_fp")).as("schi"), sum(col("tvd_fp")).as("stvd"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("nb").as("n_bins"),
+        rnd(col("n_cur").cast("double") * (col("schi").cast("double") / 1000000.0), 4)
+          .as("chi2"),
+        rnd(lit(0.5) * (col("stvd").cast("double") / 1000000.0), 6).as("tvd"))
+      .withColumn("drifted", col("tvd") > DriftCut)
+      .orderBy(col("event_type"))
+  }
+
+  val q174Sql: String = {
+    import graft.functions.TextFns.rndSql
+    s"""WITH tagged AS (
+       |  SELECT event_type, value,
+       |    LEAST(floor(value / $DriftW)::INT, 15) AS b,
+       |    ((event_id // 100) % 2 = 0) AS is_ref,
+       |    ((event_id // 100) % 2 = 1
+       |      AND NOT (length(event_type) % 2 = 1 AND value >= $DriftVMax)) AS is_cur
+       |  FROM events),
+       |bins AS (
+       |  SELECT event_type, b,
+       |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ref_cnt,
+       |    SUM(CASE WHEN is_cur THEN 1 ELSE 0 END)::BIGINT AS cur_cnt
+       |  FROM tagged GROUP BY event_type, b),
+       |tot AS (
+       |  SELECT *, SUM(ref_cnt) OVER (PARTITION BY event_type)::BIGINT AS n_ref,
+       |    SUM(cur_cnt) OVER (PARTITION BY event_type)::BIGINT AS n_cur,
+       |    (COUNT(*) OVER (PARTITION BY event_type))::BIGINT AS nb
+       |  FROM bins),
+       |terms AS (
+       |  SELECT event_type, n_ref, n_cur, nb,
+       |    (ref_cnt + 1)::DOUBLE / (n_ref + nb)::DOUBLE AS p_ref,
+       |    (cur_cnt + 1)::DOUBLE / (n_cur + nb)::DOUBLE AS p_cur
+       |  FROM tot),
+       |fp AS (
+       |  SELECT event_type, n_ref, n_cur, nb,
+       |    floor((p_cur - p_ref) * (p_cur - p_ref) / p_ref * 1000000.0 + 0.5)::BIGINT AS chi_fp,
+       |    floor(abs(p_cur - p_ref) * 1000000.0 + 0.5)::BIGINT AS tvd_fp
+       |  FROM terms),
+       |agg AS (
+       |  SELECT event_type, n_ref, n_cur, nb AS n_bins,
+       |    ${rndSql("n_cur::DOUBLE * (SUM(chi_fp)::DOUBLE / 1000000.0)", 4)} AS chi2,
+       |    ${rndSql("0.5 * (SUM(tvd_fp)::DOUBLE / 1000000.0)", 6)} AS tvd
+       |  FROM fp GROUP BY event_type, n_ref, n_cur, nb)
+       |SELECT event_type, n_ref, n_cur, n_bins, chi2, tvd,
+       |  tvd > $DriftCut AS drifted
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q174_stream_drift" -> (q174 _),
     "q168_stream_trending" -> (q168 _),
     "q160_stream_attribution_tws" -> (q160 _),
     "q159_stream_multitouch" -> (q159 _),
@@ -457,6 +571,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q174_stream_drift" -> q174Sql,
     "q168_stream_trending" -> q168Sql,
     "q160_stream_attribution_tws" -> q143Sql,
     "q159_stream_multitouch" -> q159Sql,

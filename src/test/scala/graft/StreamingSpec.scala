@@ -909,4 +909,44 @@ class StreamingSpec extends SparkTestBase {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("q174 drift monitor: stream histogram == batch histogram; state bounded by bins, not events") {
+    import org.apache.spark.sql.functions._
+    val name = s"drift_spec_${System.nanoTime()}"
+    val (out, progress) = EventStreams.runToMemoryTracked(
+      StreamingQueries.driftBinned(spark, Sf), name,
+      OutputMode.Complete(), Some(4))
+    val streamed = out.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch twin of the SAME maintenance aggregate over the same file
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val batch = ev
+      .withColumn("b", least(floor(col("value") / StreamingQueries.DriftW)
+        .cast("int"), lit(15)))
+      .withColumn("is_ref", expr("(event_id DIV 100) % 2 = 0"))
+      .withColumn("is_cur", expr(
+        s"(event_id DIV 100) % 2 = 1 AND NOT (length(event_type) % 2 = 1 " +
+          s"AND value >= ${StreamingQueries.DriftVMax})"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch,
+      "replayed stream histogram must equal the batch histogram")
+    // state bound: the Complete-mode aggregate holds exactly the
+    // (event_type, bin) groups — types x <=16 rows — regardless of
+    // how many events flowed through. THE property that makes an
+    // ingest-time monitor deployable on an unbounded stream.
+    val nEvents = ev.count()
+    val stateRows = progress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty && stateRows.max == batch.size.toLong,
+      s"state ${stateRows.mkString(",")} != ${batch.size} observed bins")
+    assert(stateRows.max <= 5L * 16L && stateRows.max < nEvents / 10,
+      s"state must be bin-bounded (got ${stateRows.max} of $nEvents events)")
+  }
 }
