@@ -549,24 +549,29 @@ object SketchQueries {
        |ORDER BY cnt DESC, token LIMIT $MgK""".stripMargin
 
   // ---------------------------------------------------------------
-  // q172_hll_distinct — per-source vocabulary size via HyperLogLog
-  // (functions/HllSketch.scala), q62's KMV twin on the same token
-  // stream so the two estimators are directly comparable against the
-  // same exact ground truth. 256 BYTES of mergeable register state
-  // per (partition, source) on the exchange — constant, vs the exact
-  // count's full distinct shuffle (kept only because the test corpus
-  // affords the truth). zero_regs reports how far the group is from
-  // the biased small-range regime. The estimate is the RAW harmonic
-  // formula from the exact integer S = sum 2^(53 - M_j) — register
-  // contents, S, and the single IEEE expression tree are identical
-  // in DuckDB (see HllSketch scaladoc), which is what makes an HLL
-  // hash-oracle-checkable where approx_count_distinct is not.
+  // q172_hll_distinct — per-source TRIGRAM vocabulary size via
+  // HyperLogLog (functions/HllSketch.scala): the distinct-phrase
+  // profile a corpus report ships. Trigram shingles, not raw tokens,
+  // because cardinality is what exercises the sketch: this corpus's
+  // word vocabulary is a few dozen (where exact counting is free and
+  // the raw HLL estimate sits in its documented small-range bias),
+  // while per-source trigrams run to thousands — m=256's design
+  // regime. 256 BYTES of mergeable register state per (partition,
+  // source) on the exchange — constant, vs the exact count's full
+  // distinct shuffle (kept only because the test corpus affords the
+  // truth). zero_regs reports distance from the small-range regime.
+  // The estimate is the RAW harmonic formula from the exact integer
+  // S = sum 2^(53 - M_j) — register contents, S, and the single IEEE
+  // expression tree are identical in DuckDB (see HllSketch scaladoc),
+  // which is what makes an HLL hash-oracle-checkable where
+  // approx_count_distinct is not.
   // ---------------------------------------------------------------
   def q172(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
     Tables.documents(spark, dir)
-      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("source"), TextKernels.hash60StrCol(col("tok")).as("h"))
+      .select(col("source"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("g"))
+      .select(col("source"), TextKernels.hash60StrCol(col("g")).as("h"))
       .groupBy(col("source"))
       .agg(count_distinct(col("h")).as("exact_distinct"),
         HllSketch.hllSummary(col("h")).as("hs"))
@@ -580,8 +585,9 @@ object SketchQueries {
   val q172Sql: String = {
     import graft.functions.HllSketch
     s"""WITH h AS (
-       |  SELECT source, ${TextFns.hash60Sql("t")} AS h
-       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |  SELECT source, ${TextFns.hash60Sql("g")} AS h
+       |  FROM (SELECT source,
+       |          unnest(${TextFns.shinglesSql("string_split(text, ' ')", 3)}) AS g
        |        FROM documents)),
        |r AS (SELECT source, ${HllSketch.registerSql("h")} FROM h),
        |regs AS (SELECT source, j, MAX(rho) AS mj FROM r GROUP BY source, j),
@@ -598,7 +604,80 @@ object SketchQueries {
        |FROM agg JOIN ex USING (source) ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q175_hll_growth — trigram-vocabulary growth between corpus
+  // snapshots via HLL register ALGEBRA: est(ref ∪ cur) − est(ref)
+  // per source, the "how many NEW distinct phrases did this crawl
+  // add" audit that in production runs entirely on persisted
+  // sketches — union is
+  // elementwise register max, so the full-corpus estimate merges from
+  // per-snapshot summaries without re-reading either snapshot. Here
+  // both sketches fill in ONE pass (the ref sketch via a null-gated
+  // child: the aggregate skips nulls), with the exact counts kept
+  // alongside to expose the estimator error. Snapshots are q170's
+  // doc_id-block halves. S stays the exact integer of q172, so both
+  // estimates — and their difference — are identical IEEE trees in
+  // the oracle.
+  // ---------------------------------------------------------------
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    Tables.documents(spark, dir)
+      .select(col("source"), expr("(doc_id DIV 20) % 2 = 0").as("is_ref"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("g"))
+      .select(col("source"), col("is_ref"),
+        TextKernels.hash60StrCol(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(count_distinct(when(col("is_ref"), col("h"))).as("exact_ref"),
+        count_distinct(col("h")).as("exact_all"),
+        HllSketch.hllSummary(when(col("is_ref"), col("h"))).as("hsr"),
+        HllSketch.hllSummary(col("h")).as("hsa"))
+      .select(col("source"), col("exact_ref"),
+        (col("exact_all") - col("exact_ref")).as("exact_new"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hsr"), 1)), 4)
+          .as("est_ref"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hsa"), 1)), 4)
+          .as("est_union"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hsa"), 1))
+          - HllSketch.estimate(element_at(col("hsr"), 1)), 4).as("est_growth"))
+      .orderBy(col("source"))
+  }
+
+  val q175Sql: String = {
+    import graft.functions.HllSketch
+    def sAgg(src: String, alias: String): String =
+      s"""$alias AS (
+         |  SELECT source,
+         |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+         |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp
+         |  FROM (SELECT source, j, MAX(rho) AS mj FROM $src GROUP BY source, j)
+         |  GROUP BY source)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT source, (doc_id // 20) % 2 = 0 AS is_ref,
+       |    ${TextFns.hash60Sql("g")} AS h
+       |  FROM (SELECT doc_id, source,
+       |          unnest(${TextFns.shinglesSql("string_split(text, ' ')", 3)}) AS g
+       |        FROM documents)),
+       |rAll AS (SELECT source, ${HllSketch.registerSql("h")} FROM h),
+       |rRef AS (SELECT source, ${HllSketch.registerSql("h")} FROM h WHERE is_ref),
+       |${sAgg("rAll", "sAll")},
+       |${sAgg("rRef", "sRef")},
+       |ex AS (
+       |  SELECT source,
+       |    COUNT(DISTINCT h) FILTER (WHERE is_ref)::BIGINT AS exact_ref,
+       |    COUNT(DISTINCT h)::BIGINT AS exact_all
+       |  FROM h GROUP BY source)
+       |SELECT ex.source, exact_ref, exact_all - exact_ref AS exact_new,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("sRef.s_fp"), 4)} AS est_ref,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("sAll.s_fp"), 4)} AS est_union,
+       |  ${TextFns.rndSql(
+      HllSketch.estimateSql("sAll.s_fp") + " - " + HllSketch.estimateSql("sRef.s_fp"), 4)} AS est_growth
+       |FROM ex JOIN sAll ON ex.source = sAll.source
+       |        JOIN sRef ON ex.source = sRef.source
+       |ORDER BY ex.source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q175_hll_growth" -> (q175 _),
     "q172_hll_distinct" -> (q172 _),
     "q161_heavy_hitters" -> (q161 _),
     "q145_column_profile" -> (q145 _),
@@ -614,6 +693,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q175_hll_growth" -> q175Sql,
     "q172_hll_distinct" -> q172Sql,
     "q161_heavy_hitters" -> q161Sql,
     "q145_column_profile" -> q145Sql,

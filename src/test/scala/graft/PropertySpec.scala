@@ -311,4 +311,26 @@ class PropertySpec extends SparkTestBase {
     assert(relErr < 0.2, s"raw HLL estimate off by $relErr (est=$est exact=$exact)")
     assert(zerosTrue == 0L, "11k distinct must fill all 256 registers")
   }
+
+  test("q175 HLL growth algebra: union dominates reference; in-regime estimates track exact") {
+    val rows = graft.queries.SketchQueries.q175(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exactRef, exactNew) = (r.getAs[Long]("exact_ref"), r.getAs[Long]("exact_new"))
+      val (eRef, eUni, eGro) = (r.getAs[Double]("est_ref"),
+        r.getAs[Double]("est_union"), r.getAs[Double]("est_growth"))
+      // union = elementwise register max, so S can only shrink and the
+      // estimate can only grow — growth is non-negative STRUCTURALLY,
+      // before any statistics
+      assert(eUni >= eRef && eGro >= 0.0, s"${r.getString(0)}: union must dominate")
+      assert(eGro == r.getAs[Double]("est_growth"), "growth = union - ref by construction")
+      assert(exactNew >= 0L)
+      // in-regime accuracy (trigram vocab >> m): 3-sigma at m=256
+      val exactAll = exactRef + exactNew
+      if (exactAll > 640) {
+        val rel = math.abs(eUni - exactAll.toDouble) / exactAll.toDouble
+        assert(rel < 0.2, s"${r.getString(0)}: union est off by $rel")
+      }
+    }
+  }
 }
