@@ -568,10 +568,12 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q172(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
+    // winHash kernel == hash60 of each space-joined 3-token window
+    // (KernelSpec-pinned parity): one codegen'd pass replaces the
+    // shingle-explode -> concat -> md5 expression chain
     Tables.documents(spark, dir)
       .select(col("source"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("g"))
-      .select(col("source"), TextKernels.hash60StrCol(col("g")).as("h"))
+        explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
       .groupBy(col("source"))
       .agg(count_distinct(col("h")).as("exact_distinct"),
         HllSketch.hllSummary(col("h")).as("hs"))
@@ -623,9 +625,7 @@ object SketchQueries {
     import graft.functions.HllSketch
     Tables.documents(spark, dir)
       .select(col("source"), expr("(doc_id DIV 20) % 2 = 0").as("is_ref"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("g"))
-      .select(col("source"), col("is_ref"),
-        TextKernels.hash60StrCol(col("g")).as("h"))
+        explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
       .groupBy(col("source"))
       .agg(count_distinct(when(col("is_ref"), col("h"))).as("exact_ref"),
         count_distinct(col("h")).as("exact_all"),
