@@ -194,7 +194,21 @@ object Bench {
     // artifact) is attributable at a glance without the full map
     val maxSpreadQ = results.filter(_._2 >= 0)
       .sortBy(-_._4).headOption.map(_._1).getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"failed":$nFailed,"failedQueries":$failedNames,"setup_total":${f"$setupTotal%.2f"},"n_queries":${results.size},"worst":$worst,"max_spread":${f"$maxSpread%.2f"},"max_spread_q":"$maxSpreadQ","resampled":$nResampled,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"failed":$nFailed,"failedQueries":$failedNames,"setup_total":${f"$setupTotal%.2f"},"n_queries":${results.size},"worst":$worst,"max_spread":${f"$maxSpread%.2f"},"max_spread_q":"$maxSpreadQ","resampled":$nResampled,"sf":"$sfDir"}"""
+    println(summary)
+    // ALSO a file artifact: ten rounds of BENCH_r*.json came back
+    // "parsed": null because the capture put launcher noise after the
+    // final stdout line — a file ends the dependency on stdout
+    // ordering entirely (scripts/bench.sh + the driver both leave
+    // target/ in place).
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, summary + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

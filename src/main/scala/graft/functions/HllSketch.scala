@@ -50,14 +50,30 @@ case class HllSketch(
 
   import HllSketch.{M, RhoMax}
 
+  // graft_hll is user-facing on the SQL surface: declare the input
+  // type so a non-long column fails analysis (clear error) instead of
+  // a runtime ClassCastException inside the aggregate
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll expects a BIGINT hash column (hash60 domain), " +
+        s"got ${child.dataType.catalogString}")
+  }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      val j = (h % M).toInt
-      val w = h / M
+      // floorMod: the designed domain is hash60's non-negative 60-bit
+      // space (identical to h % M there), but a caller feeding raw
+      // signed longs through SQL must get a valid register index, not
+      // an ArrayIndexOutOfBoundsException
+      val j = java.lang.Math.floorMod(h, M.toLong).toInt
+      val w = java.lang.Math.floorDiv(h, M.toLong)
       val rho =
         if (w == 0L) RhoMax
         else RhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))

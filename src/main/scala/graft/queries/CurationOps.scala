@@ -523,19 +523,26 @@ object CurationOps {
   // — never chunk text; the group-by key is a uniform 60-bit hash
   // (skew-free) and the result is bounded by TopK. At 100 TB the
   // chunk-hash table persists via Warehouse exactly like q127's
-  // dup-window index.
+  // dup-window index — [[persistedChunkIndex]] below is that home,
+  // and q176 is the incremental flow that probes it.
   // ---------------------------------------------------------------
   final val CdcK = 4
   final val CdcD = 8
   final val CdcTopK = 30
 
-  def q164(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC span stream: (doc_id, chunk_hash, clen) per chunk, cut
+    * by the q164 rule — shared by q164's corpus-wide dup report, the
+    * persisted chunk index build, and q176's incremental probe. Pure
+    * per-row array expressions over the winHash kernel output; no
+    * shuffle is introduced here.
+    */
+  private[graft] def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"),
         graft.functions.TextKernels.winHashCol(col("text"), CdcK).as("wh"))
       .withColumn("n", size(col("t")))
     // wh index j is 0-based (window start j+1) → cut after e = j + K
-    val spans = base
+    base
       .withColumn("cuts", filter(
         transform(col("wh"), (h, j) =>
           when(pmod(h, lit(CdcD.toLong)) === 0, j + lit(CdcK)).otherwise(lit(-1))),
@@ -550,16 +557,21 @@ object CurationOps {
           slice(col("t"), col("se.starts"),
             col("se.ends") - col("se.starts") + 1), " ")).as("chunk_hash"),
         (col("se.ends") - col("se.starts") + 1).cast("long").as("clen"))
-    spans.groupBy(col("chunk_hash"))
+  }
+
+  def q164(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir).groupBy(col("chunk_hash"))
       .agg(min(col("clen")).as("chunk_len"),
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_hash"))
       .limit(CdcTopK)
-  }
 
-  val q164Sql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+  /** DuckDB twin of [[cdcChunks]]: CTEs ending in
+    * `chunks(doc_id, chunk_hash, clen)`, shared by q164/q176.
+    */
+  private val cdcChunkCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t,
        |    len(string_split(text, ' ')) AS n FROM documents),
        |cu AS (SELECT doc_id, t, n,
        |  list_filter(list_transform(generate_series(1, len(t) - ${CdcK - 1}),
@@ -573,11 +585,84 @@ object CurationOps {
        |chunks AS (SELECT doc_id,
        |  ${hash60Sql("array_to_string(t[starts[k]:ends[k]], ' ')")} AS chunk_hash,
        |  (ends[k] - starts[k] + 1)::BIGINT AS clen
-       |  FROM sp, unnest(generate_series(1, len(starts))) AS u(k))
+       |  FROM sp, unnest(generate_series(1, len(starts))) AS u(k))""".stripMargin
+
+  val q164Sql: String =
+    s"""WITH $cdcChunkCtes
        |SELECT chunk_hash, MIN(clen)::BIGINT AS chunk_len,
        |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_occ
        |FROM chunks GROUP BY chunk_hash
        |ORDER BY n_occ DESC, n_docs DESC, chunk_hash LIMIT $CdcTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q176_cdc_incremental — the PRODUCTION use of content-defined
+  // chunking (the round-10 scaladoc promised it; this delivers it):
+  // a new ingest batch (doc_id % 10 == 7, q130's batch split) is
+  // admitted against the PERSISTED chunk-hash index built from the
+  // history corpus, and every batch chunk already present in history
+  // is flagged — per-document novelty accounting (how much of this
+  // crawl is genuinely new text?) without ever re-reading history.
+  //
+  // Scale shape: the index is (chunk_hash, chunk_len, first_doc) —
+  // ~16 bytes per distinct chunk, never the text — persisted as a
+  // hash-bucketed fingerprinted Warehouse table ([[io.Warehouse]]),
+  // so a daily batch probes partition-pruned buckets; the probe is
+  // ONE equi-join on the uniform 60-bit chunk hash (skew-free by
+  // construction) followed by a per-doc rollup of the batch side
+  // only. Because CDC boundaries are shift-resistant, a batch doc
+  // that shares a tail with history dedups even when an early edit
+  // moved every fixed window (contrast q130). PersistedIndexSpec
+  // pins the cross-JVM economics: build once = "written", next
+  // catalog = "files" re-register, identical content.
+  // ---------------------------------------------------------------
+  final val CdcIncTopK = 40
+
+  /** q176's history chunk index as a cross-session Warehouse artifact
+    * (the home the q164 scaladoc promised): distinct history chunk
+    * hashes with their length and first-occurrence doc, hash-bucketed
+    * on the probe key.
+    */
+  private[graft] def persistedChunkIndex(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_cdc_chunks_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureBucketedTable(spark, table,
+      s"$dir/documents.parquet", "chunk_hash", 8)(
+      cdcChunks(spark, dir)
+        .where(col("doc_id") % 10 =!= 7)
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("clen")).as("chunk_len"),
+          min(col("doc_id")).as("first_doc")))
+    spark.table(table)
+  }
+
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    val idx = persistedChunkIndex(spark, dir)
+    cdcChunks(spark, dir).where(col("doc_id") % 10 === 7)
+      .join(idx.select(col("chunk_hash"), lit(1).as("hit")),
+        Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_tok"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("hit").isNotNull, col("clen")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("new_frac",
+        rnd(lit(1.0) - col("dup_tokens").cast("double") / col("n_tok").cast("double"), 4))
+      .orderBy(desc("dup_tokens"), col("doc_id")).limit(CdcIncTopK)
+  }
+
+  val q176Sql: String =
+    s"""WITH $cdcChunkCtes,
+       |hist AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 10 <> 7),
+       |b AS (SELECT c.doc_id, c.clen, h.chunk_hash IS NOT NULL AS hit
+       |  FROM chunks c LEFT JOIN hist h ON c.chunk_hash = h.chunk_hash
+       |  WHERE c.doc_id % 10 = 7),
+       |r AS (SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+       |  SUM(clen)::BIGINT AS n_tok,
+       |  SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |  SUM(CASE WHEN hit THEN clen ELSE 0 END)::BIGINT AS dup_tokens
+       |  FROM b GROUP BY doc_id)
+       |SELECT doc_id, n_chunks, n_tok, n_dup_chunks, dup_tokens,
+       |  ${rndSql("1.0 - dup_tokens::DOUBLE / n_tok::DOUBLE", 4)} AS new_frac
+       |FROM r ORDER BY dup_tokens DESC, doc_id LIMIT $CdcIncTopK""".stripMargin
 
   // ---------------------------------------------------------------
   // q169_pii_redact — PII detection + masking, the hygiene transform
@@ -785,6 +870,7 @@ object CurationOps {
        |FROM agg ORDER BY source""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "q176_cdc_incremental" -> (q176 _),
     "q170_dist_drift" -> (q170 _),
     "q169_pii_redact" -> (q169 _),
     "q164_cdc_chunks" -> (q164 _),
@@ -797,6 +883,7 @@ object CurationOps {
     "q131_source_overlap" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
+    "q176_cdc_incremental" -> q176Sql,
     "q170_dist_drift" -> q170Sql,
     "q169_pii_redact" -> q169Sql,
     "q164_cdc_chunks" -> q164Sql,

@@ -736,23 +736,30 @@ object Dedup {
       .select(col("s_name"), col("s_len"),
         col("seg.i").as("i"), col("seg.key").as("key"))
     // probe side: substrings at ±k around each segment's home start,
-    // for every candidate (shorter) target length len-d
-    val probeStructs = for {
-      d <- 0 to k; i <- 0 to k; off <- -k to k
-    } yield {
-      val ls = col("len") - d
-      val st = segStart(i, ls)
-      val sl = segStart(i + 1, ls) - st
-      val p = st + off
-      struct(ls.as("ls"), lit(i).as("i"), p.as("p"), sl.as("sl"),
-        col("p_name").substr(p + 1, sl).as("key"))
-    }
-    val probes = names.select(col("p_name").as("r_name"), col("len").as("r_len"),
-      explode(array(probeStructs: _*)).as("pr"))
-      .where(col("pr.ls") >= 1 && col("pr.sl") >= 1 &&
-        col("pr.p") >= 0 && col("pr.p") + col("pr.sl") <= col("r_len"))
-      .select(col("r_name"), col("pr.ls").as("ls"),
-        col("pr.i").as("i"), col("pr.key").as("key"))
+    // for every candidate (shorter) target length len-d. The (d, i,
+    // off) triples ride in as ONE literal array (a single Catalyst
+    // Literal, not 45 expression trees): round 10 exploded 45
+    // struct(..substr..) expressions built per-struct, whose generated
+    // consume() blew Janino's 64 KB method limit — whole-stage codegen
+    // silently fell back to interpreted for the stage. With the
+    // literal offsets table the ONE substr per emitted row is computed
+    // AFTER the generate, so every method stays small and the stage
+    // keeps codegen (pinned in PlanSpec).
+    val offsets: Seq[(Int, Int, Int)] =
+      for { d <- 0 to k; i <- 0 to k; off <- -k to k } yield (d, i, off)
+    val probes = names
+      .select(col("p_name"), col("len"), explode(typedlit(offsets)).as("o"))
+      .select(col("p_name"), col("len"),
+        (col("len") - col("o._1")).as("ls"),
+        col("o._2").as("i"), col("o._3").as("off"))
+      .withColumn("st", floor(col("i") * col("ls") / lit(k + 1)).cast("int"))
+      .withColumn("sl",
+        floor((col("i") + 1) * col("ls") / lit(k + 1)).cast("int") - col("st"))
+      .withColumn("p", col("st") + col("off"))
+      .where(col("ls") >= 1 && col("sl") >= 1 &&
+        col("p") >= 0 && col("p") + col("sl") <= col("len"))
+      .select(col("p_name").as("r_name"), col("ls"), col("i"),
+        col("p_name").substr(col("p") + 1, col("sl")).as("key"))
     val cand = probes.join(segs,
         probes("key") === segs("key") && probes("i") === segs("i") &&
           probes("ls") === segs("s_len") &&

@@ -644,6 +644,14 @@ object SketchQueries {
 
   val q175Sql: String = {
     import graft.functions.HllSketch
+    // A source whose reference half is EMPTY vanishes from sRef under
+    // an inner join, while the Spark side still emits the row with the
+    // empty-sketch S = m * 2^53 (all registers zero). LEFT JOIN +
+    // COALESCE to that same S makes the oracle degrade identically
+    // instead of relying on the every-source-has-both-halves data
+    // construction (ADVICE r10).
+    val refS =
+      s"COALESCE(sRef.s_fp, (${HllSketch.M}::BIGINT * (1::BIGINT << ${HllSketch.RhoMax})))"
     def sAgg(src: String, alias: String): String =
       s"""$alias AS (
          |  SELECT source,
@@ -667,12 +675,12 @@ object SketchQueries {
        |    COUNT(DISTINCT h)::BIGINT AS exact_all
        |  FROM h GROUP BY source)
        |SELECT ex.source, exact_ref, exact_all - exact_ref AS exact_new,
-       |  ${TextFns.rndSql(HllSketch.estimateSql("sRef.s_fp"), 4)} AS est_ref,
+       |  ${TextFns.rndSql(HllSketch.estimateSql(refS), 4)} AS est_ref,
        |  ${TextFns.rndSql(HllSketch.estimateSql("sAll.s_fp"), 4)} AS est_union,
        |  ${TextFns.rndSql(
-      HllSketch.estimateSql("sAll.s_fp") + " - " + HllSketch.estimateSql("sRef.s_fp"), 4)} AS est_growth
+      HllSketch.estimateSql("sAll.s_fp") + " - " + HllSketch.estimateSql(refS), 4)} AS est_growth
        |FROM ex JOIN sAll ON ex.source = sAll.source
-       |        JOIN sRef ON ex.source = sRef.source
+       |        LEFT JOIN sRef ON ex.source = sRef.source
        |ORDER BY ex.source""".stripMargin
   }
 

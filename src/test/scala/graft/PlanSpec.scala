@@ -190,6 +190,31 @@ class PlanSpec extends SparkTestBase {
     "q153_kcore",             // per-round 1-row (n_removed × n_edges) stat frames
     "q163_hybrid_rrf")        // probe vectors × corpus (q36 shape) + 1-row scalar frame
 
+  test("q166: probe generate stays inside whole-stage codegen (r10 Janino 64KB fallback)") {
+    // round 10 exploded 45 per-struct substr expressions in one
+    // array(...) — the generated consume() blew Janino's 64 KB method
+    // limit and the stage silently ran interpreted. The literal
+    // offsets-table rewrite must (a) plan every Generate inside a
+    // codegen region and (b) actually compile: fallback is disabled
+    // for the execution so a Janino failure fails the test instead of
+    // degrading.
+    val aqe = "spark.sql.adaptive.enabled"
+    val fb = "spark.sql.codegen.fallback"
+    val prevA = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Dedup.q166(spark, Sf)
+      val p = plan(df)
+      val genLines = p.split('\n').filter(_.contains("Generate explode"))
+      assert(genLines.length >= 2, s"expected seg + probe generates:\n$p")
+      genLines.foreach(l => assert(l.contains("*("),
+        s"generate outside whole-stage codegen: $l"))
+      spark.conf.set(fb, "false")
+      try assert(df.collect().nonEmpty)
+      finally spark.conf.unset(fb)
+    } finally spark.conf.set(aqe, prevA)
+  }
+
   test("inventory sweep: no cartesian; nested-loop only on bounded broadcast sides") {
     // every declared query's physical plan — a shuffled cartesian that
     // sneaks into ANY of them is a 100 TB scale-killer, so the whole

@@ -313,8 +313,25 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("q175 HLL growth algebra: union dominates reference; in-regime estimates track exact") {
+    import graft.functions.HllSketch
     val rows = graft.queries.SketchQueries.q175(spark, Sf).collect()
     assert(rows.nonEmpty)
+    // independent growth recount: pull the exact S integers per source
+    // via a separate aggregation, then redo est_growth = rnd(est(all)
+    // - est(ref), 4) in plain Scala (same IEEE tree + floor-rounding
+    // as the query) — the r10 test compared the column to itself
+    val sBySource = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), expr("(doc_id DIV 20) % 2 = 0").as("is_ref"),
+        explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
+      .groupBy(col("source"))
+      .agg(HllSketch.hllSummary(when(col("is_ref"), col("h"))).as("hsr"),
+        HllSketch.hllSummary(col("h")).as("hsa"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Long](1).head, r.getSeq[Long](2).head)).toMap
+    def est(s: Long): Double =
+      0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / s.toDouble
+    def rnd4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
     rows.foreach { r =>
       val (exactRef, exactNew) = (r.getAs[Long]("exact_ref"), r.getAs[Long]("exact_new"))
       val (eRef, eUni, eGro) = (r.getAs[Double]("est_ref"),
@@ -323,7 +340,11 @@ class PropertySpec extends SparkTestBase {
       // estimate can only grow — growth is non-negative STRUCTURALLY,
       // before any statistics
       assert(eUni >= eRef && eGro >= 0.0, s"${r.getString(0)}: union must dominate")
-      assert(eGro == r.getAs[Double]("est_growth"), "growth = union - ref by construction")
+      val (sRef, sAll) = sBySource(r.getString(0))
+      assert(eGro == rnd4(est(sAll) - est(sRef)),
+        s"${r.getString(0)}: growth must equal rnd(est(union) - est(ref)) recomputed from S")
+      assert(eUni == rnd4(est(sAll)) && eRef == rnd4(est(sRef)),
+        s"${r.getString(0)}: estimates must match the S-integer recount")
       assert(exactNew >= 0L)
       // in-regime accuracy (trigram vocab >> m): 3-sigma at m=256
       val exactAll = exactRef + exactNew
