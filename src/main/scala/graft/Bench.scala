@@ -92,6 +92,9 @@ object Bench {
       "hist_window_index" -> (() => {
         queries.CurationOps.persistedHistoryIndex(spark, sfDir); ()
       }),
+      "cdc_chunk_index" -> (() => {
+        queries.CurationOps.persistedChunkIndex(spark, sfDir); ()
+      }),
       "copurchase_edges" -> (() => {
         queries.GraphOps.prunedEdges(spark, sfDir); ()
       }),

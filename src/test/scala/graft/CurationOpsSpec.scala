@@ -136,6 +136,35 @@ class CurationOpsSpec extends SparkTestBase {
       s"only $preserved/${multi.length} docs kept their tail chunks after a head edit")
   }
 
+  test("q176 incremental chunk novelty matches a plain-Scala recount") {
+    // independent recount: history chunk-hash set and per-batch-doc
+    // dup accounting from the plain-Scala chunker — never the Spark
+    // plan — then compare the declared query's full output
+    import graft.functions.TextKernels
+    def h(s: String): Long =
+      TextKernels.hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hist = docs.filter(_._1 % 10 != 7)
+      .flatMap { case (_, t) => cdcChunks(t).map(h) }.toSet
+    val expected = docs.filter(_._1 % 10 == 7).map { case (id, t) =>
+      val cs = cdcChunks(t).map(c => (h(c), (c.count(_ == ' ') + 1).toLong))
+      val dupToks = cs.collect { case (hh, l) if hist(hh) => l }.sum
+      val nTok = cs.map(_._2).sum
+      (id, cs.size.toLong, nTok, cs.count(c => hist(c._1)).toLong, dupToks,
+        math.floor((1.0 - dupToks.toDouble / nTok.toDouble) * 10000.0 + 0.5) / 10000.0)
+    }.sortBy { case (id, _, _, _, dt, _) => (-dt, id) }
+      .take(CurationOps.CdcIncTopK).toSeq
+    val rows = CurationOps.q176(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(rows == expected && rows.nonEmpty)
+    // the batch must contain genuinely duplicated AND genuinely novel text
+    assert(rows.exists(_._5 > 0L), "no batch chunk ever hit history")
+    assert(rows.exists(r => r._4 < r._2), "every batch chunk hit history")
+  }
+
   test("q127 duplicated-window coverage matches a brute-force window map") {
     val k = CurationOps.WinK
     // window -> distinct docs, over the whole corpus, in plain Scala

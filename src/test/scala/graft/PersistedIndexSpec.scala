@@ -65,6 +65,32 @@ class PersistedIndexSpec extends SparkTestBase {
     assert(graft.queries.CurationOps.q130(spark, dir).count() > 0)
   }
 
+  test("q176's CDC chunk index persists, re-registers from files, and keeps q176 exact") {
+    val table = s"graft_cdc_chunks_${Integer.toHexString(dir.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    val built = graft.queries.CurationOps.persistedChunkIndex(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("written"))
+    val expected = built.collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val q176First = graft.queries.CurationOps.q176(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // simulate the next JVM: catalog entry gone, files intact
+    spark.sql(s"DROP TABLE $table")
+    val reread = graft.queries.CurationOps.persistedChunkIndex(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("files"),
+      s"expected files-reuse, got ${graft.io.Warehouse.lastProvision(spark, table)}")
+    assert(reread.collect().map(_.toSeq).toSet == expected,
+      "re-registered chunk index must carry identical content")
+    // and the incremental probe over the re-registered index is exact
+    assert(graft.queries.CurationOps.q176(spark, dir)
+      .collect().map(_.toSeq).toSeq == q176First)
+  }
+
   test("retrieval tf + positional indexes persist, re-register, and keep q122/q157 exact") {
     import graft.queries.Retrieval
     def rm(f: java.io.File): Unit = {
