@@ -66,19 +66,7 @@ case class HllSketch(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      // floorMod: the designed domain is hash60's non-negative 60-bit
-      // space (identical to h % M there), but a caller feeding raw
-      // signed longs through SQL must get a valid register index, not
-      // an ArrayIndexOutOfBoundsException
-      val j = java.lang.Math.floorMod(h, M.toLong).toInt
-      val w = java.lang.Math.floorDiv(h, M.toLong)
-      val rho =
-        if (w == 0L) RhoMax
-        else RhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (rho > buf(j)) buf(j) = rho.toByte
-    }
+    if (v != null) HllSketch.updateRegisters(buf, v.asInstanceOf[Long])
     buf
   }
 
@@ -90,14 +78,7 @@ case class HllSketch(
 
   /** [S = Σ 2^(53 - M_j) (exact long), zero-register count]. */
   override def eval(buf: Array[Byte]): Any = {
-    var s = 0L
-    var zeros = 0L
-    var j = 0
-    while (j < M) {
-      s += 1L << (RhoMax - buf(j))
-      if (buf(j) == 0) zeros += 1
-      j += 1
-    }
+    val (s, zeros) = HllSketch.summarize(buf)
     new GenericArrayData(Array(s, zeros))
   }
 
@@ -120,6 +101,36 @@ object HllSketch {
   /** Register count m = 2^8; hash60 suffix width 52 bits; rho ≤ 53. */
   final val M = 256
   final val RhoMax = 53
+
+  /** Fold one hash into an M-byte register array — THE register
+    * update, shared by the batch aggregate and the streaming window
+    * state ([[graft.streaming.StateV2]]'s HLL processor) so the two
+    * paths are bit-identical by construction. floorMod/floorDiv: the
+    * designed domain is hash60's non-negative 60-bit space (identical
+    * to %, / there), but an out-of-domain signed long must land in a
+    * valid register, not throw.
+    */
+  def updateRegisters(buf: Array[Byte], h: Long): Unit = {
+    val j = java.lang.Math.floorMod(h, M.toLong).toInt
+    val w = java.lang.Math.floorDiv(h, M.toLong)
+    val rho =
+      if (w == 0L) RhoMax
+      else RhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > buf(j)) buf(j) = rho.toByte
+  }
+
+  /** (S = Σ 2^(53 - M_j) as the exact long, zero-register count). */
+  def summarize(buf: Array[Byte]): (Long, Long) = {
+    var s = 0L
+    var zeros = 0L
+    var j = 0
+    while (j < M) {
+      s += 1L << (RhoMax - buf(j))
+      if (buf(j) == 0) zeros += 1
+      j += 1
+    }
+    (s, zeros)
+  }
 
   /** Aggregate a hash60 column into [S, zero_registers]. */
   def hllSummary(hash: Column): Column =

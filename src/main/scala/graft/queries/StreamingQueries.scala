@@ -553,7 +553,77 @@ object StreamingQueries {
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q177_stream_hll — streaming per-window distinct users: the HLL
+  // register array as window state (StateV2.HllWindowProcessor),
+  // completing the streaming sketch family (KMV q74, MG q168, drift
+  // histogram q174). State is live-windows × 256 BYTES regardless of
+  // stream rate; the register fold is the batch aggregate's own
+  // updateRegisters, so a backlog replay reproduces the batch sketch
+  // bit-for-bit — which is what lets a streaming HLL be ORACLE-HASH
+  // checked (the emitted S is the exact integer of q172, and DuckDB
+  // recomputes the identical registers per hour from the same
+  // hash60(user_id)). The declared output attaches the raw estimate
+  // AND the exact batch recount: this corpus's per-hour distinct
+  // users sit in HLL's documented small-range regime (zero_regs > 0
+  // reports it), so the exact column is what a consumer would trust
+  // here while the register algebra — the part that scales — is
+  // what the oracle pins. In production the per-window sketches also
+  // MERGE upward (day/week rollups) by register max without
+  // re-reading the stream.
+  // ---------------------------------------------------------------
+  def q177(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HllSketch, TextFns}
+    val name = s"stream_hll_${runId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sk = EventStreams.runToMemory(
+        graft.streaming.StateV2.windowDistinct(
+          EventStreams.readEvents(spark, dir)).toDF(),
+        name, OutputMode.Append(), ReplayStateParts)
+      val exact = graft.sources.Tables.events(spark, dir)
+        .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+          col("user_id"))
+        .groupBy("win_us")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      sk.join(exact, "win_us")
+        .select(timestamp_micros(col("win_us")).as("win_start"),
+          col("exact_users"), col("zero_regs"),
+          TextFns.rnd(HllSketch.estimate(col("s_fp")), 4).as("est_users"))
+        .orderBy(col("win_start"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  val q177Sql: String = {
+    import graft.functions.{HllSketch, TextFns}
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       |    user_id, ${TextFns.hash60Sql("user_id::VARCHAR")} AS h
+       |  FROM events),
+       |r AS (SELECT win_start, ${HllSketch.registerSql("h")} FROM h),
+       |regs AS (SELECT win_start, j, MAX(rho) AS mj FROM r GROUP BY win_start, j),
+       |agg AS (
+       |  SELECT win_start,
+       |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+       |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp,
+       |    (${HllSketch.M} - COUNT(*))::BIGINT AS zero_regs
+       |  FROM regs GROUP BY win_start),
+       |ex AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       |  COUNT(DISTINCT user_id)::BIGINT AS exact_users FROM events GROUP BY 1)
+       |SELECT agg.win_start, exact_users, zero_regs,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_users
+       |FROM agg JOIN ex ON agg.win_start = ex.win_start
+       |ORDER BY agg.win_start""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q177_stream_hll" -> (q177 _),
     "q174_stream_drift" -> (q174 _),
     "q168_stream_trending" -> (q168 _),
     "q160_stream_attribution_tws" -> (q160 _),
@@ -571,6 +641,7 @@ object StreamingQueries {
     "q84_stream_outer_join" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
+    "q177_stream_hll" -> q177Sql,
     "q174_stream_drift" -> q174Sql,
     "q168_stream_trending" -> q168Sql,
     "q160_stream_attribution_tws" -> q143Sql,

@@ -422,6 +422,95 @@ object StateV2 {
     */
   final val TrendingM = 512
 
+  case class WinHash(win_us: Long, h: Long, ts: java.sql.Timestamp)
+  case class WinDistinct(win_us: Long, s_fp: Long, zero_regs: Long)
+
+  /** Streaming per-window distinct counting — the HLL register array
+    * AS the window's state, closing the streaming sketch family (KMV
+    * q74, Misra-Gries q168, drift histogram q174, HLL here): per
+    * hourly window the ENTIRE state is the 256-byte register array,
+    * never a per-user row, so distinct-user tracking costs a constant
+    * 256 bytes per live window at ANY stream rate (a plain streaming
+    * dropDuplicates/approx variant keys state by user). The register
+    * fold is [[graft.functions.HllSketch.updateRegisters]] — the SAME
+    * code the batch aggregate runs, so a replayed stream's registers
+    * equal the batch sketch bit-for-bit, and register max is
+    * commutative + idempotent, so no per-batch sorting is needed: the
+    * summary is a pure function of the window's hash SET regardless
+    * of batch slicing (StreamingSpec pins 1/8-partition replays).
+    *
+    * At window close (event-time timer past the watermark, mirroring
+    * TrendingProcessor; inline for a one-batch backlog) the processor
+    * emits the exact integer S and the zero-register count — the
+    * oracle-checkable form (see [[graft.functions.HllSketch]] for why
+    * S, not a corrected estimate, is what crosses engines).
+    */
+  class HllWindowProcessor(boundedBacklog: Boolean)
+      extends StatefulProcessor[Long, WinHash, WinDistinct] {
+
+    @transient private var regs: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState("regs", Encoders.BINARY, TTLConfig.NONE)
+
+    private def emit(winUs: Long, buf: Array[Byte]): Iterator[WinDistinct] = {
+      val (s, zeros) = graft.functions.HllSketch.summarize(buf)
+      Iterator.single(WinDistinct(winUs, s, zeros))
+    }
+
+    private def rearm(expiryMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(expiryMs, tv.getCurrentWatermarkInMs + 1))
+    }
+
+    override def handleInputRows(winUs: Long, it: Iterator[WinHash],
+        tv: TimerValues): Iterator[WinDistinct] = {
+      val buf =
+        if (regs.exists()) regs.get()
+        else new Array[Byte](graft.functions.HllSketch.M)
+      it.foreach(e => graft.functions.HllSketch.updateRegisters(buf, e.h))
+      if (boundedBacklog) {
+        regs.clear()
+        emit(winUs, buf)
+      } else {
+        regs.update(buf)
+        // fire when the watermark passes the window end
+        rearm(winUs / 1000 + 3600L * 1000, tv)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(winUs: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[WinDistinct] = {
+      val out = if (regs.exists()) emit(winUs, regs.get()) else Iterator.empty
+      regs.clear()
+      out
+    }
+  }
+
+  /** Per-hourly-window distinct-user HLL summaries via
+    * [[HllWindowProcessor]]; q177 attaches the raw estimate and the
+    * exact batch recount. The hash is computed as a codegen'd column
+    * BEFORE the stateful operator (hash60 of the decimal user id —
+    * the form the DuckDB oracle mirrors), so the processor only folds
+    * longs.
+    */
+  def windowDistinct(events: DataFrame,
+      boundedBacklog: Boolean = true): Dataset[WinDistinct] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (boundedBacklog) events else events.withWatermark("ts", "2 hours")
+    src
+      .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+        graft.functions.TextFns.hash60(col("user_id").cast("string")).as("h"),
+        col("ts"))
+      .as[WinHash]
+      .groupByKey(_.win_us)
+      .transformWithState(new HllWindowProcessor(boundedBacklog),
+        if (boundedBacklog) TimeMode.None() else TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** [[EventStreams.sessionize]] on transformWithState; same modes,
     * same output.
     */

@@ -864,6 +864,68 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming HLL windows: continuous timers == bounded replay == batch sketch; state bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StateV2
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 time-ordered slices + a far-future sentinel event that
+      // pushes the watermark past every real window, so each real
+      // window's timer fires during the replay
+      val mdir = java.nio.file.Files.createTempDirectory("hll-multi").toString
+      val ev = graft.sources.Tables.events(spark, Sf)
+      val sliced = ev.withColumn("slice",
+        ntile(3).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      (1 to 3).foreach { s =>
+        sliced.where(col("slice") === s).drop("slice")
+          .coalesce(1).write.mode("append").parquet(mdir)
+      }
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(
+          maxTs.getTime + 12L * 3600 * 1000)))
+      sentinel.coalesce(1).write.mode("append").parquet(mdir)
+      val sch = spark.read.parquet(mdir).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(mdir)
+      val (out, progress) = EventStreams.runToMemoryTracked(
+        StateV2.windowDistinct(stream, boundedBacklog = false).toDF(),
+        "hll_cont", OutputMode.Append(), Some(4))
+      val sentinelWin = (maxTs.getTime + 12L * 3600 * 1000) / 3600000L * 3600000000L
+      def rowSet(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 < sentinelWin).toSet
+      val contin = rowSet(out.collect())
+      val bounded = rowSet(StateV2.windowDistinct(
+        spark.read.parquet(mdir), boundedBacklog = true).toDF().collect())
+      assert(contin.nonEmpty && contin == bounded,
+        s"missing=${(bounded -- contin).take(5)} extra=${(contin -- bounded).take(5)}")
+      // the streaming registers must equal the BATCH aggregate's
+      // bit-for-bit: same updateRegisters fold, different engine path
+      val batch = rowSet(spark.read.parquet(mdir)
+        .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+          graft.functions.TextFns.hash60(col("user_id").cast("string")).as("h"))
+        .groupBy("win_us")
+        .agg(graft.functions.HllSketch.hllSummary(col("h")).as("hs"))
+        .select(col("win_us"), element_at(col("hs"), 1), element_at(col("hs"), 2))
+        .collect())
+      assert(contin == batch, "streaming HLL must equal the batch sketch")
+      // every real window fired and cleared: 256 bytes x at most the
+      // sentinel's own (unfired) window remain
+      val finalRows = progress.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+      assert(finalRows >= 0L && finalRows <= 1L,
+        s"state must be closed-window-free at stream end (got $finalRows rows)")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("MG trending under decrements: containment guarantee and estimate bounds at m=4") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
