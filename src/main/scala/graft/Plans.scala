@@ -98,7 +98,9 @@ object Plans {
       "q163_hybrid_rrf" -> "hybrid RRF: broadcast probe terms onto the persisted tf index + broadcast probe vectors, both lists via bounded-heap TopKAgg, fusion touches <=2N rows/probe",
       "q164_cdc_chunks" -> "content-defined chunking: winHash kernel + per-row cut/span array exprs, shuffle carries only (doc, hash, len), uniform 60-bit group key",
       "q165_exact_quantiles" -> "exact quantiles in two passes: O(bins) histogram aggregate locates candidate bins, broadcast-pruned rescan sorts only ~n/bins rows per (group, q)",
-      "q166_editdist_join" -> "PassJoin fuzzy match: segment-signature equi-join over the DISTINCT name vocabulary, threshold-levenshtein verify on candidates only",
+      "q166_editdist_join" -> "PassJoin fuzzy match: segment-signature equi-join over the DISTINCT name vocabulary, threshold-levenshtein verify on candidates only; probe side explodes ONE literal offsets array so every stage stays inside whole-stage codegen (r10's 45-struct explode blew Janino's 64KB method limit)",
+      "q167_token_waterfill" -> "token-budget water-filling: ONE corpus aggregate to per-source totals, closed-form max-min waterline solved on the sources-sized frame, applied as a broadcast threshold",
+      "q176_cdc_incremental" -> "incremental CDC dedup: batch chunk stream probes the PERSISTED hash-bucketed chunk index via one uniform-key equi-join, per-doc novelty rollup on the batch side only",
       "q169_pii_redact" -> "PII masking: codegen'd regexp projection (zero shuffle), ONE partial+final source rollup, commutative bit_xor content checksum",
       "q170_dist_drift" -> "snapshot drift audit: ONE corpus scan into a (source, bin) partial+final aggregate, per-source windows on the tiny bin frame, log-free chi2/TVD",
       "q171_sq8_quantize" -> "SQ8 encode: 64-group max-abs aggregate broadcast back, shuffle-free encode projection, O(labels) error rollup",
@@ -127,7 +129,18 @@ object Plans {
       df2.collect()
       val wall = (System.nanoTime() - t0) / 1e9
       val metrics = org.apache.spark.sql.graftbridge.PlanBridge.executedMetrics(df2)
+      // the POST-EXECUTION final plan: AQE has finalized every stage
+      // and WholeStageCodegen regions carry their *(N) markers — the
+      // evidence the formatted (pre-execution) dump cannot show. A
+      // codegen FALLBACK (e.g. a Janino method-limit failure, r10's
+      // q166) is visible here as a hot node with no *(N) prefix.
+      val finalPlan = df2.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val codegenRegions = "\\*\\((\\d+)\\)".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
       sb.append(s"\n## $name — $note\n\n```\n$plan```\n")
+      sb.append(s"\nFinal executed plan (codegen boundaries: " +
+        s"$codegenRegions whole-stage regions):\n\n```\n$finalPlan\n```\n")
       sb.append(f"\nMeasured (warm, sf0.01): $wall%.2f s\n\n```\n")
       sb.append(metrics.mkString("\n"))
       sb.append("\n```\n")
@@ -156,7 +169,9 @@ object Plans {
         streaming.StateV2.trendingUsers(events,
           boundedBacklog = false).toDF(),
       "q174 drift histogram maintenance (Complete-mode agg; state = types x <=16 bins by construction)" ->
-        queries.StreamingQueries.driftBinned(spark, dir))
+        queries.StreamingQueries.driftBinned(spark, dir),
+      "q177 per-window HLL distinct (256-byte register array as window state, continuous)" ->
+        streaming.StateV2.windowDistinct(events, boundedBacklog = false).toDF())
     sb.append("\n# Streaming stateful plans (analyzed shape; metrics in StreamingSpec)\n")
     streamingPlans.foreach { case (name, df) =>
       val plan = df.queryExecution.analyzed.treeString
