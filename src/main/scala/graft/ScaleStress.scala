@@ -55,6 +55,54 @@ object ScaleStress {
     cdir
   }
 
+  /** Vocabulary-adversarial PassJoin audit (q166). The test corpus's
+    * part vocabulary is 64 short names with rare near-matches; the
+    * 100 TB fuzzy-join risk profile is the opposite — a large
+    * vocabulary of LONG names with DENSE near-match families. This
+    * axis builds a 100× synthetic vocabulary (6,400 names of 54
+    * chars: 640 md5-derived bases × 10 single-character-substitution
+    * variants, so every intra-family pair is a true match at k=2 —
+    * ~45 true pairs per family, ~28.8k corpus-wide vs ~20.5M brute
+    * pairs) and drives it through the SAME passJoinCandidates /
+    * passJoinVerified plan as q166, recording the candidate count,
+    * candidate-to-brute-pair ratio (blocking selectivity), verified
+    * pairs, and walls. What must hold at scale: candidates track the
+    * TRUE pair density (the signature equi-join is complete but
+    * selective), never the quadratic brute count.
+    */
+  private def passJoin100xStress(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val bases = 640
+    val variants = 10
+    // 54-char deterministic base names; variant j substitutes char
+    // 'a'+j at 1-based position 1+5j, so any two variants of one base
+    // differ at <= 2 positions (a true pair at k=2) while cross-base
+    // pairs are md5-random (true-negative)
+    val base = spark.range(bases).select(
+      concat(lit("part-"), md5(concat(lit("pj"), col("id").cast("string"))),
+        lit("-"), substring(md5(concat(lit("pjx"), col("id").cast("string"))), 1, 16))
+        .as("base"))
+    val names = base
+      .select(col("base"), explode(sequence(lit(0), lit(variants - 1))).as("v"))
+      .select(concat(
+        expr("substring(base, 1, v * 5)"),
+        expr("chr(97 + v)"),
+        expr("substring(base, v * 5 + 2, 54)")).as("p_name"))
+      .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+    val v = names.count()
+    val brutePairs = v * (v - 1) / 2
+    val t0 = System.nanoTime()
+    val nCand = queries.Dedup.passJoinCandidates(names).count()
+    val candWall = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nPairs = queries.Dedup.passJoinVerified(names).count()
+    val verifyWall = (System.nanoTime() - t1) / 1e9
+    println(f"[stress] q166_passjoin@100x vocab=$v brute_pairs=$brutePairs " +
+      f"candidates=$nCand (${nCand.toDouble / brutePairs * 100}%.3f%% of brute, " +
+      f"${nCand.toDouble / math.max(nPairs, 1)}%.1fx verified) " +
+      f"verified_pairs=$nPairs cand_wall=$candWall%.2f s " +
+      f"full_wall=$verifyWall%.2f s")
+  }
+
   /** Focused 10x audit of the hybrid-RRF pair: brute-force dense leg
     * vs the IVF-pruned swap on the same replica corpus.
     */
@@ -245,6 +293,9 @@ object ScaleStress {
     }
     if (args.headOption.contains("rrf10x")) {
       rrf10xStress(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("passjoin100x")) {
+      passJoin100xStress(spark); spark.stop(); return
     }
     val dir = args.headOption.getOrElse(buildFactReplica(spark))
 

@@ -719,11 +719,15 @@ object Dedup {
   // ---------------------------------------------------------------
   final val EdK = 2
 
-  def q166(spark: SparkSession, dir: String): DataFrame = {
+  /** PassJoin candidate generation over a `(p_name, cnt)` vocabulary
+    * frame: distinct (name_a, name_b) pairs surviving the segment-
+    * signature equi-join. Factored from q166 so ScaleStress can drive
+    * an adversarial 100× vocabulary through the SAME plan and record
+    * the candidate-to-pair ratio.
+    */
+  private[graft] def passJoinCandidates(namesIn: DataFrame): DataFrame = {
     val k = EdK
-    val names = Tables.part(spark, dir)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
-      .withColumn("len", length(col("p_name")))
+    val names = namesIn.withColumn("len", length(col("p_name")))
     def segStart(i: Int, len: Column): Column =
       floor(lit(i) * len / lit(k + 1)).cast("int")
     // index side: k+1 contiguous segments per name
@@ -760,24 +764,35 @@ object Dedup {
         col("p") >= 0 && col("p") + col("sl") <= col("len"))
       .select(col("p_name").as("r_name"), col("ls"), col("i"),
         col("p_name").substr(col("p") + 1, col("sl")).as("key"))
-    val cand = probes.join(segs,
+    probes.join(segs,
         probes("key") === segs("key") && probes("i") === segs("i") &&
           probes("ls") === segs("s_len") &&
           probes("r_name") =!= segs("s_name"))
       .select(least(col("r_name"), col("s_name")).as("name_a"),
         greatest(col("r_name"), col("s_name")).as("name_b"))
       .distinct()
-    val a = names.select(col("p_name").as("name_a"), col("cnt").as("ca"))
-    val b = names.select(col("p_name").as("name_b"), col("cnt").as("cb"))
-    cand
+  }
+
+  /** Threshold-levenshtein verify + count re-attach over
+    * [[passJoinCandidates]]; unordered (q166 adds the final sort).
+    */
+  private[graft] def passJoinVerified(namesIn: DataFrame): DataFrame = {
+    val a = namesIn.select(col("p_name").as("name_a"), col("cnt").as("ca"))
+    val b = namesIn.select(col("p_name").as("name_b"), col("cnt").as("cb"))
+    passJoinCandidates(namesIn)
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b"), k).cast("long"))
+        levenshtein(col("name_a"), col("name_b"), EdK).cast("long"))
       .where(col("dist") >= 0)
       .join(broadcast(a), "name_a").join(broadcast(b), "name_b")
       .select(col("name_a"), col("name_b"), col("dist"),
         (col("ca") * col("cb")).as("pair_count"))
-      .orderBy(col("name_a"), col("name_b"))
   }
+
+  def q166(spark: SparkSession, dir: String): DataFrame =
+    passJoinVerified(
+      Tables.part(spark, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("cnt")))
+      .orderBy(col("name_a"), col("name_b"))
 
   // the unblocked brute force: PassJoin's completeness means the
   // oracle needs no knowledge of the signature scheme at all
