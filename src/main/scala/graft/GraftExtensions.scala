@@ -99,6 +99,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "S = sum 2^(53 - M_j) exact; raw estimate = " +
         "0.7213/(1+1.079/256) * 65536 * 2^53 / S",
       e => graft.functions.HllSketch(e)))
+    ext.injectFunction(unary("graft_hll_regs",
+      "_FUNC_(hash) - HyperLogLog raw 256-byte register array (binary): " +
+        "the persistable form; rolls up further via graft_hll_merge",
+      e => graft.functions.HllRegisters(e)))
+    ext.injectFunction(unary("graft_hll_merge",
+      "_FUNC_(regs) - elementwise-max merge of stored graft_hll_regs " +
+        "arrays to [S, zero_registers] (HLL union algebra)",
+      e => graft.functions.HllMerge(e)))
     // binary aggregate: (item, m-literal) — mergeable MG heavy-hitter
     // summary (q161's kernel), completing the sketch family in SQL
     ext.injectFunction((FunctionIdentifier("graft_misra_gries"),

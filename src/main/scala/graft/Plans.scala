@@ -106,6 +106,7 @@ object Plans {
       "q171_sq8_quantize" -> "SQ8 encode: 64-group max-abs aggregate broadcast back, shuffle-free encode projection, O(labels) error rollup",
       "q172_hll_distinct" -> "HLL distinct: 256-byte mergeable register state per (partition, source) on the exchange; exact-integer harmonic sum",
       "q175_hll_growth" -> "HLL snapshot algebra: ref and union sketches fill in ONE pass (null-gated child); growth = estimate difference of exact-integer sums",
+      "q178_hll_rollup" -> "persisted-sketch rollup: hourly 256-byte register arrays merged hour->day by register max; second pass runs on the hours-sized summary frame only",
       "q173_rand_proj" -> "random projection: 16x64 sign matrix baked as a plan literal, exact-integer folds, ONE shuffle-free encode pass + O(labels) rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -97,6 +97,129 @@ case class HllSketch(
   override def prettyName: String = "hll_summary"
 }
 
+/** [[HllSketch]]'s register-filling aggregate emitting the raw
+  * M-byte register ARRAY (binary) instead of the [S, zeros] summary —
+  * the PERSISTABLE form: per-window/per-snapshot register arrays are
+  * what a production profiling pipeline stores, because stored
+  * registers keep merging upward (hour→day→week, per-source→corpus)
+  * by elementwise max without re-reading any data. [[HllMerge]] is
+  * that upward merge; q178 executes the hour→day rollup against the
+  * direct-computation oracle.
+  */
+case class HllRegisters(
+  child: Expression,
+  override val mutableAggBufferOffset: Int = 0,
+  override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch.M
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_regs expects a BIGINT hash column (hash60 domain), " +
+        s"got ${child.dataType.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllSketch.updateRegisters(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_registers"
+}
+
+/** Register-max merge over PERSISTED [[HllRegisters]] arrays → the
+  * [S, zero_registers] summary. Union of HLL sketches IS elementwise
+  * register max (associative, commutative, idempotent), so a rollup
+  * over stored summaries is exact-equal to the sketch computed
+  * directly from the union of the underlying data — the algebra that
+  * makes 100 TB distinct-count reporting a metadata operation: day =
+  * merge of 24 hourly 256-byte rows, corpus = merge of per-source
+  * rows, no re-scan anywhere. Null inputs are skipped (an absent
+  * snapshot contributes the empty sketch).
+  */
+case class HllMerge(
+  child: Expression,
+  override val mutableAggBufferOffset: Int = 0,
+  override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch.M
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge expects a BINARY register array " +
+        s"(graft_hll_regs output), got ${child.dataType.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == M,
+        s"graft_hll_merge: register array must be $M bytes, got ${regs.length}")
+      merge(buf, regs)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val (s, zeros) = HllSketch.summarize(buf)
+    new GenericArrayData(Array(s, zeros))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_merge"
+}
+
 object HllSketch {
   /** Register count m = 2^8; hash60 suffix width 52 bits; rho ≤ 53. */
   final val M = 256
@@ -136,6 +259,18 @@ object HllSketch {
   def hllSummary(hash: Column): Column =
     ColumnBridge.column(
       HllSketch(ColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** Aggregate a hash60 column into the raw M-byte register array
+    * (the persistable, further-mergeable form).
+    */
+  def hllRegisters(hash: Column): Column =
+    ColumnBridge.column(
+      HllRegisters(ColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** Merge persisted register arrays into [S, zero_registers]. */
+  def hllMergeSummary(regs: Column): Column =
+    ColumnBridge.column(
+      HllMerge(ColumnBridge.expression(regs)).toAggregateExpression())
 
   /** Raw HLL estimate alpha_256 · 256² · 2^53 / S from the exact
     * integer S. The constant tree (not a pre-folded Scala double) is

@@ -684,7 +684,80 @@ object SketchQueries {
        |ORDER BY ex.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q178_hll_rollup — the PERSISTED-SKETCH algebra executed (q175's
+  // scaladoc argues it; this runs it): per-hour distinct-user
+  // register arrays (graft_hll_regs — the 256-byte binary form a
+  // production pipeline stores beside each window's metrics) are
+  // merged hour→day by graft_hll_merge, i.e. elementwise register
+  // max, WITHOUT touching the event stream again. Union of HLL
+  // sketches is exactly register max (associative + commutative +
+  // idempotent), so the rollup is bit-equal to the sketch computed
+  // directly over the day's events — which is precisely how the
+  // DuckDB oracle computes it (it never sees the hourly step), making
+  // the merge path itself the thing the hash-compare certifies.
+  // PropertySpec additionally pins merged == direct at the register
+  // level under adversarial groupings.
+  //
+  // Scale shape: pass 1 is one (hour)-keyed aggregate whose exchange
+  // carries 256 bytes per (partition, hour); pass 2 runs ENTIRELY on
+  // the hours-sized summary frame — at 100 TB, day/week/corpus
+  // distinct reporting becomes a metadata operation over stored
+  // sketch rows (this corpus: 720 hourly rows → 30 daily rows). The
+  // exact recount column is test-corpus truth exposing the estimator
+  // error; production ships the estimate.
+  // ---------------------------------------------------------------
+  def q178(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    val ev = Tables.events(spark, dir).select(
+      expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+      col("user_id"),
+      TextFns.hash60(col("user_id").cast("string")).as("h"))
+    val hourly = ev.groupBy(col("win_us"))
+      .agg(HllSketch.hllRegisters(col("h")).as("regs"))
+    val daily = hourly
+      .groupBy((col("win_us") - pmod(col("win_us"), lit(86400000000L))).as("day_us"))
+      .agg(HllSketch.hllMergeSummary(col("regs")).as("hs"),
+        count(lit(1)).as("n_hours"))
+    val exact = ev
+      .groupBy((col("win_us") - pmod(col("win_us"), lit(86400000000L))).as("day_us"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    daily.join(exact, "day_us")
+      .select(timestamp_micros(col("day_us")).as("day_start"),
+        col("n_hours"), col("exact_users"),
+        element_at(col("hs"), 2).as("zero_regs"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4)
+          .as("est_users"))
+      .orderBy(col("day_start"))
+  }
+
+  // direct day computation — the oracle certifies that merging the
+  // hourly registers equals sketching the day's events directly
+  val q178Sql: String = {
+    import graft.functions.HllSketch
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       |    user_id, ${TextFns.hash60Sql("user_id::VARCHAR")} AS h
+       |  FROM events),
+       |r AS (SELECT day_start, ${HllSketch.registerSql("h")} FROM h),
+       |regs AS (SELECT day_start, j, MAX(rho) AS mj FROM r GROUP BY day_start, j),
+       |agg AS (
+       |  SELECT day_start,
+       |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+       |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp,
+       |    (${HllSketch.M} - COUNT(*))::BIGINT AS zero_regs
+       |  FROM regs GROUP BY day_start),
+       |ex AS (SELECT day_start, COUNT(DISTINCT hr)::BIGINT AS n_hours,
+       |  COUNT(DISTINCT user_id)::BIGINT AS exact_users FROM h GROUP BY 1)
+       |SELECT agg.day_start, n_hours, exact_users, zero_regs,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_users
+       |FROM agg JOIN ex ON agg.day_start = ex.day_start
+       |ORDER BY agg.day_start""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q178_hll_rollup" -> (q178 _),
     "q175_hll_growth" -> (q175 _),
     "q172_hll_distinct" -> (q172 _),
     "q161_heavy_hitters" -> (q161 _),
@@ -701,6 +774,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q178_hll_rollup" -> q178Sql,
     "q175_hll_growth" -> q175Sql,
     "q172_hll_distinct" -> q172Sql,
     "q161_heavy_hitters" -> q161Sql,

@@ -184,4 +184,23 @@ class ExtensionsSpec extends SparkTestBase {
       .head().getAs[scala.collection.Seq[Long]](0).toSeq
     assert(got == viaCol)
   }
+
+  test("graft_hll_regs -> graft_hll_merge through SQL == direct graft_hll over the union") {
+    import spark.implicits._
+    // three groups of hashes; merging the per-group register arrays
+    // must equal sketching the union directly (HLL union algebra)
+    val rows = (1 to 300).map(i => (i % 3, (i * 2654435761L) & ((1L << 60) - 1)))
+    rows.toDF("g", "h").createOrReplaceTempView("ext_hll_m")
+    val merged = spark.sql(
+      """SELECT graft_hll_merge(r) AS s FROM
+        |  (SELECT g, graft_hll_regs(h) AS r FROM ext_hll_m GROUP BY g)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    val direct = spark.sql("SELECT graft_hll(h) AS s FROM ext_hll_m")
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(merged == direct, s"merged $merged != direct $direct")
+    // and a non-long input to graft_hll fails at ANALYSIS, not runtime
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_hll(CAST(h AS STRING)) FROM ext_hll_m").collect())
+    assert(err.getMessage.contains("BIGINT"), err.getMessage)
+  }
 }
