@@ -444,6 +444,82 @@ object SketchQueries {
   def q145(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.lineitem(spark, dir))
 
+  // ---------------------------------------------------------------
+  // q179_profile_hll — the 100 TB variant q145's scaladoc promises,
+  // executed: the same ANALYZE-shape profile with the exact NDV
+  // replaced by the HLL summary. The exact path needs the per-
+  // (column, value) exchange to spread distinct work (and a
+  // 4-count_distinct global aggregate would plan an Expand ×4 whose
+  // final merge serializes); with HLL the whole profile is ONE scan →
+  // map-side generate → a single (col)-keyed aggregate whose
+  // per-column state is 256 bytes + min/max/decimal-sum — no Expand,
+  // no distinct shuffle, nothing proportional to NDV anywhere
+  // (PlanSpec pins both properties). Values hash on the exact ×100
+  // integer lattice (these columns are 2-dp money/rate domains;
+  // collision-free, and integer→string formats identically in both
+  // engines), so the DuckDB oracle reproduces the registers and the
+  // raw estimate bit-for-bit — an approx profile that is still
+  // hash-compared, where approx_count_distinct(HLL++) could only be
+  // range-checked. est_ndv at sf0.1: l_extendedprice ~530k true NDV
+  // through 256 registers — the regime the sketch exists for.
+  // ---------------------------------------------------------------
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
+      .select(col("p.cn").as("cn"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    val agg = pairs
+      .withColumn("h", TextFns.hash60(
+        floor(col("v").cast("double") * 100 + 0.5).cast("long").cast("string")))
+      .groupBy(col("cn"))
+      .agg(count(lit(1)).as("n"),
+        HllSketch.hllSummary(col("h")).as("hs"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_v"))
+    agg.join(ProfileCols.toDF("cn"), Seq("cn"), "right")
+      .select(col("cn").as("col_name"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        element_at(col("hs"), 2).as("zero_regs"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4)
+          .as("est_ndv"),
+        col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val q179Sql: String = {
+    import graft.functions.HllSketch
+    val colsList = ProfileCols.map(c => s"'$c'").mkString(", ")
+    val valsList = ProfileCols.mkString(", ")
+    s"""WITH p AS (
+       |  SELECT cn, v FROM (
+       |    SELECT unnest([$colsList]) AS cn, unnest([$valsList]) AS v
+       |    FROM lineitem)
+       |  WHERE v IS NOT NULL),
+       |h AS (SELECT cn,
+       |  ${TextFns.hash60Sql("floor(v::DOUBLE * 100 + 0.5)::BIGINT::VARCHAR")} AS h
+       |  FROM p),
+       |r AS (SELECT cn, ${HllSketch.registerSql("h")} FROM h),
+       |regs AS (SELECT cn, j, MAX(rho) AS mj FROM r GROUP BY cn, j),
+       |agg AS (
+       |  SELECT cn,
+       |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+       |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp,
+       |    (${HllSketch.M} - COUNT(*))::BIGINT AS zero_regs
+       |  FROM regs GROUP BY cn),
+       |st AS (SELECT cn, COUNT(*)::BIGINT AS n, MIN(v) AS min_v, MAX(v) AS max_v,
+       |  SUM(v::DECIMAL(18,6))::DOUBLE AS sum_v FROM p GROUP BY cn)
+       |SELECT st.cn AS col_name, n, zero_regs,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_ndv,
+       |  min_v, max_v, sum_v
+       |FROM st JOIN agg ON st.cn = agg.cn
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** The q145 profile over any lineitem-shaped frame — split out so
     * the all-null-column contract is testable without a fixture scan.
     */
@@ -757,6 +833,7 @@ object SketchQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "q179_profile_hll" -> (q179 _),
     "q178_hll_rollup" -> (q178 _),
     "q175_hll_growth" -> (q175 _),
     "q172_hll_distinct" -> (q172 _),
@@ -774,6 +851,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q179_profile_hll" -> q179Sql,
     "q178_hll_rollup" -> q178Sql,
     "q175_hll_growth" -> q175Sql,
     "q172_hll_distinct" -> q172Sql,

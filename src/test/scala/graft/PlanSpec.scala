@@ -190,6 +190,20 @@ class PlanSpec extends SparkTestBase {
     "q153_kcore",             // per-round 1-row (n_removed × n_edges) stat frames
     "q163_hybrid_rrf")        // probe vectors × corpus (q36 shape) + 1-row scalar frame
 
+  test("q179: HLL profile plans no Expand and no distinct shuffle (q145's promised 100TB shape)") {
+    // q145's exact NDV needs a per-(col, value) exchange; the HLL
+    // variant must profile in ONE (col)-keyed aggregate with constant
+    // state — no Expand node, a single hash exchange (the final
+    // orderBy range exchange and the 4-literal right-join broadcast
+    // are counted separately)
+    val p = plan(graft.queries.SketchQueries.q179(spark, Sf))
+    assert(!p.contains("Expand"), s"HLL profile must not plan an Expand:\n$p")
+    val hashExchanges = p.split('\n')
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected ONE keyed exchange, got $hashExchanges:\n$p")
+  }
+
   test("q166: probe generate stays inside whole-stage codegen (r10 Janino 64KB fallback)") {
     // round 10 exploded 45 per-struct substr expressions in one
     // array(...) — the generated consume() blew Janino's 64 KB method
