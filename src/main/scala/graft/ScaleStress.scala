@@ -432,6 +432,21 @@ object ScaleStress {
     timeCollect("q172_hll_distinct@10x")(queries.SketchQueries.q172(spark, cdir))
     // drift audit at 10x: one corpus scan into sources x 16 bins
     timeCollect("q170_dist_drift@10x")(queries.CurationOps.q170(spark, cdir))
+    // incremental CDC dedup at 10x: the chunk-index BUILD over the
+    // 5M-doc history (setup-class, reported separately) then the
+    // batch probe. The replica repeats every doc 10x, so history
+    // coverage of batch chunks approaches 100% — the join-heavy
+    // direction. Scratch warehouse table dropped after timing.
+    locally {
+      val t0 = System.nanoTime()
+      queries.CurationOps.persistedChunkIndex(spark, cdir)
+      println(f"[stress] q176_chunk_index_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      timeCollect("q176_cdc_incremental@10x")(queries.CurationOps.q176(spark, cdir))
+      val t = s"graft_cdc_chunks_${java.lang.Integer.toHexString(cdir.hashCode)}"
+      val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    }
     // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
     // star (replica fact keys verified in-range). Assembled in a TEMP
@@ -462,11 +477,17 @@ object ScaleStress {
     // one-pass profile at 10x: 6M rows x 4 columns through the
     // single Expand aggregate — the exact-NDV cost scales with the
     // high-cardinality column's distinct count (l_extendedprice),
-    // the quantity the 100 TB variant replaces with HLL partials.
+    // the quantity q179 (measured next) replaces with HLL partials.
     // Noop sink: count() of the 4-row unpivot would let Catalyst
     // prune every profiled aggregate and measure nothing.
     timeNoop("q145_column_profile@10x")(
       queries.SketchQueries.q145(spark, gdir.toString))
+    // the HLL-NDV profile twin at 10x: same 6M x 4 columns through
+    // ONE keyed aggregate with 256-byte state — the wall must track
+    // the scan, never the per-column NDV (q145's exact path pays the
+    // (col, value) exchange; this one has no distinct work at all)
+    timeCollect("q179_profile_hll@10x")(
+      queries.SketchQueries.q179(spark, gdir.toString))
 
     // ---- streaming family at 10x (watermark-bounded state audit) ----
     // 10 user-shifted copies of the event stream (1M rows, 10x the
@@ -550,6 +571,17 @@ object ScaleStress {
       OutputMode.Append())
     stressStream("stream_interval_join",
       EventStreams.purchaseClickJoin(spark, sdir), OutputMode.Append())
+    // per-window HLL at 10x: 1M events, 10x distinct users, SAME
+    // window count — peak state must stay at O(windows) rows (one
+    // 256-byte register row per window, user count invisible)
+    stressStream("stream_hll_windows",
+      graft.streaming.StateV2.windowDistinct(
+        EventStreams.readEvents(spark, sdir)).toDF(),
+      OutputMode.Append())
+    // and the persisted-sketch rollup over the same 10x events: both
+    // aggregation levels carry constant per-group state
+    timeCollect("q178_hll_rollup@10x")(
+      queries.SketchQueries.q178(spark, sdir))
 
     // ---- multi-batch replay: the continuous-operation state bound ----
     // The one-file replay above buffers the FULL filtered backlog in

@@ -435,8 +435,9 @@ object SketchQueries {
   // separate scans (UNION ALL of per-column aggregates) for the
   // same numbers — the single-pass shape is the point: a 100 TB
   // profiling job cannot afford a scan per column. At that scale the
-  // exact NDV swaps for approx_count_distinct (HLL++ partials),
-  // which removes the Expand too; same query shape.
+  // exact NDV swaps for HLL partials, which removes the distinct
+  // exchange too — q179 below IS that variant, with graft_hll keeping
+  // it hash-oracle-checkable where approx_count_distinct is not.
   // ---------------------------------------------------------------
   private val ProfileCols = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax")
