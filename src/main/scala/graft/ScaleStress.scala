@@ -573,11 +573,24 @@ object ScaleStress {
       EventStreams.purchaseClickJoin(spark, sdir), OutputMode.Append())
     // per-window HLL at 10x: 1M events, 10x distinct users, SAME
     // window count — peak state must stay at O(windows) rows (one
-    // 256-byte register row per window, user count invisible)
-    stressStream("stream_hll_windows",
-      graft.streaming.StateV2.windowDistinct(
-        EventStreams.readEvents(spark, sdir)).toDF(),
-      OutputMode.Append())
+    // 256-byte register row per window, user count invisible).
+    // transformWithState requires the RocksDB provider (q177 sets it
+    // the same way; the default HDFSBacked provider has no column
+    // families and fails the run).
+    locally {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try stressStream("stream_hll_windows",
+        graft.streaming.StateV2.windowDistinct(
+          EventStreams.readEvents(spark, sdir)).toDF(),
+        OutputMode.Append())
+      finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
     // and the persisted-sketch rollup over the same 10x events: both
     // aggregation levels carry constant per-group state
     timeCollect("q178_hll_rollup@10x")(

@@ -312,6 +312,31 @@ class PropertySpec extends SparkTestBase {
     assert(zerosTrue == 0L, "11k distinct must fill all 256 registers")
   }
 
+  test("HLL scalar kernels: unionCol/sCol over register rows == direct sketch of the union") {
+    import graft.functions.{HllKernels, HllSketch}
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(5000)(s"a${rnd.nextInt(3000)}")
+    val ys = Seq.fill(5000)(s"b${rnd.nextInt(3000)}")
+    def df(vs: Seq[String], g: Int) = vs.toDF("t")
+      .select(lit(g).as("g"), TextKernels.hash60StrCol(col("t")).as("h"))
+    val regs = df(xs, 0).union(df(ys, 1))
+      .groupBy("g").agg(HllSketch.hllRegisters(col("h")).as("r"))
+    val a = regs.where(col("g") === 0).select(col("r").as("ra"))
+    val b = regs.where(col("g") === 1).select(col("r").as("rb"))
+    val got = a.crossJoin(b)
+      .select(HllKernels.sCol(HllKernels.unionCol(col("ra"), col("rb"))).as("su"),
+        HllKernels.sCol(col("ra")).as("sa"))
+      .head()
+    val direct = df(xs, 0).union(df(ys, 1))
+      .agg(HllSketch.hllSummary(col("h")).as("s"))
+      .head().getSeq[Long](0).head
+    assert(got.getLong(0) == direct,
+      "union kernel over register rows must equal the direct union sketch")
+    val aDirect = df(xs, 0).agg(HllSketch.hllSummary(col("h")))
+      .head().getSeq[Long](0).head
+    assert(got.getLong(1) == aDirect, "sCol must equal the aggregate's S")
+  }
+
   test("q175 HLL growth algebra: union dominates reference; in-regime estimates track exact") {
     import graft.functions.HllSketch
     val rows = graft.queries.SketchQueries.q175(spark, Sf).collect()
