@@ -95,6 +95,9 @@ object Bench {
       "cdc_chunk_index" -> (() => {
         queries.CurationOps.persistedChunkIndex(spark, sfDir); ()
       }),
+      "source_sketches" -> (() => {
+        queries.SketchQueries.persistedSourceSketches(spark, sfDir); ()
+      }),
       "copurchase_edges" -> (() => {
         queries.GraphOps.prunedEdges(spark, sfDir); ()
       }),

@@ -844,9 +844,10 @@ object SketchQueries {
   // register arrays ([[graft.functions.HllKernels]] scalar kernels).
   // The sketch twin of q131's exact trigram overlap: q131 pays a
   // corpus-sized (source, gram) aggregate and per-gram pair
-  // generation; this runs ONE corpus aggregate into per-source
-  // 256-byte register rows — in production a PERSISTED table (q178's
-  // form) — and then the entire O(sources²) matrix is a projection
+  // generation; this reads the PERSISTED per-source register table
+  // ([[persistedSourceSketches]] — one corpus aggregate, built once
+  // per corpus generation, fingerprinted, reread across JVMs) — and
+  // then the entire O(sources²) matrix is a projection
   // over a tiny self-join: pairwise overlap for every source pair as
   // a metadata operation, no second corpus pass, no per-gram state.
   // The inequality self-join is a broadcast nested loop over the
@@ -856,13 +857,29 @@ object SketchQueries {
   // the oracle, which recomputes registers and the same IEEE
   // inclusion–exclusion tree from scratch.
   // ---------------------------------------------------------------
+  /** The per-source register rows as a cross-session Warehouse
+    * artifact — the persisted-sketch table every HLL query argues
+    * from (q175/q178/q180 scaladocs): ~20 rows × 256 bytes, built by
+    * ONE corpus aggregate, fingerprinted against the source corpus,
+    * re-registered from surviving files by any later JVM. q180 reads
+    * it; PersistedIndexSpec pins written→files bit-identical rereads.
+    */
+  private[graft] def persistedSourceSketches(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    val table = s"graft_source_hll_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureTable(spark, table,
+      s"$dir/documents.parquet", "source STRING, r BINARY")(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
+        .groupBy(col("source"))
+        .agg(HllSketch.hllRegisters(col("h")).as("r")))
+    spark.table(table)
+  }
+
   def q180(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{HllKernels, HllSketch}
-    val regs = Tables.documents(spark, dir)
-      .select(col("source"),
-        explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
-      .groupBy(col("source"))
-      .agg(HllSketch.hllRegisters(col("h")).as("r"))
+    val regs = persistedSourceSketches(spark, dir)
     val a = regs.select(col("source").as("source_a"), col("r").as("ra"))
     val b = regs.select(col("source").as("source_b"), col("r").as("rb"))
     a.join(b, col("source_a") < col("source_b"))

@@ -91,6 +91,33 @@ class PersistedIndexSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq == q176First)
   }
 
+  test("q180's source-sketch table persists, re-registers from files, and keeps q180 exact") {
+    val table = s"graft_source_hll_${Integer.toHexString(dir.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    val built = graft.queries.SketchQueries.persistedSourceSketches(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("written"))
+    // register ARRAYS compared byte-for-byte, not just row counts
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val expected = snap(built)
+    assert(expected.nonEmpty && expected.values.forall(_.length == 256))
+    val q180First = graft.queries.SketchQueries.q180(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    spark.sql(s"DROP TABLE $table")
+    val reread = graft.queries.SketchQueries.persistedSourceSketches(spark, dir)
+    assert(graft.io.Warehouse.lastProvision(spark, table).contains("files"),
+      s"expected files-reuse, got ${graft.io.Warehouse.lastProvision(spark, table)}")
+    assert(snap(reread) == expected,
+      "re-registered sketch table must carry bit-identical register arrays")
+    assert(graft.queries.SketchQueries.q180(spark, dir)
+      .collect().map(_.toSeq).toSeq == q180First)
+  }
+
   test("retrieval tf + positional indexes persist, re-register, and keep q122/q157 exact") {
     import graft.queries.Retrieval
     def rm(f: java.io.File): Unit = {
