@@ -468,7 +468,15 @@ object SketchQueries {
     import graft.functions.HllSketch
     val spark2 = spark
     import spark2.implicits._
+    // H1 repartition-before-heavy-map (lshBase's idiom): the test SF's
+    // lineitem is a single parquet split, so without this the hash pass
+    // runs in ONE task (bench measured cpu/wall ~ 1 — serial). The
+    // round-robin exchange carries the narrow 4-column raw rows BEFORE
+    // the 4x explode (600k rows, not 2.4M pairs); at production split
+    // counts the scan itself provides the parallelism.
     val pairs = Tables.lineitem(spark, dir)
+      .select(ProfileCols.map(col): _*)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(array(ProfileCols.map(c =>
         struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
       .select(col("p.cn").as("cn"), col("p.v").as("v"))
