@@ -109,6 +109,7 @@ object Plans {
       "q178_hll_rollup" -> "persisted-sketch rollup: hourly 256-byte register arrays merged hour->day by register max; second pass runs on the hours-sized summary frame only",
       "q179_profile_hll" -> "ANALYZE profile with HLL NDV: one scan -> map-side generate -> single (col)-keyed aggregate, 256-byte state; NO Expand, NO distinct shuffle (vs q145's exact path)",
       "q180_hll_overlap" -> "pairwise source overlap by inclusion-exclusion over register ROWS: one corpus aggregate, then the whole O(sources^2) matrix is a projection on a tiny self-join (scalar union/S kernels)",
+      "q181_profile_quantiles" -> "per-column p50/p90/p99 from ONE global aggregate of four histogram sketches (~16 KB state); quantile solve on the <=4x514-row counter frame — the quantile half of the one-pass ANALYZE",
       "q173_rand_proj" -> "random projection: 16x64 sign matrix baked as a plan literal, exact-integer folds, ONE shuffle-free encode pass + O(labels) rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

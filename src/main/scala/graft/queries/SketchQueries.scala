@@ -947,7 +947,99 @@ object SketchQueries {
        |ORDER BY p.source_a, p.source_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q181_profile_quantiles — the quantile half of the one-pass
+  // ANALYZE story (q179 carries count/NDV/min/max/sum): p50/p90/p99
+  // for every profiled column from ONE global aggregate computing
+  // four histogram sketches side by side — constant state
+  // (4 × (bins+2) longs ≈ 16 KB total on the exchange, so the
+  // keyless final merge that disqualified q145's global-distinct
+  // shape is harmless here), no per-group sort, no per-column scan
+  // (the oracle pays four scans for the same counters). Envelopes
+  // are power-of-two literals ([0,64), [0,2^17), [0,2^-3) ×2) so
+  // lo/hi/w are all binary-exact and the q73 estimator — left edge +
+  // linear interpolation at rank ceil(q·n) — reproduces bit-for-bit
+  // from DuckDB's identically-binned counters. Together with q179
+  // this is the full 100 TB ANALYZE pass: two scans of the fact
+  // table produce moments, NDV, and quantiles for every column with
+  // nothing proportional to NDV or group size anywhere.
+  // ---------------------------------------------------------------
+  private val QProfileCols: Seq[(String, Double, Double)] = Seq(
+    ("l_quantity", 0.0, 64.0),
+    ("l_extendedprice", 0.0, 131072.0),
+    ("l_discount", 0.0, 0.125),
+    ("l_tax", 0.0, 0.125))
+
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val one = Tables.lineitem(spark, dir).agg(
+      graft.functions.HistogramSketch.histogram(
+        col(QProfileCols.head._1).cast("double"),
+        QProfileCols.head._2, QProfileCols.head._3, HistBins).as("h0"),
+      QProfileCols.tail.zipWithIndex.map { case ((cn, lo, hi), i) =>
+        graft.functions.HistogramSketch.histogram(
+          col(cn).cast("double"), lo, hi, HistBins).as(s"h${i + 1}")
+      }: _*)
+    val bins = one
+      .select(explode(array(QProfileCols.zipWithIndex.map {
+        case ((cn, lo, hi), i) =>
+          struct(lit(cn).as("cn"), lit(lo).as("lo"),
+            lit((hi - lo) / HistBins).as("w"), col(s"h$i").as("h"))
+      }: _*)).as("s"))
+      .select(col("s.cn").as("cn"), col("s.lo").as("lo"), col("s.w").as("w"),
+        posexplode(col("s.h")).as(Seq("bin", "c")))
+      .where(col("c") > 0)
+    val cw = Window.partitionBy(col("cn"))
+    val t = bins
+      .withColumn("cum", sum(col("c")).over(cw.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(cw))
+    val qsDf = spark.range(1).select(explode(array(HistQs.map(lit): _*)).as("q"))
+    val r = t.crossJoin(broadcast(qsDf))
+      .withColumn("rank", ceil(col("q") * col("n").cast("double")).cast("long"))
+      .where(col("cum") >= col("rank"))
+    val first = Window.partitionBy(col("cn"), col("q")).orderBy(col("bin"))
+    r.withColumn("rk", row_number().over(first))
+      .where(col("rk") === 1)
+      .select(col("cn").as("col_name"), col("q"),
+        TextFns.rnd(
+          col("lo") + (col("bin") - 1) * col("w") +
+            (col("rank") - (col("cum") - col("c"))).cast("double")
+              / col("c").cast("double") * col("w"), 4).as("p_est"))
+      .orderBy(col("col_name"), col("q"))
+  }
+
+  val q181Sql: String = {
+    val legs = QProfileCols.map { case (cn, lo, hi) =>
+      s"""SELECT '$cn' AS cn, ${graft.functions.HistogramSketch.binSql(cn, lo, hi, HistBins)} AS bin
+         |    FROM lineitem""".stripMargin
+    }.mkString("\n    UNION ALL ")
+    val meta = QProfileCols.map { case (cn, lo, hi) =>
+      s"('$cn', ${lo}::DOUBLE, ${(hi - lo) / HistBins}::DOUBLE)"
+    }.mkString(", ")
+    s"""WITH b AS (
+       |  SELECT cn, bin, COUNT(*) AS c FROM (
+       |    $legs)
+       |  GROUP BY 1, 2),
+       |meta AS (SELECT * FROM (VALUES $meta) m(cn, lo, w)),
+       |t AS (
+       |  SELECT cn, bin, c,
+       |    SUM(c) OVER (PARTITION BY cn ORDER BY bin) AS cum,
+       |    SUM(c) OVER (PARTITION BY cn) AS n
+       |  FROM b),
+       |r AS (
+       |  SELECT t.*, q, CAST(CEIL(q * n::DOUBLE) AS BIGINT) AS rank
+       |  FROM t CROSS JOIN (SELECT unnest([${HistQs.mkString(", ")}]::DOUBLE[]) AS q) qs),
+       |pick AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cn, q ORDER BY bin) AS rk
+       |  FROM r WHERE cum >= rank)
+       |SELECT p.cn AS col_name, q,
+       |  ${TextFns.rndSql("lo + (bin - 1) * w + (rank - (cum - c))::DOUBLE / c::DOUBLE * w", 4)} AS p_est
+       |FROM pick p JOIN meta USING (cn) WHERE rk = 1
+       |ORDER BY col_name, q""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q181_profile_quantiles" -> (q181 _),
     "q180_hll_overlap" -> (q180 _),
     "q179_profile_hll" -> (q179 _),
     "q178_hll_rollup" -> (q178 _),
@@ -967,6 +1059,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q181_profile_quantiles" -> q181Sql,
     "q180_hll_overlap" -> q180Sql,
     "q179_profile_hll" -> q179Sql,
     "q178_hll_rollup" -> q178Sql,

@@ -312,6 +312,43 @@ class PropertySpec extends SparkTestBase {
     assert(zerosTrue == 0L, "11k distinct must fill all 256 registers")
   }
 
+  test("q181 profile quantiles match a plain-Scala histogram recount and bound the exact quantile") {
+    val cols = Seq(
+      ("l_quantity", 0.0, 64.0), ("l_extendedprice", 0.0, 131072.0),
+      ("l_discount", 0.0, 0.125), ("l_tax", 0.0, 0.125))
+    val bins = 512
+    val qs = Seq(0.5, 0.9, 0.99)
+    val data = graft.sources.Tables.lineitem(spark, Sf)
+      .select(cols.map(c => col(c._1)): _*).collect()
+    val rows = graft.queries.SketchQueries.q181(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == cols.size * qs.size)
+    cols.zipWithIndex.foreach { case ((cn, lo, hi), ci) =>
+      val vs = data.map(_.getDouble(ci)).sorted
+      val counters = new Array[Long](bins + 2)
+      vs.foreach { x =>
+        val b = if (x < lo) 0
+          else if (x >= hi) bins + 1
+          else math.floor((x - lo) / (hi - lo) * bins).toInt + 1
+        counters(b) += 1
+      }
+      val w = (hi - lo) / bins
+      qs.foreach { q =>
+        val rank = math.ceil(q * vs.length.toDouble).toLong
+        var cum = 0L; var bin = 0
+        while (cum < rank) { cum += counters(bin); bin += 1 }
+        val c = counters(bin - 1)
+        val est = lo + (bin - 1 - 1) * w + (rank - (cum - c)).toDouble / c.toDouble * w
+        val expected = math.floor(est * 10000.0 + 0.5) / 10000.0
+        assert(rows((cn, q)) == expected, s"$cn q=$q: ${rows((cn, q))} != $expected")
+        // estimator contract: within one bin width of the exact quantile
+        val exact = vs((rank - 1).toInt)
+        assert(math.abs(rows((cn, q)) - exact) <= w + 1e-9,
+          s"$cn q=$q: est ${rows((cn, q))} vs exact $exact exceeds bin width $w")
+      }
+    }
+  }
+
   test("HLL scalar kernels: unionCol/sCol over register rows == direct sketch of the union") {
     import graft.functions.{HllKernels, HllSketch}
     val rnd = new scala.util.Random(17)
