@@ -209,9 +209,18 @@ object Bench {
     // ordering entirely (scripts/bench.sh + the driver both leave
     // target/ in place).
     try {
-      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      // resolve against an explicit root when provided (a driver
+      // launched from another cwd would otherwise silently write the
+      // file elsewhere and reintroduce the 'parsed: null' mode this
+      // artifact was added to fix); always log the ABSOLUTE path so a
+      // misplaced artifact is visible in the run log
+      val root = sys.props.get("graft.bench.outdir")
+        .orElse(sys.env.get("GRAFT_BENCH_OUTDIR")).getOrElse("target")
+      val out = java.nio.file.Paths.get(root, "bench_summary.json")
+        .toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, summary + "\n")
+      System.err.println(s"[bench] summary written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] summary file write failed: ${e.getMessage}")
     }

@@ -187,8 +187,13 @@ case class HllMerge(
     val v = child.eval(input)
     if (v != null) {
       val regs = v.asInstanceOf[Array[Byte]]
+      // width can only be known at execution (any BINARY type-checks),
+      // so this is the clearest failure available: name the function,
+      // the contract, and what the input evidently was NOT
       require(regs.length == M,
-        s"graft_hll_merge: register array must be $M bytes, got ${regs.length}")
+        s"graft_hll_merge: register array must be $M bytes (a " +
+          s"graft_hll_regs output), got ${regs.length} — the input " +
+          "column is not a graft register sketch")
       merge(buf, regs)
     }
     buf
@@ -218,6 +223,70 @@ case class HllMerge(
   override def withNewInputAggBufferOffset(o: Int): HllMerge =
     copy(inputAggBufferOffset = o)
   override def prettyName: String = "hll_merge"
+}
+
+/** Register-max merge over PERSISTED [[HllRegisters]] arrays that
+  * emits the MERGED REGISTER ARRAY itself (binary), not the summary —
+  * the aggregate a sketch-table MAINTENANCE job runs: merging an
+  * append batch's register rows into the stored rows produces rows
+  * of the same persistable type, so the table stays further-mergeable
+  * forever (q183's stream→warehouse seam and q185's incremental
+  * source maintenance both write through this). [[HllMerge]] is the
+  * read-side twin that closes a rollup into [S, zeros].
+  */
+case class HllMergeRegs(
+  child: Expression,
+  override val mutableAggBufferOffset: Int = 0,
+  override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch.M
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge_regs expects a BINARY register array " +
+        s"(graft_hll_regs output), got ${child.dataType.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == M,
+        s"graft_hll_merge_regs: register array must be $M bytes (a " +
+          s"graft_hll_regs output), got ${regs.length} — the input " +
+          "column is not a graft register sketch")
+      merge(buf, regs)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeRegs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeRegs =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_merge_regs"
 }
 
 object HllSketch {
@@ -271,6 +340,14 @@ object HllSketch {
   def hllMergeSummary(regs: Column): Column =
     ColumnBridge.column(
       HllMerge(ColumnBridge.expression(regs)).toAggregateExpression())
+
+  /** Merge persisted register arrays into the MERGED register array
+    * (binary) — the maintenance-write form that keeps a sketch table
+    * further-mergeable.
+    */
+  def hllMergeRegs(regs: Column): Column =
+    ColumnBridge.column(
+      HllMergeRegs(ColumnBridge.expression(regs)).toAggregateExpression())
 
   /** Raw HLL estimate alpha_256 · 256² · 2^53 / S from the exact
     * integer S. The constant tree (not a pre-folded Scala double) is

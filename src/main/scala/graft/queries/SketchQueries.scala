@@ -508,7 +508,13 @@ object SketchQueries {
     import graft.functions.HllSketch
     val colsList = ProfileCols.map(c => s"'$c'").mkString(", ")
     val valsList = ProfileCols.mkString(", ")
-    s"""WITH p AS (
+    // `cols` LEFT-JOIN scaffold mirrors the Spark side's right join
+    // onto the literal column frame (the q175Sql pattern): an
+    // ENTIRELY-null profiled column still yields its row (n=0, NULL
+    // stats) instead of vanishing from the WHERE v IS NOT NULL legs —
+    // without it the two engines disagree on degenerate inputs.
+    s"""WITH cols AS (SELECT unnest([$colsList]) AS cn),
+       |p AS (
        |  SELECT cn, v FROM (
        |    SELECT unnest([$colsList]) AS cn, unnest([$valsList]) AS v
        |    FROM lineitem)
@@ -526,10 +532,11 @@ object SketchQueries {
        |  FROM regs GROUP BY cn),
        |st AS (SELECT cn, COUNT(*)::BIGINT AS n, MIN(v) AS min_v, MAX(v) AS max_v,
        |  SUM(v::DECIMAL(18,6))::DOUBLE AS sum_v FROM p GROUP BY cn)
-       |SELECT st.cn AS col_name, n, zero_regs,
+       |SELECT cols.cn AS col_name, COALESCE(n, 0::BIGINT) AS n, zero_regs,
        |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_ndv,
        |  min_v, max_v, sum_v
-       |FROM st JOIN agg ON st.cn = agg.cn
+       |FROM cols LEFT JOIN st ON cols.cn = st.cn
+       |          LEFT JOIN agg ON cols.cn = agg.cn
        |ORDER BY col_name""".stripMargin
   }
 

@@ -584,6 +584,20 @@ object StreamingQueries {
         graft.streaming.StateV2.windowDistinct(
           EventStreams.readEvents(spark, dir)).toDF(),
         name, OutputMode.Append(), ReplayStateParts)
+      // The boundedBacklog processor emits per MICRO-BATCH (TimeMode
+      // .None has no timers to defer to), so this query is correct
+      // under the one-batch AvailableNow replay convention — ASSERT
+      // it rather than assume it: a backlog that split into several
+      // batches would emit duplicate partial rows per window and the
+      // join below would silently fan out. (q183's warehouse seam is
+      // the multi-batch-safe path: it MERGES register rows on write.)
+      val dup = sk.groupBy(col("win_us")).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        "graft q177: backlog replay split into multiple micro-batches " +
+          "and emitted duplicate per-window partial rows; rerun with a " +
+          "single-batch AvailableNow replay or use the merge-on-write " +
+          "warehouse seam (q183)")
       val exact = graft.sources.Tables.events(spark, dir)
         .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
           col("user_id"))
