@@ -62,7 +62,13 @@ object AnnTrained {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q70Sql: String = {
+  /** The trained-IVF search oracle, parameterized on the probe set:
+    * q70 (full query sweep over the session-trained codebook) and
+    * q182 (partition-pruned storage probe) share the same contract —
+    * assignment, probe ranking, and exact in-cell scoring are
+    * identical; q182 only changes WHERE the corpus side is read from.
+    */
+  private def ivfSql(queryFilter: String): String = {
     def cosC(e: String, n: String) =
       s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
     val cents = s"cents$Iters"
@@ -81,10 +87,10 @@ object AnnTrained {
        |    SELECT v.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
-       |    FROM v CROSS JOIN $cents c WHERE $QueryFilter) WHERE rk <= $Probe
+       |    FROM v CROSS JOIN $cents c WHERE $queryFilter) WHERE rk <= $Probe
        |),
        |q AS (SELECT vec_id AS query_id, embedding AS e_q, nrm AS n_q
-       |      FROM v WHERE $QueryFilter)
+       |      FROM v WHERE $queryFilter)
        |SELECT query_id, probe.cell AS cell, v.vec_id,
        |  ${rndSql(s"${VecFns.dotSql("v.embedding", "q.e_q")} / (v.nrm * q.n_q)", 4)} AS cosine,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -97,7 +103,108 @@ object AnnTrained {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  def queries: Map[String, Q] = Map("q70_ann_ivf_kmeans" -> (q70 _))
+  val q70Sql: String = ivfSql(QueryFilter)
 
-  def oracles: Map[String, String] = Map("q70_ann_ivf_kmeans" -> q70Sql)
+  // ---------------------------------------------------------------
+  // q182_ann_partition_pruned — the IVF cell id as the STORAGE
+  // partition key, executed (q85's scaladoc and SCALE_NOTES assert
+  // this shape; this runs it): embeddings live in a warehouse layout
+  // partitioned by the trained coarse cell (`…/cell=7/…`), so a
+  // probe batch's scan carries the probed cells as PartitionFilters
+  // and opens ONLY nprobe-union directories — vectors in unprobed
+  // cells are never read, not even their footers (AnnSpec asserts
+  // the pruned file count). This is the serving path of a
+  // billion-scale vector store: the codebook (k×dim doubles,
+  // driver-sized by definition) assigns the probe cells, the cell
+  // list is a literal in the scan predicate, and per-probe cost is
+  // proportional to the probed cells' contents, not the corpus.
+  //
+  // The collect() bounding argument: the only driver-side values are
+  // the ≤k distinct probed cell ids (bounded by the codebook size,
+  // never by data). Norms are STORED beside the vectors — computed
+  // once at build, reread exactly (doubles round-trip parquet), so
+  // the serving scan does no norm recompute.
+  //
+  // Same oracle contract as q70 (ivfSql): DuckDB replays training,
+  // assignment, probe ranking, and exact in-cell scoring from the
+  // flat file — identical results prove the partitioned layout is
+  // pure storage, exactly like q146 proves it for day partitions.
+  // ---------------------------------------------------------------
+  private val Q182Filter = "vec_id % 500 = 0"
+
+  /** Cell-partitioned embeddings as a fingerprinted warehouse
+    * artifact: (vec_id, embedding, nrm) under `cell=<cid>/`
+    * directories, one file per cell (the build repartitions on the
+    * partition column — the q146 small-files rule). Cells come from
+    * the PERSISTED codebook, so a later JVM re-registers both
+    * artifacts and never re-trains or re-assigns.
+    */
+  def ensureCellPartitionedEmbeddings(spark: SparkSession, dir: String): String = {
+    val t = s"graft_emb_cell_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/embeddings.parquet", "cell") {
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          VecFns.normK(col("embedding")).as("nrm"))
+      val cents = KMeansCodebook.centsFrame(spark,
+        KMeansCodebook.persisted(spark, dir, Cells, Iters))
+      KMeansCodebook.assignCells(v, cents)
+        .join(v, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .repartition(col("cell"))
+    }
+    t
+  }
+
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureCellPartitionedEmbeddings(spark, dir)
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, dir, Cells, Iters))
+    // probes arrive from OUTSIDE the store (here: the flat file, a
+    // tiny filtered read) and rank their nprobe cells against the
+    // broadcast codebook — the skinny (query, cell) frame
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probeCells = v.filter(expr(Q182Filter)).join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= Probe)
+      .select(col("query_id"), col("cid").as("cell"))
+    // ≤ Cells distinct ids — bounded by the codebook, never by data;
+    // as LITERALS they land in PartitionFilters, which a join on cell
+    // (runtime values) could not guarantee without DPP
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val q = v.filter(expr(Q182Filter))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.table(t)
+      .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*))
+      .join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        rnd(VecFns.dotCol(col("embedding"), col("e_q")) / (col("nrm") * col("n_q")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q182Sql: String = ivfSql(Q182Filter)
+
+  def queries: Map[String, Q] = Map(
+    "q70_ann_ivf_kmeans" -> (q70 _),
+    "q182_ann_partition_pruned" -> (q182 _))
+
+  def oracles: Map[String, String] = Map(
+    "q70_ann_ivf_kmeans" -> q70Sql,
+    "q182_ann_partition_pruned" -> q182Sql)
 }

@@ -214,4 +214,52 @@ class AnnSpec extends SparkTestBase {
     val gMean = globalDistSum / globalN.toDouble
     assert(gMean > 0.7 && gMean < 1.3, s"JL mean distortion off: $gMean")
   }
+
+  test("q182 probe scan prunes to the probed cell directories (PartitionFilters)") {
+    val df = AnnTrained.q182(spark, Sf)
+    // the partitioned-table scan leaf must carry the probed-cell set
+    // as PARTITION filters (directory pruning); identify it among the
+    // plan's other scans (probe reads, codebook) by its location
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_emb_cell_"))).getOrElse(
+      fail("no cell-partitioned scan in q182 plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probed cells must be partition filters, got ${scan.partitionFilters}")
+    // PruneFileSourcePartitions already rewrote the scan's location
+    // to the PRUNED file index (only the probed-cell directories were
+    // even listed), and Catalyst ALSO inserted a DynamicPruningSubquery
+    // from the broadcast join on cell — so `selected` is the pruned
+    // index's size and `total` must come from the catalog, not the scan
+    val selected = scan.relation.location.listFiles(Nil, Nil).size
+    val table = AnnTrained.ensureCellPartitionedEmbeddings(spark, Sf)
+    val total = spark.sql(s"SHOW PARTITIONS $table").count().toInt
+    assert(selected < total,
+      s"expected pruning: scanned $selected of $total cell directories")
+    // the pruned directory count is exactly the probed-cell union:
+    // recompute it independently from the same persisted codebook
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, Sf, AnnTrained.Cells, AnnTrained.Iters))
+    val probed = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VecFns.normK(col("embedding")).as("nrm"))
+      .filter(expr("vec_id % 500 = 0"))
+      .join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        (graft.functions.VecFns.dotCol(col("embedding"), col("e_c"))
+          / (col("nrm") * col("n_c"))).as("cos_c"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_c").desc, col("cid").asc)))
+      .where(col("rk") <= AnnTrained.Probe)
+      .select("cid").distinct().count()
+    assert(selected.toLong == probed,
+      s"scanned $selected directories, probed-cell union is $probed")
+    // and the pruned read answers correctly: full top-3 per probe
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3)))
+  }
 }
