@@ -209,6 +209,62 @@ object Warehouse {
     upsertPartitions(spark, table, slice.repartition(numFiles))
   }
 
+  /** Provide `table` as an external partitioned layout that is
+    * MAINTAINED by writers rather than derived once: the table starts
+    * EMPTY (mode "created") and accumulates rows through
+    * [[upsertPartitions]]-style merges — the shape of a sketch table
+    * a stream keeps current (q183's hourly HLL registers). The
+    * fingerprint still keys the table to the SOURCE corpus
+    * generation: surviving rows are re-registered only while the
+    * source is unchanged ("files" + MSCK), and a regenerated corpus
+    * drops the stale sketches and restarts empty — maintained rows
+    * derived from data that no longer exists must never serve.
+    */
+  def ensureMaintainedPartitionedTable(spark: SparkSession, table: String,
+                                       srcPath: String, schemaDdl: String,
+                                       partCol: String): String = {
+    val skey = (System.identityHashCode(spark), table)
+    if (spark.catalog.tableExists(table)) {
+      provisioned.put(skey, "catalog")
+      return "catalog"
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val fp = sourceFingerprint(spark, srcPath)
+    val surviving = scala.util.Try {
+      fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        prev == fp
+      }
+    }.getOrElse(false)
+    val mode =
+      if (surviving) {
+        spark.sql(
+          s"""CREATE TABLE $table ($schemaDdl)
+             |USING parquet
+             |PARTITIONED BY ($partCol)
+             |LOCATION '${loc.toString}'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $table")
+        "files"
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        spark.sql(
+          s"""CREATE TABLE $table ($schemaDdl)
+             |USING parquet
+             |PARTITIONED BY ($partCol)
+             |LOCATION '${loc.toString}'""".stripMargin)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        "created"
+      }
+    provisioned.put(skey, mode)
+    mode
+  }
+
   /** Provide `table` as an external HIVE-PARTITIONED parquet layout
     * (`table/partCol=value/…`) with the same fingerprinted,
     * cross-session economics as [[ensureBucketedTable]]. Partitioned

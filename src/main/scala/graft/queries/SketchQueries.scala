@@ -853,6 +853,45 @@ object SketchQueries {
   }
 
   // ---------------------------------------------------------------
+  // q183_stream_hll_warehouse — the q177→q178 PRODUCTION seam,
+  // executed end-to-end: the event backlog streams through
+  // [[graft.streaming.SketchWarehouse]] (foreachBatch reduces each
+  // micro-batch to hourly partial registers and MERGE-upserts them
+  // into the maintained day-partitioned sketch table), then the
+  // day rollup runs entirely over the STREAMED table — the stream
+  // writes sketches, distinct reporting is a metadata operation,
+  // and the raw events are read exactly once, by the stream itself.
+  // Register max is idempotent, so the seam is effectively-once
+  // under window splits and batch replays (StreamSeamSpec pins both
+  // bit-for-bit); the DuckDB oracle computes the day sketch DIRECTLY
+  // from events (q178's oracle), so the hash-compare certifies the
+  // whole stream→store→merge→rollup pipeline against one batch pass.
+  // ---------------------------------------------------------------
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    val t = graft.streaming.SketchWarehouse.streamHourlyRegs(spark, dir)
+    val hourly = spark.table(t)
+    val daily = hourly
+      .groupBy((col("win_us") - pmod(col("win_us"), lit(86400000000L))).as("day_us"))
+      .agg(HllSketch.hllMergeSummary(col("regs")).as("hs"),
+        count(lit(1)).as("n_hours"))
+    // the exact recount is test-corpus truth (as in q177/q178):
+    // production ships the estimate and never re-reads the events
+    val exact = Tables.events(spark, dir)
+      .groupBy((expr("unix_micros(ts) DIV 3600000000 * 3600000000")
+        - pmod(expr("unix_micros(ts) DIV 3600000000 * 3600000000"),
+          lit(86400000000L))).as("day_us"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    daily.join(exact, "day_us")
+      .select(timestamp_micros(col("day_us")).as("day_start"),
+        col("n_hours"), col("exact_users"),
+        element_at(col("hs"), 2).as("zero_regs"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4)
+          .as("est_users"))
+      .orderBy(col("day_start"))
+  }
+
+  // ---------------------------------------------------------------
   // q180_hll_overlap — the pairwise source-overlap MATRIX from
   // sketches: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) by inclusion–
   // exclusion, where union is the register-max of the two sources'
@@ -1047,6 +1086,7 @@ object SketchQueries {
 
   def queries: Map[String, Q] = Map(
     "q181_profile_quantiles" -> (q181 _),
+    "q183_stream_hll_warehouse" -> (q183 _),
     "q180_hll_overlap" -> (q180 _),
     "q179_profile_hll" -> (q179 _),
     "q178_hll_rollup" -> (q178 _),
@@ -1067,6 +1107,9 @@ object SketchQueries {
 
   def oracles: Map[String, String] = Map(
     "q181_profile_quantiles" -> q181Sql,
+    // q183 shares q178's day-direct oracle: the hash-compare is what
+    // certifies stream→store→merge→rollup == one direct batch pass
+    "q183_stream_hll_warehouse" -> q178Sql,
     "q180_hll_overlap" -> q180Sql,
     "q179_profile_hll" -> q179Sql,
     "q178_hll_rollup" -> q178Sql,

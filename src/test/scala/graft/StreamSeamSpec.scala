@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HllSketch, TextFns}
+import graft.streaming.SketchWarehouse
+
+/** The stream→warehouse sketch seam (q183): the two properties that
+  * make merge-on-write the PRODUCTION path — (1) replaying the whole
+  * backlog leaves the maintained table bit-identical (effectively-
+  * once without a transactional sink), (2) a window whose rows split
+  * across micro-batches merges to the exact whole-window registers
+  * (the case q177's one-batch convention must assert away). Both are
+  * pinned against an independent one-pass batch aggregate, byte for
+  * byte.
+  */
+class StreamSeamSpec extends SparkTestBase {
+
+  private def snapshot(table: String): Map[Long, Seq[Byte]] =
+    spark.table(table).collect()
+      .map(r => r.getAs[Long]("win_us") ->
+        r.getAs[Array[Byte]]("regs").toSeq).toMap
+
+  private def hashedEvents: DataFrame =
+    graft.sources.Tables.events(spark, Sf)
+      .select(
+        expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+        TextFns.hash60(col("user_id").cast("string")).as("h"),
+        unix_micros(col("ts")).as("us"))
+
+  private def directRegs(src: DataFrame): Map[Long, Seq[Byte]] =
+    src.groupBy(col("win_us"))
+      .agg(HllSketch.hllRegisters(col("h")).as("regs"))
+      .collect()
+      .map(r => r.getAs[Long]("win_us") ->
+        r.getAs[Array[Byte]]("regs").toSeq).toMap
+
+  test("replaying the backlog leaves the maintained table bit-identical") {
+    val t = SketchWarehouse.streamHourlyRegs(spark, Sf)
+    val first = snapshot(t)
+    val t2 = SketchWarehouse.streamHourlyRegs(spark, Sf)
+    assert(t2 == t)
+    val second = snapshot(t2)
+    assert(first.nonEmpty && second == first,
+      "a full backlog replay must merge into an unchanged table")
+    // and the maintained rows ARE the one-pass batch registers
+    assert(first == directRegs(hashedEvents),
+      "streamed+merged registers must equal the direct batch aggregate")
+  }
+
+  test("a window split across micro-batches merges to the exact whole") {
+    val table = "graft_test_seam_hll"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.io.Warehouse.ensureMaintainedPartitionedTable(spark, table,
+      s"$Sf/events.parquet", "win_us BIGINT, regs BINARY, day DATE", "day")
+    val ev = hashedEvents
+    // split INSIDE windows: first/second half-hour of every hour land
+    // in different "micro-batches", so every window's registers arrive
+    // as two partial arrays
+    val halves = Seq(
+      ev.where(pmod(col("us"), lit(3600000000L)) < 1800000000L),
+      ev.where(pmod(col("us"), lit(3600000000L)) >= 1800000000L))
+    halves.foreach { h =>
+      SketchWarehouse.mergeUpsert(spark, table,
+        h.groupBy(col("win_us"))
+          .agg(HllSketch.hllRegisters(col("h")).as("regs")))
+    }
+    val merged = snapshot(table)
+    val direct = directRegs(ev)
+    assert(merged.nonEmpty && merged == direct,
+      "split-window partial registers must max together to the whole")
+    // crash-replay of one batch: re-merging the first half changes nothing
+    SketchWarehouse.mergeUpsert(spark, table,
+      halves.head.groupBy(col("win_us"))
+        .agg(HllSketch.hllRegisters(col("h")).as("regs")))
+    assert(snapshot(table) == direct,
+      "re-merging a replayed batch must be a no-op (register max is idempotent)")
+  }
+}
