@@ -918,22 +918,76 @@ object SketchQueries {
     * re-registered from surviving files by any later JVM. q180 reads
     * it; PersistedIndexSpec pins written→files bit-identical rereads.
     */
-  private[graft] def persistedSourceSketches(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-source trigram-shingle registers over any documents-shaped
+    * frame — ONE partial+final aggregate whose exchange carries 256
+    * bytes per (partition, source). Factored so the full build, the
+    * q185 incremental legs, and IncrementalHllSpec's recounts all run
+    * the identical aggregate.
+    */
+  private[graft] def sourceRegs(docs: DataFrame): DataFrame = {
     import graft.functions.HllSketch
+    docs
+      .select(col("source"),
+        explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
+      .groupBy(col("source"))
+      .agg(HllSketch.hllRegisters(col("h")).as("r"))
+  }
+
+  /** Merge an append batch's per-source register rows into an
+    * existing sketch table's rows WITHOUT re-reading any corpus: a
+    * full-outer join of two sources-sized frames and a scalar
+    * register-max per pair ([[graft.functions.HllKernels.unionCol]]).
+    * New sources appear, untouched sources pass through bit-identical,
+    * and re-merging an already-absorbed batch is a no-op (register
+    * max is idempotent) — the maintenance op that keeps q180's
+    * persisted table current as the corpus grows, at cost
+    * O(sources), never O(corpus).
+    */
+  private[graft] def mergeSourceRegs(existing: DataFrame,
+                                     batch: DataFrame): DataFrame = {
+    import graft.functions.HllKernels
+    existing.select(col("source"), col("r").as("r_e"))
+      .join(batch.select(col("source"), col("r").as("r_b")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        when(col("r_e").isNull, col("r_b"))
+          .when(col("r_b").isNull, col("r_e"))
+          .otherwise(HllKernels.unionCol(col("r_e"), col("r_b"))).as("r"))
+  }
+
+  /** In-place maintenance write: absorb `batchRegs` into `table` via
+    * [[mergeSourceRegs]] and rewrite the table's rows. The collect is
+    * bounded by construction — a source-sketch table is O(sources)
+    * rows of 256 bytes, and staging the merged rows in memory is what
+    * breaks the read-overwrite conflict on the table being replaced.
+    */
+  private[graft] def appendSourceSketchBatch(spark: SparkSession,
+      table: String, batchRegs: DataFrame): Unit = {
+    val merged = mergeSourceRegs(spark.table(table), batchRegs)
+    val staged = spark.createDataFrame(
+      java.util.Arrays.asList(merged.collect(): _*), merged.schema)
+    staged.write.mode("overwrite").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  private[graft] def persistedSourceSketches(spark: SparkSession, dir: String): DataFrame = {
     val table = s"graft_source_hll_${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.io.Warehouse.ensureTable(spark, table,
       s"$dir/documents.parquet", "source STRING, r BINARY")(
-      Tables.documents(spark, dir)
-        .select(col("source"),
-          explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
-        .groupBy(col("source"))
-        .agg(HllSketch.hllRegisters(col("h")).as("r")))
+      sourceRegs(Tables.documents(spark, dir)))
     spark.table(table)
   }
 
-  def q180(spark: SparkSession, dir: String): DataFrame = {
+  def q180(spark: SparkSession, dir: String): DataFrame =
+    overlapMatrix(persistedSourceSketches(spark, dir))
+
+  /** q180's matrix over any (source, r) register frame — factored so
+    * IncrementalHllSpec can run the identical projection over an
+    * incrementally-MAINTAINED table and pin it against the
+    * one-shot-built one.
+    */
+  private[graft] def overlapMatrix(regs: DataFrame): DataFrame = {
     import graft.functions.{HllKernels, HllSketch}
-    val regs = persistedSourceSketches(spark, dir)
     val a = regs.select(col("source").as("source_a"), col("r").as("ra"))
     val b = regs.select(col("source").as("source_b"), col("r").as("rb"))
     a.join(b, col("source_a") < col("source_b"))
@@ -1084,7 +1138,75 @@ object SketchQueries {
        |ORDER BY col_name, q""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q185_hll_incremental — sketch-table MAINTENANCE executed against
+  // the direct oracle (q176's incremental pattern applied to the HLL
+  // world): the corpus splits into a BASE generation and an APPEND
+  // batch (doc_id % 8 = 0 — the deterministic split both engines
+  // replay); each side aggregates to per-source register rows, and
+  // the batch is absorbed into the base by [[mergeSourceRegs]] — a
+  // full-outer join of two sources-sized frames and a scalar
+  // register max, NO corpus rebuild. The DuckDB oracle computes
+  // est_total DIRECTLY from the whole corpus (it never sees the
+  // merge), so the hash-compare certifies merge == rebuild — the
+  // algebra that lets a 100 TB pipeline keep its per-source distinct
+  // profile current by sketching only each day's append.
+  // IncrementalHllSpec additionally pins register-level bit-equality
+  // and runs the maintenance write against a real warehouse table
+  // (including the idempotent re-merge).
+  // ---------------------------------------------------------------
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HllKernels, HllSketch}
+    val docs = Tables.documents(spark, dir)
+    val base = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) =!= 0))
+    val batch = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) === 0))
+    val merged = mergeSourceRegs(base, batch)
+    merged
+      .join(base.select(col("source"), col("r").as("r_base")),
+        Seq("source"), "left")
+      .join(batch.select(col("source"), col("r").as("r_batch")),
+        Seq("source"), "left")
+      .select(col("source"),
+        TextFns.rnd(HllSketch.estimate(HllKernels.sCol(col("r_base"))), 4)
+          .as("est_base"),
+        TextFns.rnd(HllSketch.estimate(HllKernels.sCol(col("r_batch"))), 4)
+          .as("est_batch"),
+        TextFns.rnd(HllSketch.estimate(HllKernels.sCol(col("r"))), 4)
+          .as("est_total"))
+      .orderBy(col("source"))
+  }
+
+  val q185Sql: String = {
+    import graft.functions.HllSketch
+    def leg(name: String, where: String): String =
+      s"""r$name AS (SELECT source, ${HllSketch.registerSql("h")} FROM h $where),
+         |g$name AS (SELECT source, j, MAX(rho) AS mj FROM r$name GROUP BY source, j),
+         |s$name AS (
+         |  SELECT source,
+         |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+         |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp
+         |  FROM g$name GROUP BY source)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT source, is_batch, ${TextFns.hash60Sql("g")} AS h
+       |  FROM (SELECT source, doc_id % 8 = 0 AS is_batch,
+       |          unnest(${TextFns.shinglesSql("string_split(text, ' ')", 3)}) AS g
+       |        FROM documents)),
+       |${leg("Base", "WHERE NOT is_batch")},
+       |${leg("Batch", "WHERE is_batch")},
+       |${leg("All", "")},
+       |srcs AS (SELECT DISTINCT source FROM documents)
+       |SELECT srcs.source,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("sBase.s_fp"), 4)} AS est_base,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("sBatch.s_fp"), 4)} AS est_batch,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("sAll.s_fp"), 4)} AS est_total
+       |FROM srcs LEFT JOIN sBase USING (source)
+       |          LEFT JOIN sBatch USING (source)
+       |          LEFT JOIN sAll USING (source)
+       |ORDER BY srcs.source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q185_hll_incremental" -> (q185 _),
     "q181_profile_quantiles" -> (q181 _),
     "q183_stream_hll_warehouse" -> (q183 _),
     "q180_hll_overlap" -> (q180 _),
@@ -1106,6 +1228,7 @@ object SketchQueries {
     "q77_bloom_prune" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
+    "q185_hll_incremental" -> q185Sql,
     "q181_profile_quantiles" -> q181Sql,
     // q183 shares q178's day-direct oracle: the hash-compare is what
     // certifies stream→store→merge→rollup == one direct batch pass
