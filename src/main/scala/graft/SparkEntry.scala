@@ -27,7 +27,7 @@ object SparkEntry {
       Reshape.queries ++ RangeJoin.queries ++ Layout.queries ++ // q85 rides in PqQueries.queries
       JobCores.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
       GraphOps.queries ++ Retrieval.queries ++ CurationOps.queries ++
-      SkewQueries.queries ++ TemporalOps.queries
+      SkewQueries.queries ++ TemporalOps.queries ++ AnalyzeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -40,5 +40,5 @@ object SparkEntry {
       Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles ++
       JobCores.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
       GraphOps.oracles ++ Retrieval.oracles ++ CurationOps.oracles ++
-      SkewQueries.oracles ++ TemporalOps.oracles
+      SkewQueries.oracles ++ TemporalOps.oracles ++ AnalyzeOps.oracles
 }

@@ -1064,13 +1064,21 @@ object SketchQueries {
   // table produce moments, NDV, and quantiles for every column with
   // nothing proportional to NDV or group size anywhere.
   // ---------------------------------------------------------------
-  private val QProfileCols: Seq[(String, Double, Double)] = Seq(
+  private[graft] val QProfileCols: Seq[(String, Double, Double)] = Seq(
     ("l_quantity", 0.0, 64.0),
     ("l_extendedprice", 0.0, 131072.0),
     ("l_discount", 0.0, 0.125),
     ("l_tax", 0.0, 0.125))
 
-  def q181(spark: SparkSession, dir: String): DataFrame = {
+  def q181(spark: SparkSession, dir: String): DataFrame =
+    quantileProfile(spark, dir, HistQs)
+
+  /** q181's one-aggregate quantile pass, parameterized on the
+    * quantile list — AnalyzeOps reuses it with the five-point set the
+    * persisted stats table carries.
+    */
+  private[queries] def quantileProfile(spark: SparkSession, dir: String,
+                                       qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val one = Tables.lineitem(spark, dir).agg(
       graft.functions.HistogramSketch.histogram(
@@ -1093,7 +1101,7 @@ object SketchQueries {
     val t = bins
       .withColumn("cum", sum(col("c")).over(cw.orderBy(col("bin"))))
       .withColumn("n", sum(col("c")).over(cw))
-    val qsDf = spark.range(1).select(explode(array(HistQs.map(lit): _*)).as("q"))
+    val qsDf = spark.range(1).select(explode(array(qs.map(lit): _*)).as("q"))
     val r = t.crossJoin(broadcast(qsDf))
       .withColumn("rank", ceil(col("q") * col("n").cast("double")).cast("long"))
       .where(col("cum") >= col("rank"))
@@ -1108,7 +1116,9 @@ object SketchQueries {
       .orderBy(col("col_name"), col("q"))
   }
 
-  val q181Sql: String = {
+  val q181Sql: String = quantileProfileSql(HistQs)
+
+  private[queries] def quantileProfileSql(qs: Seq[Double]): String = {
     val legs = QProfileCols.map { case (cn, lo, hi) =>
       s"""SELECT '$cn' AS cn, ${graft.functions.HistogramSketch.binSql(cn, lo, hi, HistBins)} AS bin
          |    FROM lineitem""".stripMargin
@@ -1128,7 +1138,7 @@ object SketchQueries {
        |  FROM b),
        |r AS (
        |  SELECT t.*, q, CAST(CEIL(q * n::DOUBLE) AS BIGINT) AS rank
-       |  FROM t CROSS JOIN (SELECT unnest([${HistQs.mkString(", ")}]::DOUBLE[]) AS q) qs),
+       |  FROM t CROSS JOIN (SELECT unnest([${qs.mkString(", ")}]::DOUBLE[]) AS q) qs),
        |pick AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cn, q ORDER BY bin) AS rk
        |  FROM r WHERE cum >= rank)
