@@ -110,7 +110,11 @@ object Plans {
       "q179_profile_hll" -> "ANALYZE profile with HLL NDV: one scan -> map-side generate -> single (col)-keyed aggregate, 256-byte state; NO Expand, NO distinct shuffle (vs q145's exact path)",
       "q180_hll_overlap" -> "pairwise source overlap by inclusion-exclusion over register ROWS: one corpus aggregate, then the whole O(sources^2) matrix is a projection on a tiny self-join (scalar union/S kernels)",
       "q181_profile_quantiles" -> "per-column p50/p90/p99 from ONE global aggregate of four histogram sketches (~16 KB state); quantile solve on the <=4x514-row counter frame — the quantile half of the one-pass ANALYZE",
-      "q173_rand_proj" -> "random projection: 16x64 sign matrix baked as a plan literal, exact-integer folds, ONE shuffle-free encode pass + O(labels) rollup")
+      "q173_rand_proj" -> "random projection: 16x64 sign matrix baked as a plan literal, exact-integer folds, ONE shuffle-free encode pass + O(labels) rollup",
+      "q182_ann_partition_pruned" -> "IVF cell id as the storage partition key: probed cells land in PartitionFilters (+DPP from the cell join), scan opens only nprobe-union directories",
+      "q183_stream_hll_warehouse" -> "stream->warehouse seam: day rollup reads ONLY the maintained hourly register table (hllMergeRegs merge-on-write absorbed the stream); raw events touched once, by the stream",
+      "q184_analyze_decisions" -> "ANALYZE consumer: decisions computed on the O(columns) persisted stats table — rank window + pure projections, fact table never scanned",
+      "q185_hll_incremental" -> "incremental sketch maintenance: two sources-sized register frames full-outer joined, scalar register-max union — merge == rebuild certified by the direct oracle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")
