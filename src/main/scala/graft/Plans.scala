@@ -114,7 +114,8 @@ object Plans {
       "q182_ann_partition_pruned" -> "IVF cell id as the storage partition key: probed cells land in PartitionFilters (+DPP from the cell join), scan opens only nprobe-union directories",
       "q183_stream_hll_warehouse" -> "stream->warehouse seam: day rollup reads ONLY the maintained hourly register table (hllMergeRegs merge-on-write absorbed the stream); raw events touched once, by the stream",
       "q184_analyze_decisions" -> "ANALYZE consumer: decisions computed on the O(columns) persisted stats table — rank window + pure projections, fact table never scanned",
-      "q185_hll_incremental" -> "incremental sketch maintenance: two sources-sized register frames full-outer joined, scalar register-max union — merge == rebuild certified by the direct oracle")
+      "q185_hll_incremental" -> "incremental sketch maintenance: two sources-sized register frames full-outer joined, scalar register-max union — merge == rebuild certified by the direct oracle",
+      "q186_analyze_incremental" -> "incremental ANALYZE: per-slice stats vectors (n/min/max/decimal-sum/HLL regs/histogram counters) merged in pure algebra — appended-partition scan only, merged == direct certified by the oracle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -110,7 +110,81 @@ object AnalyzeOps {
        |ORDER BY col_name""".stripMargin
   }
 
-  def queries: Map[String, Q] = Map("q184_analyze_decisions" -> (q184 _))
+  // ---------------------------------------------------------------
+  // q186_analyze_incremental — ANALYZE maintenance for an append-only
+  // fact table, executed against the direct oracle: the ENTIRE
+  // per-column stats row is a mergeable sketch vector (n adds, min/
+  // max fold, the decimal sum adds exactly, NDV registers merge by
+  // max, histogram counters add), so when a partition lands, ANALYZE
+  // scans ONLY the appended rows and merges two O(columns) vectors —
+  // never the table. Here the corpus splits into a base generation
+  // and an append batch (l_orderkey % 8 = 0), each side runs q179's
+  // moments pass (registers kept raw) and q181's histogram aggregate,
+  // the vectors merge in pure DataFrame algebra, and the DuckDB
+  // oracle computes every number DIRECTLY from the whole table — the
+  // hash-compare certifies merged == direct for all five component
+  // algebras at once, including the register and counter identities.
+  // ---------------------------------------------------------------
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, dir)
+    val base = li.where(pmod(col("l_orderkey"), lit(8)) =!= 0)
+    val batch = li.where(pmod(col("l_orderkey"), lit(8)) === 0)
+    // per-slice moments vector: n, raw registers, min, max, exact
+    // decimal sum — every component re-mergeable
+    def moments(src: DataFrame): DataFrame =
+      SketchQueries.profilePairs(src)
+        .withColumn("h", SketchQueries.profileHash(col("v")))
+        .groupBy(col("cn"))
+        .agg(count(lit(1)).as("n"),
+          HllSketch.hllRegisters(col("h")).as("regs"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          sum(col("v").cast("decimal(18,6)")).as("sum_dec"))
+    val m = moments(base).unionByName(moments(batch))
+      .groupBy(col("cn"))
+      .agg(sum(col("n")).as("n"),
+        HllSketch.hllMergeSummary(col("regs")).as("hs"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        sum(col("sum_dec")).cast("double").as("sum_v"))
+      .select(col("cn").as("col_name"), col("n"),
+        rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4).as("est_ndv"),
+        col("min_v"), col("max_v"), col("sum_v"))
+    // per-slice histogram counters ADD, then the identical solve
+    val bins = SketchQueries.histBins(SketchQueries.histAgg(base))
+      .unionByName(SketchQueries.histBins(SketchQueries.histAgg(batch)))
+      .groupBy(col("cn"), col("lo"), col("w"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val qp = SketchQueries.quantileSolve(spark, bins, SketchQueries.HistQs)
+    val pivots = SketchQueries.HistQs.map(q =>
+      max(when(col("q") === q, col("p_est"))).as(pName(q)))
+    val qpiv = qp.groupBy(col("col_name")).agg(pivots.head, pivots.tail: _*)
+    m.join(qpiv, "col_name").orderBy(col("col_name"))
+  }
 
-  def oracles: Map[String, String] = Map("q184_analyze_decisions" -> q184Sql)
+  val q186Sql: String = {
+    val pivot = SketchQueries.HistQs.map(q =>
+      s"MAX(CASE WHEN q = $q THEN p_est END) AS ${pName(q)}").mkString(",\n    ")
+    s"""WITH stats AS (
+       |  SELECT col_name, n, est_ndv, min_v, max_v, sum_v
+       |  FROM (${SketchQueries.q179Sql})),
+       |qpiv AS (
+       |  SELECT col_name,
+       |    $pivot
+       |  FROM (${SketchQueries.quantileProfileSql(SketchQueries.HistQs)})
+       |  GROUP BY col_name)
+       |SELECT col_name, n, est_ndv, min_v, max_v, sum_v, p50, p90, p99
+       |FROM stats JOIN qpiv USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q184_analyze_decisions" -> (q184 _),
+    "q186_analyze_incremental" -> (q186 _))
+
+  def oracles: Map[String, String] = Map(
+    "q184_analyze_decisions" -> q184Sql,
+    "q186_analyze_incremental" -> q186Sql)
 }

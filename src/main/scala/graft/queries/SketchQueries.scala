@@ -245,7 +245,7 @@ object SketchQueries {
   final val HistLo = 0.0
   final val HistHi = 120000.0
   final val HistBins = 512
-  private val HistQs = Seq(0.5, 0.9, 0.99)
+  private[graft] val HistQs = Seq(0.5, 0.9, 0.99)
 
   def q73(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -439,7 +439,7 @@ object SketchQueries {
   // exchange too — q179 below IS that variant, with graft_hll keeping
   // it hash-oracle-checkable where approx_count_distinct is not.
   // ---------------------------------------------------------------
-  private val ProfileCols = Seq("l_quantity", "l_extendedprice",
+  private[queries] val ProfileCols = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax")
 
   def q145(spark: SparkSession, dir: String): DataFrame =
@@ -464,6 +464,27 @@ object SketchQueries {
   // range-checked. est_ndv at sf0.1: l_extendedprice ~530k true NDV
   // through 256 registers — the regime the sketch exists for.
   // ---------------------------------------------------------------
+  /** The (cn, v) profile pairs over any lineitem-shaped frame — the
+    * H1 repartition and the null drop factored so q179 and q186's
+    * incremental slices run the identical map side.
+    */
+  private[queries] def profilePairs(src: DataFrame): DataFrame =
+    src
+      .select(ProfileCols.map(col): _*)
+      .repartition(src.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
+      .select(col("p.cn").as("cn"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+
+  /** hash60 of the exact ×100-lattice value — q179's NDV hash, shared
+    * with q186's incremental register legs (same hash set ⇒ merged
+    * registers are bit-equal to direct ones).
+    */
+  private[queries] def profileHash(v: org.apache.spark.sql.Column) =
+    TextKernels.hash60StrCol(
+      floor(v.cast("double") * 100 + 0.5).cast("long").cast("string"))
+
   def q179(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
     val spark2 = spark
@@ -474,20 +495,13 @@ object SketchQueries {
     // round-robin exchange carries the narrow 4-column raw rows BEFORE
     // the 4x explode (600k rows, not 2.4M pairs); at production split
     // counts the scan itself provides the parallelism.
-    val pairs = Tables.lineitem(spark, dir)
-      .select(ProfileCols.map(col): _*)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode(array(ProfileCols.map(c =>
-        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
-      .select(col("p.cn").as("cn"), col("p.v").as("v"))
-      .where(col("v").isNotNull)
+    val pairs = profilePairs(Tables.lineitem(spark, dir))
     // hash60 via the StaticInvoke kernel, not the md5/conv expression
     // chain — bit-identical (KernelSpec) and measured 2.2x faster at
     // sf0.1 (1.17 vs 2.55 s for the 2.4M-hash pass); hashing is the
     // dominant cost of this profile, the aggregate is 256 bytes/column
     val agg = pairs
-      .withColumn("h", TextKernels.hash60StrCol(
-        floor(col("v").cast("double") * 100 + 0.5).cast("long").cast("string")))
+      .withColumn("h", profileHash(col("v")))
       .groupBy(col("cn"))
       .agg(count(lit(1)).as("n"),
         HllSketch.hllSummary(col("h")).as("hs"),
@@ -1075,12 +1089,18 @@ object SketchQueries {
 
   /** q181's one-aggregate quantile pass, parameterized on the
     * quantile list — AnalyzeOps reuses it with the five-point set the
-    * persisted stats table carries.
+    * persisted stats table carries, and q186 merges the COUNTER
+    * frames of two corpus slices before the identical solve.
     */
-  private[queries] def quantileProfile(spark: SparkSession, dir: String,
-                                       qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val one = Tables.lineitem(spark, dir).agg(
+  private[graft] def quantileProfile(spark: SparkSession, dir: String,
+                                       qs: Seq[Double]): DataFrame =
+    quantileSolve(spark, histBins(histAgg(Tables.lineitem(spark, dir))), qs)
+
+  /** The ONE global aggregate: four histogram sketches side by side
+    * (~16 KB state) over any lineitem-shaped frame.
+    */
+  private[queries] def histAgg(src: DataFrame): DataFrame =
+    src.agg(
       graft.functions.HistogramSketch.histogram(
         col(QProfileCols.head._1).cast("double"),
         QProfileCols.head._2, QProfileCols.head._3, HistBins).as("h0"),
@@ -1088,7 +1108,12 @@ object SketchQueries {
         graft.functions.HistogramSketch.histogram(
           col(cn).cast("double"), lo, hi, HistBins).as(s"h${i + 1}")
       }: _*)
-    val bins = one
+
+  /** Unpack the 4-array aggregate row to the (cn, lo, w, bin, c)
+    * counter frame (≤ 4 × bins rows; zero counters dropped).
+    */
+  private[queries] def histBins(one: DataFrame): DataFrame =
+    one
       .select(explode(array(QProfileCols.zipWithIndex.map {
         case ((cn, lo, hi), i) =>
           struct(lit(cn).as("cn"), lit(lo).as("lo"),
@@ -1097,6 +1122,15 @@ object SketchQueries {
       .select(col("s.cn").as("cn"), col("s.lo").as("lo"), col("s.w").as("w"),
         posexplode(col("s.h")).as(Seq("bin", "c")))
       .where(col("c") > 0)
+
+  /** The q73/q181 estimator (left edge + linear interpolation at rank
+    * ceil(q·n)) over a counter frame — a pure function of the
+    * deterministic counters, so it commutes with counter MERGING
+    * (q186's incremental path) and replays bit-for-bit in DuckDB.
+    */
+  private[queries] def quantileSolve(spark: SparkSession, bins: DataFrame,
+                                     qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cw = Window.partitionBy(col("cn"))
     val t = bins
       .withColumn("cum", sum(col("c")).over(cw.orderBy(col("bin"))))

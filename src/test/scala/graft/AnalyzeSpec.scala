@@ -52,4 +52,34 @@ class AnalyzeSpec extends SparkTestBase {
     assert(picked.head.getAs[Double]("est_ndv") ==
       rows.map(_.getAs[Double]("est_ndv")).min)
   }
+
+  test("q186 merged stats equal the direct single-pass stats (Spark-side identity)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SketchQueries
+    // the oracle certifies merged == direct cross-engine; this pins
+    // the same identity WITHIN Spark against the q179/q181 green paths
+    val merged = AnalyzeOps.q186(spark, Sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val direct = SketchQueries.q179(spark, Sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val qp = SketchQueries.quantileProfile(spark, Sf, SketchQueries.HistQs)
+      .collect()
+      .groupBy(_.getAs[String]("col_name"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Double]("q") -> r.getAs[Double]("p_est")).toMap).toMap
+    assert(merged.keySet == direct.keySet && merged.size == 4)
+    merged.foreach { case (cn, m) =>
+      val d = direct(cn)
+      assert(m.getAs[Long]("n") == d.getAs[Long]("n"))
+      assert(m.getAs[Double]("est_ndv") == d.getAs[Double]("est_ndv"),
+        s"$cn: merged registers must estimate exactly like direct ones")
+      assert(m.getAs[Double]("min_v") == d.getAs[Double]("min_v"))
+      assert(m.getAs[Double]("max_v") == d.getAs[Double]("max_v"))
+      assert(m.getAs[Double]("sum_v") == d.getAs[Double]("sum_v"))
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").foreach { case (q, p) =>
+        assert(m.getAs[Double](p) == qp(cn)(q),
+          s"$cn $p: merged histogram counters must solve exactly like direct")
+      }
+    }
+  }
 }
