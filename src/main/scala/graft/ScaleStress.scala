@@ -447,6 +447,12 @@ object ScaleStress {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
     }
+    // incremental source-sketch maintenance at 10x: two corpus-slice
+    // register aggregates + an O(sources) full-outer merge — the wall
+    // is two scans of the 50k-doc replica; the merge itself is
+    // sources-sized and must not register on the clock at any volume
+    timeCollect("q185_hll_incremental@10x")(
+      queries.SketchQueries.q185(spark, cdir))
     // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
     // star (replica fact keys verified in-range). Assembled in a TEMP
@@ -488,6 +494,13 @@ object ScaleStress {
     // (col, value) exchange; this one has no distinct work at all)
     timeCollect("q179_profile_hll@10x")(
       queries.SketchQueries.q179(spark, gdir.toString))
+    // incremental ANALYZE at 10x: base+batch slices each pay the q179
+    // moments pass and the q181 histogram aggregate over the 6M-row
+    // replica (four scans total here — production scans ONLY the
+    // appended slice); the merge itself is O(columns) algebra, so the
+    // wall must read as two q179-scale passes, never as distinct work
+    timeCollect("q186_analyze_incremental@10x")(
+      queries.AnalyzeOps.q186(spark, gdir.toString))
 
     // ---- streaming family at 10x (watermark-bounded state audit) ----
     // 10 user-shifted copies of the event stream (1M rows, 10x the
@@ -548,6 +561,29 @@ object ScaleStress {
       val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, evTable))
       spark.sql(s"DROP TABLE IF EXISTS $evTable")
       org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    }
+    // stream→warehouse HLL seam at 10x: 1M events / 10x user keys
+    // through foreachBatch merge-upsert into the maintained register
+    // table. Wall = map-side hashing + the hourly aggregate + 30
+    // one-file day rewrites; the TABLE stays 720 rows x 256 bytes at
+    // any stream rate — print the row count as the state evidence.
+    locally {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val t0 = System.nanoTime()
+        val t = graft.streaming.SketchWarehouse.streamHourlyRegs(spark, sdir)
+        val hourRows = spark.table(t).count()
+        println(f"[stress] q183_stream_hll_warehouse@10x tableRows=$hourRows " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
     }
 
     import org.apache.spark.sql.streaming.OutputMode
