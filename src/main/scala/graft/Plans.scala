@@ -115,7 +115,8 @@ object Plans {
       "q183_stream_hll_warehouse" -> "stream->warehouse seam: day rollup reads ONLY the maintained hourly register table (hllMergeRegs merge-on-write absorbed the stream); raw events touched once, by the stream",
       "q184_analyze_decisions" -> "ANALYZE consumer: decisions computed on the O(columns) persisted stats table — rank window + pure projections, fact table never scanned",
       "q185_hll_incremental" -> "incremental sketch maintenance: two sources-sized register frames full-outer joined, scalar register-max union — merge == rebuild certified by the direct oracle",
-      "q186_analyze_incremental" -> "incremental ANALYZE: per-slice stats vectors (n/min/max/decimal-sum/HLL regs/histogram counters) merged in pure algebra — appended-partition scan only, merged == direct certified by the oracle")
+      "q186_analyze_incremental" -> "incremental ANALYZE: per-slice stats vectors (n/min/max/decimal-sum/HLL regs/histogram counters) merged in pure algebra — appended-partition scan only, merged == direct certified by the oracle",
+      "q187_pq_store_search" -> "PQ code store: probed cells in PartitionFilters over a PAYLOAD-FREE (vec_id, packed-code, nrm) layout; nibble unpack + broadcast ADC lookup scoring — q85's per-probe I/O claim executed")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -533,17 +533,197 @@ object PqQueries {
        |FROM v GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q187_pq_store_search — q85's LAST unexecuted storage claim, run:
+  // "each probe reads nprobe partitions of 4-byte codes —
+  // partition-pruned, payload-free." The compressed store is a
+  // warehouse layout PARTITIONED by the TRAINED coarse cell (q182's
+  // quantizer — both artifacts shared, nothing retrains) whose rows
+  // are (vec_id, code, nrm): the four 4-bit PQ codes PACKED into one
+  // INT (code = Σ cid_blk << 4·blk — the literal 2-byte code word; a
+  // production store packs exactly this way), plus the norm scalar.
+  // No float vector exists anywhere in the layout — AnnSpec asserts
+  // the probe scan's ReadSchema carries no embedding column AND that
+  // only the probed-cell directories are listed. Scoring unpacks the
+  // nibbles in-plan ((code >> 4·blk) & 15) and joins the broadcast
+  // per-probe ADC tables — NumBlocks lookups per candidate, exactly
+  // q85's arithmetic, so the DuckDB oracle (which recomputes codes
+  // and tables from the raw file, never seeing the packing) certifies
+  // the whole store→unpack→score path by hash. Recall on this
+  // isotropic corpus is data-limited exactly as q85's scaladoc
+  // documents; the 100 TB property being pinned is the I/O shape:
+  // per-probe-batch bytes = (probed cells' row count) × ~14 B.
+  // ---------------------------------------------------------------
+  import graft.operators.KMeansCodebook
+  final val StoreCells = 16
+  final val StoreIters = 2
+  final val StoreProbe = 2
+  private val Q187Filter = "vec_id % 500 = 0"
+
+  /** The packed-code cell store as a fingerprinted warehouse layout:
+    * one file per cell directory, rows (vec_id, code, nrm).
+    */
+  def ensurePqCellStore(spark: SparkSession, dir: String): String = {
+    val t = s"graft_pq_cell_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/embeddings.parquet", "cell") {
+      import graft.functions.VecFns
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          VecFns.normK(col("embedding")).as("nrm"))
+      val cents = KMeansCodebook.centsFrame(spark,
+        KMeansCodebook.persisted(spark, dir, StoreCells, StoreIters))
+      val assign = KMeansCodebook.assignCells(v, cents)
+      val sub = subVectors(spark, dir)
+      val packed = assignments(sub, codebooks(sub))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), blk * 4)"))
+          .cast("int").as("code"))
+      assign
+        .join(packed, "vec_id")
+        .join(v.select(col("vec_id"), col("nrm")), "vec_id")
+        .select(col("vec_id"), col("code"), col("nrm"), col("cell"))
+        .repartition(col("cell"))
+    }
+    t
+  }
+
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFns
+    val t = ensurePqCellStore(spark, dir)
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, dir, StoreCells, StoreIters))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    // probes rank their nprobe trained cells (q182's skinny frame)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probeCells = v.filter(expr(Q187Filter)).join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= StoreProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // per-probe ADC inner-product tables (queries × 4 × 16 rows)
+    val sub = subVectors(spark, dir)
+    val cents2 = codebooks(sub)
+    val tblAdc = sub.where(expr(Q187Filter))
+      .join(broadcast(cents2), col("blk") === col("c_blk"))
+      .select(col("vec_id").as("t_qid"), col("blk").as("t_blk"),
+        col("cid").as("t_cid"), dotBlk(col("sub"), col("c_sub")).as("t"))
+    val qn = v.filter(expr(Q187Filter))
+      .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    // the ONLY corpus read: the pruned, payload-free code scan
+    spark.table(t)
+      .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*))
+      .join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"), col("nrm"),
+        explode(array((0 until NumBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("code"), b * 4).bitwiseAND(lit(15))
+              .cast("int").as("cid"))): _*)).as("u"))
+      .select(col("query_id"), col("cell"), col("vec_id"), col("nrm"),
+        col("u.blk").as("blk"), col("u.cid").as("cid"))
+      .join(broadcast(tblAdc),
+        col("blk") === col("t_blk") && col("cid") === col("t_cid") &&
+          col("query_id") === col("t_qid"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"), col("nrm"))
+      .agg(sum(floor(col("t") * lit(1e9) + lit(0.5)).cast("long")).as("st"))
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        ((col("st").cast("double") / 1e9) / (col("nrm") * col("n_q"))).as("acos"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        rnd(col("acos"), 4).as("acos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: trained coarse assignment (KMeansCodebook's unrolled
+    * CTEs — q70/q182's contract) composed with q85's PQ scoring, all
+    * from the raw file; it never sees the store or the packing.
+    */
+  val q187Sql: String = {
+    import graft.functions.VecFns
+    def cosC(e: String, n: String) =
+      s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
+    val coarse = s"cents$StoreIters"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
+       |${KMeansCodebook.centsSql(StoreCells, StoreIters, Dim)},
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN $coarse c) WHERE rk = 1),
+       |probe AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT v.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
+       |    FROM v CROSS JOIN $coarse c WHERE $Q187Filter) WHERE rk <= $StoreProbe),
+       |sub AS (
+       |  SELECT vec_id, blk,
+       |    (embedding)[blk * $BlockDim + 1 : blk * $BlockDim + $BlockDim] AS sub
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${NumBlocks - 1})) AS blk) b),
+       |cents AS (
+       |  SELECT blk AS c_blk, CAST(vec_id AS INT) AS cid, sub AS c_sub
+       |  FROM sub WHERE vec_id < $Codes),
+       |codes AS (
+       |  SELECT vec_id, blk, cid FROM (
+       |    SELECT s.vec_id, s.blk, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.blk
+       |        ORDER BY ${distSql("s.sub", "c.c_sub")} ASC, c.cid ASC) AS rk
+       |    FROM sub s JOIN cents c ON s.blk = c.c_blk) WHERE rk = 1),
+       |tbl AS (
+       |  SELECT s.vec_id AS query_id, s.blk AS t_blk, c.cid AS t_cid,
+       |    ${dotBlkSql("s.sub", "c.c_sub")} AS t
+       |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE $Q187Filter),
+       |adc AS (
+       |  SELECT tbl.query_id, assign.cell, codes.vec_id,
+       |    SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT))::BIGINT AS st
+       |  FROM assign
+       |  JOIN probe ON assign.cell = probe.cell
+       |  JOIN codes ON codes.vec_id = assign.vec_id
+       |  JOIN tbl ON codes.blk = tbl.t_blk AND codes.cid = tbl.t_cid
+       |          AND tbl.query_id = probe.query_id
+       |  WHERE assign.vec_id <> probe.query_id
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT adc.query_id, adc.cell, adc.vec_id,
+       |    (adc.st::DOUBLE / 1000000000.0) / (cv.nrm * qv.nrm) AS acos
+       |  FROM adc
+       |  JOIN v cv ON cv.vec_id = adc.vec_id
+       |  JOIN v qv ON qv.vec_id = adc.query_id)
+       |SELECT query_id, cell, vec_id, ${rndSql("acos", 4)} AS acos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY acos DESC, vec_id ASC) AS INT) AS rank
+       |FROM scored QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q75_pq_encode" -> (q75 _),
     "q76_pq_adc" -> (q76 _),
     "q85_ivfpq_search" -> (q85 _),
     "q171_sq8_quantize" -> (q171 _),
-    "q173_rand_proj" -> (q173 _))
+    "q173_rand_proj" -> (q173 _),
+    "q187_pq_store_search" -> (q187 _))
 
   def oracles: Map[String, String] = Map(
     "q75_pq_encode" -> q75Sql,
     "q76_pq_adc" -> q76Sql,
     "q85_ivfpq_search" -> q85Sql,
     "q171_sq8_quantize" -> q171Sql,
-    "q173_rand_proj" -> q173Sql)
+    "q173_rand_proj" -> q173Sql,
+    "q187_pq_store_search" -> q187Sql)
 }

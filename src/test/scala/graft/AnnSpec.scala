@@ -262,4 +262,39 @@ class AnnSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.groupBy(_.getLong(0)).values
       .forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3)))
   }
+
+  test("q187 code-store scan is partition-pruned AND payload-free (no embedding column)") {
+    import graft.queries.PqQueries
+    val df = PqQueries.q187(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_pq_cell_"))).getOrElse(
+      fail("no code-store scan in q187 plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probed cells must be partition filters, got ${scan.partitionFilters}")
+    // the claim q85's scaladoc makes: the store read is CODES, never
+    // float payloads — the scan's schema must not contain embeddings
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"code-store scan must be payload-free, read ${scan.schema.fieldNames.mkString(",")}")
+    val selected = scan.relation.location.listFiles(Nil, Nil).size
+    val table = PqQueries.ensurePqCellStore(spark, Sf)
+    val total = spark.sql(s"SHOW PARTITIONS $table").count().toInt
+    assert(selected < total,
+      s"expected pruning: scanned $selected of $total cell directories")
+    // packed nibbles decode to the exact PQ assignment: unpack every
+    // stored code in plain Scala and compare against q75's oracled
+    // codes-string column
+    val packed = spark.table(table).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("code")).toMap
+    val q75codes = PqQueries.q75(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes")).toMap
+    assert(packed.keySet == q75codes.keySet && packed.nonEmpty)
+    packed.foreach { case (vid, code) =>
+      val unpacked = (0 until 4).map(b => (code >> (b * 4)) & 15).mkString("_")
+      assert(unpacked == q75codes(vid),
+        s"vec $vid: packed $code unpacks to $unpacked, q75 says ${q75codes(vid)}")
+    }
+  }
 }

@@ -192,7 +192,8 @@ class PlanSpec extends SparkTestBase {
     "q180_hll_overlap",       // sources × sources register-row pairs (tens × tens)
     "q181_profile_quantiles", // <=4x514-row counter frame × 3-row quantile literal (q73's shape)
     "q182_ann_partition_pruned", // probe × broadcast trained codebook (q70's shape); corpus side is the pruned equi-join
-    "q186_analyze_incremental") // merged counter frame × 3-row quantile literal (q73/q181's shape)
+    "q186_analyze_incremental", // merged counter frame × 3-row quantile literal (q73/q181's shape)
+    "q187_pq_store_search") // probe × broadcast trained codebook + ADC tables (q85's shape); store side is the pruned equi-join
 
   test("q179: HLL profile plans no Expand and no distinct shuffle (q145's promised 100TB shape)") {
     // q145's exact NDV needs a per-(col, value) exchange; the HLL
