@@ -453,6 +453,23 @@ object ScaleStress {
     // sources-sized and must not register on the clock at any volume
     timeCollect("q185_hll_incremental@10x")(
       queries.SketchQueries.q185(spark, cdir))
+    // PQ code store at 10x embeddings (20k vectors): setup trains the
+    // coarse codebook + writes the cell-partitioned code layout ONCE;
+    // the timed probe then reads only the probed cells' code rows —
+    // wall tracks probes × probed-cell contents, never the corpus.
+    // Both warehouse artifacts are scratch — drop after timing.
+    locally {
+      val t0 = System.nanoTime()
+      val t = queries.PqQueries.ensurePqCellStore(spark, cdir)
+      println(f"[stress] q187_store_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      timeCollect("q187_pq_store_search@10x")(queries.PqQueries.q187(spark, cdir))
+      for (tbl <- Seq(t,
+        s"graft_codebook_k16_i2_${java.lang.Integer.toHexString(cdir.hashCode)}")) {
+        val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+      }
+    }
     // graph: the 10x fact replicas in `dir` feed the edge build;
     // dimensions are volume-invariant, so the sf0.1 dims complete the
     // star (replica fact keys verified in-range). Assembled in a TEMP

@@ -77,4 +77,43 @@ class StreamSeamSpec extends SparkTestBase {
     assert(snapshot(table) == direct,
       "re-merging a replayed batch must be a no-op (register max is idempotent)")
   }
+
+  test("maintained table lifecycle: files survive re-registration; a stale fingerprint restarts empty") {
+    val t = "graft_test_seam_lifecycle"
+    val ddl = "win_us BIGINT, regs BINARY, day DATE"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    val m0 = graft.io.Warehouse.ensureMaintainedPartitionedTable(
+      spark, t, s"$Sf/events.parquet", ddl, "day")
+    assert(m0 == "created" && spark.table(t).count() == 0)
+    // maintain some rows, then lose the CATALOG (new JVM): surviving
+    // files must re-register with their rows intact (MSCK path)
+    SketchWarehouse.mergeUpsert(spark, t,
+      hashedEvents.limit(1000).groupBy(col("win_us"))
+        .agg(HllSketch.hllRegisters(col("h")).as("regs")))
+    val rows = snapshot(t)
+    assert(rows.nonEmpty)
+    spark.sql(s"DROP TABLE $t")
+    val m1 = graft.io.Warehouse.ensureMaintainedPartitionedTable(
+      spark, t, s"$Sf/events.parquet", ddl, "day")
+    assert(m1 == "files", s"expected files-reuse, got $m1")
+    assert(snapshot(t) == rows,
+      "re-registered maintained rows must survive bit-identically")
+    // a regenerated source corpus (stale fingerprint) must DROP the
+    // maintained rows — sketches of data that no longer exists
+    spark.sql(s"DROP TABLE $t")
+    val fp = new org.apache.hadoop.fs.Path(loc,
+      graft.io.Warehouse.FingerprintFile)
+    val out = fs.create(fp, true)
+    try out.write("stale".getBytes("UTF-8")) finally out.close()
+    val m2 = graft.io.Warehouse.ensureMaintainedPartitionedTable(
+      spark, t, s"$Sf/events.parquet", ddl, "day")
+    assert(m2 == "created" && spark.table(t).count() == 0,
+      "a fingerprint mismatch must restart the maintained table empty")
+    spark.sql(s"DROP TABLE $t")
+    fs.delete(loc, true)
+  }
 }
