@@ -584,23 +584,18 @@ object ScaleStress {
     // table. Wall = map-side hashing + the hourly aggregate + 30
     // one-file day rewrites; the TABLE stays 720 rows x 256 bytes at
     // any stream rate — print the row count as the state evidence.
+    // NOTE: no state-store provider swap here — the seam is
+    // foreachBatch over a stateless projection (no transformWithState,
+    // no streaming aggregate), so no state store is ever created
     locally {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val t0 = System.nanoTime()
-        val t = graft.streaming.SketchWarehouse.streamHourlyRegs(spark, sdir)
-        val hourRows = spark.table(t).count()
-        println(f"[stress] q183_stream_hll_warehouse@10x tableRows=$hourRows " +
-          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
-        val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
-      } finally prev match {
-        case Some(p) => spark.conf.set(key, p)
-        case None    => spark.conf.unset(key)
-      }
+      val t0 = System.nanoTime()
+      val t = graft.streaming.SketchWarehouse.streamHourlyRegs(spark, sdir)
+      val hourRows = spark.table(t).count()
+      println(f"[stress] q183_stream_hll_warehouse@10x tableRows=$hourRows " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
     }
 
     import org.apache.spark.sql.streaming.OutputMode

@@ -131,11 +131,8 @@ case class HllRegisters(
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var j = 0
-    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    RegMerge.max(a, b)
 
   override def eval(buf: Array[Byte]): Any = buf.clone()
 
@@ -152,6 +149,37 @@ case class HllRegisters(
   override def withNewInputAggBufferOffset(o: Int): HllRegisters =
     copy(inputAggBufferOffset = o)
   override def prettyName: String = "hll_registers"
+}
+
+/** The ONE register-max body behind every merging aggregate
+  * ([[HllRegisters]]'s partial merge, [[HllMerge]], [[HllMergeRegs]]):
+  * the loop and the M-byte input contract live here so the register
+  * protocol cannot drift between aggregate variants.
+  */
+private[functions] object RegMerge {
+  def max(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < HllSketch.M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  /** Fold one BINARY input into the buffer, validating the register
+    * width at execution time (any BINARY type-checks; width is the
+    * only execution-time evidence the input is a graft_hll_regs
+    * output). Nulls are skipped — an absent sketch contributes the
+    * empty one.
+    */
+  def absorb(buf: Array[Byte], v: Any, pretty: String): Array[Byte] = {
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == HllSketch.M,
+        s"$pretty: register array must be ${HllSketch.M} bytes (a " +
+          s"graft_hll_regs output), got ${regs.length} — the input " +
+          "column is not a graft register sketch")
+      max(buf, regs)
+    }
+    buf
+  }
 }
 
 /** Register-max merge over PERSISTED [[HllRegisters]] arrays → the
@@ -183,27 +211,11 @@ case class HllMerge(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val regs = v.asInstanceOf[Array[Byte]]
-      // width can only be known at execution (any BINARY type-checks),
-      // so this is the clearest failure available: name the function,
-      // the contract, and what the input evidently was NOT
-      require(regs.length == M,
-        s"graft_hll_merge: register array must be $M bytes (a " +
-          s"graft_hll_regs output), got ${regs.length} — the input " +
-          "column is not a graft register sketch")
-      merge(buf, regs)
-    }
-    buf
-  }
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    RegMerge.absorb(buf, child.eval(input), prettyName)
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var j = 0
-    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    RegMerge.max(a, b)
 
   override def eval(buf: Array[Byte]): Any = {
     val (s, zeros) = HllSketch.summarize(buf)
@@ -253,24 +265,11 @@ case class HllMergeRegs(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val regs = v.asInstanceOf[Array[Byte]]
-      require(regs.length == M,
-        s"graft_hll_merge_regs: register array must be $M bytes (a " +
-          s"graft_hll_regs output), got ${regs.length} — the input " +
-          "column is not a graft register sketch")
-      merge(buf, regs)
-    }
-    buf
-  }
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    RegMerge.absorb(buf, child.eval(input), prettyName)
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var j = 0
-    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    RegMerge.max(a, b)
 
   override def eval(buf: Array[Byte]): Any = buf.clone()
 

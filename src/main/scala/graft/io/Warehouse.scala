@@ -50,6 +50,50 @@ object Warehouse {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath
 
+  private def locFs(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    (loc, loc.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** True iff the stored fingerprint under `loc` matches `fp` (the
+    * CURRENT source state). An unreadable/corrupt fingerprint is a
+    * MISMATCH (forces the rebuild), never an error — the artifact
+    * must be self-healing. ONE implementation for every ensure*
+    * variant, so the protocol cannot drift between them.
+    */
+  private def survivingFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, fp: String): Boolean = {
+    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    scala.util.Try {
+      fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        prev == fp
+      }
+    }.getOrElse(false)
+  }
+
+  private def writeFingerprintRaw(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, fp: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, FingerprintFile), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-record the source state `table`'s rows now correspond to.
+    * For MAINTENANCE writers whose rewrite deletes the table
+    * directory first (overwrite insertInto does): they must restore
+    * the fingerprint after the write, or the next session judges the
+    * surviving artifact stale and pays the full rebuild.
+    */
+  private[graft] def writeFingerprint(spark: SparkSession, table: String,
+      srcPath: String): Unit = {
+    val (loc, fs) = locFs(spark, table)
+    writeFingerprintRaw(fs, loc, sourceFingerprint(spark, srcPath))
+  }
+
   /** Provide `table` in the session catalog as an external bucketed
     * layout derived from the data under `srcPath`; `build` runs only
     * when neither the catalog nor valid surviving files can serve it.
@@ -63,21 +107,9 @@ object Warehouse {
       provisioned.put(skey, "catalog")
       return "catalog"
     }
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val (loc, fs) = locFs(spark, table)
     val fp = sourceFingerprint(spark, srcPath)
-    // an unreadable/corrupt fingerprint is a MISMATCH (forces the
-    // rebuild), never an error — the artifact must be self-healing
-    val surviving = scala.util.Try {
-      fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        prev == fp
-      }
-    }.getOrElse(false)
+    val surviving = survivingFingerprint(fs, loc, fp)
     val mode =
       if (surviving) {
         // one DDL re-registers the surviving layout: external bucketed
@@ -96,8 +128,7 @@ object Warehouse {
           .option("path", loc.toString) // external: DROP TABLE keeps files
           .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
           .mode("overwrite").saveAsTable(table)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        writeFingerprintRaw(fs, loc, fp)
         "written"
       }
     provisioned.put(skey, mode)
@@ -121,19 +152,9 @@ object Warehouse {
       provisioned.put(skey, "catalog")
       return "catalog"
     }
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val (loc, fs) = locFs(spark, table)
     val fp = sourceFingerprint(spark, srcPath)
-    val surviving = scala.util.Try {
-      fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        prev == fp
-      }
-    }.getOrElse(false)
+    val surviving = survivingFingerprint(fs, loc, fp)
     val mode =
       if (surviving) {
         spark.sql(s"CREATE TABLE $table ($schemaDdl) USING parquet " +
@@ -143,8 +164,7 @@ object Warehouse {
         if (fs.exists(loc)) fs.delete(loc, true)
         build.write.option("path", loc.toString)
           .mode("overwrite").saveAsTable(table)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        writeFingerprintRaw(fs, loc, fp)
         "written"
       }
     provisioned.put(skey, mode)
@@ -219,6 +239,11 @@ object Warehouse {
     * source is unchanged ("files" + MSCK), and a regenerated corpus
     * drops the stale sketches and restarts empty — maintained rows
     * derived from data that no longer exists must never serve.
+    * Like every ensure* variant, the fingerprint is checked at
+    * REGISTRATION time: once the table is in this session's catalog
+    * it is trusted for the session (the "catalog" fast path) — a
+    * corpus regenerated UNDER a live session is outside the
+    * supported lifecycle for all warehouse artifacts here.
     */
   def ensureMaintainedPartitionedTable(spark: SparkSession, table: String,
                                        srcPath: String, schemaDdl: String,
@@ -228,19 +253,9 @@ object Warehouse {
       provisioned.put(skey, "catalog")
       return "catalog"
     }
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val (loc, fs) = locFs(spark, table)
     val fp = sourceFingerprint(spark, srcPath)
-    val surviving = scala.util.Try {
-      fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        prev == fp
-      }
-    }.getOrElse(false)
+    val surviving = survivingFingerprint(fs, loc, fp)
     val mode =
       if (surviving) {
         spark.sql(
@@ -257,8 +272,7 @@ object Warehouse {
              |USING parquet
              |PARTITIONED BY ($partCol)
              |LOCATION '${loc.toString}'""".stripMargin)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        writeFingerprintRaw(fs, loc, fp)
         "created"
       }
     provisioned.put(skey, mode)
@@ -283,19 +297,9 @@ object Warehouse {
       provisioned.put(skey, "catalog")
       return "catalog"
     }
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fpPath = new org.apache.hadoop.fs.Path(loc, FingerprintFile)
+    val (loc, fs) = locFs(spark, table)
     val fp = sourceFingerprint(spark, srcPath)
-    val surviving = scala.util.Try {
-      fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        prev == fp
-      }
-    }.getOrElse(false)
+    val surviving = survivingFingerprint(fs, loc, fp)
     val mode =
       if (surviving) {
         spark.sql(
@@ -312,8 +316,7 @@ object Warehouse {
           .option("path", loc.toString) // external: DROP TABLE keeps files
           .partitionBy(partCol)
           .mode("overwrite").saveAsTable(table)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        writeFingerprintRaw(fs, loc, fp)
         "written"
       }
     provisioned.put(skey, mode)

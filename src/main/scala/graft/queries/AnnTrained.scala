@@ -27,6 +27,27 @@ object AnnTrained {
 
   private val QueryFilter = "vec_id % 50 = 0"
 
+  /** The (query_id, cell) probe frame: probes rank their `nprobe`
+    * nearest cells of the broadcast codebook on the skinny
+    * (query, cell, cos) triples — embeddings never shuffle. ONE
+    * implementation behind q70's sweep and the q182/q187 store
+    * probes (AnnSpec's recount is independently written on purpose).
+    * `v` must carry (vec_id, embedding, nrm); `cents` is
+    * KMeansCodebook.centsFrame's (cid, e_c, n_c).
+    */
+  private[queries] def probeCells(v: DataFrame, cents: DataFrame,
+      queryFilter: String, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    v.filter(expr(queryFilter)).join(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+  }
+
   def q70(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -36,21 +57,13 @@ object AnnTrained {
         KMeansCodebook.trained(spark, dir, Cells, Iters))
     val assign = KMeansCodebook.assignCells(v, cents)
     // probes search their nprobe nearest trained cells
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("cid").asc)
-    val probeCells = v.filter(expr(QueryFilter)).join(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cid"),
-        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
-          .as("cos_c"))
-      .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= Probe)
-      .select(col("query_id"), col("cid").as("cell"))
+    val probes = probeCells(v, cents, QueryFilter, Probe)
     val q = v.filter(expr(QueryFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    assign.join(broadcast(probeCells), "cell")
+    assign.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .join(v, "vec_id")
       .join(broadcast(q), "query_id")
@@ -130,7 +143,11 @@ object AnnTrained {
   // flat file — identical results prove the partitioned layout is
   // pure storage, exactly like q146 proves it for day partitions.
   // ---------------------------------------------------------------
-  private val Q182Filter = "vec_id % 500 = 0"
+  /** The store-probe batch (q182 AND q187 share it — one definition,
+    * no drift): a handful of query ids whose probed-cell union is a
+    * strict subset of the cells, so pruning is observable at every SF.
+    */
+  private[queries] val StoreProbeFilter = "vec_id % 500 = 0"
 
   /** Cell-partitioned embeddings as a fingerprinted warehouse
     * artifact: (vec_id, embedding, nrm) under `cell=<cid>/`
@@ -166,28 +183,27 @@ object AnnTrained {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.normK(col("embedding")).as("nrm"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("cid").asc)
-    val probeCells = v.filter(expr(Q182Filter)).join(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cid"),
-        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
-          .as("cos_c"))
-      .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= Probe)
-      .select(col("query_id"), col("cid").as("cell"))
+    // the probe frame is ≤ queries × nprobe rows — compute it ONCE,
+    // collect it (bounded), and re-lift as a local relation serving
+    // BOTH consumers below (the literal cell filter and the broadcast
+    // membership join), instead of paying the probe scan twice
+    val spark2 = spark
+    import spark2.implicits._
+    val probePairs = probeCells(v, cents, StoreProbeFilter, Probe)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val probesDf = probePairs.toDF("query_id", "cell")
     // ≤ Cells distinct ids — bounded by the codebook, never by data;
     // as LITERALS they land in PartitionFilters, which a join on cell
     // (runtime values) could not guarantee without DPP
-    val cells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val q = v.filter(expr(Q182Filter))
+    val cells = probePairs.map(_._2).distinct.sorted
+    val q = v.filter(expr(StoreProbeFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     spark.table(t)
       .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*))
-      .join(broadcast(probeCells), "cell")
+      .join(broadcast(probesDf), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("cell"), col("vec_id"),
@@ -198,7 +214,7 @@ object AnnTrained {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q182Sql: String = ivfSql(Q182Filter)
+  val q182Sql: String = ivfSql(StoreProbeFilter)
 
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),

@@ -555,10 +555,9 @@ object PqQueries {
   // per-probe-batch bytes = (probed cells' row count) × ~14 B.
   // ---------------------------------------------------------------
   import graft.operators.KMeansCodebook
-  final val StoreCells = 16
-  final val StoreIters = 2
-  final val StoreProbe = 2
-  private val Q187Filter = "vec_id % 500 = 0"
+  // coarse quantizer + probe batch: AnnTrained's single definitions
+  // (q182's store and this one share the codebook artifact AND the
+  // probe semantics — twin constants here would silently drift)
 
   /** The packed-code cell store as a fingerprinted warehouse layout:
     * one file per cell directory, rows (vec_id, code, nrm).
@@ -572,7 +571,7 @@ object PqQueries {
         .select(col("vec_id"), col("embedding"),
           VecFns.normK(col("embedding")).as("nrm"))
       val cents = KMeansCodebook.centsFrame(spark,
-        KMeansCodebook.persisted(spark, dir, StoreCells, StoreIters))
+        KMeansCodebook.persisted(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
       val assign = KMeansCodebook.assignCells(v, cents)
       val sub = subVectors(spark, dir)
       val packed = assignments(sub, codebooks(sub))
@@ -592,37 +591,36 @@ object PqQueries {
     import graft.functions.VecFns
     val t = ensurePqCellStore(spark, dir)
     val cents = KMeansCodebook.centsFrame(spark,
-      KMeansCodebook.persisted(spark, dir, StoreCells, StoreIters))
+      KMeansCodebook.persisted(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.normK(col("embedding")).as("nrm"))
-    // probes rank their nprobe trained cells (q182's skinny frame)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("cid").asc)
-    val probeCells = v.filter(expr(Q187Filter)).join(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cid"),
-        (VecFns.dotCol(col("embedding"), col("e_c")) / (col("nrm") * col("n_c")))
-          .as("cos_c"))
-      .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= StoreProbe)
-      .select(col("query_id"), col("cid").as("cell"))
-    val cells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // probes rank their nprobe trained cells (q182's shared frame),
+    // computed ONCE: collected (bounded by queries x nprobe) and
+    // re-lifted as a local relation for the cell literals AND the
+    // membership join
+    val spark2 = spark
+    import spark2.implicits._
+    val probePairs = AnnTrained.probeCells(
+        v, cents, AnnTrained.StoreProbeFilter, AnnTrained.Probe)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val probesDf = probePairs.toDF("query_id", "cell")
+    val cells = probePairs.map(_._2).distinct.sorted
     // per-probe ADC inner-product tables (queries × 4 × 16 rows)
     val sub = subVectors(spark, dir)
     val cents2 = codebooks(sub)
-    val tblAdc = sub.where(expr(Q187Filter))
+    val tblAdc = sub.where(expr(AnnTrained.StoreProbeFilter))
       .join(broadcast(cents2), col("blk") === col("c_blk"))
       .select(col("vec_id").as("t_qid"), col("blk").as("t_blk"),
         col("cid").as("t_cid"), dotBlk(col("sub"), col("c_sub")).as("t"))
-    val qn = v.filter(expr(Q187Filter))
+    val qn = v.filter(expr(AnnTrained.StoreProbeFilter))
       .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("vec_id").asc)
     // the ONLY corpus read: the pruned, payload-free code scan
     spark.table(t)
       .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*))
-      .join(broadcast(probeCells), "cell")
+      .join(broadcast(probesDf), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("cell"), col("vec_id"), col("nrm"),
         explode(array((0 until NumBlocks).map(b =>
@@ -654,10 +652,10 @@ object PqQueries {
     import graft.functions.VecFns
     def cosC(e: String, n: String) =
       s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
-    val coarse = s"cents$StoreIters"
+    val coarse = s"cents${AnnTrained.Iters}"
     s"""WITH v AS (SELECT vec_id, embedding,
        |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
-       |${KMeansCodebook.centsSql(StoreCells, StoreIters, Dim)},
+       |${KMeansCodebook.centsSql(AnnTrained.Cells, AnnTrained.Iters, Dim)},
        |assign AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT v.vec_id, c.cid,
@@ -669,7 +667,7 @@ object PqQueries {
        |    SELECT v.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
-       |    FROM v CROSS JOIN $coarse c WHERE $Q187Filter) WHERE rk <= $StoreProbe),
+       |    FROM v CROSS JOIN $coarse c WHERE ${AnnTrained.StoreProbeFilter}) WHERE rk <= ${AnnTrained.Probe}),
        |sub AS (
        |  SELECT vec_id, blk,
        |    (embedding)[blk * $BlockDim + 1 : blk * $BlockDim + $BlockDim] AS sub
@@ -687,7 +685,7 @@ object PqQueries {
        |tbl AS (
        |  SELECT s.vec_id AS query_id, s.blk AS t_blk, c.cid AS t_cid,
        |    ${dotBlkSql("s.sub", "c.c_sub")} AS t
-       |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE $Q187Filter),
+       |  FROM sub s JOIN cents c ON s.blk = c.c_blk WHERE ${AnnTrained.StoreProbeFilter}),
        |adc AS (
        |  SELECT tbl.query_id, assign.cell, codes.vec_id,
        |    SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT))::BIGINT AS st

@@ -974,13 +974,22 @@ object SketchQueries {
     * bounded by construction — a source-sketch table is O(sources)
     * rows of 256 bytes, and staging the merged rows in memory is what
     * breaks the read-overwrite conflict on the table being replaced.
+    *
+    * `srcPath` is the corpus state the maintained rows now correspond
+    * to: the overwrite insert DELETES the table directory (fingerprint
+    * file included) before writing, so the fingerprint must be
+    * REWRITTEN afterwards or the very first maintenance append would
+    * silently break the cross-session files-reuse contract (the next
+    * JVM would see a missing fingerprint, judge the artifact stale,
+    * and pay the full O(corpus) rebuild q185 exists to avoid).
     */
   private[graft] def appendSourceSketchBatch(spark: SparkSession,
-      table: String, batchRegs: DataFrame): Unit = {
+      table: String, batchRegs: DataFrame, srcPath: String): Unit = {
     val merged = mergeSourceRegs(spark.table(table), batchRegs)
     val staged = spark.createDataFrame(
       java.util.Arrays.asList(merged.collect(): _*), merged.schema)
     staged.write.mode("overwrite").insertInto(table)
+    graft.io.Warehouse.writeFingerprint(spark, table, srcPath)
     spark.catalog.refreshTable(table)
   }
 
@@ -1205,7 +1214,13 @@ object SketchQueries {
     val base = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) =!= 0))
     val batch = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) === 0))
     val merged = mergeSourceRegs(base, batch)
+    // all-sources scaffold, mirroring the oracle's srcs CTE (the q179
+    // lesson): a source whose every document yields zero trigram
+    // shingles produces NO register row on either side — without the
+    // right join it would vanish here while the oracle's DISTINCT
+    // source list still emits its (NULL, NULL, NULL) row
     merged
+      .join(docs.select(col("source")).distinct(), Seq("source"), "right")
       .join(base.select(col("source"), col("r").as("r_base")),
         Seq("source"), "left")
       .join(batch.select(col("source"), col("r").as("r_batch")),

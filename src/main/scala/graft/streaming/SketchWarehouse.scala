@@ -90,9 +90,6 @@ object SketchWarehouse {
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
       else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
     val ckpt = s"$ckptBase/sketch-seam-${java.util.UUID.randomUUID()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.spark.network.util.JavaUtils.deleteRecursively(
-        new java.io.File(ckpt))))
     val q = src.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val regs = batch.groupBy(col("win_us"))
@@ -102,7 +99,15 @@ object SketchWarehouse {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally
+      // the replay is complete and the checkpoint is never revisited
+      // (each invocation starts fresh; durability lives in the TABLE,
+      // whose merge absorbs replays) — delete it NOW rather than
+      // leaking one RAM-backed directory + one JVM shutdown hook per
+      // invocation across bench/sweep/stress passes
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(ckpt))
     // the merges ran under the micro-batch's session clone;
     // upsertPartitions refreshed THAT session's relation cache, not
     // this one's — refresh here or a second pass in the same session

@@ -56,12 +56,24 @@ class IncrementalHllSpec extends SparkTestBase {
     }
     assert(regMap(spark.table(t)) == regMap(baseRegs))
     // absorb the append: O(sources) merge, no corpus re-read
-    SketchQueries.appendSourceSketchBatch(spark, t, batchRegs)
+    SketchQueries.appendSourceSketchBatch(spark, t, batchRegs,
+      s"$Sf/documents.parquet")
     val full = regMap(SketchQueries.sourceRegs(docs))
     assert(regMap(spark.table(t)) == full,
       "maintained table must equal the full rebuild after the append")
+    // the maintenance write must RESTORE the fingerprint (the
+    // overwrite insert deletes the directory first): a new session's
+    // re-registration must still take the files path, not a rebuild
+    spark.sql(s"DROP TABLE $t")
+    graft.io.Warehouse.ensureTable(spark, t,
+      s"$Sf/documents.parquet", "source STRING, r BINARY")(
+      fail("fingerprint lost by the maintenance write: rebuild forced"))
+    assert(graft.io.Warehouse.lastProvision(spark, t).contains("files"),
+      "maintained rows must re-register from surviving files")
+    assert(regMap(spark.table(t)) == full)
     // a replayed append is a no-op (register max is idempotent)
-    SketchQueries.appendSourceSketchBatch(spark, t, batchRegs)
+    SketchQueries.appendSourceSketchBatch(spark, t, batchRegs,
+      s"$Sf/documents.parquet")
     assert(regMap(spark.table(t)) == full,
       "re-appending an absorbed batch must not change the table")
     // and the q180 overlap matrix over the MAINTAINED table is the
