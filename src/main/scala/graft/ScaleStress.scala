@@ -464,7 +464,8 @@ object ScaleStress {
       println(f"[stress] q187_store_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       timeCollect("q187_pq_store_search@10x")(queries.PqQueries.q187(spark, cdir))
       for (tbl <- Seq(t,
-        s"graft_codebook_k16_i2_${java.lang.Integer.toHexString(cdir.hashCode)}")) {
+        graft.operators.KMeansCodebook.tableName(cdir,
+          queries.AnnTrained.Cells, queries.AnnTrained.Iters))) {
         val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)

@@ -113,11 +113,18 @@ object KMeansCodebook {
     * build/reread boundary because [[train]] is bit-deterministic
     * (fixed-point sums) and doubles round-trip parquet exactly.
     */
+  /** Warehouse table name of the persisted codebook — the ONE place
+    * the naming scheme lives (stress cleanup and any other caller must
+    * use this, never re-derive the string, or a rename silently
+    * orphans their drop).
+    */
+  def tableName(dir: String, k: Int, iters: Int): String =
+    s"graft_codebook_k${k}_i${iters}_" + Integer.toHexString(dir.hashCode)
+
   def persisted(spark: SparkSession, dir: String, k: Int,
                 iters: Int): Array[Array[Double]] = {
     import spark.implicits._
-    val table = s"graft_codebook_k${k}_i${iters}_" +
-      Integer.toHexString(dir.hashCode)
+    val table = tableName(dir, k, iters)
     graft.io.Warehouse.ensureTable(spark, table,
       s"$dir/embeddings.parquet",
       "cid INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL") {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -46,16 +46,40 @@ object SketchWarehouse {
     t
   }
 
+  /** The UTC calendar day of a micro-epoch window start, as pure
+    * integer arithmetic (`date_from_unix_date(win_us div 86_400e6)`)
+    * — NOT `to_date(timestamp_micros(...))`, which derives the day in
+    * the SESSION time zone: a non-UTC caller would place an existing
+    * win_us into a different day partition than earlier writes,
+    * leaving duplicate win_us rows that inflate rollup hour counts
+    * (register max would still keep estimates right — but the
+    * partition key must be a pure function of win_us, not of session
+    * state). `div` floors like Spark's integral divide for the
+    * non-negative epochs events carry; pre-1970 windows are outside
+    * this corpus's domain.
+    */
+  private val utcDay: Column =
+    expr("date_from_unix_date(CAST(win_us DIV 86400000000 AS INT))")
+
   /** Merge a batch of (win_us, regs) rows into the stored table:
     * union with the stored rows of the batch's days, register-max per
     * window ([[graft.functions.HllSketch.hllMergeRegs]]), dynamic
     * partition overwrite of exactly those days (one file per day —
     * the q146 small-files rule). Idempotent by construction.
+    *
+    * Single-writer contract: the read-merge-overwrite sequence is not
+    * atomic across CONCURRENT writers — two simultaneous upserts
+    * touching the same day would each read the same stored rows and
+    * the later dynamic overwrite would silently drop the earlier
+    * batch's registers. Register-max idempotence covers replays of
+    * one SERIAL stream (the foreachBatch path here, which Structured
+    * Streaming serializes per query); a deployment with multiple
+    * writers on one table needs an external per-table lock.
     */
   def mergeUpsert(spark: SparkSession, table: String,
                   batchRegs: DataFrame): Unit = {
     val withDay = batchRegs
-      .withColumn("day", to_date(timestamp_micros(col("win_us"))))
+      .withColumn("day", utcDay)
       .select(col("win_us"), col("regs"), col("day"))
     // the batch's restatement days — bounded by the backlog's span
     // (the unit of atomicity, same argument as compactPartition)
@@ -69,7 +93,7 @@ object SketchWarehouse {
     val merged = existing.unionByName(withDay)
       .groupBy(col("win_us"))
       .agg(HllSketch.hllMergeRegs(col("regs")).as("regs"))
-      .withColumn("day", to_date(timestamp_micros(col("win_us"))))
+      .withColumn("day", utcDay)
       .select(col("win_us"), col("regs"), col("day"))
       .repartition(col("day"))
     graft.io.Warehouse.upsertPartitions(spark, table, merged)
