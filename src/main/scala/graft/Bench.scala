@@ -102,7 +102,24 @@ object Bench {
         queries.GraphOps.prunedEdges(spark, sfDir); ()
       }),
       "png_corpus" -> (() => { queries.BinaryFiles.pngDir(spark, sfDir); () }),
-      "bpe_merges" -> (() => { queries.CorpusOps.mergesFor(spark, sfDir); () }))
+      "bpe_merges" -> (() => { queries.CorpusOps.mergesFor(spark, sfDir); () }),
+      "stats_table" -> (() => {
+        queries.AnalyzeOps.ensureStatsTable(spark, sfDir); ()
+      }),
+      "ann_cell_store_inc" -> (() => {
+        queries.AnnTrained.ensureIncrementalCellStore(spark, sfDir); ()
+      }),
+      "pq_cell_store_inc" -> (() => {
+        queries.PqQueries.ensureIncrementalPqStore(spark, sfDir); ()
+      }),
+      "tf_index_inc" -> (() => {
+        queries.Retrieval.tfIndexIncremental(spark, sfDir); ()
+      }),
+      // the q183 stream maintains this table as its OWN measurement;
+      // q193's samples then measure the pruned READ side only
+      "stream_sketch_table" -> (() => {
+        graft.streaming.SketchWarehouse.ensureStreamedHourlyRegs(spark, sfDir); ()
+      }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil
       else setupSteps.map { case (name, run) =>

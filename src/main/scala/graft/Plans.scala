@@ -116,7 +116,13 @@ object Plans {
       "q184_analyze_decisions" -> "ANALYZE consumer: decisions computed on the O(columns) persisted stats table — rank window + pure projections, fact table never scanned",
       "q185_hll_incremental" -> "incremental sketch maintenance: two sources-sized register frames full-outer joined, scalar register-max union — merge == rebuild certified by the direct oracle",
       "q186_analyze_incremental" -> "incremental ANALYZE: per-slice stats vectors (n/min/max/decimal-sum/HLL regs/histogram counters) merged in pure algebra — appended-partition scan only, merged == direct certified by the oracle",
-      "q187_pq_store_search" -> "PQ code store: probed cells in PartitionFilters over a PAYLOAD-FREE (vec_id, packed-code, nrm) layout; nibble unpack + broadcast ADC lookup scoring — q85's per-probe I/O claim executed")
+      "q187_pq_store_search" -> "PQ code store: probed cells in PartitionFilters over a PAYLOAD-FREE (vec_id, packed-code, nrm) layout; nibble unpack + broadcast ADC lookup scoring — q85's per-probe I/O claim executed",
+      "q188_stats_banded_join" -> "executed CBO: bin width read from the PERSISTED stats table, published to the planner conf; RangeJoinRewrite turns the bands containment join into a bin equi-join whose width literal IS the stored number",
+      "q189_stats_dict_join" -> "executed CBO, pure plan flip: stored est_ndv decides broadcast-vs-shuffle for the dictionary join; identical rows either way (StatsPlanSpec pins both directions)",
+      "q190_ann_store_incremental" -> "maintained ANN cell store: frozen codebook, append wave assigned alone, upsertMergeByKey rewrites only the wave's cells; probe = q182's pruned shape over the maintained layout",
+      "q191_pq_store_incremental" -> "maintained PQ code store: wave encoded under frozen quantizers, only its cell dirs rewritten; probe = q187's pruned payload-free shape",
+      "q192_bm25_incremental" -> "maintained tf index: wave postings bucket-appended (doc-disjoint rows, bucket spec re-applied); df/N/avgdl re-derive from the index — q122's scoring verbatim",
+      "q193_week_sketch_rollup" -> "week rollup over the MAINTAINED day-partitioned register table: week bounds as literal PartitionFilters, 7 of ~30 day dirs listed, register-max over <=168 stored 256-byte rows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

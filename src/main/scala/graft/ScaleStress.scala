@@ -372,6 +372,17 @@ object ScaleStress {
     // positional filters admit a fraction set by the corpus's
     // similarity structure, not its row count.
     time("q122_bm25_topk@10x")(queries.Retrieval.q122(spark, cdir).count())
+    // round-13: the maintained tf index at 10x — base (7/8 of 50k
+    // docs) builds once, the wave's postings bucket-append; scoring
+    // over the maintained layout must track q122's wall. Scratch —
+    // drop after timing.
+    time("q192_bm25_incremental@10x")(queries.Retrieval.q192(spark, cdir).count())
+    locally {
+      val ti = queries.Retrieval.tfIndexIncTable(cdir)
+      val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, ti))
+      spark.sql(s"DROP TABLE IF EXISTS $ti")
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    }
     time("q123_lm_quality@10x")(queries.Retrieval.q123(spark, cdir).count())
     time("q121_ssjoin_exact@10x")(queries.Dedup.q121(spark, cdir).count())
     val nd = queries.Dedup.ssDocs(spark, cdir).count()
@@ -463,7 +474,23 @@ object ScaleStress {
       val t = queries.PqQueries.ensurePqCellStore(spark, cdir)
       println(f"[stress] q187_store_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       timeCollect("q187_pq_store_search@10x")(queries.PqQueries.q187(spark, cdir))
-      for (tbl <- Seq(t,
+      // round-13: the maintained ANN cell store at 10x — base build +
+      // wave absorption (assigns ONLY the ~2.5k wave vectors and
+      // rewrites only their cell dirs), then the exactly-once
+      // re-ensure (an ingest-log hit that must not register on the
+      // clock), then the pruned probe over the maintained layout
+      val tInc = locally {
+        val t1 = System.nanoTime()
+        val ti = queries.AnnTrained.ensureIncrementalCellStore(spark, cdir)
+        println(f"[stress] q190_base_plus_wave_build@10x wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+        val t2 = System.nanoTime()
+        queries.AnnTrained.ensureIncrementalCellStore(spark, cdir)
+        println(f"[stress] q190_reensure_log_hit@10x wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
+        ti
+      }
+      timeCollect("q190_ann_store_incremental@10x")(
+        queries.AnnTrained.q190(spark, cdir))
+      for (tbl <- Seq(t, tInc,
         graft.operators.KMeansCodebook.tableName(cdir,
           queries.AnnTrained.Cells, queries.AnnTrained.Iters))) {
         val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Warehouse-keyed one-time artifacts: derived frames persisted as
   * EXTERNAL bucketed tables whose files outlive every session.
@@ -210,6 +211,79 @@ object Warehouse {
     // the caller's session needs the same (any cross-writer reader
     // does — stale listings read deleted part files otherwise)
     spark.catalog.refreshTable(table)
+  }
+
+  final val IngestLogFile = "_graft_ingest_log"
+
+  /** Has `batchId` already been absorbed into `table`? The ingest log
+    * is a newline-delimited id list at the table root — the miniature
+    * of a transaction log: it makes batch absorption EXACTLY-once
+    * across sessions (a merge that is merely idempotent still pays
+    * its cost on every call; a non-idempotent append — postings rows
+    * into an index — would silently duplicate). It lives beside the
+    * fingerprint and shares its lifecycle: a corpus regeneration
+    * deletes the table directory, log included, so every batch
+    * re-absorbs into the rebuilt base. Single-writer, like every
+    * maintenance write here.
+    */
+  private[graft] def ingestLogContains(spark: SparkSession, table: String,
+                                       batchId: String): Boolean = {
+    val (loc, fs) = locFs(spark, table)
+    val p = new org.apache.hadoop.fs.Path(loc, IngestLogFile)
+    scala.util.Try {
+      fs.exists(p) && {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSet
+        finally in.close()
+        lines.contains(batchId)
+      }
+    }.getOrElse(false)
+  }
+
+  /** Record `batchId` as absorbed (read-append-rewrite of the tiny
+    * log file; call AFTER the batch's write completes, so a crash
+    * between write and log re-absorbs — safe when the absorption is
+    * idempotent, and the keyed merges here are).
+    */
+  private[graft] def ingestLogAdd(spark: SparkSession, table: String,
+                                  batchId: String): Unit = {
+    val (loc, fs) = locFs(spark, table)
+    val p = new org.apache.hadoop.fs.Path(loc, IngestLogFile)
+    val prev =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } else ""
+    val out = fs.create(p, true)
+    try out.write((prev + batchId + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Merge `batch` into partitioned `table` by row key: only the
+    * partitions PRESENT in the batch are rewritten; inside them,
+    * existing rows whose `keyCol` is absent from the batch are kept
+    * and batch rows win (update semantics). This is the ingestion
+    * path of a partitioned row store — the ANN/PQ cell stores absorb
+    * an append wave by rewriting only the wave's cells — and its cost
+    * is ∝ the affected partitions' contents, never the table. The
+    * collect is the batch's distinct partition values: bounded by the
+    * batch's span (cells ≤ codebook size, days ≤ backlog span) — the
+    * same bounding argument as [[compactPartition]]. Single-writer,
+    * like [[upsertPartitions]] itself.
+    */
+  def upsertMergeByKey(spark: SparkSession, table: String, batch: DataFrame,
+                       partCol: String, keyCol: String): Unit = {
+    val cols = spark.table(table).columns.toSeq // insertInto is positional
+    val parts = batch.select(col(partCol)).distinct().collect().map(_.get(0))
+    val existing = spark.table(table)
+      .where(col(partCol).isin(parts.toIndexedSeq: _*))
+    val kept = existing.join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val merged = kept.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+      .repartition(col(partCol))
+    upsertPartitions(spark, table, merged)
   }
 
   /** Compact one partition's small files into `numFiles` (default 1)

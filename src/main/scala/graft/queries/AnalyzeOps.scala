@@ -180,11 +180,176 @@ object AnalyzeOps {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q188_stats_banded_join — the ANALYZE→PLAN loop CLOSED (VERDICT
+  // r12 item 1): a containment join whose physical plan is decided by
+  // the PERSISTED stats table. The query bands lineitem prices into
+  // the q184-recommended layout (n_bins = Sturges from stored n,
+  // band width = stored bin_w — the "recommended range-join bin
+  // width" q184 emits) and assigns every row to its band with a pure
+  // containment join (`p >= lo AND p < hi`, band bounds are
+  // PRECOMPUTED attributes — no equi key, no structural width, so
+  // without planner help this is a nested loop over bands × rows).
+  // The stats CONSUMER publishes the stored width to
+  // [[graft.plans.RangeJoinRewrite.WidthConf]] — the session-conf
+  // seam Spark's own CBO uses (stats tables feed planning confs, the
+  // optimizer reads confs) — and the rule rewrites the nested loop
+  // into a bin equi-join whose width LITERAL is the number read from
+  // the warehouse. StatsPlanSpec pins the loop end-to-end: the plan
+  // carries the stats-derived literal, doctored stats move the
+  // literal, absent stats leave the nested loop, and the rewritten
+  // and naive plans agree row-for-row (the CBO invariant).
+  //
+  // Scale shape: the fact side is scanned once and hashed on uniform
+  // bin keys; the band side (≤ 64 rows — Sturges of a BIGINT count)
+  // broadcasts. The driver-side work is ONE stats-table row — O(1)
+  // by construction, the whole point of consulting stats instead of
+  // data. The oracle recomputes stats AND banding from the raw table
+  // and joins by plain comparison — it never sees the stored table or
+  // the rewrite, so the hash-compare certifies persisted stats,
+  // decision arithmetic, and the rewritten join at once.
+  // ---------------------------------------------------------------
+  /** The column whose stored stats drive the banding. */
+  final val BandCol = "l_extendedprice"
+
+  /** (n_bins, width-in-cents, lo0-in-cents) from a stored stats row —
+    * the exact q184 decision arithmetic (bitLength bins, rnd-6 width)
+    * continued to the integer cent lattice both engines share.
+    */
+  private def bandLayout(n: Long, minV: Double, maxV: Double): (Int, Long, Long) = {
+    val nBins = 64 - java.lang.Long.numberOfLeadingZeros(n) // length(bin(n))
+    val binW = math.floor((maxV - minV) / nBins * 1000000.0 + 0.5) / 1000000.0
+    val w = math.ceil(binW * 100.0).toLong // cents; >= 1 while max > min
+    val lo0 = math.floor(minV * 100.0 + 0.5).toLong
+    (nBins, w, lo0)
+  }
+
+  /** q188's body over an explicit stats table — the spec points this
+    * at a doctored table to prove the plan FOLLOWS the stats.
+    */
+  private[graft] def statsBandedJoin(spark: SparkSession, dir: String,
+                                       statsTable: String): DataFrame = {
+    import graft.sources.Tables
+    import spark.implicits._
+    // ONE stats row — O(columns) table, O(1) read; never the data
+    val row = spark.table(statsTable)
+      .where(col("col_name") === BandCol)
+      .select(col("n"), col("min_v"), col("max_v")).head()
+    val (nBins, w, lo0) = bandLayout(row.getLong(0), row.getDouble(1),
+      row.getDouble(2))
+    val bands = (0 until nBins)
+      .map(b => (b, lo0 + b * w, lo0 + (b + 1) * w))
+      .toDF("band", "lo", "hi")
+    val pts = Tables.lineitem(spark, dir)
+      .select(floor(col(BandCol) * 100.0 + lit(0.5)).as("p"), col("l_quantity"))
+    val out = pts.join(bands, col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("band"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("band"))
+    // Publish the stored width to the planner conf and OPTIMIZE NOW:
+    // QueryExecution caches its optimized plan, so the rewrite is
+    // baked into this Dataset while the conf is restored immediately
+    // (no session-wide leakage into unrelated containment joins). A
+    // re-planning consumer (e.g. DataFrame.write builds a fresh
+    // QueryExecution) falls back to the un-rewritten — still exact —
+    // plan, which is precisely the CBO contract: stats move the plan,
+    // never the rows.
+    val key = graft.plans.RangeJoinRewrite.WidthConf
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, w.toString)
+    try out.queryExecution.optimizedPlan
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+    out
+  }
+
+  def q188(spark: SparkSession, dir: String): DataFrame =
+    statsBandedJoin(spark, dir, ensureStatsTable(spark, dir))
+
+  val q188Sql: String =
+    s"""WITH s AS (
+       |  SELECT COUNT(*) AS n, MIN($BandCol) AS min_v, MAX($BandCol) AS max_v
+       |  FROM lineitem),
+       |d AS (
+       |  SELECT CAST(length(bin(n)) AS BIGINT) AS n_bins,
+       |    CAST(ceil((${rndSql("(max_v - min_v) / length(bin(n))::DOUBLE", 6)}) * 100.0) AS BIGINT) AS wc,
+       |    CAST(floor(min_v * 100.0 + 0.5) AS BIGINT) AS lo0
+       |  FROM s),
+       |bands AS (
+       |  SELECT CAST(b AS INT) AS band, lo0 + b * wc AS lo, lo0 + (b + 1) * wc AS hi
+       |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+       |  WHERE b < n_bins),
+       |pts AS (
+       |  SELECT CAST(floor($BandCol * 100.0 + 0.5) AS BIGINT) AS p, l_quantity
+       |  FROM lineitem)
+       |SELECT band, lo, hi, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM pts JOIN bands ON pts.p >= bands.lo AND pts.p < bands.hi
+       |GROUP BY 1, 2, 3
+       |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q189_stats_dict_join — the second stored-stats plan decision, in
+  // its purest form: semantics IDENTICAL under either choice, only
+  // the physical join strategy follows the stats (the exact CBO
+  // invariant — stats move the plan, never the rows). The query tags
+  // every lineitem row with its l_quantity value's corpus frequency
+  // (the dictionary join behind frequency features and dictionary
+  // encoding) and rolls the tagged rows up per return flag. The
+  // dictionary side's size is unknowable from the query text — it is
+  // est_ndv(l_quantity) rows — so the consumer reads the STORED
+  // est_ndv and broadcasts the dictionary iff the stats call it
+  // low-cardinality (q184's low_card rule): ~50 distinct values →
+  // broadcast hash join, no shuffle of the fact side; a doctored
+  // est_ndv above the threshold plans the shuffle join instead
+  // (StatsPlanSpec asserts both directions AND row equality). This
+  // is the decision Spark cannot make statically — its size estimate
+  // for an aggregate output is the input's, ndv is exactly what
+  // ANALYZE exists to know.
+  // ---------------------------------------------------------------
+  /** q189's body over an explicit stats table (spec seam, as above). */
+  private[graft] def statsDictJoin(spark: SparkSession, dir: String,
+                                     statsTable: String): DataFrame = {
+    import graft.sources.Tables
+    val estNdv = spark.table(statsTable)
+      .where(col("col_name") === "l_quantity")
+      .select(col("est_ndv")).head().getDouble(0)
+    val li = Tables.lineitem(spark, dir)
+    val dict = li.groupBy(col("l_quantity").as("qv"))
+      .agg(count(lit(1)).as("cnt"))
+    val side = if (estNdv < LowCardNdv) broadcast(dict) else dict
+    li.join(side, col("l_quantity") === col("qv"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cnt")).as("sum_freq"),
+        rnd(sum(col("cnt")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_freq"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q189(spark: SparkSession, dir: String): DataFrame =
+    statsDictJoin(spark, dir, ensureStatsTable(spark, dir))
+
+  val q189Sql: String =
+    s"""WITH dict AS (
+       |  SELECT l_quantity AS qv, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, COUNT(*) AS n_rows, SUM(cnt)::BIGINT AS sum_freq,
+       |  ${rndSql("SUM(cnt)::DOUBLE / COUNT(*)::DOUBLE", 4)} AS avg_freq
+       |FROM lineitem JOIN dict ON l_quantity = qv
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q184_analyze_decisions" -> (q184 _),
-    "q186_analyze_incremental" -> (q186 _))
+    "q186_analyze_incremental" -> (q186 _),
+    "q188_stats_banded_join" -> (q188 _),
+    "q189_stats_dict_join" -> (q189 _))
 
   def oracles: Map[String, String] = Map(
     "q184_analyze_decisions" -> q184Sql,
-    "q186_analyze_incremental" -> q186Sql)
+    "q186_analyze_incremental" -> q186Sql,
+    "q188_stats_banded_join" -> q188Sql,
+    "q189_stats_dict_join" -> q189Sql)
 }

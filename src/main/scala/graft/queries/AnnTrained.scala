@@ -156,25 +156,83 @@ object AnnTrained {
     * the PERSISTED codebook, so a later JVM re-registers both
     * artifacts and never re-trains or re-assigns.
     */
+  /** The store's row frame — (vec_id, embedding, nrm, cell) for every
+    * corpus vector matching `filter`, assigned by the PERSISTED
+    * (frozen) codebook. One definition behind the full build, the
+    * incremental base, and the append wave: the filter pushes to the
+    * embeddings scan, so an append wave reads and assigns ONLY its own
+    * vectors.
+    */
+  private def cellRows(spark: SparkSession, dir: String,
+                       filter: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .where(expr(filter))
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, dir, Cells, Iters))
+    KMeansCodebook.assignCells(v, cents)
+      .join(v, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
   def ensureCellPartitionedEmbeddings(spark: SparkSession, dir: String): String = {
     val t = s"graft_emb_cell_${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.io.Warehouse.ensurePartitionedTable(spark, t,
       s"$dir/embeddings.parquet", "cell") {
-      val v = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"),
-          VecFns.normK(col("embedding")).as("nrm"))
-      val cents = KMeansCodebook.centsFrame(spark,
-        KMeansCodebook.persisted(spark, dir, Cells, Iters))
-      KMeansCodebook.assignCells(v, cents)
-        .join(v, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-        .repartition(col("cell"))
+      cellRows(spark, dir, "true").repartition(col("cell"))
     }
     t
   }
 
-  def q182(spark: SparkSession, dir: String): DataFrame = {
-    val t = ensureCellPartitionedEmbeddings(spark, dir)
+  // ---------------------------------------------------------------
+  // q190_ann_store_incremental — the q182 store MAINTAINED instead of
+  // rebuilt (VERDICT r12 item 2): the corpus splits into a base
+  // generation and an append wave (vec_id % 8 = 0 — the q185/q186
+  // deterministic split), the base builds the cell-partitioned layout
+  // once, and the wave is ABSORBED by the vector-store ingestion
+  // path: the codebook stays frozen (reread from its warehouse
+  // artifact — nothing retrains), ONLY the wave's vectors are scanned
+  // and assigned (the filter reaches the parquet scan), and
+  // [[graft.io.Warehouse.upsertMergeByKey]] rewrites only the wave's
+  // cell directories — untouched cells keep their files byte-for-byte
+  // (IncrementalStoreSpec asserts exactly that at the file level).
+  // The ingest log makes absorption exactly-once across sessions, so
+  // repeated probes never re-pay the merge. Because assignment under
+  // a frozen codebook is a pure per-vector function, the maintained
+  // store's CONTENT equals the one-shot rebuild's — so the probe
+  // below shares q182's oracle verbatim: the hash-compare certifies
+  // incremental == rebuild, the store twin of q185's merge == rebuild
+  // for sketches. At 100 TB this is the difference between a nightly
+  // full re-layout of the vector corpus and touching ~nprobe cells
+  // per ingested shard.
+  // ---------------------------------------------------------------
+  /** The maintained (base + absorbed append wave) cell store. */
+  def ensureIncrementalCellStore(spark: SparkSession, dir: String): String = {
+    val t = s"graft_emb_cellinc_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/embeddings.parquet", "cell") {
+      cellRows(spark, dir, "vec_id % 8 != 0").repartition(col("cell"))
+    }
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, "append_mod8")) {
+      graft.io.Warehouse.upsertMergeByKey(spark, t,
+        cellRows(spark, dir, "vec_id % 8 = 0"), "cell", "vec_id")
+      graft.io.Warehouse.ingestLogAdd(spark, t, "append_mod8")
+    }
+    t
+  }
+
+  def q190(spark: SparkSession, dir: String): DataFrame =
+    probeStore(spark, dir, ensureIncrementalCellStore(spark, dir))
+
+  def q182(spark: SparkSession, dir: String): DataFrame =
+    probeStore(spark, dir, ensureCellPartitionedEmbeddings(spark, dir))
+
+  /** q182/q190's probe over an explicit store table — the serving
+    * path is identical; only where the cells were WRITTEN differs.
+    */
+  private def probeStore(spark: SparkSession, dir: String,
+                         t: String): DataFrame = {
     val cents = KMeansCodebook.centsFrame(spark,
       KMeansCodebook.persisted(spark, dir, Cells, Iters))
     // probes arrive from OUTSIDE the store (here: the flat file, a
@@ -218,9 +276,13 @@ object AnnTrained {
 
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),
-    "q182_ann_partition_pruned" -> (q182 _))
+    "q182_ann_partition_pruned" -> (q182 _),
+    "q190_ann_store_incremental" -> (q190 _))
 
   def oracles: Map[String, String] = Map(
     "q70_ann_ivf_kmeans" -> q70Sql,
-    "q182_ann_partition_pruned" -> q182Sql)
+    "q182_ann_partition_pruned" -> q182Sql,
+    // q190 shares q182's oracle: the maintained store's content equals
+    // the rebuild's, and the hash-compare is what certifies it
+    "q190_ann_store_incremental" -> q182Sql)
 }

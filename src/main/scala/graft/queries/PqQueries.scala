@@ -559,6 +559,35 @@ object PqQueries {
   // (q182's store and this one share the codebook artifact AND the
   // probe semantics — twin constants here would silently drift)
 
+  /** The store's row frame — (vec_id, code, nrm, cell) for every
+    * corpus vector matching `filter`, encoded under the FROZEN
+    * quantizers (coarse codebook reread from its warehouse artifact;
+    * PQ sub-codebooks are the deterministic first-[[Codes]] rows, a
+    * pure function of the corpus). Shared by the full build, the
+    * incremental base, and the append wave — the wave reads, assigns
+    * and encodes only its own vectors (the filter reaches both scans).
+    */
+  private def codeRows(spark: SparkSession, dir: String,
+                       filter: String): DataFrame = {
+    import graft.functions.VecFns
+    val v = Tables.embeddings(spark, dir)
+      .where(expr(filter))
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
+    val assign = KMeansCodebook.assignCells(v, cents)
+    val sub = subVectors(spark, dir).where(expr(filter))
+    val packed = assignments(sub, codebooks(subVectors(spark, dir)))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), blk * 4)"))
+        .cast("int").as("code"))
+    assign
+      .join(packed, "vec_id")
+      .join(v.select(col("vec_id"), col("nrm")), "vec_id")
+      .select(col("vec_id"), col("code"), col("nrm"), col("cell"))
+  }
+
   /** The packed-code cell store as a fingerprinted warehouse layout:
     * one file per cell directory, rows (vec_id, code, nrm).
     */
@@ -566,30 +595,53 @@ object PqQueries {
     val t = s"graft_pq_cell_${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.io.Warehouse.ensurePartitionedTable(spark, t,
       s"$dir/embeddings.parquet", "cell") {
-      import graft.functions.VecFns
-      val v = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"),
-          VecFns.normK(col("embedding")).as("nrm"))
-      val cents = KMeansCodebook.centsFrame(spark,
-        KMeansCodebook.persisted(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
-      val assign = KMeansCodebook.assignCells(v, cents)
-      val sub = subVectors(spark, dir)
-      val packed = assignments(sub, codebooks(sub))
-        .groupBy(col("vec_id"))
-        .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), blk * 4)"))
-          .cast("int").as("code"))
-      assign
-        .join(packed, "vec_id")
-        .join(v.select(col("vec_id"), col("nrm")), "vec_id")
-        .select(col("vec_id"), col("code"), col("nrm"), col("cell"))
-        .repartition(col("cell"))
+      codeRows(spark, dir, "true").repartition(col("cell"))
     }
     t
   }
 
-  def q187(spark: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------
+  // q191_pq_store_incremental — the q187 code store MAINTAINED: the
+  // exact q190 ingestion path applied to the compressed layout. Base
+  // (vec_id % 8 != 0) builds the cell-partitioned (vec_id, code, nrm)
+  // store once; the append wave encodes ONLY its vectors under the
+  // frozen coarse + PQ quantizers and upsertMergeByKey rewrites only
+  // the wave's cell directories; the ingest log makes absorption
+  // exactly-once across sessions. Encoding under frozen quantizers is
+  // a pure per-vector function, so the maintained store's content
+  // equals the one-shot rebuild's and the probe shares q187's oracle
+  // verbatim — the hash-compare certifies incremental == rebuild for
+  // the compressed store too. The 100 TB point: code rows are ~14 B,
+  // so an ingested shard costs (shard × encode) + (affected cells'
+  // code rows rewritten) — the corpus embeddings are read only for
+  // the wave, and the float vectors still never enter the store.
+  // ---------------------------------------------------------------
+  def ensureIncrementalPqStore(spark: SparkSession, dir: String): String = {
+    val t = s"graft_pq_cellinc_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/embeddings.parquet", "cell") {
+      codeRows(spark, dir, "vec_id % 8 != 0").repartition(col("cell"))
+    }
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, "append_mod8")) {
+      graft.io.Warehouse.upsertMergeByKey(spark, t,
+        codeRows(spark, dir, "vec_id % 8 = 0"), "cell", "vec_id")
+      graft.io.Warehouse.ingestLogAdd(spark, t, "append_mod8")
+    }
+    t
+  }
+
+  def q191(spark: SparkSession, dir: String): DataFrame =
+    pqProbeStore(spark, dir, ensureIncrementalPqStore(spark, dir))
+
+  def q187(spark: SparkSession, dir: String): DataFrame =
+    pqProbeStore(spark, dir, ensurePqCellStore(spark, dir))
+
+  /** q187/q191's probe over an explicit code store — identical
+    * serving path, different write lineage.
+    */
+  private def pqProbeStore(spark: SparkSession, dir: String,
+                           t: String): DataFrame = {
     import graft.functions.VecFns
-    val t = ensurePqCellStore(spark, dir)
     val cents = KMeansCodebook.centsFrame(spark,
       KMeansCodebook.persisted(spark, dir, AnnTrained.Cells, AnnTrained.Iters))
     val v = Tables.embeddings(spark, dir)
@@ -715,7 +767,8 @@ object PqQueries {
     "q85_ivfpq_search" -> (q85 _),
     "q171_sq8_quantize" -> (q171 _),
     "q173_rand_proj" -> (q173 _),
-    "q187_pq_store_search" -> (q187 _))
+    "q187_pq_store_search" -> (q187 _),
+    "q191_pq_store_incremental" -> (q191 _))
 
   def oracles: Map[String, String] = Map(
     "q75_pq_encode" -> q75Sql,
@@ -723,5 +776,7 @@ object PqQueries {
     "q85_ivfpq_search" -> q85Sql,
     "q171_sq8_quantize" -> q171Sql,
     "q173_rand_proj" -> q173Sql,
-    "q187_pq_store_search" -> q187Sql)
+    "q187_pq_store_search" -> q187Sql,
+    // q191 shares q187's oracle: maintained store content == rebuild
+    "q191_pq_store_incremental" -> q187Sql)
 }

@@ -906,6 +906,81 @@ object SketchQueries {
   }
 
   // ---------------------------------------------------------------
+  // q193_week_sketch_rollup — the READ side of the q183 maintained
+  // table, partition-pruned (VERDICT r12 item 5): a weekly distinct-
+  // users report that opens ONLY the target week's day directories.
+  // The stream keeps the day-partitioned hourly register table
+  // current ([[graft.streaming.SketchWarehouse]], run at most once
+  // per session here — readers query the maintained table, they do
+  // not re-run the pipeline); the rollup derives its week bounds from
+  // the table's own day list (an O(1)-row aggregate over a
+  // sketch-sized table) and filters on the partition column with
+  // LITERALS, so the scan carries `day >= ws AND day < we` as
+  // PartitionFilters and lists 7 of the ~30 day directories
+  // (StreamSeamSpec asserts the listed-file count, q146-style). The
+  // week estimate is a register-max over ≤ 7×24 stored 256-byte rows
+  // — distinct reporting as a metadata operation, the q178 claim now
+  // pinned on the PRUNED read path. The oracle computes the week
+  // directly from events (it never sees the table), so the
+  // hash-compare certifies stream→store→prune→merge == direct.
+  // exact_users is test-corpus truth, as in q177/q178/q183.
+  // ---------------------------------------------------------------
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch
+    val t = graft.streaming.SketchWarehouse.ensureStreamedHourlyRegs(spark, dir)
+    // week bounds from the table's own day list — bounded by
+    // construction (one date), and a pure function of the data both
+    // engines share (min event day + 7/14)
+    val day0 = spark.table(t).agg(min(col("day"))).head().getDate(0)
+    val ws = java.sql.Date.valueOf(day0.toLocalDate.plusDays(7))
+    val we = java.sql.Date.valueOf(day0.toLocalDate.plusDays(14))
+    val wk = spark.table(t)
+      .where(col("day") >= lit(ws) && col("day") < lit(we))
+    val rolled = wk.agg(
+      count_distinct(col("day")).as("n_days"),
+      count(lit(1)).as("n_hours"),
+      HllSketch.hllMergeSummary(col("regs")).as("hs"))
+    // exact recount: test-corpus truth; the same UTC day arithmetic
+    // the stored partition key uses
+    val exact = Tables.events(spark, dir)
+      .withColumn("day",
+        expr("date_from_unix_date(CAST(unix_micros(ts) DIV 86400000000 AS INT))"))
+      .where(col("day") >= lit(ws) && col("day") < lit(we))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    rolled.crossJoin(exact)
+      .select(lit(ws).as("week_start"), col("n_days"), col("n_hours"),
+        col("exact_users"),
+        element_at(col("hs"), 2).as("zero_regs"),
+        TextFns.rnd(HllSketch.estimate(element_at(col("hs"), 1)), 4)
+          .as("est_users"))
+  }
+
+  val q193Sql: String = {
+    import graft.functions.HllSketch
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       |    user_id, ${TextFns.hash60Sql("user_id::VARCHAR")} AS h
+       |  FROM events),
+       |b AS (SELECT MIN(day) + 7 AS ws, MIN(day) + 14 AS we FROM h),
+       |wk AS (SELECT h.* FROM h, b WHERE day >= ws AND day < we),
+       |r AS (SELECT ${HllSketch.registerSql("h")} FROM wk),
+       |regs AS (SELECT j, MAX(rho) AS mj FROM r GROUP BY j),
+       |agg AS (
+       |  SELECT
+       |    (SUM(1::BIGINT << (${HllSketch.RhoMax} - mj))
+       |      + (${HllSketch.M} - COUNT(*)) * (1::BIGINT << ${HllSketch.RhoMax}))::BIGINT AS s_fp,
+       |    (${HllSketch.M} - COUNT(*))::BIGINT AS zero_regs
+       |  FROM regs),
+       |ex AS (SELECT COUNT(DISTINCT day)::BIGINT AS n_days,
+       |  COUNT(DISTINCT hr)::BIGINT AS n_hours,
+       |  COUNT(DISTINCT user_id)::BIGINT AS exact_users FROM wk)
+       |SELECT b.ws AS week_start, n_days, n_hours, exact_users, zero_regs,
+       |  ${TextFns.rndSql(HllSketch.estimateSql("s_fp"), 4)} AS est_users
+       |FROM b, agg, ex""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q180_hll_overlap — the pairwise source-overlap MATRIX from
   // sketches: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) by inclusion–
   // exclusion, where union is the register-max of the two sources'
@@ -1268,6 +1343,7 @@ object SketchQueries {
     "q185_hll_incremental" -> (q185 _),
     "q181_profile_quantiles" -> (q181 _),
     "q183_stream_hll_warehouse" -> (q183 _),
+    "q193_week_sketch_rollup" -> (q193 _),
     "q180_hll_overlap" -> (q180 _),
     "q179_profile_hll" -> (q179 _),
     "q178_hll_rollup" -> (q178 _),
@@ -1292,6 +1368,7 @@ object SketchQueries {
     // q183 shares q178's day-direct oracle: the hash-compare is what
     // certifies stream→store→merge→rollup == one direct batch pass
     "q183_stream_hll_warehouse" -> q178Sql,
+    "q193_week_sketch_rollup" -> q193Sql,
     "q180_hll_overlap" -> q180Sql,
     "q179_profile_hll" -> q179Sql,
     "q178_hll_rollup" -> q178Sql,

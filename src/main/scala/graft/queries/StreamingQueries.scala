@@ -580,24 +580,22 @@ object StreamingQueries {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val sk = EventStreams.runToMemory(
+      val emitted = EventStreams.runToMemory(
         graft.streaming.StateV2.windowDistinct(
           EventStreams.readEvents(spark, dir)).toDF(),
         name, OutputMode.Append(), ReplayStateParts)
-      // The boundedBacklog processor emits per MICRO-BATCH (TimeMode
-      // .None has no timers to defer to), so this query is correct
-      // under the one-batch AvailableNow replay convention — ASSERT
-      // it rather than assume it: a backlog that split into several
-      // batches would emit duplicate partial rows per window and the
-      // join below would silently fan out. (q183's warehouse seam is
-      // the multi-batch-safe path: it MERGES register rows on write.)
-      val dup = sk.groupBy(col("win_us")).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        "graft q177: backlog replay split into multiple micro-batches " +
-          "and emitted duplicate per-window partial rows; rerun with a " +
-          "single-batch AvailableNow replay or use the merge-on-write " +
-          "warehouse seam (q183)")
+      // The boundedBacklog processor emits a CUMULATIVE summary per
+      // micro-batch that touched the window; registers only grow, so
+      // S (and the zero-register count) is monotone non-increasing
+      // across a window's emissions and MIN selects the complete
+      // sketch. A one-batch replay makes this the identity; a backlog
+      // split across micro-batches is handled by algebra instead of
+      // the former require()-asserted one-batch convention
+      // (StreamingSpec replays a 4-file backlog at
+      // maxFilesPerTrigger=1 and pins equality).
+      val sk = emitted.groupBy(col("win_us"))
+        .agg(min(col("s_fp")).as("s_fp"),
+          min(col("zero_regs")).as("zero_regs"))
       val exact = graft.sources.Tables.events(spark, dir)
         .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
           col("user_id"))

@@ -470,7 +470,16 @@ object StateV2 {
         else new Array[Byte](graft.functions.HllSketch.M)
       it.foreach(e => graft.functions.HllSketch.updateRegisters(buf, e.h))
       if (boundedBacklog) {
-        regs.clear()
+        // ACCUMULATE across micro-batches and emit the CUMULATIVE
+        // summary each time the window sees rows (TimeMode.None has no
+        // timers to defer the emission to). Registers only grow, so S
+        // is monotone non-increasing over a window's emissions and the
+        // window's COMPLETE sketch is its MINIMUM S row — the
+        // split-safe algebra q177 selects with, replacing the former
+        // clear-and-emit-partials convention that was only correct
+        // when the backlog replayed as ONE batch (StreamingSpec pins a
+        // forced multi-batch replay).
+        regs.update(buf)
         emit(winUs, buf)
       } else {
         regs.update(buf)

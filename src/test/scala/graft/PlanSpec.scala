@@ -193,7 +193,11 @@ class PlanSpec extends SparkTestBase {
     "q181_profile_quantiles", // <=4x514-row counter frame × 3-row quantile literal (q73's shape)
     "q182_ann_partition_pruned", // probe × broadcast trained codebook (q70's shape); corpus side is the pruned equi-join
     "q186_analyze_incremental", // merged counter frame × 3-row quantile literal (q73/q181's shape)
-    "q187_pq_store_search") // probe × broadcast trained codebook + ADC tables (q85's shape); store side is the pruned equi-join
+    "q187_pq_store_search", // probe × broadcast trained codebook + ADC tables (q85's shape); store side is the pruned equi-join
+    "q190_ann_store_incremental", // q182's probe shape over the maintained store
+    "q191_pq_store_incremental", // q187's probe shape over the maintained store
+    "q192_bm25_incremental",  // q122's 1-row scalar frame × the maintained tf index
+    "q193_week_sketch_rollup") // two 1-row frames (week rollup × exact recount)
 
   test("q179: HLL profile plans no Expand and no distinct shuffle (q145's promised 100TB shape)") {
     // q145's exact NDV needs a per-(col, value) exchange; the HLL

@@ -78,6 +78,40 @@ class StreamSeamSpec extends SparkTestBase {
       "re-merging a replayed batch must be a no-op (register max is idempotent)")
   }
 
+  test("q193: the week rollup reads only the target week's day directories") {
+    val t = SketchWarehouse.ensureStreamedHourlyRegs(spark, Sf)
+    val day0 = spark.table(t).agg(min(col("day"))).head().getDate(0)
+    val ws = java.sql.Date.valueOf(day0.toLocalDate.plusDays(7))
+    val we = java.sql.Date.valueOf(day0.toLocalDate.plusDays(14))
+    val wk = spark.table(t)
+      .where(col("day") >= lit(ws) && col("day") < lit(we))
+      .agg(count(lit(1)).as("n_hours"))
+    val scans = wk.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1)
+    assert(scans.head.partitionFilters.exists(
+      _.references.exists(_.name == "day")),
+      s"week bounds must be partition filters, got ${scans.head.partitionFilters}")
+    // PruneFileSourcePartitions already rewrote the location to the
+    // pruned index; totals come from the catalog (the q146 pattern)
+    val selected = scans.head.relation.location.listFiles(Nil, Nil)
+      .map(_.files.size).sum
+    val total = spark.sql(s"SHOW PARTITIONS $t").count().toInt
+    assert(total > 7, s"fixture: expected a month of day partitions, got $total")
+    // mergeUpsert leaves one file per day, so files == pruned days
+    assert(selected == 7,
+      s"expected exactly the 7 target-week files, listed $selected of $total days")
+    // and the pruned read carries the right rows: one stored register
+    // row per populated hour window of the week (independent recount)
+    val expectHours = graft.sources.Tables.events(spark, Sf)
+      .withColumn("day",
+        expr("date_from_unix_date(CAST(unix_micros(ts) DIV 86400000000 AS INT))"))
+      .where(col("day") >= lit(ws) && col("day") < lit(we))
+      .select(expr("unix_micros(ts) DIV 3600000000")).distinct().count()
+    assert(expectHours > 0 && wk.head().getLong(0) == expectHours)
+  }
+
   test("maintained table lifecycle: files survive re-registration; a stale fingerprint restarts empty") {
     val t = "graft_test_seam_lifecycle"
     val ddl = "win_us BIGINT, regs BINARY, day DATE"

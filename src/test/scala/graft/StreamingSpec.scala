@@ -926,6 +926,53 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("bounded windowDistinct is exact under a forced multi-batch replay (q177 split-safety)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StateV2
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mdir = java.nio.file.Files.createTempDirectory("hll-split").toString
+      val ev = graft.sources.Tables.events(spark, Sf)
+      // round-robin split: every window's rows scatter across all four
+      // files, so under 1-file triggers EVERY window is a split window
+      // — the exact case the retired one-batch convention forbade
+      ev.repartition(4).write.mode("overwrite").parquet(mdir)
+      val sch = spark.read.parquet(mdir).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(mdir)
+      val (out, progress) = EventStreams.runToMemoryTracked(
+        StateV2.windowDistinct(stream).toDF(),
+        "hll_split", OutputMode.Append(), Some(4))
+      val dataBatches = progress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"fixture: expected >= 4 data micro-batches, got $dataBatches")
+      assert(out.groupBy(col("win_us")).count()
+        .where(col("count") > 1).count() > 0,
+        "fixture: no window actually split across micro-batches")
+      // a split window emits several CUMULATIVE summaries; MIN selects
+      // the complete one (registers only grow => S only shrinks) —
+      // q177's exact selection
+      val merged = out.groupBy(col("win_us"))
+        .agg(min(col("s_fp")).as("s_fp"), min(col("zero_regs")).as("zero_regs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = spark.read.parquet(mdir)
+        .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+          graft.functions.TextFns.hash60(col("user_id").cast("string")).as("h"))
+        .groupBy("win_us")
+        .agg(graft.functions.HllSketch.hllSummary(col("h")).as("hs"))
+        .select(col("win_us"), element_at(col("hs"), 1), element_at(col("hs"), 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == batch,
+        "split replay must reproduce the batch sketch exactly")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("MG trending under decrements: containment guarantee and estimate bounds at m=4") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

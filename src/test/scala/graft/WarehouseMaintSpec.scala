@@ -118,6 +118,72 @@ class WarehouseMaintSpec extends SparkTestBase {
       new java.io.File(Warehouse.tableLocation(spark, table)))
   }
 
+  test("compaction preserves a MAINTAINED table's fingerprint protocol " +
+    "(rows, files, cross-session re-registration)") {
+    // the round-12 bug class: a maintenance write that deletes the
+    // fingerprint silently turns every later session's reread into a
+    // full rebuild. compactPartition rides upsertPartitions (dynamic
+    // overwrite of ONE partition dir), so the root-level fingerprint
+    // must survive and a dropped catalog entry must re-register from
+    // files with all maintained rows intact.
+    import graft.functions.{HllSketch, TextFns}
+    val t = "graft_maint_spec_sketch"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(Warehouse.tableLocation(spark, t))
+    if (loc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+    assert(Warehouse.ensureMaintainedPartitionedTable(spark, t,
+      s"$Sf/events.parquet", "win_us BIGINT, regs BINARY, day DATE",
+      "day") == "created")
+    // three merge-upsert waves (split by hour mod 3) maintain the
+    // table exactly as q183's seam does
+    val regs = graft.sources.Tables.events(spark, Sf)
+      .select(expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
+        TextFns.hash60(col("user_id").cast("string")).as("h"))
+      .groupBy("win_us")
+      .agg(HllSketch.hllRegisters(col("h")).as("regs"))
+    (0 to 2).foreach { k =>
+      graft.streaming.SketchWarehouse.mergeUpsert(spark, t,
+        regs.where(expr(s"win_us DIV 3600000000 % 3 = $k")))
+    }
+    val rowsBefore = spark.table(t)
+      .select(col("win_us"), col("regs"), col("day")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDate(2)))
+      .toSet
+    assert(rowsBefore.nonEmpty)
+    // fragment one day (the nightly-ingest aftermath), then compact
+    val day = spark.table(t).agg(min(col("day"))).head().getDate(0).toString
+    Warehouse.upsertPartitions(spark, t,
+      spark.table(t).where(col("day") === day).repartition(5))
+    def dayFiles(): Int = new java.io.File(loc, s"day=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dayFiles() == 5, "fixture: fragmentation failed")
+    Warehouse.compactPartition(spark, t, "day", day)
+    assert(dayFiles() == 1, "compaction must leave one file")
+    val rowsAfter = spark.table(t)
+      .select(col("win_us"), col("regs"), col("day")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDate(2)))
+      .toSet
+    assert(rowsAfter == rowsBefore, "compaction must not drift a single row")
+    // the fingerprint survived every wave AND the compaction: a fresh
+    // catalog (dropped entry) re-registers from files with the
+    // maintained rows — never an empty restart, never a rebuild
+    assert(new java.io.File(loc, Warehouse.FingerprintFile).isFile,
+      "maintenance deleted the fingerprint — the round-12 bug class")
+    spark.sql(s"DROP TABLE $t")
+    assert(Warehouse.ensureMaintainedPartitionedTable(spark, t,
+      s"$Sf/events.parquet", "win_us BIGINT, regs BINARY, day DATE",
+      "day") == "files")
+    val rowsReread = spark.table(t)
+      .select(col("win_us"), col("regs"), col("day")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDate(2)))
+      .toSet
+    assert(rowsReread == rowsBefore,
+      "re-registration after compaction lost maintained rows")
+    spark.sql(s"DROP TABLE $t")
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+  }
+
   test("stream -> warehouse: foreachBatch upsert is effectively-once under batch replay") {
     import org.apache.spark.sql.streaming.Trigger
     // The streaming->warehouse sink story: each micro-batch restates
