@@ -241,24 +241,32 @@ object Warehouse {
     }.getOrElse(false)
   }
 
-  /** Record `batchId` as absorbed (read-append-rewrite of the tiny
-    * log file; call AFTER the batch's write completes, so a crash
-    * between write and log re-absorbs — safe when the absorption is
-    * idempotent, and the keyed merges here are).
+  /** Record `batchId` as absorbed. Call AFTER the batch's write
+    * completes, so a crash between write and log re-absorbs — the
+    * keyed merges are idempotent, and the one non-idempotent caller
+    * (the postings append) additionally probes the DATA before
+    * re-appending (see Retrieval.tfIndexIncremental). The update is
+    * write-temp-then-rename, never an in-place truncate: a crash
+    * mid-update must not be able to ERASE previously recorded ids
+    * (rename is atomic on HDFS/local; the delete+rename hole only
+    * loses the log, which re-absorption then repairs).
     */
   private[graft] def ingestLogAdd(spark: SparkSession, table: String,
                                   batchId: String): Unit = {
     val (loc, fs) = locFs(spark, table)
     val p = new org.apache.hadoop.fs.Path(loc, IngestLogFile)
+    val tmp = new org.apache.hadoop.fs.Path(loc, IngestLogFile + ".tmp")
     val prev =
       if (fs.exists(p)) {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       } else ""
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write((prev + batchId + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** Merge `batch` into partitioned `table` by row key: only the
@@ -276,14 +284,20 @@ object Warehouse {
   def upsertMergeByKey(spark: SparkSession, table: String, batch: DataFrame,
                        partCol: String, keyCol: String): Unit = {
     val cols = spark.table(table).columns.toSeq // insertInto is positional
-    val parts = batch.select(col(partCol)).distinct().collect().map(_.get(0))
-    val existing = spark.table(table)
-      .where(col(partCol).isin(parts.toIndexedSeq: _*))
-    val kept = existing.join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val merged = kept.select(cols.map(col): _*)
-      .unionByName(batch.select(cols.map(col): _*))
-      .repartition(col(partCol))
-    upsertPartitions(spark, table, merged)
+    // the batch lineage (a wave's assignment/encode) would otherwise
+    // run TWICE — once for the partition collect, once in the merge
+    // write; persist it so the wave is computed exactly once
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = b.select(col(partCol)).distinct().collect().map(_.get(0))
+      val existing = spark.table(table)
+        .where(col(partCol).isin(parts.toIndexedSeq: _*))
+      val kept = existing.join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+      val merged = kept.select(cols.map(col): _*)
+        .unionByName(b.select(cols.map(col): _*))
+        .repartition(col(partCol))
+      upsertPartitions(spark, table, merged)
+    } finally b.unpersist(blocking = false)
   }
 
   /** Compact one partition's small files into `numFiles` (default 1)

@@ -102,6 +102,14 @@ object KMeansCodebook {
     cache.getOrElseUpdate((System.identityHashCode(spark), dir, k, iters),
       train(spark, dir, k, iters))
 
+  /** Warehouse table name of the persisted codebook — the ONE place
+    * the naming scheme lives (stress cleanup and any other caller must
+    * use this, never re-derive the string, or a rename silently
+    * orphans their drop).
+    */
+  def tableName(dir: String, k: Int, iters: Int): String =
+    s"graft_codebook_k${k}_i${iters}_" + Integer.toHexString(dir.hashCode)
+
   /** Cross-SESSION form of [[trained]]: the codebook as a
     * fingerprinted warehouse artifact (k rows of (cid,
     * centroid DOUBLE[])), the ANN analogue of the persisted LSH pair
@@ -113,14 +121,6 @@ object KMeansCodebook {
     * build/reread boundary because [[train]] is bit-deterministic
     * (fixed-point sums) and doubles round-trip parquet exactly.
     */
-  /** Warehouse table name of the persisted codebook — the ONE place
-    * the naming scheme lives (stress cleanup and any other caller must
-    * use this, never re-derive the string, or a rename silently
-    * orphans their drop).
-    */
-  def tableName(dir: String, k: Int, iters: Int): String =
-    s"graft_codebook_k${k}_i${iters}_" + Integer.toHexString(dir.hashCode)
-
   def persisted(spark: SparkSession, dir: String, k: Int,
                 iters: Int): Array[Array[Double]] = {
     import spark.implicits._

@@ -237,8 +237,14 @@ object AnalyzeOps {
       .select(col("n"), col("min_v"), col("max_v")).head()
     val (nBins, w, lo0) = bandLayout(row.getLong(0), row.getDouble(1),
       row.getDouble(2))
+    // the LAST band's upper edge is inclusive (hi + 1 on the integer
+    // cent lattice): when the rounded width exactly tiles the range,
+    // the max value's cents land ON lo0 + nBins*w and a half-open top
+    // band would silently drop those rows — "assigns every row" must
+    // hold by construction, not by the current data's alignment
     val bands = (0 until nBins)
-      .map(b => (b, lo0 + b * w, lo0 + (b + 1) * w))
+      .map(b => (b, lo0 + b * w,
+        lo0 + (b + 1) * w + (if (b == nBins - 1) 1L else 0L)))
       .toDF("band", "lo", "hi")
     val pts = Tables.lineitem(spark, dir)
       .select(floor(col(BandCol) * 100.0 + lit(0.5)).as("p"), col("l_quantity"))
@@ -279,7 +285,8 @@ object AnalyzeOps {
        |    CAST(floor(min_v * 100.0 + 0.5) AS BIGINT) AS lo0
        |  FROM s),
        |bands AS (
-       |  SELECT CAST(b AS INT) AS band, lo0 + b * wc AS lo, lo0 + (b + 1) * wc AS hi
+       |  SELECT CAST(b AS INT) AS band, lo0 + b * wc AS lo,
+       |    lo0 + (b + 1) * wc + CASE WHEN b = n_bins - 1 THEN 1 ELSE 0 END AS hi
        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
        |  WHERE b < n_bins),
        |pts AS (

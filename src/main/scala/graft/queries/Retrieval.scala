@@ -123,10 +123,21 @@ object Retrieval {
       s"$dir/documents.parquet", "t", 8)(
       postings(docs.where(pmod(col("doc_id"), lit(8)) =!= 0)))
     if (!graft.io.Warehouse.ingestLogContains(spark, table, "append_mod8")) {
-      postings(docs.where(pmod(col("doc_id"), lit(8)) === 0))
-        .write.mode("append").insertInto(table)
+      // This append is NON-idempotent (it adds rows), so the log alone
+      // is not enough: a crash between insert and log-add — or a log
+      // read error reported as "absent" — must not duplicate the
+      // wave's postings. Probe the DATA for the wave before inserting
+      // (insertInto is all-or-nothing: an uncommitted job leaves only
+      // _temporary files, which scans ignore), and let the log entry
+      // merely record the settled state.
+      val wavePresent = spark.table(table)
+        .where(pmod(col("doc_id"), lit(8)) === 0).limit(1).count() > 0
+      if (!wavePresent) {
+        postings(docs.where(pmod(col("doc_id"), lit(8)) === 0))
+          .write.mode("append").insertInto(table)
+        spark.catalog.refreshTable(table)
+      }
       graft.io.Warehouse.ingestLogAdd(spark, table, "append_mod8")
-      spark.catalog.refreshTable(table)
     }
     spark.table(table)
   }

@@ -77,7 +77,9 @@ class StatsPlanSpec extends SparkTestBase {
       .select(col("n"), col("min_v"), col("max_v")).head()
     val bins = 64 - java.lang.Long.numberOfLeadingZeros(row.getLong(0))
     val lo0 = math.floor(row.getDouble(1) * 100.0 + 0.5).toLong
-    val bands = (0 until bins).map(b => (b, lo0 + b * w, lo0 + (b + 1) * w))
+    val bands = (0 until bins)
+      .map(b => (b, lo0 + b * w,
+        lo0 + (b + 1) * w + (if (b == bins - 1) 1L else 0L)))
       .toDF("band", "lo", "hi")
     val pts = graft.sources.Tables.lineitem(spark, Sf)
       .select(floor(col(AnalyzeOps.BandCol) * 100.0 + lit(0.5)).as("p"),
@@ -96,6 +98,13 @@ class StatsPlanSpec extends SparkTestBase {
       s"without published stats the containment join must nested-loop:\n$pNaive")
     assert(df.collect().toSeq == naive.collect().toSeq,
       "the stats-driven rewrite changed the rows")
+    // the banding PARTITIONS the corpus: the inclusive top edge means
+    // no row can fall off the end even when the rounded width exactly
+    // tiles the range
+    val banded = df.agg(sum(col("n_rows"))).head().getLong(0)
+    val totalRows = graft.sources.Tables.lineitem(spark, Sf).count()
+    assert(banded == totalRows,
+      s"banding dropped rows: $banded of $totalRows assigned")
   }
 
   test("q189: broadcast-vs-shuffle follows the stored est_ndv; rows identical") {
