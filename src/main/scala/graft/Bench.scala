@@ -119,6 +119,13 @@ object Bench {
       // q193's samples then measure the pruned READ side only
       "stream_sketch_table" -> (() => {
         graft.streaming.SketchWarehouse.ensureStreamedHourlyRegs(spark, sfDir); ()
+      }),
+      "zoned_layouts" -> (() => {
+        queries.Layout.ensureShipdateZoned(spark, sfDir)
+        queries.Layout.ensureZorderZoned(spark, sfDir); ()
+      }),
+      "neardup_index_inc" -> (() => {
+        queries.Dedup.ensureIncrementalNearDup(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

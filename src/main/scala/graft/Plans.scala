@@ -122,7 +122,10 @@ object Plans {
       "q190_ann_store_incremental" -> "maintained ANN cell store: frozen codebook, append wave assigned alone, upsertMergeByKey rewrites only the wave's cells; probe = q182's pruned shape over the maintained layout",
       "q191_pq_store_incremental" -> "maintained PQ code store: wave encoded under frozen quantizers, only its cell dirs rewritten; probe = q187's pruned payload-free shape",
       "q192_bm25_incremental" -> "maintained tf index: wave postings bucket-appended (doc-disjoint rows, bucket spec re-applied); df/N/avgdl re-derive from the index — q122's scoring verbatim",
-      "q193_week_sketch_rollup" -> "week rollup over the MAINTAINED day-partitioned register table: week bounds as literal PartitionFilters, 7 of ~30 day dirs listed, register-max over <=168 stored 256-byte rows")
+      "q193_week_sketch_rollup" -> "week rollup over the MAINTAINED day-partitioned register table: week bounds as literal PartitionFilters, 7 of ~30 day dirs listed, register-max over <=168 stored 256-byte rows",
+      "q194_zonemap_pruned" -> "file-level data skipping: per-file min/max stats table consulted before the scan, only envelope-intersecting files read (~2 of 32), exact predicate re-applied — lake-format skipping on plain parquet",
+      "q195_zonemap_zorder" -> "multi-column skipping over ONE z-ordered layout: 2-D box prunes on both keys' envelopes simultaneously; box bounds derived from the stats table (metadata-only), never the data",
+      "q196_lsh_index_incremental" -> "maintained near-dup index: wave hashed alone, stored band index probed for candidates (base never re-hashed), partners re-read ∝ candidates, gen=wave partition overwritten idempotently — q34's answer from a maintained table")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

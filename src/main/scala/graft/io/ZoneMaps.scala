@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: per-file min/max envelopes persisted as a
+  * warehouse stats table, consulted BEFORE a scan to shrink the file
+  * list a query reads.
+  *
+  * This is the data-skipping layer every 100 TB lake format carries
+  * (Delta/Iceberg file statistics, Snowflake micro-partition pruning,
+  * ORC/Parquet row-group indexes — all the same idea at different
+  * granularities) re-expressed over plain parquet: directory
+  * partitioning prunes on ONE coarse key and pays a directory per
+  * value (q146), while zone maps prune at FILE granularity on any
+  * column the writer clustered by — no small-directories problem, and
+  * with a z-ordered layout (q86's Morton curve) one layout serves
+  * range predicates on SEVERAL columns at once.
+  *
+  * The protocol has three parts, each fingerprinted through
+  * [[Warehouse]] so later JVMs reuse files instead of rebuilding:
+  *   1. a CLUSTERED layout — the table rewritten range-sorted (or
+  *      z-ordered) so each file covers a narrow envelope;
+  *   2. a STATS table — one row per file carrying min/max of the
+  *      tracked columns plus a row count, derived from the files
+  *      themselves (`input_file_name()` groupBy — one scan);
+  *   3. a PRUNED READER — intersect the query's ranges with the
+  *      envelopes, collect the surviving file names, and read exactly
+  *      those. The collect is bounded by the matching-file count —
+  *      strictly smaller than the full file list Spark's own
+  *      InMemoryFileIndex already materializes on the driver for
+  *      every scan, so this adds no new driver-memory class.
+  *
+  * Envelopes are inclusive approximations: a file may contain
+  * non-matching rows, so the caller must re-apply the exact predicate
+  * after the read (both query users here do). Skipping can therefore
+  * only ever be a strict optimization — the q194/q195 oracles certify
+  * pruned result == flat-scan result.
+  */
+object ZoneMaps {
+
+  /** One stats row per data file of `layoutTable`: row count plus
+    * min/max of each tracked column. Keyed (fingerprinted) to the
+    * layout's own directory, so a re-clustered layout invalidates its
+    * stats. Stats are derived from the FILES, not from the logical
+    * build, so they are envelope-sound by construction.
+    */
+  def ensureFileStats(spark: SparkSession, statsTable: String,
+                      layoutTable: String, tracked: Seq[String]): String = {
+    val layoutLoc = Warehouse.tableLocation(spark, layoutTable)
+    val layoutDf = spark.table(layoutTable)
+    val aggs = count(lit(1)).as("cnt") +:
+      tracked.flatMap(c => Seq(
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val ddl = layoutDf
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .schema.toDDL
+    Warehouse.ensureTable(spark, statsTable, layoutLoc, ddl) {
+      layoutDf
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    statsTable
+  }
+
+  /** Files whose envelope INTERSECTS every `(column, lo, hi)` range —
+    * the candidate set that may contain matching rows. Filtering runs
+    * distributed over the stats table; only the surviving names are
+    * collected (∝ predicate selectivity × file count).
+    */
+  def matchingFiles(spark: SparkSession, statsTable: String,
+                    ranges: Seq[(String, Any, Any)]): Seq[String] = {
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduce(_ && _)
+    spark.table(statsTable).where(pred)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Read only the files that may satisfy `ranges`. The result is the
+    * candidate superset — callers re-apply the exact predicate. An
+    * empty candidate set short-circuits to an empty frame with the
+    * layout's schema (spark.read needs at least one file otherwise).
+    */
+  def prunedRead(spark: SparkSession, layoutTable: String, statsTable: String,
+                 ranges: Seq[(String, Any, Any)]): DataFrame = {
+    val files = matchingFiles(spark, statsTable, ranges)
+    if (files.isEmpty)
+      spark.table(layoutTable).where(lit(false))
+    else
+      spark.read.parquet(files: _*)
+  }
+}

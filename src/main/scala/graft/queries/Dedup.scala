@@ -146,30 +146,50 @@ object Dedup {
     spark.table(table)
   }
 
-  private[graft] def lshScoredPairsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val base = lshBase(spark, dir)
+  /** (doc_id, band, key) rows for a (doc_id, …, sig) frame — the LSH
+    * bucket membership every candidate join keys on. Shared by the
+    * in-session pipeline (q34/q61), the persisted pair build, and the
+    * MAINTAINED band index (q196).
+    */
+  private def bandRows(rows: DataFrame): DataFrame = {
     val bandsArr = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until Rows).map(r =>
           element_at(col("sig"), b * Rows + r + 1)): _*).as("key"))
     }: _*)
-    val bands = base
-      .select(col("doc_id"), explode(bandsArr).as("bk"))
+    rows.select(col("doc_id"), explode(bandsArr).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+  }
+
+  /** Exact-Jaccard verify of a candidate pair frame against a
+    * (doc_id, sh) shingle frame covering every pair endpoint.
+    */
+  private def scorePairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val a = shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = shingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         rnd(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
   }
+
+  /** Candidates → verified scores for one (doc_id, sh, sig) frame:
+    * band self-join, distinct, exact Jaccard.
+    */
+  private def scoredPairsFor(rows: DataFrame): DataFrame = {
+    val bands = bandRows(rows)
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    scorePairs(pairs, rows)
+  }
+
+  private[graft] def lshScoredPairsUncached(spark: SparkSession, dir: String): DataFrame =
+    scoredPairsFor(lshBase(spark, dir))
 
   def q34(spark: SparkSession, dir: String): DataFrame =
     lshScoredPairs(spark, dir)
@@ -806,7 +826,121 @@ object Dedup {
        | AND levenshtein(a.p_name, b.p_name) <= $EdK
        |ORDER BY name_a, name_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q196_lsh_index_incremental — the near-dup pair set MAINTAINED
+  // instead of rebuilt: the last rebuild-only persisted artifact
+  // (the round-7 `near_dup_pairs` table) gets the q190/q192
+  // treatment. Two warehouse artifacts: a bucketed BAND INDEX
+  // (doc_id, band, key) and a generation-partitioned PAIR table.
+  // An append wave (doc_id % 8 = 0 — the standard split) is absorbed
+  // by (1) hashing ONLY the wave (the filter reaches the documents
+  // scan), (2) probing the STORED band index for wave-vs-base
+  // candidates — the base corpus is never re-hashed; its band keys
+  // are read back as ~32-byte rows — plus a wave-vs-wave self-join,
+  // (3) re-reading text for the bounded candidate-PARTNER set only
+  // (∝ candidates, not corpus) to verify exact Jaccard, and
+  // (4) overwriting only the pair table's `gen=wave` partition
+  // (idempotent under replay/crash — recompute against an index that
+  // already absorbed the wave yields the same distinct pair set) and
+  // appending the wave's bands to the index behind a data probe (the
+  // append is not idempotent; the probe closes the crash window,
+  // q192's discipline). Every new pair touches ≥1 wave doc and
+  // base-base pairs touch none, so maintained content == one-shot
+  // rebuild — q196 shares q34's oracle verbatim and the driver's
+  // hash-compare certifies incremental == rebuild.
+  // At 100 TB: ingesting a shard costs shard-sized hashing + an
+  // index probe ∝ the shard's bucket collisions — never a corpus
+  // re-hash, never an all-pairs re-verify.
+  // ---------------------------------------------------------------
+  /** (doc_id, sh, sig) for the docs matching `filter`; the filter
+    * pushes to the documents scan, so a wave pass reads only itself.
+    */
+  private def lshRows(spark: SparkSession, dir: String, filter: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(expr(filter))
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextKernels.bigramSetCol(col("text")).as("sh"),
+        TextKernels.minhashSigCol(col("text")).as("sig"))
+
+  private[graft] def nearDupTables(dir: String): (String, String) = {
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    (s"graft_lsh_band_idx_$hex", s"graft_neardup_pairs_inc_$hex")
+  }
+
+  /** Ensure the maintained band index + pair table, absorbing the
+    * base generation and the append wave exactly once each (ingest
+    * log). Returns the pair table name.
+    */
+  private[graft] def ensureIncrementalNearDup(spark: SparkSession, dir: String): String = {
+    val (idx, prs) = nearDupTables(dir)
+    val src = s"$dir/documents.parquet"
+    // band index over the BASE generation (bucketed by key: future
+    // wave probes shuffle only the wave side)
+    graft.io.Warehouse.ensureBucketedTable(spark, idx, src, "key", 8)(
+      bandRows(lshRows(spark, dir, "doc_id % 8 != 0")))
+    // the pair table is MAINTAINED: it starts empty and absorbs
+    // generations through the same upsert seam as the sketch tables
+    graft.io.Warehouse.ensureMaintainedPartitionedTable(spark, prs, src,
+      "id_a BIGINT, id_b BIGINT, jaccard DOUBLE, gen STRING", "gen")
+    if (!graft.io.Warehouse.ingestLogContains(spark, prs, "base")) {
+      val base = lshRows(spark, dir, "doc_id % 8 != 0").localCheckpoint()
+      graft.io.Warehouse.upsertPartitions(spark, prs,
+        scoredPairsFor(base).withColumn("gen", lit("base"))
+          .repartition(col("gen")))
+      graft.io.Warehouse.ingestLogAdd(spark, prs, "base")
+    }
+    if (!graft.io.Warehouse.ingestLogContains(spark, prs, "append_mod8")) {
+      val wave = lshRows(spark, dir, "doc_id % 8 = 0").localCheckpoint()
+      val waveBands = bandRows(wave)
+      val stored = spark.table(idx)
+      // wave-vs-index (≥1 wave endpoint always; after a partial crash
+      // the index may already hold the wave — the distinct makes the
+      // recompute land on the same set) + wave-vs-wave
+      val c1 = waveBands.as("x").join(stored.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      val c2 = waveBands.as("x").join(waveBands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val cand = c1.union(c2).distinct()
+      // shingles for base PARTNERS only: text re-read ∝ candidates
+      val partnerIds = cand.select(col("id_a").as("doc_id"))
+        .union(cand.select(col("id_b").as("doc_id"))).distinct()
+        .where(expr("doc_id % 8 != 0"))
+      val partnerSh = Tables.documents(spark, dir)
+        .join(partnerIds, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+      val shingles = wave.select(col("doc_id"), col("sh")).union(partnerSh)
+      graft.io.Warehouse.upsertPartitions(spark, prs,
+        scorePairs(cand, shingles).withColumn("gen", lit("wave"))
+          .repartition(col("gen")))
+      // index append is NOT idempotent → data probe closes the
+      // crash-between-append-and-log window (wave docs always carry
+      // bands, so presence ⇔ absorbed)
+      if (spark.table(idx).where(expr("doc_id % 8 = 0")).isEmpty) {
+        val cols = spark.table(idx).columns.toSeq
+        waveBands.select(cols.map(col): _*)
+          .write.mode("append").insertInto(idx)
+      }
+      graft.io.Warehouse.ingestLogAdd(spark, prs, "append_mod8")
+    }
+    prs
+  }
+
+  def q196(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureIncrementalNearDup(spark, dir))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(30)
+
   def queries: Map[String, Q] = Map(
+    "q196_lsh_index_incremental" -> (q196 _),
     "q166_editdist_join" -> (q166 _),
     "q147_neardup_prune" -> (q147 _),
     "q121_ssjoin_exact" -> (q121 _),
@@ -821,6 +955,9 @@ object Dedup {
     "q87_incremental_dedup" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
+    // maintained == rebuild: the incremental pair table must produce
+    // q34's exact answer (same contract as q190/q191/q192)
+    "q196_lsh_index_incremental" -> q34Sql,
     "q166_editdist_join" -> q166Sql,
     "q147_neardup_prune" -> q147Sql,
     "q121_ssjoin_exact" -> q121Sql,

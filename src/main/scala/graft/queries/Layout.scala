@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ZOrderLong
+import graft.io.ZoneMaps
 import graft.sources.Tables
 
 /** Data-layout queries: the write-side organization that makes the
@@ -59,7 +60,153 @@ object Layout {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
-  def queries: Map[String, Q] = Map("q86_zorder_layout" -> (q86 _))
+  private def dsum(c: Column, scale: Int = 2): Column =
+    graft.functions.ScaledSum.scaledDsum(c, scale)
 
-  def oracles: Map[String, String] = Map("q86_zorder_layout" -> q86Sql)
+  /** Target file count for the zoned layouts: enough files that
+    * skipping is observable at every SF, few enough that sf0.001's
+    * 6k rows still give ~190 rows per file.
+    */
+  final val ZoneFiles = 32
+
+  // ---------------------------------------------------------------
+  // q194_zonemap_pruned — file-level data skipping over a range-
+  // clustered layout (io/ZoneMaps.scala): lineitem rewritten as
+  // ZoneFiles files range-sorted by l_shipdate, a persisted per-file
+  // min/max stats table, and a reader that consults the stats FIRST
+  // and reads only the files whose envelope intersects the query's
+  // 3-month window — ~2 of 32 files (ZoneMapSpec asserts < 1/4 and
+  // that inputFiles == the stats-matched set exactly). This is the
+  // skipping layer under every lake format (Delta file stats,
+  // Snowflake micro-partition pruning) on plain parquet: q146 prunes
+  // DIRECTORIES on one coarse key; zone maps prune FILES with no
+  // per-value directory and no small-files tax. The exact predicate
+  // re-applies after the read (envelopes are inclusive), so the
+  // flat-scan oracle certifies skipping never changes the answer.
+  // Plan shape: O(files) stats filter → k-file scan → one partial+
+  // final aggregate on a 3-value key.
+  // ---------------------------------------------------------------
+  final val ShipLo = "1998-06-01"
+  final val ShipHi = "1998-08-31"
+
+  /** Shipdate-clustered lineitem layout + its zone-stats table. */
+  private[graft] def ensureShipdateZoned(spark: SparkSession,
+                                         dir: String): (String, String) = {
+    val t = s"graft_li_zone_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureTable(spark, t, s"$dir/lineitem.parquet",
+      "l_shipdate TIMESTAMP, l_returnflag STRING, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_discount DOUBLE") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(ZoneFiles, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+    }
+    val st = ZoneMaps.ensureFileStats(spark, t + "_stats", t, Seq("l_shipdate"))
+    (t, st)
+  }
+
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureShipdateZoned(spark, dir)
+    val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
+    ZoneMaps.prunedRead(spark, t, st, Seq(("l_shipdate", s"$ShipLo 00:00:00", s"$ShipHi 00:00:00")))
+      .where(col("l_shipdate").between(lo, hi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q194Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$ShipLo' AND TIMESTAMP '$ShipHi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q195_zonemap_zorder — multi-column skipping over ONE layout: the
+  // same zone-map reader, but the layout is clustered by the Morton
+  // code of (l_partkey, l_suppkey) (q86's curve, executed as storage)
+  // and the stats table tracks BOTH keys' envelopes. A 2-D box
+  // predicate — 1/32 of the part domain × 1/8 of the supplier
+  // domain — prunes on both columns simultaneously, which no single-
+  // key sort can do (a shipdate- or partkey-sorted layout keeps a
+  // tight envelope in one dimension and the full domain in the
+  // other). The box bounds derive from the STATS table itself
+  // (max of per-file maxes == global max — an O(files) metadata read,
+  // never the data), so the predicate scales with the SF's key
+  // domain; the oracle recomputes the same bounds with scalar
+  // subqueries. ZoneMapSpec asserts the box reads < 1/4 of files and
+  // that a partkey-only sorted layout could not prune the suppkey
+  // dimension (envelope audit).
+  // ---------------------------------------------------------------
+  /** Z-order-clustered (l_partkey, l_suppkey) layout + stats table. */
+  private[graft] def ensureZorderZoned(spark: SparkSession,
+                                       dir: String): (String, String) = {
+    val t = s"graft_li_zord_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureTable(spark, t, s"$dir/lineitem.parquet",
+      "l_partkey BIGINT, l_suppkey BIGINT, l_returnflag STRING, " +
+        "l_quantity DOUBLE") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_quantity"),
+          ZOrderLong.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+        .repartitionByRange(ZoneFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+    }
+    val st = ZoneMaps.ensureFileStats(spark, t + "_stats", t,
+      Seq("l_partkey", "l_suppkey"))
+    (t, st)
+  }
+
+  /** The SF-relative box: [13/32, 14/32] of the part domain ×
+    * [8/32, 12/32] of the supplier domain, floor integer arithmetic
+    * (positive domains, so Long division == FLOOR — the oracle's
+    * CAST(FLOOR(...)) lands on the same integers).
+    */
+  private[graft] def zBox(pmax: Long, smax: Long): (Long, Long, Long, Long) =
+    (13L * pmax / 32, 14L * pmax / 32, 8L * smax / 32, 12L * smax / 32)
+
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureZorderZoned(spark, dir)
+    val r = spark.table(st)
+      .agg(max(col("l_partkey_max")), max(col("l_suppkey_max"))).head()
+    val (pLo, pHi, sLo, sHi) = zBox(r.getLong(0), r.getLong(1))
+    ZoneMaps.prunedRead(spark, t, st,
+        Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi)))
+      .where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
+        col("l_suppkey").between(lit(sLo), lit(sHi)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q195Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(FLOOR(13 * MAX(l_partkey) / 32.0) AS BIGINT) AS plo,
+      |         CAST(FLOOR(14 * MAX(l_partkey) / 32.0) AS BIGINT) AS phi,
+      |         CAST(FLOOR(8 * MAX(l_suppkey) / 32.0) AS BIGINT) AS slo,
+      |         CAST(FLOOR(12 * MAX(l_suppkey) / 32.0) AS BIGINT) AS shi
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN b.plo AND b.phi
+      |  AND l_suppkey BETWEEN b.slo AND b.shi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q86_zorder_layout" -> (q86 _),
+    "q194_zonemap_pruned" -> (q194 _),
+    "q195_zonemap_zorder" -> (q195 _))
+
+  def oracles: Map[String, String] = Map(
+    "q86_zorder_layout" -> q86Sql,
+    "q194_zonemap_pruned" -> q194Sql,
+    "q195_zonemap_zorder" -> q195Sql)
 }

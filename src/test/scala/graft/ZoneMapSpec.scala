@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.ZoneMaps
+import graft.queries.Layout
+
+/** Zone-map data skipping (io/ZoneMaps.scala, q194/q195): the pruned
+  * reader must touch exactly the stats-matched file subset — a strict
+  * minority of the layout — and skipping must never change an answer
+  * (the q194/q195 oracles certify that against DuckDB; here we pin it
+  * against the library's own flat scan, plus the file economics the
+  * oracle can't see).
+  */
+class ZoneMapSpec extends SparkTestBase {
+
+  test("q194 pruned read touches only the stats-matched files (a strict minority)") {
+    val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    val matched = ZoneMaps.matchingFiles(spark, st,
+      Seq(("l_shipdate", s"${Layout.ShipLo} 00:00:00", s"${Layout.ShipHi} 00:00:00")))
+    val pruned = ZoneMaps.prunedRead(spark, t, st,
+      Seq(("l_shipdate", s"${Layout.ShipLo} 00:00:00", s"${Layout.ShipHi} 00:00:00")))
+    assert(pruned.inputFiles.toSet == matched.toSet,
+      "pruned read must scan exactly the stats-matched set")
+    assert(matched.nonEmpty && matched.size < total / 4,
+      s"3-month window should skip > 3/4 of a ${total}-file layout, kept ${matched.size}")
+    info(s"q194: ${matched.size} of $total files read")
+  }
+
+  test("q194 result equals the flat-scan computation (skipping is pure optimization)") {
+    val direct = graft.sources.Tables.lineitem(spark, Sf)
+      .where(col("l_shipdate").between(
+        lit(Layout.ShipLo).cast("timestamp"), lit(Layout.ShipHi).cast("timestamp")))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val viaZones = Layout.q194(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaZones == direct)
+  }
+
+  test("a range matching no envelope returns an empty, schema-correct frame") {
+    val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
+    val pruned = ZoneMaps.prunedRead(spark, t, st,
+      Seq(("l_shipdate", "2030-01-01 00:00:00", "2030-12-31 00:00:00")))
+    assert(pruned.schema == spark.table(t).schema)
+    assert(pruned.count() == 0)
+  }
+
+  test("q195 z-order box prunes on BOTH keys; single-key envelopes could not") {
+    val (t, st) = Layout.ensureZorderZoned(spark, Sf)
+    val stats = spark.table(st).collect()
+    val total = stats.length
+    val r = spark.table(st)
+      .agg(max(col("l_partkey_max")), max(col("l_suppkey_max"))).head()
+    val (pmax, smax) = (r.getLong(0), r.getLong(1))
+    val (pLo, pHi, sLo, sHi) = Layout.zBox(pmax, smax)
+    val matched = ZoneMaps.matchingFiles(spark, st,
+      Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi)))
+    assert(matched.nonEmpty && matched.size < total / 4,
+      s"2-D box should skip > 3/4 of $total files, kept ${matched.size}")
+    // the z-curve bounds EVERY file's envelope in BOTH dimensions: no
+    // file spans more than half of either key domain (a single-key
+    // sort would leave the other dimension's envelope at ~full width
+    // in every file, making 2-D pruning impossible)
+    val wide = stats.count { row =>
+      val pw = row.getLong(row.fieldIndex("l_partkey_max")) -
+        row.getLong(row.fieldIndex("l_partkey_min"))
+      val sw = row.getLong(row.fieldIndex("l_suppkey_max")) -
+        row.getLong(row.fieldIndex("l_suppkey_min"))
+      pw > pmax / 2 && sw > smax / 2
+    }
+    assert(wide <= total / 4,
+      s"z-clustering should bound most envelopes in both dimensions; $wide of $total wide")
+    info(s"q195: ${matched.size} of $total files read; $wide envelopes wide in both dims")
+  }
+
+  test("q195 result equals the flat-scan computation") {
+    val direct = {
+      val li = graft.sources.Tables.lineitem(spark, Sf)
+      val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (pLo, pHi, sLo, sHi) = Layout.zBox(m.getLong(0), m.getLong(1))
+      li.where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
+          col("l_suppkey").between(lit(sLo), lit(sHi)))
+        .groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    val viaZones = Layout.q195(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaZones == direct)
+  }
+
+  test("zone stats re-register from surviving files; a changed layout forces a stats rebuild") {
+    val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
+    spark.sql(s"DROP TABLE $st")
+    Layout.ensureShipdateZoned(spark, Sf)
+    assert(graft.io.Warehouse.lastProvision(spark, st).contains("files"),
+      s"unchanged layout must re-register stats, got ${graft.io.Warehouse.lastProvision(spark, st)}")
+    // corrupt the LAYOUT fingerprintable state (touch a file's mtime
+    // forward) → stats must rebuild, never serve stale envelopes
+    val loc = graft.io.Warehouse.tableLocation(spark, t)
+    val f = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.setLastModified(f.lastModified() + 60000))
+    spark.sql(s"DROP TABLE $st")
+    Layout.ensureShipdateZoned(spark, Sf)
+    assert(graft.io.Warehouse.lastProvision(spark, st).contains("written"),
+      "changed layout state must force a stats rebuild")
+  }
+}
