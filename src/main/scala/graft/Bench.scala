@@ -126,6 +126,14 @@ object Bench {
       }),
       "neardup_index_inc" -> (() => {
         queries.Dedup.ensureIncrementalNearDup(spark, sfDir); ()
+      }),
+      // q197's samples then measure the probe over the streamed store
+      // (the ingest stream is this one-time setup, like q193's)
+      "streamed_cell_store" -> (() => {
+        graft.streaming.VectorIngest.ensureStreamedCellStore(spark, sfDir); ()
+      }),
+      "skew_stats" -> (() => {
+        queries.AnalyzeOps.ensureSkewStats(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

@@ -125,7 +125,9 @@ object Plans {
       "q193_week_sketch_rollup" -> "week rollup over the MAINTAINED day-partitioned register table: week bounds as literal PartitionFilters, 7 of ~30 day dirs listed, register-max over <=168 stored 256-byte rows",
       "q194_zonemap_pruned" -> "file-level data skipping: per-file min/max stats table consulted before the scan, only envelope-intersecting files read (~2 of 32), exact predicate re-applied — lake-format skipping on plain parquet",
       "q195_zonemap_zorder" -> "multi-column skipping over ONE z-ordered layout: 2-D box prunes on both keys' envelopes simultaneously; box bounds derived from the stats table (metadata-only), never the data",
-      "q196_lsh_index_incremental" -> "maintained near-dup index: wave hashed alone, stored band index probed for candidates (base never re-hashed), partners re-read ∝ candidates, gen=wave partition overwritten idempotently — q34's answer from a maintained table")
+      "q196_lsh_index_incremental" -> "maintained near-dup index: wave hashed alone, stored band index probed for candidates (base never re-hashed), partners re-read ∝ candidates, gen=wave partition overwritten idempotently — q34's answer from a maintained table",
+      "q197_stream_vector_ingest" -> "streaming vector ingestion: micro-batches assigned under the FROZEN codebook and appended per-cell (zero rewrite), exactly-once via per-batch pruned data probes; the probe is q182's pruned shape over the streamed store",
+      "q198_stats_skew_agg" -> "executed CBO: stored top-key share picks salted two-phase vs plain aggregation — strategy from a persisted statistic AQE cannot know; identical rows either way (StatsPlanSpec pins both directions)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

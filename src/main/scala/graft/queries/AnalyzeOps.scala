@@ -348,15 +348,90 @@ object AnalyzeOps {
        |FROM lineitem JOIN dict ON l_quantity = qv
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q198_stats_skew_agg — executed CBO #3: a stored SKEW statistic
+  // decides the aggregation STRATEGY. q188 moved a plan literal and
+  // q189 a join strategy; here the persisted top-key share of
+  // events.event_type (one tiny fingerprinted artifact) picks salted
+  // two-phase aggregation (q49's SkewOps path) when the top key holds
+  // more than SkewShare of the rows, and the plain one-exchange
+  // aggregate otherwise — the decision Spark cannot make statically
+  // (its planner knows input sizes, never key skew; AQE re-splits
+  // skewed JOIN partitions but does not salt a hot GROUPING key).
+  // Rows are identical either way — the oracle is the plain SQL, and
+  // StatsPlanSpec pins both plan directions (doctored share → single
+  // aggregate pair, real share → salted pmod two-phase) plus row
+  // equality. At 100 TB the exact top-share pass below is replaced by
+  // the q175 Misra-Gries sketch the warehouse already maintains; the
+  // CONSUMER seam — strategy from a stored statistic — is identical.
+  // ---------------------------------------------------------------
+  /** A key whose top value holds more than this row share saturates
+    * one reducer at scale → salt.
+    */
+  final val SkewShare = 0.10
+
+  /** Persisted per-key-column skew statistic over events: the modal
+    * key and its row share (exact one-pass aggregate — deterministic;
+    * the sketch-based form would store the MG estimate).
+    */
+  def ensureSkewStats(spark: SparkSession, dir: String): String = {
+    val t = s"graft_stats_skew_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureTable(spark, t, s"$dir/events.parquet",
+      "key_col STRING, top_key STRING, top_share DOUBLE, n_rows BIGINT") {
+      graft.sources.Tables.events(spark, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .agg(max_by(col("event_type"), col("c")).as("top_key"),
+          max(col("c")).as("top_c"), sum(col("c")).as("n"))
+        .select(lit("event_type").as("key_col"), col("top_key"),
+          (col("top_c").cast("double") / col("n").cast("double")).as("top_share"),
+          col("n").as("n_rows"))
+    }
+    t
+  }
+
+  /** The consumer: aggregation strategy read FROM the stored skew
+    * row (one O(1) lookup, never the data).
+    */
+  private[graft] def statsSkewAgg(spark: SparkSession, dir: String,
+                                  skewTable: String): DataFrame = {
+    val topShare = spark.table(skewTable)
+      .where(col("key_col") === "event_type")
+      .select(col("top_share")).head().getDouble(0)
+    val ev = graft.sources.Tables.events(spark, dir)
+    val agg =
+      if (topShare > SkewShare)
+        graft.operators.SkewOps.saltedCountSum(ev,
+          key = col("event_type"), saltSource = col("event_id"),
+          valueCol = col("value"))
+          .withColumnRenamed("k", "event_type")
+      else
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+    agg.orderBy(col("event_type"))
+  }
+
+  def q198(spark: SparkSession, dir: String): DataFrame =
+    statsSkewAgg(spark, dir, ensureSkewStats(spark, dir))
+
+  /** Plain-aggregate oracle — the strategy must never change rows. */
+  val q198Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q184_analyze_decisions" -> (q184 _),
     "q186_analyze_incremental" -> (q186 _),
     "q188_stats_banded_join" -> (q188 _),
-    "q189_stats_dict_join" -> (q189 _))
+    "q189_stats_dict_join" -> (q189 _),
+    "q198_stats_skew_agg" -> (q198 _))
 
   def oracles: Map[String, String] = Map(
     "q184_analyze_decisions" -> q184Sql,
     "q186_analyze_incremental" -> q186Sql,
     "q188_stats_banded_join" -> q188Sql,
-    "q189_stats_dict_join" -> q189Sql)
+    "q189_stats_dict_join" -> q189Sql,
+    "q198_stats_skew_agg" -> q198Sql)
 }

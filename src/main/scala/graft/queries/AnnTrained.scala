@@ -274,15 +274,39 @@ object AnnTrained {
 
   val q182Sql: String = ivfSql(StoreProbeFilter)
 
+  // ---------------------------------------------------------------
+  // q197_stream_vector_ingest — the cell store fed by a STREAM: the
+  // corpus arrives as micro-batches (4 staged wave files,
+  // maxFilesPerTrigger=1) and a foreachBatch seam assigns each batch
+  // under the FROZEN persisted codebook and appends it into the
+  // cell-partitioned layout — exactly-once via a per-batch
+  // partition-pruned data probe plus a stream_complete marker
+  // (streaming/VectorIngest.scala). Because assignment is a pure
+  // per-vector function and waves are vec_id-disjoint, the streamed
+  // store's content equals q182's one-shot build — the probe shares
+  // q182's oracle verbatim, and VectorIngestSpec pins content
+  // equality, replay convergence (re-streaming appends nothing), and
+  // that every batch wrote its own files (no store rewrite).
+  // At 100 TB this is the online half of the vector-store story:
+  // q182 serves, q190 absorbs planned waves, q197 absorbs a live
+  // feed — same layout, same probe path, same oracle.
+  // ---------------------------------------------------------------
+  def q197(spark: SparkSession, dir: String): DataFrame =
+    probeStore(spark, dir,
+      graft.streaming.VectorIngest.ensureStreamedCellStore(spark, dir))
+
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),
     "q182_ann_partition_pruned" -> (q182 _),
-    "q190_ann_store_incremental" -> (q190 _))
+    "q190_ann_store_incremental" -> (q190 _),
+    "q197_stream_vector_ingest" -> (q197 _))
 
   def oracles: Map[String, String] = Map(
     "q70_ann_ivf_kmeans" -> q70Sql,
     "q182_ann_partition_pruned" -> q182Sql,
     // q190 shares q182's oracle: the maintained store's content equals
     // the rebuild's, and the hash-compare is what certifies it
-    "q190_ann_store_incremental" -> q182Sql)
+    "q190_ann_store_incremental" -> q182Sql,
+    // q197 likewise: streamed-in content == one-shot build
+    "q197_stream_vector_ingest" -> q182Sql)
 }

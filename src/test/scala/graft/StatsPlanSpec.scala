@@ -129,4 +129,30 @@ class StatsPlanSpec extends SparkTestBase {
       assert(bcast.collect().toSeq == shuffled.collect().toSeq)
     } finally spark.conf.set(key, prev)
   }
+
+  test("q198: aggregation strategy follows the stored top-key share; rows identical") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    def aggPairs(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case a: HashAggregateExec => a }.size
+    def hasSalt(df: DataFrame): Boolean =
+      physical(df).toLowerCase.contains("pmod")
+    val t = AnalyzeOps.ensureSkewStats(spark, Sf)
+    // the real corpus: 5 event types over 100k+ rows → the top key
+    // holds far more than SkewShare → the salted two-phase plan
+    val salted = AnalyzeOps.statsSkewAgg(spark, Sf, t)
+    assert(hasSalt(salted),
+      s"skewed stats must pick the salted plan:\n${physical(salted)}")
+    assert(aggPairs(salted) >= 4,
+      "salted strategy must run two aggregate pairs (wide + combine)")
+    // doctored stats: a uniform key → the single-exchange plan
+    val doctored = "graft_statsplan_doctored_skew"
+    spark.table(t).withColumn("top_share", lit(0.01))
+      .createOrReplaceTempView(doctored)
+    val plain = AnalyzeOps.statsSkewAgg(spark, Sf, doctored)
+    assert(!hasSalt(plain),
+      s"uniform stats must pick the plain aggregate:\n${physical(plain)}")
+    assert(aggPairs(plain) <= 2)
+    // strategy moves the plan, never the rows
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnnTrained
+import graft.streaming.VectorIngest
+
+/** q197 — streaming vector ingestion into the cell-partitioned store.
+  * The shared q182 oracle certifies the probe's ANSWER; here we pin
+  * what the oracle can't see: streamed-in content equals the one-shot
+  * build, the replay path appends nothing (exactly-once), batches
+  * appended files instead of rewriting the store, and the probe over
+  * the streamed table still partition-prunes.
+  */
+class VectorIngestSpec extends SparkTestBase {
+
+  private def storeRows(t: String): Set[(Long, Int, Double)] =
+    spark.table(t)
+      .select(col("vec_id"), col("cell"), round(col("nrm"), 9))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+
+  test("streamed store content equals the one-shot q182 build") {
+    val streamed = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val oneShot = AnnTrained.ensureCellPartitionedEmbeddings(spark, Sf)
+    assert(storeRows(streamed) == storeRows(oneShot))
+    assert(spark.table(streamed).count() > 0)
+  }
+
+  test("re-streaming after a lost completion marker appends nothing (per-batch probes hold)") {
+    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val loc = graft.io.Warehouse.tableLocation(spark, t)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(loc)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = files()
+    val rowsBefore = spark.table(t).count()
+    // drop ONLY the completion marker: the replay must re-run the
+    // stream, and every batch's data probe must then skip its append
+    val log = new java.io.File(loc, graft.io.Warehouse.IngestLogFile)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(loc, "." + graft.io.Warehouse.IngestLogFile + ".crc").toPath)
+    java.nio.file.Files.writeString(log.toPath, "")
+    VectorIngest.ensureStreamedCellStore(spark, Sf)
+    assert(files() == before, "replayed stream must not append duplicate files")
+    assert(spark.table(t).count() == rowsBefore)
+  }
+
+  test("ingestion appended per-batch files; the store was never rewritten") {
+    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+    val perCell = loc.listFiles().filter(_.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty)
+    // 4 waves over 16 cells: most cells receive several waves, so a
+    // rewrite-free ingest leaves >1 file in at least one cell dir
+    assert(perCell.max > 1,
+      s"expected per-batch appended files, got ${perCell.mkString(",")}")
+  }
+
+  test("q197 probe over the streamed store partition-prunes to the probed cells") {
+    val df = AnnTrained.q197(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_emb_cellstream_"))).getOrElse(
+      fail("no streamed-store scan in q197 plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probed cells must be partition filters, got ${scan.partitionFilters}")
+    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val selectedDirs = scan.relation.location.listFiles(Nil, Nil).size
+    val total = spark.sql(s"SHOW PARTITIONS $t").count().toInt
+    assert(selectedDirs < total,
+      s"expected pruning: scanned $selectedDirs of $total cell directories")
+  }
+}
