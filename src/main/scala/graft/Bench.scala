@@ -122,7 +122,8 @@ object Bench {
       }),
       "zoned_layouts" -> (() => {
         queries.Layout.ensureShipdateZoned(spark, sfDir)
-        queries.Layout.ensureZorderZoned(spark, sfDir); ()
+        queries.Layout.ensureZorderZoned(spark, sfDir)
+        queries.Layout.ensureShipdateZonedInc(spark, sfDir); ()
       }),
       "neardup_index_inc" -> (() => {
         queries.Dedup.ensureIncrementalNearDup(spark, sfDir); ()
@@ -130,7 +131,9 @@ object Bench {
       // q197's samples then measure the probe over the streamed store
       // (the ingest stream is this one-time setup, like q193's)
       "streamed_cell_store" -> (() => {
-        graft.streaming.VectorIngest.ensureStreamedCellStore(spark, sfDir); ()
+        graft.streaming.VectorIngest.ensureStreamedCellStore(spark, sfDir)
+        // q200's one-time hot-cell compaction rides the same setup
+        graft.streaming.VectorIngest.ensureCompactedHotCell(spark, sfDir); ()
       }),
       "skew_stats" -> (() => {
         queries.AnalyzeOps.ensureSkewStats(spark, sfDir); ()

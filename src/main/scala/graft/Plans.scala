@@ -127,7 +127,9 @@ object Plans {
       "q195_zonemap_zorder" -> "multi-column skipping over ONE z-ordered layout: 2-D box prunes on both keys' envelopes simultaneously; box bounds derived from the stats table (metadata-only), never the data",
       "q196_lsh_index_incremental" -> "maintained near-dup index: wave hashed alone, stored band index probed for candidates (base never re-hashed), partners re-read ∝ candidates, gen=wave partition overwritten idempotently — q34's answer from a maintained table",
       "q197_stream_vector_ingest" -> "streaming vector ingestion: micro-batches assigned under the FROZEN codebook and appended per-cell (zero rewrite), exactly-once via per-batch pruned data probes; the probe is q182's pruned shape over the streamed store",
-      "q198_stats_skew_agg" -> "executed CBO: stored top-key share picks salted two-phase vs plain aggregation — strategy from a persisted statistic AQE cannot know; identical rows either way (StatsPlanSpec pins both directions)")
+      "q198_stats_skew_agg" -> "executed CBO: stored top-key share picks salted two-phase vs plain aggregation — strategy from a persisted statistic AQE cannot know; identical rows either way (StatsPlanSpec pins both directions)",
+      "q199_zonemap_incremental" -> "maintained skipping layer: append wave lands as NEW files (no base rewrite), stats absorb scans only the fresh file list, pruned read unchanged — q194's answer over base+wave",
+      "q200_store_optimize" -> "compaction as an oracled op: the hot cell's per-batch files collapse to one (one-partition dynamic overwrite), siblings untouched, probe answers unchanged — ingest/compact/probe all hash-certified")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -322,6 +322,34 @@ object ScaleStress {
       .head()
     println(s"[stress] q86 max envelope spans at 10x: part=${envs.getLong(0)} supp=${envs.getLong(1)}")
 
+    // round-13 extension: the zone-map FILE-skipping layer at 6M
+    // rows — layout + stats builds are setup-class (reported
+    // separately); the timed queries then read only envelope-
+    // intersecting files, so their walls must track the 3-month
+    // window / 2-D box, never the corpus. q199 additionally absorbs
+    // the append wave (wave-sized write + wave-only stats scan) and
+    // its re-ensure must be a log hit. All six scratch tables dropped.
+    locally {
+      val t0 = System.nanoTime()
+      val (z1, z1s) = queries.Layout.ensureShipdateZoned(spark, dir)
+      val (z2, z2s) = queries.Layout.ensureZorderZoned(spark, dir)
+      println(f"[stress] q194_zoned_layouts_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q194_zonemap_pruned@10x")(queries.Layout.q194(spark, dir).count())
+      time("q195_zonemap_zorder@10x")(queries.Layout.q195(spark, dir).count())
+      val t1 = System.nanoTime()
+      val (z3, z3s) = queries.Layout.ensureShipdateZonedInc(spark, dir)
+      println(f"[stress] q199_base_plus_wave_build@10x wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val t2 = System.nanoTime()
+      queries.Layout.ensureShipdateZonedInc(spark, dir)
+      println(f"[stress] q199_reensure_log_hit@10x wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
+      time("q199_zonemap_incremental@10x")(queries.Layout.q199(spark, dir).count())
+      for (tbl <- Seq(z1, z1s, z2, z2s, z3, z3s)) {
+        val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+      }
+    }
+
     // measured skipping at 6M rows: z-ordered vs unsorted layout of
     // the same rows, same selective predicate on EACH key, scan
     // numOutputRows = rows surviving row-group pruning
@@ -490,9 +518,47 @@ object ScaleStress {
       }
       timeCollect("q190_ann_store_incremental@10x")(
         queries.AnnTrained.q190(spark, cdir))
+      // round-13 extension: streaming vector ingestion at 10x (20k
+      // vectors through 4 micro-batches under the frozen codebook —
+      // reusing the codebook the q190 axis just trained). The ingest
+      // wall is stream lifecycle + 4 assign-and-append batches; the
+      // probe then serves from the streamed store at q182's shape.
+      locally {
+        val t3 = System.nanoTime()
+        val ts = graft.streaming.VectorIngest.ensureStreamedCellStore(spark, cdir)
+        println(f"[stress] q197_stream_ingest@10x wall=${(System.nanoTime() - t3) / 1e9}%.2f s")
+        timeCollect("q197_stream_vector_ingest@10x")(
+          queries.AnnTrained.q197(spark, cdir))
+        for (tbl <- Seq(ts, graft.streaming.VectorIngest.waveTable(cdir))) {
+          val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+        }
+      }
       for (tbl <- Seq(t, tInc,
         graft.operators.KMeansCodebook.tableName(cdir,
           queries.AnnTrained.Cells, queries.AnnTrained.Iters))) {
+        val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+      }
+    }
+    // round-13 extension: the maintained near-dup index at 10x. The
+    // replica repeats every doc 10x, so the wave (62.5k docs) finds
+    // ~9 exact twins per doc through the stored band index — the
+    // join-heavy upper bound on organic growth. Base build is
+    // setup-class; the re-ensure must be a log hit; the probe is the
+    // q34-shaped top-30.
+    locally {
+      val t1 = System.nanoTime()
+      val prs = queries.Dedup.ensureIncrementalNearDup(spark, cdir)
+      println(f"[stress] q196_base_plus_wave_build@10x wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val t2 = System.nanoTime()
+      queries.Dedup.ensureIncrementalNearDup(spark, cdir)
+      println(f"[stress] q196_reensure_log_hit@10x wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
+      timeCollect("q196_lsh_index_incremental@10x")(queries.Dedup.q196(spark, cdir))
+      val (idx, _) = queries.Dedup.nearDupTables(cdir)
+      for (tbl <- Seq(idx, prs)) {
         val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)

@@ -64,6 +64,37 @@ object ZoneMaps {
     statsTable
   }
 
+  /** Absorb a layout's NEW files into its stats table: stat rows are
+    * per-file and immutable, so maintenance is an anti-join on file
+    * name (idempotent — a replay finds nothing fresh) followed by a
+    * stats append that SCANS ONLY THE FRESH FILES (the read is an
+    * explicit file-list read, so absorption cost ∝ the append wave,
+    * never the layout). The fingerprint is re-recorded afterwards so
+    * a later session re-registers the maintained stats instead of
+    * judging them stale. The known-file collect is O(stats rows) —
+    * the same driver-memory class as the file listing itself.
+    */
+  def absorbNewFileStats(spark: SparkSession, statsTable: String,
+                         layoutTable: String, tracked: Seq[String]): Int = {
+    val known = spark.table(statsTable)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = spark.table(layoutTable).inputFiles.filterNot(known).toSeq
+    if (fresh.nonEmpty) {
+      val aggs = count(lit(1)).as("cnt") +:
+        tracked.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      val cols = spark.table(statsTable).columns.toSeq // insertInto is positional
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*)
+        .write.mode("append").insertInto(statsTable)
+      Warehouse.writeFingerprint(spark, statsTable,
+        Warehouse.tableLocation(spark, layoutTable))
+    }
+    fresh.size
+  }
+
   /** Files whose envelope INTERSECTS every `(column, lo, hi)` range —
     * the candidate set that may contain matching rows. Filtering runs
     * distributed over the stats table; only the surviving names are

@@ -295,11 +295,29 @@ object AnnTrained {
     probeStore(spark, dir,
       graft.streaming.VectorIngest.ensureStreamedCellStore(spark, dir))
 
+  // ---------------------------------------------------------------
+  // q200_store_optimize — compaction as a first-class, ORACLED
+  // operation: q197's rewrite-free ingestion deliberately leaves one
+  // file per batch per cell; q200 compacts the HOT cell back to one
+  // file (targeted — production compaction runs where read latency
+  // pays for the rewrite, never table-wide) and then serves the same
+  // probe. Sharing q182's oracle makes "OPTIMIZE changes layout,
+  // never answers" a hash-certified property instead of a scaladoc
+  // claim; VectorIngestSpec pins the file-count collapse, the
+  // untouched sibling cells, and the exactly-once marker. This closes
+  // the maintained-table lifecycle: ingest (q197) → compact (q200) →
+  // probe, all three oracled.
+  // ---------------------------------------------------------------
+  def q200(spark: SparkSession, dir: String): DataFrame =
+    probeStore(spark, dir,
+      graft.streaming.VectorIngest.ensureCompactedHotCell(spark, dir))
+
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),
     "q182_ann_partition_pruned" -> (q182 _),
     "q190_ann_store_incremental" -> (q190 _),
-    "q197_stream_vector_ingest" -> (q197 _))
+    "q197_stream_vector_ingest" -> (q197 _),
+    "q200_store_optimize" -> (q200 _))
 
   def oracles: Map[String, String] = Map(
     "q70_ann_ivf_kmeans" -> q70Sql,
@@ -308,5 +326,7 @@ object AnnTrained {
     // the rebuild's, and the hash-compare is what certifies it
     "q190_ann_store_incremental" -> q182Sql,
     // q197 likewise: streamed-in content == one-shot build
-    "q197_stream_vector_ingest" -> q182Sql)
+    "q197_stream_vector_ingest" -> q182Sql,
+    // q200: compaction changes layout, never answers
+    "q200_store_optimize" -> q182Sql)
 }

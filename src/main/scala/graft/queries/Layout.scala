@@ -200,13 +200,82 @@ object Layout {
       |  AND l_suppkey BETWEEN b.slo AND b.shi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q199_zonemap_incremental — the skipping layer itself MAINTAINED:
+  // the zoned layout absorbs an append wave (l_orderkey % 8 = 0, the
+  // standard split) as NEW range-sorted files — zone maps don't need
+  // a global sort, envelopes are per-file, so ingestion never
+  // rewrites the clustered base — and the stats table absorbs ONLY
+  // the fresh files (ZoneMaps.absorbNewFileStats: anti-join on file
+  // name, stats scan reads the fresh file list explicitly). The
+  // appended wave's files cover wider envelopes than the base's (4
+  // files over the full date range vs 32), which skipping tolerates
+  // by construction: wider envelopes mean more candidate files, never
+  // wrong answers. Base + wave = the full corpus, so q199 shares
+  // q194's oracle verbatim — the hash-compare certifies the
+  // maintained skipping layer end-to-end. Crash discipline: the
+  // non-idempotent layout append is guarded by a data probe (q192's
+  // pattern), the stats absorb is idempotent by anti-join, and the
+  // stats fingerprint is re-recorded after absorption so later
+  // sessions re-register instead of rebuilding.
+  // At 100 TB: ingest cost = wave write + wave-sized stats scan +
+  // O(files) bookkeeping; the base layout and its stats rows are
+  // never touched.
+  // ---------------------------------------------------------------
+  private[graft] def ensureShipdateZonedInc(spark: SparkSession,
+                                            dir: String): (String, String) = {
+    val t = s"graft_li_zoneinc_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val cols = Seq("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity",
+      "l_extendedprice", "l_discount").map(col)
+    def slice(filter: String, files: Int) =
+      Tables.lineitem(spark, dir).where(expr(filter)).select(cols: _*)
+        .repartitionByRange(files, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+    graft.io.Warehouse.ensureTable(spark, t, s"$dir/lineitem.parquet",
+      "l_orderkey BIGINT, l_shipdate TIMESTAMP, l_returnflag STRING, " +
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE") {
+      slice("l_orderkey % 8 != 0", ZoneFiles)
+    }
+    val st = ZoneMaps.ensureFileStats(spark, t + "_stats", t, Seq("l_shipdate"))
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, "append_mod8")) {
+      // non-idempotent append → data probe closes the crash window
+      if (spark.table(t).where(expr("l_orderkey % 8 = 0")).isEmpty) {
+        val tcols = spark.table(t).columns.toSeq
+        slice("l_orderkey % 8 = 0", 4).select(tcols.map(col): _*)
+          .write.mode("append").insertInto(t)
+        spark.catalog.refreshTable(t)
+      }
+      graft.io.Warehouse.ingestLogAdd(spark, t, "append_mod8")
+    }
+    // always converges: anti-join on file name finds nothing once
+    // absorbed (and repairs a crash between append and absorb)
+    ZoneMaps.absorbNewFileStats(spark, st, t, Seq("l_shipdate"))
+    (t, st)
+  }
+
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureShipdateZonedInc(spark, dir)
+    val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
+    ZoneMaps.prunedRead(spark, t, st, Seq(("l_shipdate", s"$ShipLo 00:00:00", s"$ShipHi 00:00:00")))
+      .where(col("l_shipdate").between(lo, hi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
-    "q195_zonemap_zorder" -> (q195 _))
+    "q195_zonemap_zorder" -> (q195 _),
+    "q199_zonemap_incremental" -> (q199 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
     "q194_zonemap_pruned" -> q194Sql,
-    "q195_zonemap_zorder" -> q195Sql)
+    "q195_zonemap_zorder" -> q195Sql,
+    // base + wave = the full corpus: the maintained skipping layer
+    // must produce q194's exact answer
+    "q199_zonemap_incremental" -> q194Sql)
 }

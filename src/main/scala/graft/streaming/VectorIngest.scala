@@ -110,6 +110,29 @@ object VectorIngest {
     spark.catalog.refreshTable(t)
   }
 
+  /** The hot cell compacted by [[ensureCompactedHotCell]]. */
+  final val HotCell = 0
+
+  /** Compact the streamed store's hot cell (per-batch appends leave
+    * one file per batch per cell — the deliberate cost of
+    * rewrite-free ingestion) back to a single file, exactly once per
+    * corpus generation. Targeted, not global: production compaction
+    * runs on the partitions whose read latency pays for the rewrite —
+    * the rest keep their append-history files. Rewrites only the one
+    * partition directory (upsertPartitions dynamic overwrite), so the
+    * probe path, the answers, and every other cell's files are
+    * untouched; q200's shared q182 oracle certifies exactly that.
+    */
+  def ensureCompactedHotCell(spark: SparkSession, dir: String): String = {
+    val t = ensureStreamedCellStore(spark, dir)
+    val marker = s"compact_cell$HotCell"
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, marker)) {
+      graft.io.Warehouse.compactPartition(spark, t, "cell", HotCell.toString)
+      graft.io.Warehouse.ingestLogAdd(spark, t, marker)
+    }
+    t
+  }
+
   /** Assign one micro-batch under the frozen codebook and append it
     * to the store, guarded by the first-row data probe.
     */

@@ -50,13 +50,42 @@ class VectorIngestSpec extends SparkTestBase {
   test("ingestion appended per-batch files; the store was never rewritten") {
     val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
     val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
-    val perCell = loc.listFiles().filter(_.getName.startsWith("cell="))
+    // exclude the hot cell: q200's targeted compaction may have
+    // legitimately collapsed it in this shared warehouse
+    val perCell = loc.listFiles().filter(f => f.getName.startsWith("cell=") &&
+        f.getName != s"cell=${VectorIngest.HotCell}")
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(perCell.nonEmpty)
     // 4 waves over 16 cells: most cells receive several waves, so a
     // rewrite-free ingest leaves >1 file in at least one cell dir
     assert(perCell.max > 1,
       s"expected per-batch appended files, got ${perCell.mkString(",")}")
+  }
+
+  test("q200 compaction collapses the hot cell to one file, touches no sibling, keeps every row") {
+    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+    def cellFiles(c: Int): Set[(String, Long)] =
+      new java.io.File(loc, s"cell=$c").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val rows = storeRows(t)
+    val siblings = (0 until graft.queries.AnnTrained.Cells)
+      .filter(_ != VectorIngest.HotCell)
+      .filter(c => new java.io.File(loc, s"cell=$c").isDirectory)
+      .map(c => c -> cellFiles(c)).toMap
+    VectorIngest.ensureCompactedHotCell(spark, Sf)
+    spark.catalog.refreshTable(t)
+    assert(cellFiles(VectorIngest.HotCell).size == 1,
+      "hot cell must collapse to one file")
+    siblings.foreach { case (c, before) =>
+      assert(cellFiles(c) == before, s"compaction must not touch cell=$c")
+    }
+    assert(storeRows(t) == rows, "compaction must keep every row")
+    // exactly-once: a second call is a marker hit, no rewrite
+    val after = cellFiles(VectorIngest.HotCell)
+    VectorIngest.ensureCompactedHotCell(spark, Sf)
+    assert(cellFiles(VectorIngest.HotCell) == after)
   }
 
   test("q197 probe over the streamed store partition-prunes to the probed cells") {

@@ -89,6 +89,47 @@ class ZoneMapSpec extends SparkTestBase {
     assert(viaZones == direct)
   }
 
+  test("q199 stats absorption is incremental: base rows untouched, wave rows appended, replay absorbs nothing") {
+    val (t, st) = Layout.ensureShipdateZonedInc(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    val statRows = spark.table(st).collect()
+      .map(r => (r.getString(r.fieldIndex("file")), r.getLong(r.fieldIndex("cnt")))).toSet
+    assert(statRows.size == total, "one stats row per layout file")
+    // every file is covered and counts add up to the corpus
+    assert(statRows.toSeq.map(_._2).sum ==
+      graft.sources.Tables.lineitem(spark, Sf).count())
+    // replay: a second absorb pass must find nothing fresh
+    assert(graft.io.ZoneMaps.absorbNewFileStats(spark, st, t, Seq("l_shipdate")) == 0)
+    assert(spark.table(st).collect()
+      .map(r => (r.getString(r.fieldIndex("file")), r.getLong(r.fieldIndex("cnt")))).toSet
+      == statRows)
+  }
+
+  test("q199 crash replay: dropping the layout ingest-log entry re-appends nothing") {
+    val (t, st) = Layout.ensureShipdateZonedInc(spark, Sf)
+    val rows = spark.table(t).count()
+    val files = spark.table(t).inputFiles.toSet
+    val loc = graft.io.Warehouse.tableLocation(spark, t)
+    val log = new java.io.File(loc, graft.io.Warehouse.IngestLogFile)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(loc, "." + graft.io.Warehouse.IngestLogFile + ".crc").toPath)
+    java.nio.file.Files.writeString(log.toPath, "")
+    Layout.ensureShipdateZonedInc(spark, Sf)
+    spark.catalog.refreshTable(t)
+    assert(spark.table(t).count() == rows, "data probe must prevent a duplicate append")
+    assert(spark.table(t).inputFiles.toSet == files)
+  }
+
+  test("q199 maintained layout still prunes: the window reads a strict minority of files") {
+    val (t, st) = Layout.ensureShipdateZonedInc(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    val matched = ZoneMaps.matchingFiles(spark, st,
+      Seq(("l_shipdate", s"${Layout.ShipLo} 00:00:00", s"${Layout.ShipHi} 00:00:00")))
+    assert(matched.nonEmpty && matched.size < total / 4,
+      s"kept ${matched.size} of $total files")
+    info(s"q199: ${matched.size} of $total files read after maintenance")
+  }
+
   test("zone stats re-register from surviving files; a changed layout forces a stats rebuild") {
     val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
     spark.sql(s"DROP TABLE $st")
