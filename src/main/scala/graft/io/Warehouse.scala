@@ -269,6 +269,51 @@ object Warehouse {
     fs.rename(tmp, p)
   }
 
+  /** Append `batch` to `table` EXACTLY once, keyed by a PRESENCE
+    * predicate that is true of every batch row and of NO pre-existing
+    * row (the caller's contract — the generational splits used here
+    * guarantee it: base files carry no wave rows, other ingest waves
+    * carry a different wave id). This is the append twin of the keyed
+    * merges: insertInto is atomic per FILE (uncommitted tasks leave
+    * only _temporary), but commitJob moves task files one rename at a
+    * time, so a crash INSIDE the commit can expose part of a
+    * multi-file append. The three crash timings:
+    *   - `expected` rows present → fully absorbed, skip;
+    *   - none present → plain append;
+    *   - SOME present (partial commit) → surgical repair: by the
+    *     presence contract, batch rows live only in batch-appended
+    *     files, so drop exactly the files carrying them and
+    *     re-append. The repair collect is bounded by one batch's
+    *     file count.
+    *
+    * SCOPE: only for tables whose generational files are never
+    * merged — a compaction that co-locates rows of different
+    * generations in one file breaks the file-delete repair (dropping
+    * "the batch's files" would destroy sibling generations). Tables
+    * with a compaction lifecycle must repair by partition-scoped
+    * keyed merge instead ([[upsertMergeByKey]] — see
+    * VectorIngest.absorbBatch).
+    */
+  def appendExactlyOnce(spark: SparkSession, table: String, batch: DataFrame,
+                        presence: org.apache.spark.sql.Column,
+                        expected: Long): Unit = {
+    val present = spark.table(table).where(presence).count()
+    if (present == expected) return
+    if (present > 0) {
+      val bad = spark.table(table).where(presence)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0))
+      val (_, fs) = locFs(spark, table)
+      bad.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false); ()
+      }
+      spark.catalog.refreshTable(table)
+    }
+    val cols = spark.table(table).columns.toSeq // insertInto is positional
+    batch.select(cols.map(col): _*).write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Merge `batch` into partitioned `table` by row key: only the
     * partitions PRESENT in the batch are rewritten; inside them,
     * existing rows whose `keyCol` is absent from the batch are kept

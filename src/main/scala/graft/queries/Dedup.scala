@@ -877,7 +877,8 @@ object Dedup {
     val (idx, prs) = nearDupTables(dir)
     val src = s"$dir/documents.parquet"
     // band index over the BASE generation (bucketed by key: future
-    // wave probes shuffle only the wave side)
+    // wave probes shuffle only the wave side). ONE hashing pass over
+    // the base — the pair build below reuses the STORED bands.
     graft.io.Warehouse.ensureBucketedTable(spark, idx, src, "key", 8)(
       bandRows(lshRows(spark, dir, "doc_id % 8 != 0")))
     // the pair table is MAINTAINED: it starts empty and absorbs
@@ -885,50 +886,70 @@ object Dedup {
     graft.io.Warehouse.ensureMaintainedPartitionedTable(spark, prs, src,
       "id_a BIGINT, id_b BIGINT, jaccard DOUBLE, gen STRING", "gen")
     if (!graft.io.Warehouse.ingestLogContains(spark, prs, "base")) {
-      val base = lshRows(spark, dir, "doc_id % 8 != 0").localCheckpoint()
+      // candidates from the STORED index (base bands only here — the
+      // wave block runs strictly after this log records), shingles
+      // recomputed for candidate ENDPOINTS only: the base corpus is
+      // hashed for signatures exactly once (the index build) and for
+      // shingles only where a candidate needs verifying
+      val bands = spark.table(idx)
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val endpointIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val endpointSh = Tables.documents(spark, dir)
+        .join(endpointIds, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
       graft.io.Warehouse.upsertPartitions(spark, prs,
-        scoredPairsFor(base).withColumn("gen", lit("base"))
+        scorePairs(pairs, endpointSh).withColumn("gen", lit("base"))
           .repartition(col("gen")))
       graft.io.Warehouse.ingestLogAdd(spark, prs, "base")
     }
     if (!graft.io.Warehouse.ingestLogContains(spark, prs, "append_mod8")) {
       val wave = lshRows(spark, dir, "doc_id % 8 = 0").localCheckpoint()
-      val waveBands = bandRows(wave)
-      val stored = spark.table(idx)
-      // wave-vs-index (≥1 wave endpoint always; after a partial crash
-      // the index may already hold the wave — the distinct makes the
-      // recompute land on the same set) + wave-vs-wave
-      val c1 = waveBands.as("x").join(stored.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") =!= col("y.doc_id"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-      val c2 = waveBands.as("x").join(waveBands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      val cand = c1.union(c2).distinct()
-      // shingles for base PARTNERS only: text re-read ∝ candidates
-      val partnerIds = cand.select(col("id_a").as("doc_id"))
-        .union(cand.select(col("id_b").as("doc_id"))).distinct()
-        .where(expr("doc_id % 8 != 0"))
-      val partnerSh = Tables.documents(spark, dir)
-        .join(partnerIds, "doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
-      val shingles = wave.select(col("doc_id"), col("sh")).union(partnerSh)
-      graft.io.Warehouse.upsertPartitions(spark, prs,
-        scorePairs(cand, shingles).withColumn("gen", lit("wave"))
-          .repartition(col("gen")))
-      // index append is NOT idempotent → data probe closes the
-      // crash-between-append-and-log window (wave docs always carry
-      // bands, so presence ⇔ absorbed)
-      if (spark.table(idx).where(expr("doc_id % 8 = 0")).isEmpty) {
-        val cols = spark.table(idx).columns.toSeq
-        waveBands.select(cols.map(col): _*)
-          .write.mode("append").insertInto(idx)
-      }
-      graft.io.Warehouse.ingestLogAdd(spark, prs, "append_mod8")
+      try {
+        val waveBands = bandRows(wave)
+        val stored = spark.table(idx)
+        // wave-vs-index (≥1 wave endpoint always; after a partial crash
+        // the index may already hold wave bands — the distinct makes the
+        // recompute land on the same set) + wave-vs-wave
+        val c1 = waveBands.as("x").join(stored.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+        val c2 = waveBands.as("x").join(waveBands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        val cand = c1.union(c2).distinct()
+        // shingles for base PARTNERS only: text re-read ∝ candidates
+        val partnerIds = cand.select(col("id_a").as("doc_id"))
+          .union(cand.select(col("id_b").as("doc_id"))).distinct()
+          .where(expr("doc_id % 8 != 0"))
+        val partnerSh = Tables.documents(spark, dir)
+          .join(partnerIds, "doc_id")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextKernels.bigramSetCol(col("text")).as("sh"))
+        val shingles = wave.select(col("doc_id"), col("sh")).union(partnerSh)
+        graft.io.Warehouse.upsertPartitions(spark, prs,
+          scorePairs(cand, shingles).withColumn("gen", lit("wave"))
+            .repartition(col("gen")))
+        // index append exactly-once: wave bands live only in
+        // wave-appended files (base files carry no doc_id % 8 = 0
+        // rows), so every crash timing — including a partial
+        // multi-file job commit — skips, appends, or repairs
+        graft.io.Warehouse.appendExactlyOnce(spark, idx, waveBands,
+          expr("doc_id % 8 = 0"), waveBands.count())
+        graft.io.Warehouse.ingestLogAdd(spark, prs, "append_mod8")
+      } finally
+        // Dataset.unpersist is a no-op on a checkpoint — free the
+        // pinned RDD deterministically (the CorpusOps discipline)
+        org.apache.spark.sql.graftbridge.PlanBridge.checkpointRdd(wave)
+          .foreach(_.unpersist(blocking = false))
     }
     prs
   }

@@ -106,8 +106,13 @@ object Layout {
     (t, st)
   }
 
-  def q194(spark: SparkSession, dir: String): DataFrame = {
-    val (t, st) = ensureShipdateZoned(spark, dir)
+  /** The shared q194/q199 body: zone-pruned read of the 3-month
+    * window over a (layout, stats) pair, exact predicate re-applied,
+    * revenue rollup. ONE definition so the maintained layout (q199)
+    * can never drift from the oracle it shares with q194.
+    */
+  private def shipdateWindowAgg(spark: SparkSession, t: String,
+                                st: String): DataFrame = {
     val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
     ZoneMaps.prunedRead(spark, t, st, Seq(("l_shipdate", s"$ShipLo 00:00:00", s"$ShipHi 00:00:00")))
       .where(col("l_shipdate").between(lo, hi))
@@ -116,6 +121,11 @@ object Layout {
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("l_returnflag"))
+  }
+
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureShipdateZoned(spark, dir)
+    shipdateWindowAgg(spark, t, st)
   }
 
   val q194Sql: String =
@@ -238,13 +248,13 @@ object Layout {
     }
     val st = ZoneMaps.ensureFileStats(spark, t + "_stats", t, Seq("l_shipdate"))
     if (!graft.io.Warehouse.ingestLogContains(spark, t, "append_mod8")) {
-      // non-idempotent append → data probe closes the crash window
-      if (spark.table(t).where(expr("l_orderkey % 8 = 0")).isEmpty) {
-        val tcols = spark.table(t).columns.toSeq
-        slice("l_orderkey % 8 = 0", 4).select(tcols.map(col): _*)
-          .write.mode("append").insertInto(t)
-        spark.catalog.refreshTable(t)
-      }
+      // exactly-once wave append: wave rows live only in wave files
+      // (the base filter excludes them), so every crash timing —
+      // including a partial multi-file job commit — skips, appends,
+      // or surgically repairs
+      graft.io.Warehouse.appendExactlyOnce(spark, t,
+        slice("l_orderkey % 8 = 0", 4), expr("l_orderkey % 8 = 0"),
+        Tables.lineitem(spark, dir).where(expr("l_orderkey % 8 = 0")).count())
       graft.io.Warehouse.ingestLogAdd(spark, t, "append_mod8")
     }
     // always converges: anti-join on file name finds nothing once
@@ -255,14 +265,7 @@ object Layout {
 
   def q199(spark: SparkSession, dir: String): DataFrame = {
     val (t, st) = ensureShipdateZonedInc(spark, dir)
-    val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
-    ZoneMaps.prunedRead(spark, t, st, Seq(("l_shipdate", s"$ShipLo 00:00:00", s"$ShipHi 00:00:00")))
-      .where(col("l_shipdate").between(lo, hi))
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_items"),
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
-      .orderBy(col("l_returnflag"))
+    shipdateWindowAgg(spark, t, st)
   }
 
   def queries: Map[String, Q] = Map(

@@ -134,7 +134,16 @@ object VectorIngest {
   }
 
   /** Assign one micro-batch under the frozen codebook and append it
-    * to the store, guarded by the first-row data probe.
+    * to the store through [[graft.io.Warehouse.appendExactlyOnce]].
+    * The presence predicate is the batch's wave class (the staged
+    * waves ARE `vec_id % Waves` classes, so one pmod literal
+    * identifies exactly this batch's rows) intersected with its
+    * touched cells — the presence scan is partition-pruned to the
+    * same directories the append writes, cost ∝ the batch's cells'
+    * contents. A crash anywhere — including inside the multi-
+    * directory job commit, which is NOT atomic across cells — is
+    * repaired on replay: fully-present skips, absent appends, partial
+    * drops exactly the batch's exposed files and re-appends.
     */
   private def absorbBatch(batch: Dataset[Row], cents: Array[Array[Double]],
                           t: String): Unit = {
@@ -146,21 +155,35 @@ object VectorIngest {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 1-row collect: the batch's deterministic marker row (min
-      // vec_id) — bounded by construction
-      val mark = assigned.orderBy(col("vec_id"))
-        .select(col("vec_id"), col("cell")).limit(1).collect()
-      if (mark.nonEmpty) {
-        val (mv, mc) = (mark(0).getLong(0), mark(0).getInt(1))
-        // partition-pruned one-directory membership probe: the batch
-        // committed atomically, so one row's presence ⇔ all present
-        val absorbed = !ss.table(t)
-          .where(col("cell") === mc && col("vec_id") === mv).isEmpty
-        if (!absorbed) {
-          val cols = ss.table(t).columns.toSeq
-          assigned.select(cols.map(col): _*)
-            .repartition(col("cell")) // one file per touched cell
-            .write.mode("append").insertInto(t)
+      val n = assigned.count()
+      if (n > 0) {
+        val w = assigned.select(pmod(col("vec_id"), lit(Waves.toLong)))
+          .limit(1).collect()(0).getLong(0)
+        // touched cells: bounded by the codebook size
+        val cells = assigned.select(col("cell")).distinct()
+          .collect().map(_.getInt(0))
+        val presence =
+          col("cell").isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*) &&
+            pmod(col("vec_id"), lit(Waves.toLong)) === lit(w)
+        val present = ss.table(t).where(presence).count()
+        if (present != n) {
+          if (present == 0)
+            // fast path: plain per-cell file append, zero rewrite
+            assigned.select(ss.table(t).columns.map(col).toIndexedSeq: _*)
+              .repartition(col("cell"))
+              .write.mode("append").insertInto(t)
+          else
+            // partial commit exposed part of the batch. File-delete
+            // repair is UNSOUND here: q200's compaction merges
+            // batches' rows into shared files, so dropping "the
+            // batch's files" can destroy sibling batches that were
+            // already checked this replay. The partition-scoped keyed
+            // merge converges from ANY intermediate state: touched
+            // cells are rewritten as (existing non-batch rows) ∪
+            // batch, other partitions untouched.
+            graft.io.Warehouse.upsertMergeByKey(ss, t, assigned,
+              "cell", "vec_id")
+          ss.catalog.refreshTable(t)
         }
       }
     } finally { assigned.unpersist(blocking = false); () }

@@ -55,6 +55,27 @@ class NearDupIndexSpec extends SparkTestBase {
       "the data probe must prevent a duplicate band append")
   }
 
+  test("a partially-committed index append is surgically repaired on replay") {
+    val prs = Dedup.ensureIncrementalNearDup(spark, Sf)
+    val (idx, _) = Dedup.nearDupTables(Sf)
+    val full = spark.table(idx).count()
+    val wave = spark.table(idx).where(expr("doc_id % 8 = 0")).count()
+    assert(wave > 0)
+    // expose a partial commit: drop one file that carries wave bands
+    val waveFile = spark.table(idx).where(expr("doc_id % 8 = 0"))
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).head
+    val f = new java.io.File(new java.net.URI(waveFile))
+    assert(f.delete())
+    spark.catalog.refreshTable(idx)
+    assert(spark.table(idx).count() < full, "fixture: bands must be missing")
+    dropLogEntry(prs, "append_mod8")
+    Dedup.ensureIncrementalNearDup(spark, Sf)
+    spark.catalog.refreshTable(idx)
+    assert(spark.table(idx).count() == full,
+      "repair must restore the full band index")
+    assert(spark.table(idx).where(expr("doc_id % 8 = 0")).count() == wave)
+  }
+
   test("wave absorption leaves the base generation's files untouched") {
     val prs = Dedup.ensureIncrementalNearDup(spark, Sf)
     val loc = graft.io.Warehouse.tableLocation(spark, prs)

@@ -62,6 +62,33 @@ class VectorIngestSpec extends SparkTestBase {
       s"expected per-batch appended files, got ${perCell.mkString(",")}")
   }
 
+  test("a partially-committed batch (one exposed file lost) is surgically repaired on replay") {
+    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
+    val full = storeRows(t)
+    // simulate a crash inside a batch's multi-directory job commit:
+    // one of its per-batch files vanishes. Pick a NON-hot cell with
+    // several per-batch files so compaction state can't interfere.
+    val victim = loc.listFiles()
+      .filter(f => f.getName.startsWith("cell=") &&
+        f.getName != s"cell=${VectorIngest.HotCell}")
+      .map(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .filter(_.length > 1).head.head
+    assert(victim.delete())
+    spark.catalog.refreshTable(t)
+    assert(storeRows(t).size < full.size, "fixture: rows must be missing")
+    // lost completion marker + replay → the damaged batch's presence
+    // count mismatches, its surviving files are dropped, the batch
+    // re-appends; every intact batch is skipped
+    val log = new java.io.File(loc, graft.io.Warehouse.IngestLogFile)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(loc, "." + graft.io.Warehouse.IngestLogFile + ".crc").toPath)
+    java.nio.file.Files.writeString(log.toPath, "")
+    VectorIngest.ensureStreamedCellStore(spark, Sf)
+    spark.catalog.refreshTable(t)
+    assert(storeRows(t) == full, "repair must restore the exact content")
+  }
+
   test("q200 compaction collapses the hot cell to one file, touches no sibling, keeps every row") {
     val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
     val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
