@@ -18,6 +18,19 @@ class VectorIngestSpec extends SparkTestBase {
       .select(col("vec_id"), col("cell"), round(col("nrm"), 9))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
 
+  /** Rebuild the streamed store from scratch. The tests that assert
+    * per-batch APPEND HISTORY need it: a prior repair (keyed merge)
+    * or q200 compaction legitimately collapses cell files in the
+    * persistent warehouse, erasing the history those tests observe.
+    */
+  private def freshStore(): String = {
+    val t = VectorIngest.storeTable(Sf)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(graft.io.Warehouse.tableLocation(spark, t)))
+    VectorIngest.ensureStreamedCellStore(spark, Sf)
+  }
+
   test("streamed store content equals the one-shot q182 build") {
     val streamed = VectorIngest.ensureStreamedCellStore(spark, Sf)
     val oneShot = AnnTrained.ensureCellPartitionedEmbeddings(spark, Sf)
@@ -48,7 +61,7 @@ class VectorIngestSpec extends SparkTestBase {
   }
 
   test("ingestion appended per-batch files; the store was never rewritten") {
-    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val t = freshStore()
     val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
     // exclude the hot cell: q200's targeted compaction may have
     // legitimately collapsed it in this shared warehouse
@@ -63,7 +76,7 @@ class VectorIngestSpec extends SparkTestBase {
   }
 
   test("a partially-committed batch (one exposed file lost) is surgically repaired on replay") {
-    val t = VectorIngest.ensureStreamedCellStore(spark, Sf)
+    val t = freshStore()
     val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, t))
     val full = storeRows(t)
     // simulate a crash inside a batch's multi-directory job commit:
