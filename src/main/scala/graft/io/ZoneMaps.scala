@@ -76,19 +76,40 @@ object ZoneMaps {
     */
   def absorbNewFileStats(spark: SparkSession, statsTable: String,
                          layoutTable: String, tracked: Seq[String]): Int = {
+    val actual = spark.table(layoutTable).inputFiles.toSet
     val known = spark.table(statsTable)
       .select(col("file")).collect().map(_.getString(0)).toSet
-    val fresh = spark.table(layoutTable).inputFiles.filterNot(known).toSeq
-    if (fresh.nonEmpty) {
-      val aggs = count(lit(1)).as("cnt") +:
-        tracked.flatMap(c => Seq(
-          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-      val cols = spark.table(statsTable).columns.toSeq // insertInto is positional
+    val stale = known.diff(actual)
+    val fresh = actual.diff(known).toSeq
+    val aggs = count(lit(1)).as("cnt") +:
+      tracked.flatMap(c => Seq(
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val cols = spark.table(statsTable).columns.toSeq // insertInto is positional
+    if (stale.nonEmpty) {
+      // stats rows point at files that no longer exist. The one
+      // legitimate path here: a partial-commit crash, a SESSION
+      // RESTART whose fingerprint-mismatch stats rebuild absorbed the
+      // exposed files, then the append repair deleted them. A stale
+      // row would make the pruned reader open a dead file, so
+      // reconcile by rebuilding the stats content from the live file
+      // list (rare path; one layout scan) — and restore the
+      // fingerprint the truncating overwrite deletes (the round-12
+      // overwrite-insertInto bug class).
+      spark.read.parquet(actual.toSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(statsTable)
+      spark.catalog.refreshTable(statsTable)
+      Warehouse.writeFingerprint(spark, statsTable,
+        Warehouse.tableLocation(spark, layoutTable))
+    } else if (fresh.nonEmpty) {
       spark.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .select(cols.map(col): _*)
         .write.mode("append").insertInto(statsTable)
+      spark.catalog.refreshTable(statsTable)
       Warehouse.writeFingerprint(spark, statsTable,
         Warehouse.tableLocation(spark, layoutTable))
     }

@@ -105,6 +105,26 @@ class ZoneMapSpec extends SparkTestBase {
       == statRows)
   }
 
+  test("stats rows for vanished files are reconciled, never served to the pruned reader") {
+    val (t, st) = Layout.ensureShipdateZonedInc(spark, Sf)
+    // forge the post-restart-repair state: a stats row whose file no
+    // longer exists on disk
+    val cols = spark.table(st).columns
+    val ghost = spark.table(st).limit(1)
+      .withColumn("file", lit("file:///nonexistent/ghost.parquet"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    ghost.write.mode("append").insertInto(st)
+    spark.catalog.refreshTable(st)
+    assert(spark.table(st).where(col("file").contains("ghost")).count() == 1)
+    graft.io.ZoneMaps.absorbNewFileStats(spark, st, t, Seq("l_shipdate"))
+    spark.catalog.refreshTable(st)
+    assert(spark.table(st).where(col("file").contains("ghost")).isEmpty,
+      "reconciliation must drop stats rows for dead files")
+    // stats again exactly mirror the live files, and pruning still works
+    assert(spark.table(st).count() == spark.table(t).inputFiles.length)
+    assert(Layout.q199(spark, Sf).count() > 0)
+  }
+
   test("q199 crash replay: dropping the layout ingest-log entry re-appends nothing") {
     val (t, st) = Layout.ensureShipdateZonedInc(spark, Sf)
     val rows = spark.table(t).count()
