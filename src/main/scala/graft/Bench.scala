@@ -123,7 +123,8 @@ object Bench {
       "zoned_layouts" -> (() => {
         queries.Layout.ensureShipdateZoned(spark, sfDir)
         queries.Layout.ensureZorderZoned(spark, sfDir)
-        queries.Layout.ensureShipdateZonedInc(spark, sfDir); ()
+        queries.Layout.ensureShipdateZonedInc(spark, sfDir)
+        queries.Layout.ensureBloomZoned(spark, sfDir); ()
       }),
       "neardup_index_inc" -> (() => {
         queries.Dedup.ensureIncrementalNearDup(spark, sfDir); ()

@@ -129,7 +129,8 @@ object Plans {
       "q197_stream_vector_ingest" -> "streaming vector ingestion: micro-batches assigned under the FROZEN codebook and appended per-cell (zero rewrite), exactly-once via per-batch pruned data probes; the probe is q182's pruned shape over the streamed store",
       "q198_stats_skew_agg" -> "executed CBO: stored top-key share picks salted two-phase vs plain aggregation — strategy from a persisted statistic AQE cannot know; identical rows either way (StatsPlanSpec pins both directions)",
       "q199_zonemap_incremental" -> "maintained skipping layer: append wave lands as NEW files (no base rewrite), stats absorb scans only the fresh file list, pruned read unchanged — q194's answer over base+wave",
-      "q200_store_optimize" -> "compaction as an oracled op: the hot cell's per-batch files collapse to one (one-partition dynamic overwrite), siblings untouched, probe answers unchanged — ingest/compact/probe all hash-certified")
+      "q200_store_optimize" -> "compaction as an oracled op: the hot cell's per-batch files collapse to one (one-partition dynamic overwrite), siblings untouched, probe answers unchanged — ingest/compact/probe all hash-certified",
+      "q201_bloom_skipping" -> "point-lookup file skipping on the UNCLUSTERED key: per-file 8192-bit Blooms keep ~3 of 32 files where every min/max envelope spans the domain; probe hash a literal, membership test pure codegen over the stats rows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -343,7 +343,14 @@ object ScaleStress {
       queries.Layout.ensureShipdateZonedInc(spark, dir)
       println(f"[stress] q199_reensure_log_hit@10x wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
       time("q199_zonemap_incremental@10x")(queries.Layout.q199(spark, dir).count())
-      for (tbl <- Seq(z1, z1s, z2, z2s, z3, z3s)) {
+      // bloom point lookup at 6M rows: ~400 files of ~1500 rows each,
+      // the probe reads the true files + the bounded FP tail — wall
+      // must track files-read, never the corpus
+      val t4 = System.nanoTime()
+      val (z4, z4s) = queries.Layout.ensureBloomZoned(spark, dir)
+      println(f"[stress] q201_bloom_layout_build@10x wall=${(System.nanoTime() - t4) / 1e9}%.2f s")
+      time("q201_bloom_skipping@10x")(queries.Layout.q201(spark, dir).count())
+      for (tbl <- Seq(z1, z1s, z2, z2s, z3, z3s, z4, z4s)) {
         val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)

@@ -103,14 +103,20 @@ object BloomSketch {
     * construction. Stays inside whole-stage codegen (arithmetic +
     * element_at + shiftright only).
     */
-  def mightContain(h: Column, sketch: Array[Long]): Column = {
-    val words = lit(sketch)
+  def mightContain(h: Column, sketch: Array[Long]): Column =
+    mightContainCol(h, lit(sketch))
+
+  /** [[mightContain]] with the sketch as a COLUMN — the per-row form
+    * a stats table of per-file Blooms needs (one sketch per row, the
+    * probe key a literal). Same arithmetic, same no-false-negative
+    * guarantee, still pure codegen.
+    */
+  def mightContainCol(h: Column, sketch: Column): Column =
     (0 until NumHashes).map { i =>
       val (a, b) = TextFns.hashParams(i)
       val pos = pmod(h * lit(a) + lit(b), lit(TextFns.P)) % NumBits
-      val word = element_at(words, (pos / 64).cast("int") + 1)
+      val word = element_at(sketch, (pos / 64).cast("int") + 1)
       call_function("shiftright", word, (pos % 64).cast("int"))
         .bitwiseAND(lit(1L)) === 1
     }.reduce(_ && _)
-  }
 }

@@ -116,6 +116,48 @@ object ZoneMaps {
     fresh.size
   }
 
+  /** Per-file BLOOM stats: one 8192-bit Bloom filter of `keyCol`'s
+    * hashes per data file. The complement of min/max envelopes:
+    * envelopes prune RANGE predicates on the clustered column; a
+    * per-file Bloom prunes POINT lookups on a key the layout is NOT
+    * clustered by (a scattered key's envelope spans the domain in
+    * every file, so zone maps keep everything — the Bloom keeps only
+    * the files that may actually contain the key, false positives
+    * bounded by the filter's load). Parquet's own column indexes and
+    * Delta's bloom-filter indexes are this exact structure; here it
+    * is an explicit, spec-testable stats table. The hash is the q77
+    * build/probe idiom (hash60 % P) so both sides always agree.
+    */
+  def ensureFileBloomStats(spark: SparkSession, statsTable: String,
+                           layoutTable: String, keyCol: String): String = {
+    val layoutLoc = Warehouse.tableLocation(spark, layoutTable)
+    Warehouse.ensureTable(spark, statsTable, layoutLoc,
+      "file STRING, cnt BIGINT, bloom ARRAY<BIGINT>") {
+      spark.table(layoutTable)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.BloomSketch.bloomAgg(
+            graft.functions.TextKernels.hash60StrCol(
+              col(keyCol).cast("string")) % graft.functions.TextFns.P)
+            .as("bloom"))
+    }
+    statsTable
+  }
+
+  /** Read only the files whose Bloom may contain the key whose hash
+    * is `keyHash` (a literal column — same hash60 % P as the build).
+    * No false negatives by construction; callers re-apply the exact
+    * equality after the read.
+    */
+  def bloomPrunedRead(spark: SparkSession, layoutTable: String,
+                      statsTable: String, keyHash: org.apache.spark.sql.Column): DataFrame = {
+    val files = spark.table(statsTable)
+      .where(graft.functions.BloomSketch.mightContainCol(keyHash, col("bloom")))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) spark.table(layoutTable).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
   /** Files whose envelope INTERSECTS every `(column, lo, hi)` range —
     * the candidate set that may contain matching rows. Filtering runs
     * distributed over the stats table; only the surviving names are

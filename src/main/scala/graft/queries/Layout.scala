@@ -268,11 +268,83 @@ object Layout {
     shipdateWindowAgg(spark, t, st)
   }
 
+  // ---------------------------------------------------------------
+  // q201_bloom_skipping — POINT-lookup file skipping on a key the
+  // layout is NOT clustered by. The layout is shipdate-sorted, so
+  // l_orderkey is scattered: every file's orderkey ENVELOPE spans
+  // ~the whole domain and min/max zone maps keep all files. A
+  // per-file 8192-bit Bloom of the orderkey hashes keeps only the
+  // files that may contain the key — a point lookup reads the 1-2
+  // true files plus a bounded false-positive tail instead of the
+  // corpus (Delta's bloom index / parquet column-index role, as an
+  // explicit stats table). Files are sized ~BloomRowsPerFile rows so
+  // the filter's load — distinct orderkeys/file ≈ rows/4 — stays
+  // sparse at EVERY SF (the bit budget per file is fixed; the file
+  // size is the knob, exactly how real formats size row groups).
+  // The probe key derives from the data (largest orderkey ≤ 3/8 of
+  // max — two 1-row aggregates, bounded), so it exists and scales
+  // with every SF's key domain; the oracle recomputes it with scalar
+  // subqueries. ZoneMapSpec pins files-read == bloom-matched set (a
+  // strict minority) and result equality with the flat scan.
+  // ---------------------------------------------------------------
+  final val BloomRowsPerFile = 1500
+
+  private[graft] def ensureBloomZoned(spark: SparkSession,
+                                      dir: String): (String, String) = {
+    val t = s"graft_li_bloom_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensureTable(spark, t, s"$dir/lineitem.parquet",
+      "l_orderkey BIGINT, l_shipdate TIMESTAMP, l_quantity DOUBLE") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      // one count at build time only (ensureTable never evaluates the
+      // build on the files-reuse path — the DDL is explicit)
+      val n = math.max(ZoneFiles, (li.count() / BloomRowsPerFile).toInt)
+      li.repartitionByRange(n, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+    }
+    val st = ZoneMaps.ensureFileBloomStats(spark, t + "_stats", t, "l_orderkey")
+    (t, st)
+  }
+
+  /** The probe key: largest orderkey ≤ 3/8 of the domain max —
+    * guaranteed present, SF-relative, floor integer arithmetic
+    * matching the oracle's CAST(FLOOR(...)).
+    */
+  private def probeOrderkey(spark: SparkSession, dir: String): Long = {
+    val li = Tables.lineitem(spark, dir)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    li.where(col("l_orderkey") <= lit(3L * mx / 8))
+      .agg(max(col("l_orderkey"))).head().getLong(0)
+  }
+
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureBloomZoned(spark, dir)
+    val k = probeOrderkey(spark, dir)
+    val kh = graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P
+    ZoneMaps.bloomPrunedRead(spark, t, st, kh)
+      .where(col("l_orderkey") === lit(k))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q201Sql: String =
+    """WITH mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem),
+      |k AS (SELECT MAX(l_orderkey) AS k FROM lineitem, mx
+      |      WHERE l_orderkey <= CAST(FLOOR(3 * m / 8.0) AS BIGINT))
+      |SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem, k WHERE l_orderkey = k.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
     "q195_zonemap_zorder" -> (q195 _),
-    "q199_zonemap_incremental" -> (q199 _))
+    "q199_zonemap_incremental" -> (q199 _),
+    "q201_bloom_skipping" -> (q201 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -280,5 +352,6 @@ object Layout {
     "q195_zonemap_zorder" -> q195Sql,
     // base + wave = the full corpus: the maintained skipping layer
     // must produce q194's exact answer
-    "q199_zonemap_incremental" -> q194Sql)
+    "q199_zonemap_incremental" -> q194Sql,
+    "q201_bloom_skipping" -> q201Sql)
 }

@@ -150,6 +150,49 @@ class ZoneMapSpec extends SparkTestBase {
     info(s"q199: ${matched.size} of $total files read after maintenance")
   }
 
+  test("q201 bloom skipping: a point lookup on the unclustered key reads a strict minority of files") {
+    val (t, st) = Layout.ensureBloomZoned(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    // the layout is shipdate-sorted → orderkey envelopes are wide:
+    // prove min/max could NOT have pruned this lookup (the reason the
+    // bloom column exists)
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val k = li.where(col("l_orderkey") <= lit(3L * mx / 8))
+      .agg(max(col("l_orderkey"))).head().getLong(0)
+    val perFileEnv = spark.table(t)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      .where(col("mn") <= k && col("mx") >= k).count()
+    assert(perFileEnv > total / 2,
+      s"fixture: envelopes should be useless for this key ($perFileEnv of $total contain it)")
+    val kh = graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P
+    val pruned = graft.io.ZoneMaps.bloomPrunedRead(spark, t, st, kh)
+    val read = pruned.inputFiles.length
+    assert(read > 0 && read < total / 4,
+      s"bloom should keep a strict minority: $read of $total files")
+    // no false negatives: the pruned read carries every row of the key
+    val direct = li.where(col("l_orderkey") === k).count()
+    assert(pruned.where(col("l_orderkey") === k).count() == direct)
+    info(s"q201: $read of $total files for the point lookup; $perFileEnv envelopes contained the key")
+  }
+
+  test("q201 a key absent from the corpus prunes to (near) nothing and answers empty") {
+    val (t, st) = Layout.ensureBloomZoned(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    // beyond the domain max → certainly absent; only false positives
+    // can pass, and at this load they are rare
+    val ghost = graft.sources.Tables.lineitem(spark, Sf)
+      .agg(max(col("l_orderkey"))).head().getLong(0) + 999983L
+    val kh = graft.functions.TextKernels.hash60StrCol(
+      lit(ghost).cast("string")) % graft.functions.TextFns.P
+    val pruned = graft.io.ZoneMaps.bloomPrunedRead(spark, t, st, kh)
+    assert(pruned.inputFiles.length <= total / 4,
+      s"absent key kept ${pruned.inputFiles.length} of $total files")
+    assert(pruned.where(col("l_orderkey") === ghost).count() == 0)
+  }
+
   test("zone stats re-register from surviving files; a changed layout forces a stats rebuild") {
     val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
     spark.sql(s"DROP TABLE $st")
