@@ -129,19 +129,53 @@ object ZoneMaps {
     * build/probe idiom (hash60 % P) so both sides always agree.
     */
   def ensureFileBloomStats(spark: SparkSession, statsTable: String,
-                           layoutTable: String, keyCol: String): String = {
+                           layoutTable: String, keyCol: String): String =
+    ensureFileSkipStats(spark, statsTable, layoutTable, Nil, keyCol)
+
+  /** The full skipping-stats row: min/max envelopes for `tracked`
+    * columns AND a Bloom of `bloomKey` — one stats table serving BOTH
+    * pruning dimensions, so a compound predicate (range on the
+    * clustered column, point set on a scattered key) intersects them
+    * in one metadata pass (q202).
+    */
+  def ensureFileSkipStats(spark: SparkSession, statsTable: String,
+                          layoutTable: String, tracked: Seq[String],
+                          bloomKey: String): String = {
     val layoutLoc = Warehouse.tableLocation(spark, layoutTable)
-    Warehouse.ensureTable(spark, statsTable, layoutLoc,
-      "file STRING, cnt BIGINT, bloom ARRAY<BIGINT>") {
-      spark.table(layoutTable)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("cnt"),
-          graft.functions.BloomSketch.bloomAgg(
-            graft.functions.TextKernels.hash60StrCol(
-              col(keyCol).cast("string")) % graft.functions.TextFns.P)
-            .as("bloom"))
+    val layoutDf = spark.table(layoutTable)
+    def statsFrame = {
+      val aggs = (count(lit(1)).as("cnt") +:
+        tracked.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))) :+
+        graft.functions.BloomSketch.bloomAgg(
+          graft.functions.TextKernels.hash60StrCol(
+            col(bloomKey).cast("string")) % graft.functions.TextFns.P)
+          .as("bloom")
+      layoutDf.groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
     }
+    Warehouse.ensureTable(spark, statsTable, layoutLoc,
+      statsFrame.schema.toDDL)(statsFrame)
     statsTable
+  }
+
+  /** Files surviving BOTH the range envelopes and the Bloom
+    * membership of at least one probe-key hash — compound skipping in
+    * one stats pass.
+    */
+  def compoundPrunedRead(spark: SparkSession, layoutTable: String,
+                         statsTable: String, ranges: Seq[(String, Any, Any)],
+                         keyHashes: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val rangePred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val bloomPred = keyHashes
+      .map(h => graft.functions.BloomSketch.mightContainCol(h, col("bloom")))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val files = spark.table(statsTable).where(rangePred && bloomPred)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) spark.table(layoutTable).where(lit(false))
+    else spark.read.parquet(files: _*)
   }
 
   /** Read only the files whose Bloom may contain the key whose hash

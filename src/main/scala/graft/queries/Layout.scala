@@ -302,7 +302,11 @@ object Layout {
       li.repartitionByRange(n, col("l_shipdate"))
         .sortWithinPartitions(col("l_shipdate"))
     }
-    val st = ZoneMaps.ensureFileBloomStats(spark, t + "_stats", t, "l_orderkey")
+    // one stats table, two pruning dimensions: shipdate envelopes
+    // (the clustered column) + the orderkey Bloom — q201 uses the
+    // bloom, q202 intersects both
+    val st = ZoneMaps.ensureFileSkipStats(spark, t + "_skipstats", t,
+      Seq("l_shipdate"), "l_orderkey")
     (t, st)
   }
 
@@ -339,12 +343,69 @@ object Layout {
       |FROM lineitem, k WHERE l_orderkey = k.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q202_compound_skipping — BOTH pruning dimensions intersected in
+  // ONE metadata pass: a point-set lookup (5 SF-relative orderkeys)
+  // inside a shipdate window prunes by the clustered column's
+  // envelopes AND the scattered key's Blooms — files read ≈
+  // (window fraction) × (keys' bloom hits), the compound skipping a
+  // compound predicate deserves (each dimension alone keeps far
+  // more). Keys derive per-octile (largest orderkey ≤ i·max/8 for
+  // i ∈ {1,2,3,5,7}) via one 5-row aggregate; the oracle recomputes
+  // them with a VALUES cross join. Exact predicates re-apply; the
+  // flat-scan oracle certifies the intersection logic.
+  // ---------------------------------------------------------------
+  private val ProbeOctiles = Seq(1, 2, 3, 5, 7)
+  final val CsLo = "1996-06-01"
+  final val CsHi = "1999-05-31"
+
+  /** The per-octile probe keys: one grouped aggregate, ≤ 5 rows. */
+  private def probeOrderkeys(spark: SparkSession, dir: String): Seq[Long] = {
+    val li = Tables.lineitem(spark, dir)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    ProbeOctiles.map { i =>
+      li.where(col("l_orderkey") <= lit(i * mx / 8))
+        .agg(max(col("l_orderkey"))).head().getLong(0)
+    }.distinct
+  }
+
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureBloomZoned(spark, dir)
+    val ks = probeOrderkeys(spark, dir)
+    val hashes = ks.map(k => graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P)
+    val (lo, hi) = (lit(CsLo).cast("timestamp"), lit(CsHi).cast("timestamp"))
+    ZoneMaps.compoundPrunedRead(spark, t, st,
+        Seq(("l_shipdate", s"$CsLo 00:00:00", s"$CsHi 00:00:00")), hashes)
+      .where(col("l_orderkey").isin(ks: _*) &&
+        col("l_shipdate").between(lo, hi))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q202Sql: String = {
+    val octiles = ProbeOctiles.map(i => s"($i)").mkString(",")
+    s"""WITH mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem),
+       |ks AS (SELECT DISTINCT MAX(l_orderkey) AS k
+       |       FROM lineitem, mx, (VALUES $octiles) AS t(i)
+       |       WHERE l_orderkey <= CAST(FLOOR(i * m / 8.0) AS BIGINT)
+       |       GROUP BY i)
+       |SELECT l_orderkey, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem JOIN ks ON l_orderkey = ks.k
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$CsLo' AND TIMESTAMP '$CsHi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
     "q195_zonemap_zorder" -> (q195 _),
     "q199_zonemap_incremental" -> (q199 _),
-    "q201_bloom_skipping" -> (q201 _))
+    "q201_bloom_skipping" -> (q201 _),
+    "q202_compound_skipping" -> (q202 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -353,5 +414,6 @@ object Layout {
     // base + wave = the full corpus: the maintained skipping layer
     // must produce q194's exact answer
     "q199_zonemap_incremental" -> q194Sql,
-    "q201_bloom_skipping" -> q201Sql)
+    "q201_bloom_skipping" -> q201Sql,
+    "q202_compound_skipping" -> q202Sql)
 }

@@ -193,6 +193,28 @@ class ZoneMapSpec extends SparkTestBase {
     assert(pruned.where(col("l_orderkey") === ghost).count() == 0)
   }
 
+  test("q202 compound skipping intersects: fewer files than either dimension alone") {
+    val (t, st) = Layout.ensureBloomZoned(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val ks = Seq(1, 2, 3, 5, 7).map { i =>
+      li.where(col("l_orderkey") <= lit(i * mx / 8))
+        .agg(max(col("l_orderkey"))).head().getLong(0)
+    }.distinct
+    val hashes = ks.map(k => graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P)
+    val ranges = Seq(("l_shipdate", s"${Layout.CsLo} 00:00:00", s"${Layout.CsHi} 00:00:00"))
+    def filesOf(df: org.apache.spark.sql.DataFrame): Int = df.inputFiles.length
+    val rangeOnly = filesOf(graft.io.ZoneMaps.compoundPrunedRead(spark, t, st, ranges, Nil))
+    val bloomOnly = filesOf(graft.io.ZoneMaps.compoundPrunedRead(spark, t, st, Nil, hashes))
+    val both = filesOf(graft.io.ZoneMaps.compoundPrunedRead(spark, t, st, ranges, hashes))
+    assert(both <= math.min(rangeOnly, bloomOnly),
+      s"intersection must not exceed either dimension: both=$both range=$rangeOnly bloom=$bloomOnly")
+    assert(both < total, s"compound predicate must skip something: $both of $total")
+    info(s"q202: range-only $rangeOnly, bloom-only $bloomOnly, compound $both of $total files")
+  }
+
   test("zone stats re-register from surviving files; a changed layout forces a stats rebuild") {
     val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
     spark.sql(s"DROP TABLE $st")
