@@ -138,6 +138,9 @@ object Bench {
       }),
       "skew_stats" -> (() => {
         queries.AnalyzeOps.ensureSkewStats(spark, sfDir); ()
+      }),
+      "event_generations" -> (() => {
+        queries.TimeTravel.ensureEventGenerations(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

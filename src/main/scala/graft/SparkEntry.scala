@@ -27,7 +27,8 @@ object SparkEntry {
       Reshape.queries ++ RangeJoin.queries ++ Layout.queries ++ // q85 rides in PqQueries.queries
       JobCores.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
       GraphOps.queries ++ Retrieval.queries ++ CurationOps.queries ++
-      SkewQueries.queries ++ TemporalOps.queries ++ AnalyzeOps.queries
+      SkewQueries.queries ++ TemporalOps.queries ++ AnalyzeOps.queries ++
+      TimeTravel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -40,5 +41,6 @@ object SparkEntry {
       Reshape.oracles ++ RangeJoin.oracles ++ Layout.oracles ++
       JobCores.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
       GraphOps.oracles ++ Retrieval.oracles ++ CurationOps.oracles ++
-      SkewQueries.oracles ++ TemporalOps.oracles ++ AnalyzeOps.oracles
+      SkewQueries.oracles ++ TemporalOps.oracles ++ AnalyzeOps.oracles ++
+      TimeTravel.oracles
 }

@@ -83,6 +83,16 @@ object Warehouse {
     try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Does `table`'s stored fingerprint match the CURRENT state of
+    * `srcPath`? The registration-time staleness check, exposed for
+    * artifacts that are not catalog tables (the GenLog directories).
+    */
+  private[graft] def fingerprintMatches(spark: SparkSession, table: String,
+                                        srcPath: String): Boolean = {
+    val (loc, fs) = locFs(spark, table)
+    survivingFingerprint(fs, loc, sourceFingerprint(spark, srcPath))
+  }
+
   /** Re-record the source state `table`'s rows now correspond to.
     * For MAINTENANCE writers whose rewrite deletes the table
     * directory first (overwrite insertInto does): they must restore

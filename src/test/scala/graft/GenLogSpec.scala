@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.GenLog
+import graft.queries.TimeTravel
+
+/** The generation log (io/GenLog.scala): the file-level facts the
+  * q203/q204 oracles can't see — overwritten-file retention, commit
+  * idempotence, orphan invisibility, and the vacuum contract. All on
+  * a throwaway location; the queries' warehouse artifact is never
+  * touched.
+  */
+class GenLogSpec extends SparkTestBase {
+
+  private def freshGens(): String = {
+    val loc = java.nio.file.Files.createTempDirectory("genlog").toString + "/t"
+    GenLog.appendBatch(spark, loc, "g1",
+      TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut1), None, Some(TimeTravel.Day1)), "day_k")
+    GenLog.appendBatch(spark, loc, "g2",
+      TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut2), Some(TimeTravel.Day1), Some(TimeTravel.Day2)), "day_k")
+    GenLog.appendBatch(spark, loc, "g3",
+      TimeTravel.batch(spark, Sf, None, Some(TimeTravel.Day2), None), "day_k")
+    loc
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+    df.select(col("day").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("a logical overwrite removes the old file from live but retains it for history") {
+    val loc = freshGens()
+    val gens = GenLog.generations(spark, loc).toMap
+    val g1Only = gens("g1").toSet -- gens("g3").toSet
+    assert(g1Only.nonEmpty,
+      "g2's day-10 restatement must have removed a g1 file from the live set")
+    assert(g1Only.forall(f => new java.io.File(f).exists()),
+      "removed files must stay on disk for history")
+    // the removed file is exactly the boundary day's partial commit
+    assert(g1Only.forall(_.contains(s"/day_k=${TimeTravel.Day1}/")))
+  }
+
+  test("generation reads are snapshots: each equals its cutoff recompute") {
+    val loc = freshGens()
+    def expect(cut: Option[String]) = rows {
+      val ev = graft.sources.Tables.events(spark, Sf)
+        .withColumn("day", to_date(col("ts")))
+      cut.map(c => ev.where(col("ts") <= lit(c).cast("timestamp"))).getOrElse(ev)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
+    assert(rows(GenLog.read(spark, loc, "g1")) == expect(Some(TimeTravel.Cut1)))
+    assert(rows(GenLog.read(spark, loc, "g2")) == expect(Some(TimeTravel.Cut2)))
+    assert(rows(GenLog.readLatest(spark, loc)) == expect(None))
+  }
+
+  test("re-committing an existing generation is a no-op; orphans are invisible until vacuum") {
+    val loc = freshGens()
+    val before = GenLog.generations(spark, loc)
+    GenLog.appendBatch(spark, loc, "g2",
+      TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut2), Some(TimeTravel.Day1), Some(TimeTravel.Day2)), "day_k")
+    assert(GenLog.generations(spark, loc) == before, "gen-id guard must skip")
+    // a crashed writer's file: on disk, in no generation
+    val orphanDir = new java.io.File(loc, "day_k=2024-01-05")
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val g3 = rows(GenLog.readLatest(spark, loc))
+    assert(g3.nonEmpty, "readers resolve the log, so a garbage orphan cannot break them")
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 3)
+    assert(deleted.exists(_.endsWith("part-orphan.parquet")))
+    assert(!orphan.exists())
+    assert(rows(GenLog.readLatest(spark, loc)) == g3)
+  }
+
+  test("vacuum(keep 2) deletes g1-only history, refuses g1 reads, leaves g2/g3 bit-identical") {
+    val loc = freshGens()
+    val gens = GenLog.generations(spark, loc).toMap
+    val g1Only = gens("g1").toSet -- gens("g2").toSet -- gens("g3").toSet
+    assert(g1Only.nonEmpty)
+    val g2Rows = rows(GenLog.read(spark, loc, "g2"))
+    val g3Rows = rows(GenLog.read(spark, loc, "g3"))
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 2)
+    assert(g1Only.subsetOf(deleted.toSet), "g1-only files must be collected")
+    intercept[IllegalArgumentException](GenLog.read(spark, loc, "g1"))
+    assert(rows(GenLog.read(spark, loc, "g2")) == g2Rows)
+    assert(rows(GenLog.read(spark, loc, "g3")) == g3Rows)
+  }
+
+  test("every committed file carries exactly one partition value (the restatement contract)") {
+    val loc = freshGens()
+    val all = GenLog.generations(spark, loc).flatMap(_._2).distinct
+    all.foreach { f =>
+      val days = spark.read.parquet(f).select(col("day")).distinct().count()
+      assert(days == 1, s"$f carries $days days; restatement-by-path needs exactly 1")
+    }
+  }
+}
