@@ -133,7 +133,9 @@ object Plans {
       "q201_bloom_skipping" -> "point-lookup file skipping on the UNCLUSTERED key: per-file 8192-bit Blooms keep ~3 of 32 files where every min/max envelope spans the domain; probe hash a literal, membership test pure codegen over the stats rows",
       "q202_compound_skipping" -> "BOTH pruning dimensions in ONE stats pass: shipdate envelopes AND orderkey Blooms intersect (6 of 32 files where each alone keeps 15) — compound skipping for a compound predicate",
       "q203_snapshot_read" -> "generation-log snapshot: the AS-OF file list pins days 1-9 from g1's files + the restated day 10 from g2's, blind to g3 — the oracle is the corpus at g2's cutoff, certifying snapshot isolation by hash",
-      "q204_travel_overwritten" -> "time travel ACROSS a logical overwrite: g1 reads the file g2's restatement removed from live (bytes retained until vacuum) — read-repeatability the eager-delete overwrite cannot give")
+      "q204_travel_overwritten" -> "time travel ACROSS a logical overwrite: g1 reads the file g2's restatement removed from live (bytes retained until vacuum) — read-repeatability the eager-delete overwrite cannot give",
+      "q205_change_feed" -> "change feed between snapshots: AS-OF g3 left-joined to AS-OF g2 from the log's file lists alone — inserts + updates, oracle diffs the raw corpus at both cutoffs",
+      "q206_schema_evolution" -> "merged read across TWO schemas: n_users NULL exactly where history predates the g4 widening; earlier AS-OF reads keep their own schema — evolution as a generation boundary, no migration")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

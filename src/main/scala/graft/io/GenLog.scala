@@ -125,7 +125,10 @@ object GenLog {
         s"generation '$gen' not in $loc/$LogFile (vacuumed or never committed)"))._2
     if (live.isEmpty)
       throw new IllegalArgumentException(s"generation '$gen' is empty")
-    spark.read.parquet(live: _*)
+    // a generation may span files written under evolving schemas
+    // (q206): merge the footers so widened columns read as NULL where
+    // history predates them
+    spark.read.option("mergeSchema", "true").parquet(live: _*)
   }
 
   def readLatest(spark: SparkSession, loc: String): DataFrame = {

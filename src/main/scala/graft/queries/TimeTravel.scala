@@ -32,8 +32,13 @@ object TimeTravel {
   final val Day1 = "2024-01-10"
   final val Day2 = "2024-01-20"
 
+  /** v2: the build gained the schema-widened g4 generation — a new
+    * table name keys the artifact to the build SHAPE as well as the
+    * source (a surviving 3-generation artifact must not serve the
+    * 4-generation contract).
+    */
   private[graft] def gensTable(dir: String): String =
-    s"graft_ev_gens_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_gens_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** One ingest batch: daily counts for `dayLo..dayHi` from events at
     * or before `cut`. The day is stored BOTH as the partition key
@@ -74,9 +79,27 @@ object TimeTravel {
         batch(spark, dir, Some(Cut2), Some(Day1), Some(Day2)), "day_k")
       GenLog.appendBatch(spark, loc, "g3",
         batch(spark, dir, None, Some(Day2), None), "day_k")
+      // g4: the SAME day range restated under a WIDENED schema (the
+      // pipeline started tracking per-day distinct users) — schema
+      // evolution as a generation boundary, not a table migration
+      GenLog.appendBatch(spark, loc, "g4",
+        widenedBatch(spark, dir, Some(Day2)), "day_k")
       graft.io.Warehouse.writeFingerprint(spark, tbl, src)
     }
     loc
+  }
+
+  /** The widened batch: daily counts PLUS distinct users — the
+    * column later generations carry and earlier ones never saw.
+    */
+  private[graft] def widenedBatch(spark: SparkSession, dir: String,
+                                  dayLo: Option[String]): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    dayLo.map(d => ev.where(col("day") >= lit(d).cast("date"))).getOrElse(ev)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("day_k", date_format(col("day"), "yyyy-MM-dd"))
   }
 
   // ---------------------------------------------------------------
@@ -118,11 +141,76 @@ object TimeTravel {
        |FROM events WHERE ts <= TIMESTAMP '$Cut1'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q205_change_feed — the change-data-feed between two snapshots,
+  // computed from the LOG'S file lists alone: diff AS-OF g3 against
+  // AS-OF g2 keyed by (day, event_type). Counts only grow between
+  // these generations, so the feed is inserts (new days) + updates
+  // (the restated boundary day and late-window days); the oracle
+  // recomputes both snapshots from the raw corpus at their cutoffs
+  // and diffs in SQL — the hash-compare certifies the feed, not just
+  // its size. At 100 TB this is incremental-consumer backbone:
+  // downstream jobs process snapshot deltas, never full tables.
+  // ---------------------------------------------------------------
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureEventGenerations(spark, dir)
+    val a = GenLog.read(spark, loc, "g2")
+      .select(col("day"), col("event_type"), col("n_events").as("n_old"))
+    val b = GenLog.read(spark, loc, "g3")
+      .select(col("day"), col("event_type"), col("n_events").as("n_new"))
+    b.join(a, Seq("day", "event_type"), "left_outer")
+      .where(col("n_old").isNull || col("n_old") =!= col("n_new"))
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"),
+        when(col("n_old").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q205Sql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events WHERE ts <= TIMESTAMP '$Cut2' GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT b.day, b.event_type, COALESCE(a.n, 0) AS n_old, b.n AS n_new,
+       |  CASE WHEN a.n IS NULL THEN 'insert' ELSE 'update' END AS change
+       |FROM b LEFT JOIN a ON b.day = a.day AND b.event_type = a.event_type
+       |WHERE a.n IS NULL OR a.n <> b.n
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q206_schema_evolution — the latest snapshot spans files written
+  // under TWO schemas: days 1–19 from generations that never saw
+  // n_users, day 20+ from g4's widened restatement. The merged read
+  // (mergeSchema over the log's file list) serves one frame with
+  // n_users NULL exactly where history predates the column — schema
+  // evolution as a GENERATION boundary, no table migration, no
+  // backfill, and every earlier AS-OF read still sees its own schema.
+  // The oracle recomputes the widened column conditionally on the
+  // restatement boundary.
+  // ---------------------------------------------------------------
+  def q206(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureEventGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q206Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+       |  CASE WHEN CAST(ts AS DATE) >= DATE '$Day2'
+       |       THEN COUNT(DISTINCT user_id) END AS n_users
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
-    "q204_travel_overwritten" -> (q204 _))
+    "q204_travel_overwritten" -> (q204 _),
+    "q205_change_feed" -> (q205 _),
+    "q206_schema_evolution" -> (q206 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
-    "q204_travel_overwritten" -> q204Sql)
+    "q204_travel_overwritten" -> q204Sql,
+    "q205_change_feed" -> q205Sql,
+    "q206_schema_evolution" -> q206Sql)
 }

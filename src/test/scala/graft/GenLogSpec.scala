@@ -85,6 +85,23 @@ class GenLogSpec extends SparkTestBase {
     assert(rows(GenLog.read(spark, loc, "g3")) == g3Rows)
   }
 
+  test("schema evolution: earlier generations keep their own schema; the merged read nulls pre-column history") {
+    val loc = freshGens()
+    // widen at g4: day-20+ restated with n_users
+    GenLog.appendBatch(spark, loc, "g4",
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+    // AS OF g3: the column does not exist — time travel sees the
+    // schema of its day
+    assert(!GenLog.read(spark, loc, "g3").columns.contains("n_users"))
+    val latest = GenLog.readLatest(spark, loc)
+    assert(latest.columns.contains("n_users"))
+    val d2 = lit(TimeTravel.Day2).cast("date")
+    assert(latest.where(col("day") < d2 && col("n_users").isNotNull).isEmpty,
+      "pre-column history must read as NULL")
+    assert(latest.where(col("day") >= d2 && col("n_users").isNull).isEmpty,
+      "widened rows must carry the column")
+  }
+
   test("every committed file carries exactly one partition value (the restatement contract)") {
     val loc = freshGens()
     val all = GenLog.generations(spark, loc).flatMap(_._2).distinct
