@@ -680,6 +680,20 @@ object ScaleStress {
       spark.sql(s"DROP TABLE IF EXISTS $evTable")
       org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
     }
+    // generation log at 10x: four generations over 1M events (each
+    // boundary day restated through the log); the snapshot and
+    // change-feed reads then resolve pinned file lists — their walls
+    // track the day-grained aggregate files, never the raw corpus
+    locally {
+      val t0 = System.nanoTime()
+      val loc = queries.TimeTravel.ensureEventGenerations(spark, sdir)
+      println(f"[stress] q203_generation_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q203_snapshot_read@10x")(queries.TimeTravel.q203(spark, sdir).count())
+      time("q205_change_feed@10x")(queries.TimeTravel.q205(spark, sdir).count())
+      // GenLog dirs are not catalog tables — just drop the files
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(loc))
+    }
     // stream→warehouse HLL seam at 10x: 1M events / 10x user keys
     // through foreachBatch merge-upsert into the maintained register
     // table. Wall = map-side hashing + the hourly aggregate + 30
