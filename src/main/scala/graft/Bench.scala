@@ -141,6 +141,11 @@ object Bench {
       }),
       "event_generations" -> (() => {
         queries.TimeTravel.ensureEventGenerations(spark, sfDir); ()
+      }),
+      // q207's samples then measure the pinned-list read; the commit
+      // stream itself is this one-time setup (q183's discipline)
+      "streamed_generations" -> (() => {
+        graft.streaming.GenLogStream.ensureStreamedGenerations(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

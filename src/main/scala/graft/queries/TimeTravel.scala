@@ -202,15 +202,42 @@ object TimeTravel {
        |       THEN COUNT(DISTINCT user_id) END AS n_users
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q207_stream_generations — the log's STREAMING writer: each
+  // micro-batch of the events backlog commits one generation
+  // (streaming/GenLogStream.scala), restating its boundary day by
+  // ADDITIVE merge with the prior generation's stored counts (a
+  // micro-batch cannot recompute a day it only partially holds — the
+  // morning lives in an earlier batch; counts over disjoint event
+  // sets add). Exactly-once comes from log visibility alone: no data
+  // probes, no partition overwrites — orphans from a crashed commit
+  // are invisible and the gen-id guard skips replayed batches. The
+  // latest generation must equal the flat daily rollup of the whole
+  // corpus — the oracle the driver hash-checks — while GenLogSpec
+  // pins the per-generation snapshots (w1/w2 == their cutoff
+  // recomputes) and the in-order commit requirement.
+  // ---------------------------------------------------------------
+  def q207(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark,
+        graft.streaming.GenLogStream.ensureStreamedGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q207Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
     "q205_change_feed" -> (q205 _),
-    "q206_schema_evolution" -> (q206 _))
+    "q206_schema_evolution" -> (q206 _),
+    "q207_stream_generations" -> (q207 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
     "q204_travel_overwritten" -> q204Sql,
     "q205_change_feed" -> q205Sql,
-    "q206_schema_evolution" -> q206Sql)
+    "q206_schema_evolution" -> q206Sql,
+    "q207_stream_generations" -> q207Sql)
 }

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.GenLog
+
+/** The generation log's STREAMING writer: each micro-batch commits
+  * one generation. This closes the maintenance matrix — partition
+  * upsert (q183), cell append (q197), and now log commit all have
+  * batch AND streaming writers.
+  *
+  * The restatement problem a stream has that a batch build doesn't:
+  * a batch restating its boundary day can recompute it from the full
+  * source, but a micro-batch only HOLDS its own window — the morning
+  * of the boundary day lives in an earlier batch. The commit
+  * therefore merges ADDITIVELY: prior counts for the affected days
+  * are read back from the latest generation (a pinned-file-list read,
+  * ∝ the affected days' aggregate rows) and summed with the batch's —
+  * counts over disjoint event sets add, so the merged rows are the
+  * full restatement. Exactly-once needs no data probes at all here:
+  * GenLog visibility IS the commit (a crashed attempt leaves orphan
+  * files no reader resolves; the gen-id guard skips committed
+  * batches on replay; an uncommitted batch recomputes against the
+  * unchanged previous generation).
+  *
+  * Ordering: additive restatement requires batches to arrive in
+  * window order (a later window's commit must see the earlier
+  * partial). The staged window files carry ascending mtimes, which
+  * FileStreamSource honors with maxFilesPerTrigger=1, and the
+  * committer REQUIRES monotone windows — out-of-order delivery fails
+  * loudly rather than committing a wrong restatement.
+  */
+object GenLogStream {
+
+  final val Cut1 = graft.queries.TimeTravel.Cut1
+  final val Cut2 = graft.queries.TimeTravel.Cut2
+
+  private[graft] def stagingTable(dir: String): String =
+    s"graft_ev_winstage_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def streamGensTable(dir: String): String =
+    s"graft_ev_sgens_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Events staged as three ts-window files (the upstream producer's
+    * landing sequence), mtimes ascending so the file stream replays
+    * them in window order.
+    */
+  private def ensureStagedWindows(spark: SparkSession, dir: String): String = {
+    val t = stagingTable(dir)
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/events.parquet", "win") {
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("win",
+          when(col("ts") <= lit(Cut1).cast("timestamp"), 1)
+            .when(col("ts") <= lit(Cut2).cast("timestamp"), 2)
+            .otherwise(3))
+        .repartition(col("win"))
+    }
+    val loc = graft.io.Warehouse.tableLocation(spark, t)
+    for (w <- 1 to 3) {
+      val d = new java.io.File(loc, s"win=$w")
+      if (d.isDirectory)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(f => { f.setLastModified(1000000L * w); () })
+    }
+    t
+  }
+
+  /** Run the backlog through the streaming committer exactly once
+    * per corpus state; the fingerprint (written after the stream
+    * completes) is the whole-table commit marker.
+    */
+  def ensureStreamedGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = streamGensTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) return loc
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val staged = ensureStagedWindows(spark, dir)
+    val stagedLoc = graft.io.Warehouse.tableLocation(spark, staged)
+    val srcStream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING, win INT")
+      .option("maxFilesPerTrigger", "1") // one window per batch, mtime order
+      .parquet(stagedLoc)
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
+    val ckpt = s"$ckptBase/genlog-stream-${java.util.UUID.randomUUID()}"
+    val lastWin = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = srcStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        commitBatch(batch, loc, lastWin)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(ckpt))
+    graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    loc
+  }
+
+  private def commitBatch(batch: Dataset[Row], loc: String,
+                          lastWin: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    val ss = batch.sparkSession
+    val wins = batch.agg(min(col("win")), max(col("win"))).collect()
+    if (wins.isEmpty || wins(0).isNullAt(0)) return
+    val (wLo, wHi) = (wins(0).getInt(0), wins(0).getInt(1))
+    require(wLo == wHi,
+      s"one window per batch expected (maxFilesPerTrigger=1), got $wLo..$wHi")
+    require(wLo > lastWin.get(),
+      s"windows must commit in order: got $wLo after ${lastWin.get()}")
+    lastWin.set(wLo)
+    val counts = batch.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val restated =
+      if (GenLog.generations(ss, loc).isEmpty) counts
+      else {
+        // the affected days — bounded by the batch's span
+        val days = counts.select(col("day")).distinct()
+          .collect().map(_.getDate(0).toString)
+        val prior = GenLog.readLatest(ss, loc)
+          .where(col("day").isin(days.toIndexedSeq: _*))
+          .select(col("day"), col("event_type"), col("n_events"))
+        // counts over disjoint event sets ADD: prior + batch = the
+        // boundary day's full restatement
+        prior.unionByName(counts)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n_events")).as("n_events"))
+      }
+    GenLog.appendBatch(ss, loc, s"w$wLo",
+      restated.withColumn("day_k", date_format(col("day"), "yyyy-MM-dd")),
+      "day_k")
+  }
+}

@@ -102,6 +102,25 @@ class GenLogSpec extends SparkTestBase {
       "widened rows must carry the column")
   }
 
+  test("streamed generations: each micro-batch commit is the corpus at its window's cutoff") {
+    val loc = graft.streaming.GenLogStream.ensureStreamedGenerations(spark, Sf)
+    def expect(cut: Option[String]) = rows {
+      val ev = graft.sources.Tables.events(spark, Sf)
+        .withColumn("day", to_date(col("ts")))
+      cut.map(c => ev.where(col("ts") <= lit(c).cast("timestamp"))).getOrElse(ev)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
+    assert(GenLog.generations(spark, loc).map(_._1) == Seq("w1", "w2", "w3"),
+      "three windows must commit in order")
+    // the additive boundary-day restatement lands on the exact
+    // cutoff recompute — the invariant that makes streamed snapshots
+    // trustworthy
+    assert(rows(GenLog.read(spark, loc, "w1")) == expect(Some(TimeTravel.Cut1)))
+    assert(rows(GenLog.read(spark, loc, "w2")) == expect(Some(TimeTravel.Cut2)))
+    assert(rows(GenLog.readLatest(spark, loc)) == expect(None))
+  }
+
   test("every committed file carries exactly one partition value (the restatement contract)") {
     val loc = freshGens()
     val all = GenLog.generations(spark, loc).flatMap(_._2).distinct
