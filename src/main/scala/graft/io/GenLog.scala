@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   *     and marks the old ones removed IN THE LOG — the bytes stay, so
   *     every earlier generation still reads bit-identically (time
   *     travel across overwrites).
-  *   - CRASH SAFETY: files land before the log entry (temp+rename,
-  *     the ingest-log discipline); a crash between leaves orphans
-  *     that no reader can see and vacuum later collects. Exactly-once
-  *     needs no data probes here — visibility IS the commit.
-  *   - VACUUM: files referenced by no retained generation (plus
-  *     crash orphans) are deleted; retained generations keep reading
-  *     exactly what they read before.
+  *   - CRASH SAFETY: data files land before the log entry; a crash
+  *     between leaves orphans no reader can see. The log itself
+  *     replaces ATOMICALLY-OR-RECOVERABLY: the full next state is
+  *     written to a SENTINEL-TERMINATED temp first, and every reader
+  *     adopts a complete temp over the installed log — so a crash at
+  *     any point leaves either the previous state or the (fully
+  *     durable) next state, never a torn or missing log. A truncated
+  *     temp (crash mid-write) fails sentinel validation and is
+  *     ignored.
+  *   - VACUUM: the retained log installs FIRST, then unreferenced
+  *     files (dropped history and crash orphans) are deleted — a
+  *     crash between the two leaves collectable orphans, never a log
+  *     that advertises vanished files.
   *
   * The log lists each generation's live set in full (O(gens × files)
   * — at real scale the log would store add/remove deltas and
@@ -33,12 +39,16 @@ import org.apache.spark.sql.functions._
   * and RESTATES every partition value it contains completely — the
   * previous generation's files for exactly those partitions are
   * marked removed. partitionBy guarantees one partition value per
-  * file, so removal-by-path never strands rows of an untouched
-  * partition.
+  * file, and removal matches the ESCAPED directory name Spark writes
+  * (ExternalCatalogUtils.escapePathName), so removal-by-path never
+  * strands rows of an untouched partition — for any value, not just
+  * path-safe ones.
   */
 object GenLog {
 
   final val LogFile = "_graft_genlog"
+
+  private type Gens = Seq[(String, Seq[String])]
 
   private def fsOf(spark: SparkSession, loc: String) = {
     val p = new org.apache.hadoop.fs.Path(loc)
@@ -55,63 +65,95 @@ object GenLog {
     walk(fs.getFileStatus(p)).filter(_.endsWith(".parquet")).toSet
   }
 
-  /** Parsed log: (generation id, live files) in commit order. */
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** Parse a log body; None unless the trailing sentinel proves the
+    * write completed (`#end:<entry count>` as the final line).
+    */
+  private def parseLog(content: String): Option[Gens] = {
+    val lines = content.split("\n").filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) return None
+    val (entries, sentinel) = (lines.init, lines.last)
+    if (sentinel != s"#end:${entries.size}") return None
+    Some(entries.map { l =>
+      val Array(g, fsv) = l.split("\\|", 2)
+      (g, if (fsv.isEmpty) Nil else fsv.split(",").toSeq)
+    })
+  }
+
+  /** Serialize + install a full log state: sentinel-terminated temp
+    * first, then swap. Readers adopt a complete temp, so every crash
+    * point resolves to prev-state or next-state.
+    */
+  private def writeLog(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: org.apache.hadoop.fs.Path, gens: Gens): Unit = {
+    val lp = new org.apache.hadoop.fs.Path(dir, LogFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, LogFile + ".tmp")
+    val body = gens.map { case (g, l) => g + "|" + l.mkString(",") }
+      .mkString("", "\n", "\n") + s"#end:${gens.size}\n"
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(lp)) fs.delete(lp, false)
+    fs.rename(tmp, lp)
+    ()
+  }
+
+  /** Parsed log with crash recovery: a COMPLETE temp is the intended
+    * next state (it is only ever written immediately before install)
+    * and wins over the installed log; an incomplete temp is a torn
+    * write and is discarded. The adopted state is re-installed so
+    * recovery happens once.
+    */
   def generations(spark: SparkSession, loc: String): Seq[(String, Seq[String])] = {
     val (p, fs) = fsOf(spark, loc)
     val lp = new org.apache.hadoop.fs.Path(p, LogFile)
-    if (!fs.exists(lp)) return Nil
-    val in = fs.open(lp)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
-    lines.filter(_.nonEmpty).map { l =>
-      val Array(g, fsv) = l.split("\\|", 2)
-      (g, if (fsv.isEmpty) Nil else fsv.split(",").toSeq)
+    val tp = new org.apache.hadoop.fs.Path(p, LogFile + ".tmp")
+    val fromTmp = readText(fs, tp).flatMap(parseLog)
+    fromTmp match {
+      case Some(next) =>
+        if (fs.exists(lp)) fs.delete(lp, false)
+        fs.rename(tp, lp)
+        next
+      case None =>
+        if (fs.exists(tp)) fs.delete(tp, false) // torn write
+        readText(fs, lp).flatMap(parseLog).getOrElse(Nil)
     }
   }
 
   def contains(spark: SparkSession, loc: String, gen: String): Boolean =
     generations(spark, loc).exists(_._1 == gen)
 
-  private def appendLogEntry(spark: SparkSession, loc: String, gen: String,
-                             live: Seq[String]): Unit = {
-    val (p, fs) = fsOf(spark, loc)
-    val lp = new org.apache.hadoop.fs.Path(p, LogFile)
-    val tmp = new org.apache.hadoop.fs.Path(p, LogFile + ".tmp")
-    val prev =
-      if (fs.exists(lp)) {
-        val in = fs.open(lp)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      } else ""
-    val out = fs.create(tmp, true)
-    try out.write((prev + gen + "|" + live.mkString(",") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(lp)) fs.delete(lp, false)
-    fs.rename(tmp, lp)
-    ()
-  }
-
   /** Commit `df` as generation `gen`: append its files, mark the
     * previous generation's files for the RESTATED partitions removed,
     * record the new live set. Skips if `gen` is already committed
     * (crash replay: orphan files from the failed attempt stay
-    * invisible and vacuum collects them).
+    * invisible and vacuum collects them). One log parse per commit.
     */
   def appendBatch(spark: SparkSession, loc: String, gen: String,
                   df: DataFrame, partCol: String): Unit = {
-    if (contains(spark, loc, gen)) return
-    val prevLive = generations(spark, loc).lastOption.map(_._2).getOrElse(Nil)
+    val gens = generations(spark, loc)
+    if (gens.exists(_._1 == gen)) return
+    val prevLive = gens.lastOption.map(_._2).getOrElse(Nil)
     val before = listDataFiles(spark, loc)
-    // the batch's partitions — bounded by the batch's span
+    // the batch's partitions — bounded by the batch's span; matched
+    // against the ESCAPED directory names Spark actually writes
     val parts = df.select(col(partCol)).distinct()
-      .collect().map(_.get(0).toString)
+      .collect().map(r => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(r.get(0).toString))
     df.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol).parquet(loc)
     val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
     val removed = prevLive.filter(f =>
       parts.exists(p => f.contains(s"/$partCol=$p/"))).toSet
-    appendLogEntry(spark, loc, gen,
-      prevLive.filterNot(removed) ++ added)
+    val (p, fs) = fsOf(spark, loc)
+    writeLog(fs, p, gens :+ ((gen, prevLive.filterNot(removed) ++ added)))
   }
 
   /** Read the table AS OF `gen` — exactly the files that generation
@@ -137,31 +179,23 @@ object GenLog {
     read(spark, loc, gens.last._1)
   }
 
-  /** Retain the last `keepLastN` generations: files referenced by
-    * none of them — overwritten history AND crash orphans — are
-    * deleted, and the log is rewritten to the retained tail. Returns
-    * the deleted paths. Retained generations read exactly what they
+  /** Retain the last `keepLastN` generations: the retained log
+    * installs FIRST, then files referenced by none of them —
+    * overwritten history AND crash orphans — are deleted. Returns the
+    * deleted paths. A crash between install and deletion leaves only
+    * collectable orphans; retained generations read exactly what they
     * always read.
     */
   def vacuum(spark: SparkSession, loc: String, keepLastN: Int): Seq[String] = {
     val gens = generations(spark, loc)
     val kept = gens.takeRight(keepLastN)
+    val (p, fs) = fsOf(spark, loc)
+    writeLog(fs, p, kept)
     val referenced = kept.flatMap(_._2).toSet
     val doomed = (listDataFiles(spark, loc) -- referenced).toSeq.sorted
-    val (_, fs) = fsOf(spark, loc)
     doomed.foreach { f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false); ()
     }
-    // rewrite the log to the retained tail (temp+rename)
-    val (p, _) = fsOf(spark, loc)
-    val lp = new org.apache.hadoop.fs.Path(p, LogFile)
-    val tmp = new org.apache.hadoop.fs.Path(p, LogFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(kept.map { case (g, l) => g + "|" + l.mkString(",") }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(lp)) fs.delete(lp, false)
-    fs.rename(tmp, lp)
     doomed
   }
 }

@@ -159,20 +159,27 @@ object ZoneMaps {
     statsTable
   }
 
+  /** One envelope-intersection predicate — the single definition of
+    * "this file's [min, max] may contain a matching row", shared by
+    * every reader and [[matchingFiles]].
+    */
+  private def rangePred(ranges: Seq[(String, Any, Any)]): org.apache.spark.sql.Column =
+    ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
   /** Files surviving BOTH the range envelopes and the Bloom
     * membership of at least one probe-key hash — compound skipping in
-    * one stats pass.
+    * one stats pass. The SINGLE reader implementation: the range-only
+    * and bloom-only readers are its degenerate forms.
     */
   def compoundPrunedRead(spark: SparkSession, layoutTable: String,
                          statsTable: String, ranges: Seq[(String, Any, Any)],
                          keyHashes: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val rangePred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
-    }.reduceOption(_ && _).getOrElse(lit(true))
     val bloomPred = keyHashes
       .map(h => graft.functions.BloomSketch.mightContainCol(h, col("bloom")))
       .reduceOption(_ || _).getOrElse(lit(true))
-    val files = spark.table(statsTable).where(rangePred && bloomPred)
+    val files = spark.table(statsTable).where(rangePred(ranges) && bloomPred)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     if (files.isEmpty) spark.table(layoutTable).where(lit(false))
     else spark.read.parquet(files: _*)
@@ -184,13 +191,8 @@ object ZoneMaps {
     * equality after the read.
     */
   def bloomPrunedRead(spark: SparkSession, layoutTable: String,
-                      statsTable: String, keyHash: org.apache.spark.sql.Column): DataFrame = {
-    val files = spark.table(statsTable)
-      .where(graft.functions.BloomSketch.mightContainCol(keyHash, col("bloom")))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    if (files.isEmpty) spark.table(layoutTable).where(lit(false))
-    else spark.read.parquet(files: _*)
-  }
+                      statsTable: String, keyHash: org.apache.spark.sql.Column): DataFrame =
+    compoundPrunedRead(spark, layoutTable, statsTable, Nil, Seq(keyHash))
 
   /** Files whose envelope INTERSECTS every `(column, lo, hi)` range —
     * the candidate set that may contain matching rows. Filtering runs
@@ -198,13 +200,9 @@ object ZoneMaps {
     * collected (∝ predicate selectivity × file count).
     */
   def matchingFiles(spark: SparkSession, statsTable: String,
-                    ranges: Seq[(String, Any, Any)]): Seq[String] = {
-    val pred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
-    }.reduce(_ && _)
-    spark.table(statsTable).where(pred)
+                    ranges: Seq[(String, Any, Any)]): Seq[String] =
+    spark.table(statsTable).where(rangePred(ranges))
       .select(col("file")).collect().map(_.getString(0)).toSeq
-  }
 
   /** Read only the files that may satisfy `ranges`. The result is the
     * candidate superset — callers re-apply the exact predicate. An
@@ -212,11 +210,6 @@ object ZoneMaps {
     * layout's schema (spark.read needs at least one file otherwise).
     */
   def prunedRead(spark: SparkSession, layoutTable: String, statsTable: String,
-                 ranges: Seq[(String, Any, Any)]): DataFrame = {
-    val files = matchingFiles(spark, statsTable, ranges)
-    if (files.isEmpty)
-      spark.table(layoutTable).where(lit(false))
-    else
-      spark.read.parquet(files: _*)
-  }
+                 ranges: Seq[(String, Any, Any)]): DataFrame =
+    compoundPrunedRead(spark, layoutTable, statsTable, ranges, Nil)
 }

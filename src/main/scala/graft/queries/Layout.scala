@@ -359,14 +359,17 @@ object Layout {
   final val CsLo = "1996-06-01"
   final val CsHi = "1999-05-31"
 
-  /** The per-octile probe keys: one grouped aggregate, ≤ 5 rows. */
-  private def probeOrderkeys(spark: SparkSession, dir: String): Seq[Long] = {
+  /** The per-octile probe keys in TWO scans: one for the domain max,
+    * one aggregate computing every octile's conditional max at once
+    * (a per-octile loop would re-scan the corpus five times).
+    */
+  private[graft] def probeOrderkeys(spark: SparkSession, dir: String): Seq[Long] = {
     val li = Tables.lineitem(spark, dir)
     val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
-    ProbeOctiles.map { i =>
-      li.where(col("l_orderkey") <= lit(i * mx / 8))
-        .agg(max(col("l_orderkey"))).head().getLong(0)
-    }.distinct
+    val aggs = ProbeOctiles.map(i =>
+      max(when(col("l_orderkey") <= lit(i * mx / 8), col("l_orderkey"))))
+    val r = li.agg(aggs.head, aggs.tail: _*).head()
+    ProbeOctiles.indices.map(r.getLong).distinct
   }
 
   def q202(spark: SparkSession, dir: String): DataFrame = {

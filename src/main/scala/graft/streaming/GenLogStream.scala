@@ -116,26 +116,34 @@ object GenLogStream {
     require(wLo > lastWin.get(),
       s"windows must commit in order: got $wLo after ${lastWin.get()}")
     lastWin.set(wLo)
+    // the batch lineage (a staged-file read + aggregate) would
+    // otherwise run for the days collect, appendBatch's partition
+    // collect, AND the parquet write — persist it so the staged file
+    // is read once per commit (the upsertMergeByKey discipline)
     val counts = batch.withColumn("day", to_date(col("ts")))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val restated =
-      if (GenLog.generations(ss, loc).isEmpty) counts
-      else {
-        // the affected days — bounded by the batch's span
-        val days = counts.select(col("day")).distinct()
-          .collect().map(_.getDate(0).toString)
-        val prior = GenLog.readLatest(ss, loc)
-          .where(col("day").isin(days.toIndexedSeq: _*))
-          .select(col("day"), col("event_type"), col("n_events"))
-        // counts over disjoint event sets ADD: prior + batch = the
-        // boundary day's full restatement
-        prior.unionByName(counts)
-          .groupBy(col("day"), col("event_type"))
-          .agg(sum(col("n_events")).as("n_events"))
-      }
-    GenLog.appendBatch(ss, loc, s"w$wLo",
-      restated.withColumn("day_k", date_format(col("day"), "yyyy-MM-dd")),
-      "day_k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gens = GenLog.generations(ss, loc)
+      val restated =
+        if (gens.isEmpty) counts
+        else {
+          // the affected days — bounded by the batch's span
+          val days = counts.select(col("day")).distinct()
+            .collect().map(_.getDate(0).toString)
+          val prior = GenLog.read(ss, loc, gens.last._1)
+            .where(col("day").isin(days.toIndexedSeq: _*))
+            .select(col("day"), col("event_type"), col("n_events"))
+          // counts over disjoint event sets ADD: prior + batch = the
+          // boundary day's full restatement
+          prior.unionByName(counts)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("n_events")).as("n_events"))
+        }
+      GenLog.appendBatch(ss, loc, s"w$wLo",
+        restated.withColumn("day_k", date_format(col("day"), "yyyy-MM-dd")),
+        "day_k")
+    } finally { counts.unpersist(blocking = false); () }
   }
 }

@@ -121,6 +121,25 @@ class GenLogSpec extends SparkTestBase {
     assert(rows(GenLog.readLatest(spark, loc)) == expect(None))
   }
 
+  test("log install crash windows recover: a complete temp is adopted, a torn temp is discarded") {
+    val loc = freshGens()
+    val before = GenLog.generations(spark, loc)
+    val log = new java.io.File(loc, GenLog.LogFile)
+    val tmp = new java.io.File(loc, GenLog.LogFile + ".tmp")
+    // crash between delete and rename: the full next state sits in
+    // the sentinel-terminated temp, the installed log is gone
+    java.nio.file.Files.copy(log.toPath, tmp.toPath)
+    assert(log.delete())
+    assert(GenLog.generations(spark, loc) == before,
+      "a complete temp must be adopted as the next state")
+    assert(log.exists() && !tmp.exists(), "recovery must reinstall the log")
+    // crash mid-temp-write: a torn temp must never shadow the log
+    java.nio.file.Files.writeString(tmp.toPath, "w1|/nowhere.parquet\n")
+    assert(GenLog.generations(spark, loc) == before,
+      "a torn temp (no sentinel) must be ignored")
+    assert(!tmp.exists(), "the torn temp must be discarded")
+  }
+
   test("every committed file carries exactly one partition value (the restatement contract)") {
     val loc = freshGens()
     val all = GenLog.generations(spark, loc).flatMap(_._2).distinct

@@ -196,12 +196,7 @@ class ZoneMapSpec extends SparkTestBase {
   test("q202 compound skipping intersects: fewer files than either dimension alone") {
     val (t, st) = Layout.ensureBloomZoned(spark, Sf)
     val total = spark.table(t).inputFiles.length
-    val li = graft.sources.Tables.lineitem(spark, Sf)
-    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
-    val ks = Seq(1, 2, 3, 5, 7).map { i =>
-      li.where(col("l_orderkey") <= lit(i * mx / 8))
-        .agg(max(col("l_orderkey"))).head().getLong(0)
-    }.distinct
+    val ks = Layout.probeOrderkeys(spark, Sf)
     val hashes = ks.map(k => graft.functions.TextKernels.hash60StrCol(
       lit(k).cast("string")) % graft.functions.TextFns.P)
     val ranges = Seq(("l_shipdate", s"${Layout.CsLo} 00:00:00", s"${Layout.CsHi} 00:00:00"))
