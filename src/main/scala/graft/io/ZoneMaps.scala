@@ -168,6 +168,16 @@ object ZoneMaps {
       col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
     }.reduceOption(_ && _).getOrElse(lit(true))
 
+  /** Fraction of the layout's files whose envelope intersects the
+    * ranges — the selectivity estimate an access-path decision reads
+    * from METADATA only (one aggregate over the O(files) stats rows,
+    * never the data).
+    */
+  def matchedFraction(spark: SparkSession, statsTable: String,
+                      ranges: Seq[(String, Any, Any)]): Double =
+    spark.table(statsTable)
+      .agg(avg(rangePred(ranges).cast("double"))).head().getDouble(0)
+
   /** Files surviving BOTH the range envelopes and the Bloom
     * membership of at least one probe-key hash — compound skipping in
     * one stats pass. The SINGLE reader implementation: the range-only

@@ -402,13 +402,68 @@ object Layout {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q208_stats_access_path — executed CBO #4: ACCESS-PATH selection,
+  // the classic optimizer decision, made from the stats table alone.
+  // A 5.5-year window intersects ~85% of the layout's envelopes;
+  // driver-pruning a file list that keeps nearly everything buys
+  // nothing and costs per-file planning — the reader therefore
+  // estimates the matched fraction from METADATA (one aggregate over
+  // the O(files) stats rows) and picks the CATALOG flat scan when
+  // the estimate exceeds PruneThreshold, the explicit pruned read
+  // otherwise. q194 is the narrow-window side of the same decision;
+  // q208 is the optimizer DECLINING its own index. Rows are identical
+  // on either path (the exact predicate re-applies; the flat-scan
+  // oracle certifies it), and StatsPlanSpec pins the flip: the wide
+  // window reads every file through the catalog, the narrow window
+  // reads < 1/4 through the pruned list, and both paths agree row
+  // for row.
+  // ---------------------------------------------------------------
+  final val PruneThreshold = 0.5
+  final val WideLo = "1995-06-01"
+  final val WideHi = "2000-12-31"
+
+  /** The access-path decision + read: ("pruned" | "flat", frame). */
+  private[graft] def accessPathRead(spark: SparkSession, t: String, st: String,
+                                    lo: String, hi: String): (String, DataFrame) = {
+    val ranges = Seq(("l_shipdate", s"$lo 00:00:00", s"$hi 00:00:00"))
+    val frac = ZoneMaps.matchedFraction(spark, st, ranges)
+    if (frac <= PruneThreshold) ("pruned", ZoneMaps.prunedRead(spark, t, st, ranges))
+    else ("flat", spark.table(t))
+  }
+
+  private def windowRevenue(spark: SparkSession, df: DataFrame,
+                            lo: String, hi: String): DataFrame =
+    df.where(col("l_shipdate").between(
+        lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  def q208(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureShipdateZoned(spark, dir)
+    val (_, df) = accessPathRead(spark, t, st, WideLo, WideHi)
+    windowRevenue(spark, df, WideLo, WideHi)
+  }
+
+  val q208Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$WideLo' AND TIMESTAMP '$WideHi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
     "q195_zonemap_zorder" -> (q195 _),
     "q199_zonemap_incremental" -> (q199 _),
     "q201_bloom_skipping" -> (q201 _),
-    "q202_compound_skipping" -> (q202 _))
+    "q202_compound_skipping" -> (q202 _),
+    "q208_stats_access_path" -> (q208 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -418,5 +473,6 @@ object Layout {
     // must produce q194's exact answer
     "q199_zonemap_incremental" -> q194Sql,
     "q201_bloom_skipping" -> q201Sql,
-    "q202_compound_skipping" -> q202Sql)
+    "q202_compound_skipping" -> q202Sql,
+    "q208_stats_access_path" -> q208Sql)
 }

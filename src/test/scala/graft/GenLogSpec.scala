@@ -121,6 +121,20 @@ class GenLogSpec extends SparkTestBase {
     assert(rows(GenLog.readLatest(spark, loc)) == expect(None))
   }
 
+  test("a pinned snapshot survives writers: reads planned before a commit return the old state") {
+    val loc = freshGens()
+    // pin g3's file list NOW (the frame resolves the log at
+    // construction), then let a writer commit a restatement on top
+    val pinned = GenLog.read(spark, loc, "g3")
+    val before = rows(pinned)
+    GenLog.appendBatch(spark, loc, "g4",
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+    assert(rows(pinned) == before,
+      "a snapshot pinned before the commit must be unaffected by it")
+    assert(rows(GenLog.readLatest(spark, loc)) != before ||
+      GenLog.generations(spark, loc).last._1 == "g4")
+  }
+
   test("log install crash windows recover: a complete temp is adopted, a torn temp is discarded") {
     val loc = freshGens()
     val before = GenLog.generations(spark, loc)

@@ -155,4 +155,31 @@ class StatsPlanSpec extends SparkTestBase {
     // strategy moves the plan, never the rows
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
+
+  test("q208: access path follows the stats-estimated matched fraction; rows identical") {
+    import graft.queries.Layout
+    val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
+    val total = spark.table(t).inputFiles.length
+    // the wide window: the estimate exceeds the threshold → the
+    // optimizer DECLINES its index and takes the catalog flat scan
+    val (wPath, wide) = Layout.accessPathRead(spark, t, st,
+      Layout.WideLo, Layout.WideHi)
+    assert(wPath == "flat" && wide.inputFiles.length == total,
+      s"wide window must flat-scan all $total files, got $wPath/${wide.inputFiles.length}")
+    // the narrow window: the same decision picks the pruned list
+    val (nPath, narrow) = Layout.accessPathRead(spark, t, st,
+      Layout.ShipLo, Layout.ShipHi)
+    assert(nPath == "pruned" && narrow.inputFiles.length < total / 4,
+      s"narrow window must prune, got $nPath/${narrow.inputFiles.length} of $total")
+    // the path moves the plan, never the rows: force BOTH paths over
+    // the SAME (wide) window and compare
+    def agg(df: DataFrame) = df.where(
+        col("l_shipdate").between(lit(Layout.WideLo).cast("timestamp"),
+          lit(Layout.WideHi).cast("timestamp")))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val forcedPruned = graft.io.ZoneMaps.prunedRead(spark, t, st,
+      Seq(("l_shipdate", s"${Layout.WideLo} 00:00:00", s"${Layout.WideHi} 00:00:00")))
+    assert(agg(wide) == agg(forcedPruned))
+  }
 }
