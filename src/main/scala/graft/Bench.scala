@@ -146,6 +146,9 @@ object Bench {
       // stream itself is this one-time setup (q183's discipline)
       "streamed_generations" -> (() => {
         graft.streaming.GenLogStream.ensureStreamedGenerations(spark, sfDir); ()
+      }),
+      "evolved_generations" -> (() => {
+        queries.TimeTravel.ensureEvolvedGenerations(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

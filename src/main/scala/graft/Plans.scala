@@ -137,7 +137,8 @@ object Plans {
       "q205_change_feed" -> "change feed between snapshots: AS-OF g3 left-joined to AS-OF g2 from the log's file lists alone — inserts + updates, oracle diffs the raw corpus at both cutoffs",
       "q206_schema_evolution" -> "merged read across TWO schemas: n_users NULL exactly where history predates the g4 widening; earlier AS-OF reads keep their own schema — evolution as a generation boundary, no migration",
       "q207_stream_generations" -> "the log's STREAMING writer: one generation per micro-batch, boundary day restated by ADDITIVE merge with the prior gen's stored counts; exactly-once by log visibility alone (no probes, no overwrites)",
-      "q208_stats_access_path" -> "executed CBO: ACCESS-PATH selection from the stats table's matched-fraction estimate — the wide window DECLINES the index (catalog flat scan), the narrow one prunes; identical rows either way")
+      "q208_stats_access_path" -> "executed CBO: ACCESS-PATH selection from the stats table's matched-fraction estimate — the wide window DECLINES the index (catalog flat scan), the narrow one prunes; identical rows either way",
+      "q209_partition_evolution" -> "re-clustering through the log: 30 day files become 5 week files in one generation (6:1 compaction), rows identical, AS-OF reads keep the fine layout — partition evolution with no reader migration")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

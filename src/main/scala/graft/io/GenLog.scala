@@ -156,6 +156,28 @@ object GenLog {
     writeLog(fs, p, gens :+ ((gen, prevLive.filterNot(removed) ++ added)))
   }
 
+  /** Commit `df` as a FULL RESTATEMENT under a (possibly new)
+    * partition column: every previous file leaves the live set, the
+    * new files are the generation. This is partition EVOLUTION /
+    * re-clustering through the log — the physical layout changes
+    * (day files → week files), the logical rows don't, earlier
+    * generations keep reading their own layout, and the dropped
+    * fine-grained files become vacuum-collectable history. Same
+    * crash-safety as [[appendBatch]]: files land first, the log
+    * install commits.
+    */
+  def recluster(spark: SparkSession, loc: String, gen: String,
+                df: DataFrame, partCol: String): Unit = {
+    val gens = generations(spark, loc)
+    if (gens.exists(_._1 == gen)) return
+    val before = listDataFiles(spark, loc)
+    df.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    val (p, fs) = fsOf(spark, loc)
+    writeLog(fs, p, gens :+ ((gen, added)))
+  }
+
   /** Read the table AS OF `gen` — exactly the files that generation
     * committed, regardless of every later append/overwrite. The
     * partition column comes back as a DATA column because the writer

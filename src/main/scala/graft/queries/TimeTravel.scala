@@ -53,7 +53,7 @@ object TimeTravel {
       cut.map(c => col("ts") <= lit(c).cast("timestamp")).toSeq ++
         dayLo.map(d => col("day") >= lit(d).cast("date")) ++
         dayHi.map(d => col("day") <= lit(d).cast("date"))
-    ev.where(preds.reduce(_ && _))
+    ev.where(preds.reduceOption(_ && _).getOrElse(lit(true)))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("day_k", date_format(col("day"), "yyyy-MM-dd"))
@@ -227,17 +227,64 @@ object TimeTravel {
     """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q209_partition_evolution — the physical layout changes, the
+  // logical rows don't: a daily-count table committed day-per-file
+  // (30 files) is RE-CLUSTERED at a generation boundary into
+  // week-per-file (5 files) through GenLog.recluster — partition
+  // evolution the way Iceberg does it (the log decouples rows from
+  // directories, so no reader ever migrates) and simultaneously the
+  // 6:1 small-files compaction of a month of fine-grained commits.
+  // AS-OF g1 still reads the day files; the latest reads the week
+  // files; BOTH are the same rows — the oracle is the flat daily
+  // rollup, and GenLogSpec pins the file economics (5 week files
+  // live, 30 day files retained as history until vacuum).
+  // ---------------------------------------------------------------
+  private[graft] def evolveTable(dir: String): String =
+    s"graft_ev_evolve_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureEvolvedGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = evolveTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val daily = batch(spark, dir, None, None, None)
+      GenLog.appendBatch(spark, loc, "g1_daily", daily, "day_k")
+      // same rows, coarser clustering: week-of-year partition key
+      GenLog.recluster(spark, loc, "g2_weekly",
+        daily.drop("day_k")
+          .withColumn("week_k",
+            date_format(date_trunc("week", col("day")), "yyyy-MM-dd")),
+        "week_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q209(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureEvolvedGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Same rows as q207: re-clustering must never change an answer. */
+  val q209Sql: String = q207Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
     "q205_change_feed" -> (q205 _),
     "q206_schema_evolution" -> (q206 _),
-    "q207_stream_generations" -> (q207 _))
+    "q207_stream_generations" -> (q207 _),
+    "q209_partition_evolution" -> (q209 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
     "q204_travel_overwritten" -> q204Sql,
     "q205_change_feed" -> q205Sql,
     "q206_schema_evolution" -> q206Sql,
-    "q207_stream_generations" -> q207Sql)
+    "q207_stream_generations" -> q207Sql,
+    "q209_partition_evolution" -> q209Sql)
 }

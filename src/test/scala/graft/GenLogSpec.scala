@@ -154,6 +154,21 @@ class GenLogSpec extends SparkTestBase {
     assert(!tmp.exists(), "the torn temp must be discarded")
   }
 
+  test("partition evolution: same rows, coarser files; history keeps the fine layout until vacuum") {
+    val loc = TimeTravel.ensureEvolvedGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    val (daily, weekly) = (gens("g1_daily"), gens("g2_weekly"))
+    assert(daily.size > weekly.size * 4,
+      s"re-clustering must collapse files: ${daily.size} day files vs ${weekly.size} week files")
+    assert(weekly.forall(_.contains("/week_k=")) && daily.forall(_.contains("/day_k=")),
+      "each generation must live under its own partition scheme")
+    // the physical change is invisible logically
+    assert(rows(GenLog.read(spark, loc, "g1_daily")) ==
+      rows(GenLog.read(spark, loc, "g2_weekly")))
+    // the fine-grained history is retained (time travel) until vacuum
+    assert(daily.forall(f => new java.io.File(f).exists()))
+  }
+
   test("every committed file carries exactly one partition value (the restatement contract)") {
     val loc = freshGens()
     val all = GenLog.generations(spark, loc).flatMap(_._2).distinct
