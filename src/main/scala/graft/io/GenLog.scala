@@ -1,13 +1,17 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A generation log: the minimal transaction-log storage protocol
   * (the Delta/Iceberg core idea, executed small). The directory is
   * APPEND-ONLY — maintenance writes add files and never delete — and
-  * a log at the root records, per generation, the exact live file
-  * set. Everything else falls out of that one inversion:
+  * a log directory at the root records, per generation, the file-set
+  * DELTA that generation committed. Everything else falls out of that
+  * one inversion:
   *
   *   - READERS RESOLVE THE LOG, NOT THE DIRECTORY. A query pins a
   *     generation's file list, so concurrent/later writes are
@@ -17,23 +21,57 @@ import org.apache.spark.sql.functions._
   *     every earlier generation still reads bit-identically (time
   *     travel across overwrites).
   *   - CRASH SAFETY: data files land before the log entry; a crash
-  *     between leaves orphans no reader can see. The log itself
-  *     replaces ATOMICALLY-OR-RECOVERABLY: the full next state is
-  *     written to a SENTINEL-TERMINATED temp first, and every reader
-  *     adopts a complete temp over the installed log — so a crash at
-  *     any point leaves either the previous state or the (fully
-  *     durable) next state, never a torn or missing log. A truncated
-  *     temp (crash mid-write) fails sentinel validation and is
-  *     ignored.
-  *   - VACUUM: the retained log installs FIRST, then unreferenced
-  *     files (dropped history and crash orphans) are deleted — a
-  *     crash between the two leaves collectable orphans, never a log
+  *     between leaves orphans no reader can see. Log objects are
+  *     INSTALLED ATOMICALLY: a commit is written to a uuid-named temp
+  *     and claimed into place by an atomic create-if-absent (hard
+  *     link on a local FS, non-overwriting rename on HDFS), so a
+  *     visible `N.commit` is always complete and a crashed writer
+  *     leaves only an ignorable temp. Readers NEVER mutate the log —
+  *     recovery is the writer's job alone, which is what makes
+  *     concurrent readers safe by construction.
+  *   - VACUUM: the retained state installs FIRST (a checkpoint at the
+  *     retention cut), then dropped log objects and unreferenced data
+  *     files (overwritten history and crash orphans) are deleted — a
+  *     crash between the two leaves collectable garbage, never a log
   *     that advertises vanished files.
   *
-  * The log lists each generation's live set in full (O(gens × files)
-  * — at real scale the log would store add/remove deltas and
-  * checkpoints; the protocol is identical). Single-writer per table,
-  * like every maintenance path here.
+  * == Log layout (the Delta/Iceberg shape, executed small) ==
+  *
+  * `<loc>/_genlog/` holds one object per commit plus periodic
+  * checkpoints:
+  *
+  *   - `%020d.commit` — ONE generation's delta: its gen id, the
+  *     partitions it restates (for writer-vs-writer conflict
+  *     detection), added file paths, removed file paths. Commit cost
+  *     is O(batch), never O(table) — the property a full-live-set log
+  *     loses as history grows.
+  *   - `%020d.checkpoint` — the RESOLVED live set as of that version,
+  *     written every [[CheckpointInterval]] commits (and at every
+  *     vacuum cut). A snapshot resolve reads the nearest checkpoint ≤
+  *     the target plus the commit tail after it — O(interval), never
+  *     O(history). [[resolveGen]] reports which checkpoint served and
+  *     how many commits were replayed, so the economics are
+  *     spec-pinned rather than asserted in prose.
+  *
+  * == Writer-vs-writer optimistic concurrency ==
+  *
+  * The version number IS the lock: a writer prepares its delta
+  * against the latest snapshot it read, then attempts to claim
+  * `(latest+1).commit` by atomic create-if-absent. Losing the race
+  * means another writer committed first — the loser re-reads the
+  * intervening commits and
+  *
+  *   - SKIPS if its own gen id landed (a replayed batch),
+  *   - RETRIES at the next version if every intervening commit
+  *     touched DISJOINT partitions (its delta is still valid: adds
+  *     and removes are confined to its own partitions),
+  *   - ABORTS with [[java.util.ConcurrentModificationException]] if
+  *     any intervening commit overlaps its partitions (its removes
+  *     were computed against a state that no longer holds).
+  *
+  * A full restatement ([[recluster]]) declares the wildcard partition
+  * `*`, which conflicts with every concurrent commit — the correct
+  * semantics for a rewrite of the whole live set.
   *
   * Batch contract for [[appendBatch]]: the frame carries `partCol`,
   * and RESTATES every partition value it contains completely — the
@@ -46,14 +84,47 @@ import org.apache.spark.sql.functions._
   */
 object GenLog {
 
-  final val LogFile = "_graft_genlog"
+  /** The log directory name under the table root. */
+  final val LogDir = "_genlog"
 
-  private type Gens = Seq[(String, Seq[String])]
+  /** A checkpoint is written every this-many commits. */
+  final val CheckpointInterval = 10
 
-  private def fsOf(spark: SparkSession, loc: String) = {
-    val p = new org.apache.hadoop.fs.Path(loc)
+  /** The wildcard partition a full restatement declares: conflicts
+    * with every concurrent commit.
+    */
+  final val AllParts = "*"
+
+  /** One committed generation's delta. `parts` are
+    * `partCol=escapedValue` tokens (or [[AllParts]]).
+    */
+  private[graft] final case class Commit(version: Long, gen: String,
+      parts: Seq[String], adds: Seq[String], removes: Seq[String])
+
+  /** How a snapshot resolve was served: the live set, the checkpoint
+    * version it started from (None = replayed from empty), and the
+    * number of commit files applied on top. The checkpoint+tail
+    * economics, observable.
+    */
+  private[graft] final case class Resolution(live: Seq[String],
+      checkpointUsed: Option[Long], commitsParsed: Int)
+
+  // ----------------------------------------------------------------
+  // filesystem plumbing
+  // ----------------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, loc: String): (Path, FileSystem) = {
+    val p = new Path(loc)
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
+
+  private def logDirOf(loc: Path) = new Path(loc, LogDir)
+
+  private def commitPath(dir: Path, v: Long) =
+    new Path(dir, f"$v%020d.commit")
+
+  private def checkpointPath(dir: Path, v: Long) =
+    new Path(dir, f"$v%020d.checkpoint")
 
   /** All data files currently on disk (orphans included). */
   private def listDataFiles(spark: SparkSession, loc: String): Set[String] = {
@@ -65,95 +136,338 @@ object GenLog {
     walk(fs.getFileStatus(p)).filter(_.endsWith(".parquet")).toSet
   }
 
-  private def readText(fs: org.apache.hadoop.fs.FileSystem,
-                       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
-  /** Parse a log body; None unless the trailing sentinel proves the
-    * write completed (`#end:<entry count>` as the final line).
+  /** Install `body` at `dst` by atomic create-if-absent; returns
+    * whether THIS call won the claim. On a local FS the claim is a
+    * hard link (atomic, EEXIST on collision — java.io.File#renameTo
+    * would silently REPLACE an existing dst, so rename cannot claim
+    * here); elsewhere it is FileSystem.rename, which the HDFS
+    * contract defines as non-overwriting for files. Either way a
+    * visible dst is always a complete object and the loser's temp is
+    * removed.
     */
-  private def parseLog(content: String): Option[Gens] = {
+  private def installIfAbsent(fs: FileSystem, dir: Path, body: String,
+                              dst: Path): Boolean = {
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val claimed =
+      if ("file" == Option(dst.toUri.getScheme).getOrElse(fs.getScheme)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, dst)
+    fs.delete(tmp, false)
+    claimed
+  }
+
+  // ----------------------------------------------------------------
+  // serialization — line-oriented, sentinel-terminated. Paths and gen
+  // ids may contain anything but line terminators (validated at
+  // commit time); the prefix encoding needs no other escaping.
+  // ----------------------------------------------------------------
+
+  private def sentinelBody(lines: Seq[String]): String =
+    lines.mkString("", "\n", "\n") + s"#end:${lines.size}\n"
+
+  /** Lines iff the trailing sentinel proves the object is complete —
+    * defense in depth; the atomic install should make torn objects
+    * impossible.
+    */
+  private def parseLines(content: String): Option[Seq[String]] = {
     val lines = content.split("\n").filter(_.nonEmpty).toSeq
     if (lines.isEmpty) return None
     val (entries, sentinel) = (lines.init, lines.last)
-    if (sentinel != s"#end:${entries.size}") return None
-    Some(entries.map { l =>
-      val Array(g, fsv) = l.split("\\|", 2)
-      (g, if (fsv.isEmpty) Nil else fsv.split(",").toSeq)
-    })
+    if (sentinel != s"#end:${entries.size}") None else Some(entries)
   }
 
-  /** Serialize + install a full log state: sentinel-terminated temp
-    * first, then swap. Readers adopt a complete temp, so every crash
-    * point resolves to prev-state or next-state.
-    */
-  private def writeLog(fs: org.apache.hadoop.fs.FileSystem,
-                       dir: org.apache.hadoop.fs.Path, gens: Gens): Unit = {
-    val lp = new org.apache.hadoop.fs.Path(dir, LogFile)
-    val tmp = new org.apache.hadoop.fs.Path(dir, LogFile + ".tmp")
-    val body = gens.map { case (g, l) => g + "|" + l.mkString(",") }
-      .mkString("", "\n", "\n") + s"#end:${gens.size}\n"
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(lp)) fs.delete(lp, false)
-    fs.rename(tmp, lp)
-    ()
-  }
+  private def commitBody(c: Commit): String =
+    sentinelBody(s"gen:${c.gen}" +: (c.parts.map("part:" + _) ++
+      c.adds.map("add:" + _) ++ c.removes.map("rm:" + _)))
 
-  /** Parsed log with crash recovery: a COMPLETE temp is the intended
-    * next state (it is only ever written immediately before install)
-    * and wins over the installed log; an incomplete temp is a torn
-    * write and is discarded. The adopted state is re-installed so
-    * recovery happens once.
-    */
-  def generations(spark: SparkSession, loc: String): Seq[(String, Seq[String])] = {
-    val (p, fs) = fsOf(spark, loc)
-    val lp = new org.apache.hadoop.fs.Path(p, LogFile)
-    val tp = new org.apache.hadoop.fs.Path(p, LogFile + ".tmp")
-    val fromTmp = readText(fs, tp).flatMap(parseLog)
-    fromTmp match {
-      case Some(next) =>
-        if (fs.exists(lp)) fs.delete(lp, false)
-        fs.rename(tp, lp)
-        next
-      case None =>
-        if (fs.exists(tp)) fs.delete(tp, false) // torn write
-        readText(fs, lp).flatMap(parseLog).getOrElse(Nil)
+  private def parseCommit(v: Long, content: String): Option[Commit] =
+    parseLines(content).map { lines =>
+      Commit(v,
+        lines.collectFirst { case l if l.startsWith("gen:") => l.drop(4) }
+          .getOrElse(sys.error(s"commit $v has no gen line")),
+        lines.collect { case l if l.startsWith("part:") => l.drop(5) },
+        lines.collect { case l if l.startsWith("add:") => l.drop(4) },
+        lines.collect { case l if l.startsWith("rm:") => l.drop(3) })
     }
+
+  private def checkpointBody(gen: String, live: Seq[String]): String =
+    sentinelBody(s"gen:$gen" +: live.map("live:" + _))
+
+  /** (gen id, live set) of a checkpoint. */
+  private def parseCheckpoint(content: String): Option[(String, Seq[String])] =
+    parseLines(content).map { lines =>
+      (lines.collectFirst { case l if l.startsWith("gen:") => l.drop(4) }
+        .getOrElse(sys.error("checkpoint has no gen line")),
+        lines.collect { case l if l.startsWith("live:") => l.drop(5) })
+    }
+
+  // ----------------------------------------------------------------
+  // log state
+  // ----------------------------------------------------------------
+
+  /** One listing of the log directory: commit versions and checkpoint
+    * versions present. Temps (crashed writers pre-claim) are ignored
+    * — readers never mutate the log.
+    */
+  private def listLog(fs: FileSystem, dir: Path): (Seq[Long], Seq[Long]) = {
+    if (!fs.exists(dir)) return (Nil, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    def versionsOf(suffix: String) = names
+      .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix).toLong).sorted
+    (versionsOf(".commit"), versionsOf(".checkpoint"))
   }
+
+  private def readCommit(fs: FileSystem, dir: Path, v: Long): Commit =
+    parseCommit(v, readText(fs, commitPath(dir, v)))
+      .getOrElse(sys.error(s"torn commit object at version $v in $dir"))
+
+  /** Ordered (version, gen, liveSet) for every RESOLVABLE generation:
+    * a single forward pass from the earliest resolvable point (commit
+    * 1, or the earliest checkpoint whose commit chain is unbroken —
+    * i.e. after a vacuum cut). O(surviving log objects) — the
+    * full-history listing; [[resolveGen]] is the O(interval) path a
+    * single snapshot read takes.
+    */
+  private def genStates(spark: SparkSession, loc: String)
+      : Seq[(Long, String, Seq[String])] = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    if (commits.isEmpty && checkpoints.isEmpty) return Nil
+    val out = Seq.newBuilder[(Long, String, Seq[String])]
+    var live = Set.empty[String]
+    var from = 0L // replay commits > from
+    if (!commits.headOption.contains(1L)) {
+      // history was truncated (vacuum): start at the earliest
+      // surviving checkpoint — the retention cut's resolved state
+      val start = checkpoints.headOption.getOrElse(return Nil)
+      val (g, l) = parseCheckpoint(readText(fs, checkpointPath(dir, start)))
+        .getOrElse(sys.error(s"torn checkpoint at version $start in $dir"))
+      live = l.toSet
+      from = start
+      out += ((start, g, l.sorted))
+    }
+    val tail = commits.filter(_ > from)
+    require(tail == ((from + 1) to tail.lastOption.getOrElse(from)),
+      s"broken commit chain in $dir: have $tail after version $from")
+    tail.foreach { v =>
+      val c = readCommit(fs, dir, v)
+      live = live -- c.removes ++ c.adds
+      out += ((v, c.gen, live.toSeq.sorted))
+    }
+    out.result()
+  }
+
+  /** All resolvable generations, oldest first: (gen id, live files).
+    * The compatibility surface specs and maintenance jobs list
+    * history through.
+    */
+  def generations(spark: SparkSession, loc: String): Seq[(String, Seq[String])] =
+    genStates(spark, loc).map { case (_, g, l) => (g, l) }
 
   def contains(spark: SparkSession, loc: String, gen: String): Boolean =
     generations(spark, loc).exists(_._1 == gen)
 
-  /** Commit `df` as generation `gen`: append its files, mark the
-    * previous generation's files for the RESTATED partitions removed,
-    * record the new live set. Skips if `gen` is already committed
-    * (crash replay: orphan files from the failed attempt stay
-    * invisible and vacuum collects them). One log parse per commit.
+  /** Resolve ONE generation checkpoint+tail: start from the nearest
+    * checkpoint at or below the target version and apply only the
+    * commit tail after it — O([[CheckpointInterval]]) log reads for a
+    * current snapshot regardless of history length. Falls back to a
+    * from-empty replay when the target predates every checkpoint
+    * (short young history). Throws for a gen id that is absent or
+    * vacuumed.
     */
-  def appendBatch(spark: SparkSession, loc: String, gen: String,
-                  df: DataFrame, partCol: String): Unit = {
-    val gens = generations(spark, loc)
-    if (gens.exists(_._1 == gen)) return
-    val prevLive = gens.lastOption.map(_._2).getOrElse(Nil)
+  private[graft] def resolveGen(spark: SparkSession, loc: String,
+                                gen: String): Resolution = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    // locate the target version: the checkpoint carrying the gen id,
+    // or the commit carrying it (commits are read target-down so a
+    // current-snapshot lookup stays O(tail))
+    val target: Long = checkpoints.reverse.collectFirst {
+      case cv if parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
+        .exists(_._1 == gen) => cv
+    }.orElse {
+      commits.reverse.collectFirst {
+        case v if readCommit(fs, dir, v).gen == gen => v
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"generation '$gen' not in $loc/$LogDir (vacuumed or never committed)"))
+    resolveVersion(fs, dir, commits, checkpoints, target)
+  }
+
+  private def resolveVersion(fs: FileSystem, dir: Path, commits: Seq[Long],
+                             checkpoints: Seq[Long], target: Long): Resolution = {
+    val ck = checkpoints.filter(_ <= target).lastOption
+    val tail = commits.filter(v => v > ck.getOrElse(0L) && v <= target)
+    val expected = (ck.getOrElse(0L) + 1) to target
+    require(ck.nonEmpty || commits.headOption.contains(1L),
+      s"version $target predates the log's surviving history in $dir")
+    require(tail == expected,
+      s"broken commit chain resolving version $target in $dir: " +
+        s"have $tail, need $expected")
+    var live: Set[String] = ck match {
+      case Some(cv) =>
+        parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
+          .getOrElse(sys.error(s"torn checkpoint at version $cv in $dir"))
+          ._2.toSet
+      case None => Set.empty
+    }
+    tail.foreach { v =>
+      val c = readCommit(fs, dir, v)
+      live = live -- c.removes ++ c.adds
+    }
+    Resolution(live.toSeq.sorted, ck, tail.size)
+  }
+
+  // ----------------------------------------------------------------
+  // the commit protocol
+  // ----------------------------------------------------------------
+
+  private def validateGen(gen: String): Unit =
+    require(gen.nonEmpty && !gen.exists(c => c == '\n' || c == '\r'),
+      s"generation id must be non-empty and line-terminator-free: '$gen'")
+
+  private def partsOverlap(a: Seq[String], b: Seq[String]): Boolean =
+    a.contains(AllParts) || b.contains(AllParts) ||
+      a.toSet.intersect(b.toSet).nonEmpty
+
+  /** Commit a prepared delta with optimistic-concurrency retry.
+    * `snapshotVersion` is the version the delta was computed against
+    * (0 for an empty table). Returns the installed version, or the
+    * existing one if `gen` turned out to be already committed by a
+    * racing writer.
+    */
+  private def commitDelta(spark: SparkSession, loc: String, c: Commit,
+                          snapshotVersion: Long): Long = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    var attempt = snapshotVersion + 1
+    while (true) {
+      if (installIfAbsent(fs, dir, commitBody(c.copy(version = attempt)),
+          commitPath(dir, attempt))) {
+        maybeCheckpoint(fs, dir, attempt, c.gen)
+        return attempt
+      }
+      // lost the race: examine every commit that landed since
+      val (commits, _) = listLog(fs, dir)
+      val landed = commits.filter(_ >= attempt).map(readCommit(fs, dir, _))
+      landed.find(_.gen == c.gen) match {
+        case Some(winner) => return winner.version // replayed batch: idempotent
+        case None =>
+      }
+      val clash = landed.filter(l => partsOverlap(l.parts, c.parts))
+      if (clash.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"generation '${c.gen}' conflicts with concurrently committed " +
+            s"${clash.map(l => s"'${l.gen}' (v${l.version})").mkString(", ")} " +
+            s"on partitions ${c.parts.mkString(",")} — recompute against " +
+            "the new snapshot and retry")
+      attempt = commits.last + 1 // disjoint writers: delta still valid
+    }
+    sys.error("unreachable")
+  }
+
+  /** Write a checkpoint at `v` when the interval says so. Resolved
+    * from disk (checkpoint+tail), NOT from the writer's in-memory
+    * state — a disjoint concurrent commit may have landed between the
+    * writer's snapshot and its claim. Claim-if-absent: a racing
+    * checkpointer's duplicate is dropped.
+    */
+  private def maybeCheckpoint(fs: FileSystem, dir: Path, v: Long,
+                              gen: String): Unit =
+    if (v % CheckpointInterval == 0) {
+      val (commits, checkpoints) = listLog(fs, dir)
+      val r = resolveVersion(fs, dir, commits, checkpoints, v)
+      installIfAbsent(fs, dir, checkpointBody(gen, r.live),
+        checkpointPath(dir, v))
+      ()
+    }
+
+  /** Latest (version, live set), or (0, empty) for a virgin table. */
+  private def latestState(spark: SparkSession, loc: String): (Long, Seq[String]) = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    val latest = (commits ++ checkpoints).maxOption.getOrElse(0L)
+    if (latest == 0L) (0L, Nil)
+    else (latest, resolveVersion(fs, dir, commits, checkpoints, latest).live)
+  }
+
+  /** A prepared-but-uncommitted generation: the data files are on
+    * disk (invisible — no reader resolves them), the delta is
+    * computed against `snapshotVersion`. [[commitStaged]] makes it
+    * visible. The two-phase split IS the concurrency protocol: the
+    * expensive write happens outside any critical section, and only
+    * the O(batch)-sized commit contends.
+    */
+  private[graft] final case class Staged(gen: String, parts: Seq[String],
+      adds: Seq[String], removes: Seq[String], snapshotVersion: Long)
+
+  /** Phase one of [[appendBatch]]: write the batch's data files and
+    * compute its delta against the CURRENT snapshot, without
+    * committing. Exposed for the writer-vs-writer spec, which stages
+    * two writers against the same snapshot deterministically.
+    */
+  private[graft] def stageAppend(spark: SparkSession, loc: String, gen: String,
+                                 df: DataFrame, partCol: String): Staged = {
+    validateGen(gen)
+    val (snapVer, prevLive) = latestState(spark, loc)
     val before = listDataFiles(spark, loc)
     // the batch's partitions — bounded by the batch's span; matched
     // against the ESCAPED directory names Spark actually writes
     val parts = df.select(col(partCol)).distinct()
       .collect().map(r => org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.get(0).toString))
+        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
     df.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol).parquet(loc)
     val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
     val removed = prevLive.filter(f =>
-      parts.exists(p => f.contains(s"/$partCol=$p/"))).toSet
-    val (p, fs) = fsOf(spark, loc)
-    writeLog(fs, p, gens :+ ((gen, prevLive.filterNot(removed) ++ added)))
+      parts.exists(v => f.contains(s"/$partCol=$v/")))
+    Staged(gen, parts.map(v => s"$partCol=$v"), added, removed, snapVer)
+  }
+
+  /** Phase two: install a staged generation's commit, with the object
+    * scaladoc's optimistic-concurrency semantics (skip own gen, retry
+    * past disjoint writers, abort on overlap). Returns the installed
+    * version.
+    */
+  private[graft] def commitStaged(spark: SparkSession, loc: String,
+                                  s: Staged): Long =
+    commitDelta(spark, loc,
+      Commit(0L, s.gen, s.parts, s.adds, s.removes), s.snapshotVersion)
+
+  /** Commit `df` as generation `gen`: append its files, mark the
+    * previous generation's files for the RESTATED partitions removed,
+    * record the delta. Skips if `gen` is already committed (crash
+    * replay: orphan files from the failed attempt stay invisible and
+    * vacuum collects them — the gen-id scan is O(surviving log
+    * objects), the price of idempotence). Concurrent-writer semantics
+    * are the object scaladoc's: disjoint partitions retry,
+    * overlapping partitions abort.
+    */
+  def appendBatch(spark: SparkSession, loc: String, gen: String,
+                  df: DataFrame, partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    commitStaged(spark, loc, stageAppend(spark, loc, gen, df, partCol))
+    ()
   }
 
   /** Commit `df` as a FULL RESTATEMENT under a (possibly new)
@@ -162,31 +476,85 @@ object GenLog {
     * re-clustering through the log — the physical layout changes
     * (day files → week files), the logical rows don't, earlier
     * generations keep reading their own layout, and the dropped
-    * fine-grained files become vacuum-collectable history. Same
-    * crash-safety as [[appendBatch]]: files land first, the log
-    * install commits.
+    * fine-grained files become vacuum-collectable history. Declares
+    * the wildcard partition, so it conflicts with EVERY concurrent
+    * commit — the only sound semantics for a whole-table rewrite.
     */
   def recluster(spark: SparkSession, loc: String, gen: String,
                 df: DataFrame, partCol: String): Unit = {
-    val gens = generations(spark, loc)
-    if (gens.exists(_._1 == gen)) return
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, prevLive) = latestState(spark, loc)
     val before = listDataFiles(spark, loc)
     df.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol).parquet(loc)
     val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
-    val (p, fs) = fsOf(spark, loc)
-    writeLog(fs, p, gens :+ ((gen, added)))
+    commitDelta(spark, loc,
+      Commit(0L, gen, Seq(AllParts), added, prevLive), snapVer)
+    ()
+  }
+
+  /** Commit a DELETE as generation `gen`: rows of the LATEST snapshot
+    * matching `pred` leave the table by REWRITE-ON-DELETE of only the
+    * files that contain them — untouched files stay in the live set
+    * byte-identically, earlier generations still serve the deleted
+    * rows (AS-OF-before-delete is the legal-hold read), and the
+    * change feed between the adjacent snapshots shows the deletions.
+    *
+    * Mechanics: one pass over the live files finds the AFFECTED file
+    * set (`input_file_name` + the predicate — distributed, collect
+    * bounded by the affected-file count); the affected files'
+    * surviving rows (`pred` false or NULL) rewrite as new files under
+    * the same partition scheme (`basePath` read recovers the
+    * partition column a partitioned write strips from the files); the
+    * commit removes the affected files and adds the rewrites. A file
+    * whose every row matches simply rewrites to nothing. Cost ∝
+    * affected files, never the table — the Delta/Iceberg
+    * copy-on-write DELETE, executed small. Declares the affected
+    * files' partitions for conflict detection.
+    */
+  def deleteWhere(spark: SparkSession, loc: String, gen: String,
+                  pred: Column, partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, live) = latestState(spark, loc)
+    require(live.nonEmpty, s"deleteWhere on an empty table at $loc")
+    val hit = coalesce(pred, lit(false))
+    val affected = spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(live: _*)
+      .where(hit).select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath).toSeq.sorted
+    if (affected.isEmpty) {
+      // nothing matches: commit an empty delta so the generation
+      // exists (the snapshot is the previous one's live set)
+      commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
+      return
+    }
+    val partRe = java.util.regex.Pattern.compile("/" +
+      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
+    val parts = affected.flatMap { f =>
+      val m = partRe.matcher(f)
+      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
+    }.distinct
+    val before = listDataFiles(spark, loc)
+    spark.read.option("basePath", loc).option("mergeSchema", "true")
+      .parquet(affected: _*)
+      .where(!hit)
+      .repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc, Commit(0L, gen, parts, added, affected), snapVer)
+    ()
   }
 
   /** Read the table AS OF `gen` — exactly the files that generation
-    * committed, regardless of every later append/overwrite. The
-    * partition column comes back as a DATA column because the writer
-    * stores it in-file too (callers include it in `df`).
+    * committed, regardless of every later append/overwrite/delete.
+    * The partition column comes back as a DATA column because the
+    * writer stores it in-file too (callers include it in `df`).
     */
   def read(spark: SparkSession, loc: String, gen: String): DataFrame = {
-    val live = generations(spark, loc).find(_._1 == gen).getOrElse(
-      throw new IllegalArgumentException(
-        s"generation '$gen' not in $loc/$LogFile (vacuumed or never committed)"))._2
+    val live = resolveGen(spark, loc, gen).live
     if (live.isEmpty)
       throw new IllegalArgumentException(s"generation '$gen' is empty")
     // a generation may span files written under evolving schemas
@@ -201,23 +569,43 @@ object GenLog {
     read(spark, loc, gens.last._1)
   }
 
-  /** Retain the last `keepLastN` generations: the retained log
-    * installs FIRST, then files referenced by none of them —
-    * overwritten history AND crash orphans — are deleted. Returns the
-    * deleted paths. A crash between install and deletion leaves only
-    * collectable orphans; retained generations read exactly what they
-    * always read.
+  /** Retain the last `keepLastN` generations: the retained state
+    * installs FIRST (a checkpoint at the retention cut, so the cut
+    * generation resolves without its dropped predecessors), then the
+    * dropped log objects and the data files referenced by no retained
+    * generation — overwritten history AND crash orphans — are
+    * deleted. Returns the deleted data paths. A crash between install
+    * and deletion leaves only collectable garbage; retained
+    * generations read exactly what they always read.
     */
   def vacuum(spark: SparkSession, loc: String, keepLastN: Int): Seq[String] = {
-    val gens = generations(spark, loc)
-    val kept = gens.takeRight(keepLastN)
+    require(keepLastN >= 1,
+      s"vacuum must retain at least one generation, got keepLastN=$keepLastN")
+    val states = genStates(spark, loc)
+    val kept = states.takeRight(keepLastN)
     val (p, fs) = fsOf(spark, loc)
-    writeLog(fs, p, kept)
-    val referenced = kept.flatMap(_._2).toSet
-    val doomed = (listDataFiles(spark, loc) -- referenced).toSeq.sorted
-    doomed.foreach { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false); ()
+    val dir = logDirOf(p)
+    kept.headOption.foreach { case (cutVer, cutGen, cutLive) =>
+      // 1. retained state installs first (idempotent claim)
+      installIfAbsent(fs, dir, checkpointBody(cutGen, cutLive),
+        checkpointPath(dir, cutVer))
+      // 2. drop pre-cut log objects + the cut's now-redundant commit
+      val (commits, checkpoints) = listLog(fs, dir)
+      commits.filter(_ <= cutVer).foreach { v =>
+        fs.delete(commitPath(dir, v), false); ()
+      }
+      checkpoints.filter(_ < cutVer).foreach { v =>
+        fs.delete(checkpointPath(dir, v), false); ()
+      }
+      // crashed writers' pre-claim temps are dead weight too
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
+        .foreach { t => fs.delete(t, false); () }
     }
+    // 3. collect data files no retained generation references
+    val referenced = kept.flatMap(_._3).toSet
+    val doomed = (listDataFiles(spark, loc) -- referenced).toSeq.sorted
+    doomed.foreach { f => fs.delete(new Path(f), false); () }
     doomed
   }
 }

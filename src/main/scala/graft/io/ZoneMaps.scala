@@ -171,12 +171,97 @@ object ZoneMaps {
   /** Fraction of the layout's files whose envelope intersects the
     * ranges — the selectivity estimate an access-path decision reads
     * from METADATA only (one aggregate over the O(files) stats rows,
-    * never the data).
+    * never the data). An all-NULL tracked column makes rangePred NULL
+    * for that file — it cannot match, so it counts as false rather
+    * than silently leaving avg's denominator; an EMPTY stats table
+    * (no files yet) estimates 1.0, the flat-scan-safe default.
     */
   def matchedFraction(spark: SparkSession, statsTable: String,
-                      ranges: Seq[(String, Any, Any)]): Double =
-    spark.table(statsTable)
-      .agg(avg(rangePred(ranges).cast("double"))).head().getDouble(0)
+                      ranges: Seq[(String, Any, Any)]): Double = {
+    val r = spark.table(statsTable)
+      .agg(avg(coalesce(rangePred(ranges), lit(false)).cast("double"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** A file open charged in row-equivalents: the explicit-file-list
+    * paths pay footer reads and per-file task setup OUTSIDE the
+    * catalog's shared, cached FileIndex, so a pruned path is worth
+    * taking only when the rows it skips outweigh the opens it pays
+    * fresh. The constant is the knob a real optimizer calibrates;
+    * what matters structurally is that the decision scales with BOTH
+    * file count and file size — at 10× rows per file the same matched
+    * fraction flips from flat to pruned, which a fixed fraction
+    * threshold cannot express.
+    */
+  final val OpenCostRows = 1000L
+
+  /** The candidate access paths' (files, rows) read volumes, computed
+    * in ONE aggregate over the O(files) stats rows — metadata only,
+    * never the data. `bloom*` and `both*` equal the totals when no
+    * probe keys are given (the predicate degenerates to true).
+    */
+  private[graft] final case class AccessStats(
+      files: Long, rows: Long,
+      rangeFiles: Long, rangeRows: Long,
+      bloomFiles: Long, bloomRows: Long,
+      bothFiles: Long, bothRows: Long)
+
+  private[graft] def accessStats(spark: SparkSession, statsTable: String,
+      ranges: Seq[(String, Any, Any)],
+      keyHashes: Seq[org.apache.spark.sql.Column]): AccessStats = {
+    val rp = coalesce(rangePred(ranges), lit(false))
+    val bp = keyHashes
+      .map(h => graft.functions.BloomSketch.mightContainCol(h, col("bloom")))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    def files(p: org.apache.spark.sql.Column) = sum(p.cast("long"))
+    def rows(p: org.apache.spark.sql.Column) = sum(when(p, col("cnt")))
+    val r = spark.table(statsTable).agg(
+      count(lit(1)), sum(col("cnt")),
+      files(rp), rows(rp), files(bp), rows(bp),
+      files(rp && bp), rows(rp && bp)).head()
+    def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    AccessStats(g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7))
+  }
+
+  /** Cost-modeled ACCESS-PATH SELECTION over a skipping-stats table —
+    * the optimizer deciding whether (and through which index) to use
+    * its own skipping layer, from metadata alone. Candidates:
+    *
+    *   - `flat`      — the catalog scan; reads everything but pays no
+    *     fresh opens (the shared FileIndex amortizes them);
+    *   - `envelope`  — min/max-pruned explicit file list;
+    *   - `bloom`     — Bloom-pruned list (point keys only);
+    *   - `compound`  — both dimensions intersected (q202's path).
+    *
+    * Estimated cost: rows read, plus [[OpenCostRows]] per fresh file
+    * open for the explicit-list paths — i.e. a pruned path wins
+    * exactly when the rows it skips exceed its candidate-file count ×
+    * open cost. All estimates come from the one [[accessStats]]
+    * aggregate; the chosen frame is a candidate SUPERSET, so callers
+    * re-apply the exact predicate and the answer is path-independent
+    * (StatsPlanSpec pins the flips, the shared oracle pins the rows).
+    */
+  def selectAccessPath(spark: SparkSession, layoutTable: String,
+      statsTable: String, ranges: Seq[(String, Any, Any)],
+      keyHashes: Seq[org.apache.spark.sql.Column]): (String, DataFrame) = {
+    val s = accessStats(spark, statsTable, ranges, keyHashes)
+    def pruned(f: Long, r: Long) = r + OpenCostRows * f
+    val candidates =
+      Seq("flat" -> s.rows, "envelope" -> pruned(s.rangeFiles, s.rangeRows)) ++
+        (if (keyHashes.nonEmpty)
+          Seq("bloom" -> pruned(s.bloomFiles, s.bloomRows),
+            "compound" -> pruned(s.bothFiles, s.bothRows))
+        else Nil)
+    candidates.minBy(_._2)._1 match {
+      case "flat" => ("flat", spark.table(layoutTable))
+      case "envelope" =>
+        ("envelope", compoundPrunedRead(spark, layoutTable, statsTable, ranges, Nil))
+      case "bloom" =>
+        ("bloom", compoundPrunedRead(spark, layoutTable, statsTable, Nil, keyHashes))
+      case "compound" =>
+        ("compound", compoundPrunedRead(spark, layoutTable, statsTable, ranges, keyHashes))
+    }
+  }
 
   /** Files surviving BOTH the range envelopes and the Bloom
     * membership of at least one probe-key hash — compound skipping in

@@ -407,30 +407,30 @@ object Layout {
   // the classic optimizer decision, made from the stats table alone.
   // A 5.5-year window intersects ~85% of the layout's envelopes;
   // driver-pruning a file list that keeps nearly everything buys
-  // nothing and costs per-file planning — the reader therefore
-  // estimates the matched fraction from METADATA (one aggregate over
-  // the O(files) stats rows) and picks the CATALOG flat scan when
-  // the estimate exceeds PruneThreshold, the explicit pruned read
-  // otherwise. q194 is the narrow-window side of the same decision;
-  // q208 is the optimizer DECLINING its own index. Rows are identical
-  // on either path (the exact predicate re-applies; the flat-scan
-  // oracle certifies it), and StatsPlanSpec pins the flip: the wide
-  // window reads every file through the catalog, the narrow window
-  // reads < 1/4 through the pruned list, and both paths agree row
-  // for row.
+  // little and pays fresh per-file opens — the reader therefore
+  // COST-MODELS the paths from METADATA (one aggregate over the
+  // O(files) stats rows: candidate rows + OpenCostRows per fresh
+  // open vs the catalog scan's total) and prunes exactly when the
+  // rows skipped outweigh the candidate-file count × open cost
+  // (ZoneMaps.selectAccessPath — round 13's fixed 0.5 fraction
+  // threshold, replaced by an ESTIMATE: unlike a fraction cut, the
+  // cost model is scale-aware — the same 85% match flips to pruned
+  // once files carry 10× the rows, because the absolute savings then
+  // dominate the fixed open charge). q194 is the narrow-window side
+  // of the same decision; q208 is the optimizer DECLINING its own
+  // index when the numbers say so. Rows are identical on either path
+  // (the exact predicate re-applies; the flat-scan oracle certifies
+  // it), and StatsPlanSpec pins the flips — including doctored stats
+  // moving the choice with the rows pinned still.
   // ---------------------------------------------------------------
-  final val PruneThreshold = 0.5
   final val WideLo = "1995-06-01"
   final val WideHi = "2000-12-31"
 
-  /** The access-path decision + read: ("pruned" | "flat", frame). */
+  /** The access-path decision + read: ("flat" | "envelope", frame). */
   private[graft] def accessPathRead(spark: SparkSession, t: String, st: String,
-                                    lo: String, hi: String): (String, DataFrame) = {
-    val ranges = Seq(("l_shipdate", s"$lo 00:00:00", s"$hi 00:00:00"))
-    val frac = ZoneMaps.matchedFraction(spark, st, ranges)
-    if (frac <= PruneThreshold) ("pruned", ZoneMaps.prunedRead(spark, t, st, ranges))
-    else ("flat", spark.table(t))
-  }
+                                    lo: String, hi: String): (String, DataFrame) =
+    ZoneMaps.selectAccessPath(spark, t, st,
+      Seq(("l_shipdate", s"$lo 00:00:00", s"$hi 00:00:00")), Nil)
 
   private def windowRevenue(spark: SparkSession, df: DataFrame,
                             lo: String, hi: String): DataFrame =
@@ -456,6 +456,37 @@ object Layout {
        |WHERE l_shipdate BETWEEN TIMESTAMP '$WideLo' AND TIMESTAMP '$WideHi'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q212_cost_access_path — the selector's FULL choice set on a
+  // point-set-in-window predicate: flat catalog scan, envelope-pruned
+  // (the clustered column's min/max), Bloom-pruned (the scattered
+  // key's per-file filters), or compound (both dimensions
+  // intersected) — picked by the SAME metadata cost estimate
+  // (ZoneMaps.selectAccessPath over the one skipstats table). q202
+  // always takes the compound path; q212 is the optimizer CHOOSING
+  // it — because for this predicate the intersection's candidate
+  // rows + opens genuinely price lowest — and sharing q202's oracle
+  // verbatim, so the choice is certified answer-neutral.
+  // StatsPlanSpec doctors the stats four ways (saturated Blooms,
+  // domain-wide envelopes, both, neither) and pins that the selector
+  // lands on each path with identical rows throughout.
+  // ---------------------------------------------------------------
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val (t, st) = ensureBloomZoned(spark, dir)
+    val ks = probeOrderkeys(spark, dir)
+    val hashes = ks.map(k => graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P)
+    val (_, df) = ZoneMaps.selectAccessPath(spark, t, st,
+      Seq(("l_shipdate", s"$CsLo 00:00:00", s"$CsHi 00:00:00")), hashes)
+    val (lo, hi) = (lit(CsLo).cast("timestamp"), lit(CsHi).cast("timestamp"))
+    df.where(col("l_orderkey").isin(ks: _*) &&
+        col("l_shipdate").between(lo, hi))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
@@ -463,7 +494,8 @@ object Layout {
     "q199_zonemap_incremental" -> (q199 _),
     "q201_bloom_skipping" -> (q201 _),
     "q202_compound_skipping" -> (q202 _),
-    "q208_stats_access_path" -> (q208 _))
+    "q208_stats_access_path" -> (q208 _),
+    "q212_cost_access_path" -> (q212 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -474,5 +506,7 @@ object Layout {
     "q199_zonemap_incremental" -> q194Sql,
     "q201_bloom_skipping" -> q201Sql,
     "q202_compound_skipping" -> q202Sql,
-    "q208_stats_access_path" -> q208Sql)
+    "q208_stats_access_path" -> q208Sql,
+    // q212 shares q202's oracle: access-path choice is answer-neutral
+    "q212_cost_access_path" -> q202Sql)
 }

@@ -32,13 +32,14 @@ object TimeTravel {
   final val Day1 = "2024-01-10"
   final val Day2 = "2024-01-20"
 
-  /** v2: the build gained the schema-widened g4 generation — a new
-    * table name keys the artifact to the build SHAPE as well as the
-    * source (a surviving 3-generation artifact must not serve the
-    * 4-generation contract).
+  /** v3: the log format moved from full-live-set snapshots to delta
+    * commits + checkpoints — a new table name keys the artifact to
+    * the log FORMAT as well as the source (a surviving v2 single-file
+    * log is unreadable to the delta-log reader and must rebuild, not
+    * fingerprint-match).
     */
   private[graft] def gensTable(dir: String): String =
-    s"graft_ev_gens_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_gens_v3_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** One ingest batch: daily counts for `dayLo..dayHi` from events at
     * or before `cut`. The day is stored BOTH as the partition key
@@ -241,7 +242,7 @@ object TimeTravel {
   // live, 30 day files retained as history until vacuum).
   // ---------------------------------------------------------------
   private[graft] def evolveTable(dir: String): String =
-    s"graft_ev_evolve_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_evolve_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def ensureEvolvedGenerations(spark: SparkSession, dir: String): String = {
     val tbl = evolveTable(dir)
@@ -272,13 +273,118 @@ object TimeTravel {
   /** Same rows as q207: re-clustering must never change an answer. */
   val q209Sql: String = q207Sql
 
+  // ---------------------------------------------------------------
+  // q210_delete_through_log — DELETE as a generation (GenLog
+  // .deleteWhere): a GDPR-shaped predicate (`purchase` rows in the
+  // first ten days) leaves the LATEST snapshot by rewrite-on-delete
+  // of only the ten affected day files — the other twenty files stay
+  // in the live set byte-identically (GenLogSpec pins the untouched
+  // paths), the pre-delete generation still serves the deleted rows
+  // (AS-OF-before-delete, the legal-hold read), and the removed
+  // bytes survive as history until vacuum. The oracle is the flat
+  // rollup with the deletion predicate applied — the hash-compare
+  // certifies copy-on-write DELETE end-to-end. At 100 TB this is the
+  // compliance-deletion path every lake format carries: cost ∝
+  // affected files, never the table.
+  // ---------------------------------------------------------------
+  final val DelType = "purchase"
+  final val DelHi = "2024-01-10"
+
+  private[graft] def delTable(dir: String): String =
+    s"graft_ev_del_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def delPred: org.apache.spark.sql.Column =
+    col("event_type") === lit(DelType) &&
+      col("day") <= lit(DelHi).cast("date")
+
+  private[graft] def ensureDeleteGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = delTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, None, None, None), "day_k")
+      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q210(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureDeleteGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q210Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+       |FROM events
+       |WHERE NOT (event_type = '$DelType'
+       |           AND CAST(ts AS DATE) <= DATE '$DelHi')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q211_change_feed_delete — the change feed ACROSS a delete
+  // generation, with the full insert/update/DELETE classification
+  // (q205 could only see inserts and updates because counts only
+  // grew between its snapshots; a delete generation completes the
+  // CDC vocabulary): full-outer-diff the pre- and post-delete
+  // snapshots from the log's file lists alone — keys present only
+  // before are `delete` rows (n_new = 0), only after `insert`,
+  // changed counts `update`. On this fixture exactly the deleted
+  // groups surface, and the oracle recomputes both snapshots and
+  // diffs them in SQL — the feed itself is hash-certified.
+  // Downstream at 100 TB: deletion propagation to derived stores
+  // consumes THIS feed, never a table diff.
+  // ---------------------------------------------------------------
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureDeleteGenerations(spark, dir)
+    val a = GenLog.read(spark, loc, "g1")
+      .select(col("day"), col("event_type"), col("n_events").as("n_a"))
+    val b = GenLog.read(spark, loc, "g2_del")
+      .select(col("day"), col("event_type"), col("n_events").as("n_b"))
+    a.join(b, Seq("day", "event_type"), "full_outer")
+      .where(col("n_a").isNull || col("n_b").isNull || col("n_a") =!= col("n_b"))
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_a"), lit(0L)).as("n_old"),
+        coalesce(col("n_b"), lit(0L)).as("n_new"),
+        when(col("n_a").isNull, lit("insert"))
+          .when(col("n_b").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q211Sql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events
+       |  WHERE NOT (event_type = '$DelType'
+       |             AND CAST(ts AS DATE) <= DATE '$DelHi')
+       |  GROUP BY 1, 2)
+       |SELECT COALESCE(a.day, b.day) AS day,
+       |  COALESCE(a.event_type, b.event_type) AS event_type,
+       |  COALESCE(a.n, 0) AS n_old, COALESCE(b.n, 0) AS n_new,
+       |  CASE WHEN a.n IS NULL THEN 'insert'
+       |       WHEN b.n IS NULL THEN 'delete' ELSE 'update' END AS change
+       |FROM a FULL JOIN b
+       |  ON a.day = b.day AND a.event_type = b.event_type
+       |WHERE a.n IS NULL OR b.n IS NULL OR a.n <> b.n
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
     "q205_change_feed" -> (q205 _),
     "q206_schema_evolution" -> (q206 _),
     "q207_stream_generations" -> (q207 _),
-    "q209_partition_evolution" -> (q209 _))
+    "q209_partition_evolution" -> (q209 _),
+    "q210_delete_through_log" -> (q210 _),
+    "q211_change_feed_delete" -> (q211 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -286,5 +392,7 @@ object TimeTravel {
     "q205_change_feed" -> q205Sql,
     "q206_schema_evolution" -> q206Sql,
     "q207_stream_generations" -> q207Sql,
-    "q209_partition_evolution" -> q209Sql)
+    "q209_partition_evolution" -> q209Sql,
+    "q210_delete_through_log" -> q210Sql,
+    "q211_change_feed_delete" -> q211Sql)
 }

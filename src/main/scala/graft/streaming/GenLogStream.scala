@@ -40,7 +40,7 @@ object GenLogStream {
     s"graft_ev_winstage_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def streamGensTable(dir: String): String =
-    s"graft_ev_sgens_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_sgens_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** Events staged as three ts-window files (the upstream producer's
     * landing sequence), mtimes ascending so the file stream replays

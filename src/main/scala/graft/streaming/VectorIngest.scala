@@ -133,17 +133,26 @@ object VectorIngest {
     t
   }
 
-  /** Assign one micro-batch under the frozen codebook and append it
-    * to the store through [[graft.io.Warehouse.appendExactlyOnce]].
-    * The presence predicate is the batch's wave class (the staged
-    * waves ARE `vec_id % Waves` classes, so one pmod literal
-    * identifies exactly this batch's rows) intersected with its
-    * touched cells — the presence scan is partition-pruned to the
-    * same directories the append writes, cost ∝ the batch's cells'
-    * contents. A crash anywhere — including inside the multi-
-    * directory job commit, which is NOT atomic across cells — is
-    * repaired on replay: fully-present skips, absent appends, partial
-    * drops exactly the batch's exposed files and re-appends.
+  /** Assign one micro-batch under the frozen codebook and absorb it
+    * with an INLINE exactly-once protocol: probe, then plain append
+    * or partition-scoped keyed-merge repair. Deliberately NOT
+    * [[graft.io.Warehouse.appendExactlyOnce]] — that helper repairs a
+    * partial commit by deleting "the batch's files", which is sound
+    * only while generational files are never merged; THIS store has a
+    * compaction lifecycle (q200 collapses a cell's files), so a
+    * batch's rows can share a file with sibling batches and the
+    * file-delete repair would destroy them. The presence predicate is
+    * the batch's wave class (the staged waves ARE `vec_id % Waves`
+    * classes, so one pmod literal identifies exactly this batch's
+    * rows) intersected with its touched cells — the presence scan is
+    * partition-pruned to the same directories the append writes, cost
+    * ∝ the batch's cells' contents. A crash anywhere — including
+    * inside the multi-directory job commit, which is NOT atomic
+    * across cells — is repaired on replay: fully-present skips,
+    * absent appends, partial triggers [[graft.io.Warehouse
+    * .upsertMergeByKey]], which rewrites the touched cells as
+    * (existing non-batch rows) ∪ batch and converges from any
+    * intermediate state.
     */
   private def absorbBatch(batch: Dataset[Row], cents: Array[Array[Double]],
                           t: String): Unit = {

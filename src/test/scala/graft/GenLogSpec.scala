@@ -135,23 +135,133 @@ class GenLogSpec extends SparkTestBase {
       GenLog.generations(spark, loc).last._1 == "g4")
   }
 
-  test("log install crash windows recover: a complete temp is adopted, a torn temp is discarded") {
+  test("a crashed writer's pre-claim temp is ignored by readers and never mutated; vacuum sweeps it") {
     val loc = freshGens()
     val before = GenLog.generations(spark, loc)
-    val log = new java.io.File(loc, GenLog.LogFile)
-    val tmp = new java.io.File(loc, GenLog.LogFile + ".tmp")
-    // crash between delete and rename: the full next state sits in
-    // the sentinel-terminated temp, the installed log is gone
-    java.nio.file.Files.copy(log.toPath, tmp.toPath)
-    assert(log.delete())
+    val logDir = new java.io.File(loc, GenLog.LogDir)
+    // a writer that died after writing its temp but before claiming
+    // its version: the temp must shadow nothing and readers must not
+    // touch it (reader-side recovery raced the writer in the v2
+    // single-file log — the delta log makes recovery writer-only)
+    val tmp = new java.io.File(logDir, ".tmp-deadbeef")
+    java.nio.file.Files.writeString(tmp.toPath, "gen:ghost\nadd:/nowhere.parquet\n#end:2\n")
     assert(GenLog.generations(spark, loc) == before,
-      "a complete temp must be adopted as the next state")
-    assert(log.exists() && !tmp.exists(), "recovery must reinstall the log")
-    // crash mid-temp-write: a torn temp must never shadow the log
-    java.nio.file.Files.writeString(tmp.toPath, "w1|/nowhere.parquet\n")
-    assert(GenLog.generations(spark, loc) == before,
-      "a torn temp (no sentinel) must be ignored")
-    assert(!tmp.exists(), "the torn temp must be discarded")
+      "a pre-claim temp must be invisible to readers")
+    assert(tmp.exists(), "readers must never mutate the log directory")
+    // the log stays writable past the dead temp
+    GenLog.appendBatch(spark, loc, "g4",
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+    assert(GenLog.generations(spark, loc).map(_._1).last == "g4")
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 4)
+    assert(!tmp.exists(), "vacuum must sweep dead temps")
+    assert(deleted.forall(_.endsWith(".parquet")),
+      "vacuum's returned list is data files only")
+  }
+
+  test("commit cost is O(batch) and a snapshot resolve is checkpoint + tail, never a full-log replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("genlog-long").toString + "/t"
+    // 52 generations, each adding ONE new partition: the live set
+    // grows 52×, the per-commit delta stays one file
+    (1 to 52).foreach { k =>
+      GenLog.appendBatch(spark, loc, s"g$k",
+        Seq((k, k.toLong)).toDF("k", "v"), "k")
+    }
+    val logDir = new java.io.File(loc, GenLog.LogDir)
+    def size(name: String) = new java.io.File(logDir, name).length()
+    // O(batch) commit bytes: the 50th commit is as small as the 2nd,
+    // while a full-live-set log entry would have grown ~25×
+    assert(size(f"${50L}%020d.commit") <= 3 * size(f"${2L}%020d.commit"),
+      "commit bytes must not grow with table history")
+    // interval checkpoints exist
+    (1 to 5).foreach { i =>
+      assert(new java.io.File(logDir, f"${i * 10L}%020d.checkpoint").exists(),
+        s"checkpoint expected at version ${i * 10}")
+    }
+    // a current-snapshot resolve starts at the nearest checkpoint and
+    // replays only the tail after it
+    val r50 = GenLog.resolveGen(spark, loc, "g50")
+    assert(r50.checkpointUsed.contains(50L) && r50.commitsParsed == 0,
+      s"g50 must resolve from its own checkpoint, got $r50")
+    val r45 = GenLog.resolveGen(spark, loc, "g45")
+    assert(r45.checkpointUsed.contains(40L) && r45.commitsParsed == 5,
+      s"g45 must resolve as checkpoint(40) + 5 commits, got $r45")
+    assert(r45.live.size == 45 && r50.live.size == 50,
+      "one live file per committed partition")
+    // and the resolved snapshots answer correctly
+    assert(GenLog.read(spark, loc, "g45").count() == 45)
+    assert(GenLog.readLatest(spark, loc).count() == 52)
+  }
+
+  test("optimistic concurrency: disjoint writers both commit; overlapping writers abort; replayed gen skips") {
+    val spark2 = spark
+    import spark2.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("genlog-occ").toString + "/t"
+    def frame(rows: (Int, Long)*) =
+      rows.toSeq.toDF("k", "v").withColumn("p", col("k"))
+    GenLog.appendBatch(spark, loc, "g1", frame((1, 10L), (2, 20L)), "p")
+    // two writers prepare against the SAME snapshot (v1), restating
+    // DISJOINT partitions
+    val a = GenLog.stageAppend(spark, loc, "wA", frame((1, 11L)), "p")
+    val b = GenLog.stageAppend(spark, loc, "wB", frame((2, 21L)), "p")
+    assert(a.snapshotVersion == 1L && b.snapshotVersion == 1L)
+    assert(GenLog.commitStaged(spark, loc, a) == 2L)
+    // B lost the race at v2 but its partitions are untouched: it must
+    // retry and land at v3 without recomputing
+    assert(GenLog.commitStaged(spark, loc, b) == 3L)
+    val rows = GenLog.readLatest(spark, loc).select(col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows == Set((1, 11L), (2, 21L)),
+      s"both disjoint restatements must be live, got $rows")
+    // three writers staged against the SAME snapshot (v3): a winner,
+    // an overlapping loser, and a replay of the winner's gen id
+    val c = GenLog.stageAppend(spark, loc, "wC", frame((1, 12L)), "p")
+    val d = GenLog.stageAppend(spark, loc, "wD", frame((1, 13L)), "p")
+    val e = GenLog.stageAppend(spark, loc, "wC", frame((1, 99L)), "p")
+    assert(GenLog.commitStaged(spark, loc, c) == 4L)
+    // the overlapping loser must abort (its removes were computed
+    // against a state that no longer holds)
+    intercept[java.util.ConcurrentModificationException](
+      GenLog.commitStaged(spark, loc, d))
+    // the loser's files are invisible orphans; the winner's state serves
+    val after = GenLog.readLatest(spark, loc).select(col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(after == Set((1, 12L), (2, 21L)))
+    // a racing REPLAY of the winner's gen id skips — it resolves to
+    // the existing version instead of conflicting or double-committing
+    assert(GenLog.commitStaged(spark, loc, e) == 4L,
+      "a racing replay of a committed gen id must resolve to the existing version")
+    assert(GenLog.readLatest(spark, loc).select(col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet == after,
+      "the replay must not change the table")
+  }
+
+  test("deleteWhere rewrites only the affected files; AS-OF-before-delete still serves the deleted rows") {
+    val loc = TimeTravel.ensureDeleteGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    val (g1, g2) = (gens("g1").toSet, gens("g2_del").toSet)
+    // the delete predicate spans days 1–10: exactly those day files
+    // leave the live set, every later day's file is the SAME path
+    val removed = g1 -- g2
+    assert(removed.nonEmpty && removed.forall { f =>
+      "/day_k=2024-01-(0[1-9]|10)/".r.findFirstIn(f).isDefined
+    }, s"only first-ten-day files may be rewritten, got $removed")
+    val untouched = g1.filter(f => !"/day_k=2024-01-(0[1-9]|10)/".r
+      .findFirstIn(f).isDefined)
+    assert(untouched.subsetOf(g2),
+      "files without matching rows must stay live byte-identically")
+    // removed bytes stay on disk for history until vacuum
+    assert(removed.forall(f => new java.io.File(f).exists()))
+    // AS-OF before the delete: the legal-hold read still serves the rows
+    val before = GenLog.read(spark, loc, "g1")
+      .where(col("event_type") === TimeTravel.DelType &&
+        col("day") <= lit(TimeTravel.DelHi).cast("date")).count()
+    assert(before > 0, "the pre-delete generation must still serve deleted rows")
+    val after = GenLog.read(spark, loc, "g2_del")
+      .where(col("event_type") === TimeTravel.DelType &&
+        col("day") <= lit(TimeTravel.DelHi).cast("date")).count()
+    assert(after == 0, "the post-delete generation must not")
   }
 
   test("partition evolution: same rows, coarser files; history keeps the fine layout until vacuum") {

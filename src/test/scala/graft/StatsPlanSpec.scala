@@ -156,21 +156,31 @@ class StatsPlanSpec extends SparkTestBase {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
-  test("q208: access path follows the stats-estimated matched fraction; rows identical") {
+  test("q208: access path follows the stats cost estimate; rows identical") {
     import graft.queries.Layout
     val (t, st) = Layout.ensureShipdateZoned(spark, Sf)
     val total = spark.table(t).inputFiles.length
-    // the wide window: the estimate exceeds the threshold → the
-    // optimizer DECLINES its index and takes the catalog flat scan
+    // the wide window: candidate rows + fresh opens price above the
+    // catalog scan → the optimizer DECLINES its index
     val (wPath, wide) = Layout.accessPathRead(spark, t, st,
       Layout.WideLo, Layout.WideHi)
     assert(wPath == "flat" && wide.inputFiles.length == total,
       s"wide window must flat-scan all $total files, got $wPath/${wide.inputFiles.length}")
-    // the narrow window: the same decision picks the pruned list
+    // the narrow window: the same estimate picks the pruned list
     val (nPath, narrow) = Layout.accessPathRead(spark, t, st,
       Layout.ShipLo, Layout.ShipHi)
-    assert(nPath == "pruned" && narrow.inputFiles.length < total / 4,
+    assert(nPath == "envelope" && narrow.inputFiles.length < total / 4,
       s"narrow window must prune, got $nPath/${narrow.inputFiles.length} of $total")
+    // the cost model is SCALE-AWARE where a fraction threshold is
+    // not: doctor the same stats to 100× rows per file and the wide
+    // window's absolute savings now dominate the fixed open charge
+    val heavy = "graft_statsplan_doctored_cnt"
+    spark.table(st).withColumn("cnt", col("cnt") * 100)
+      .createOrReplaceTempView(heavy)
+    val (hPath, _) = Layout.accessPathRead(spark, t, heavy,
+      Layout.WideLo, Layout.WideHi)
+    assert(hPath == "envelope",
+      s"100× rows/file must flip the wide window to pruned, got $hPath")
     // the path moves the plan, never the rows: force BOTH paths over
     // the SAME (wide) window and compare
     def agg(df: DataFrame) = df.where(
@@ -181,5 +191,67 @@ class StatsPlanSpec extends SparkTestBase {
     val forcedPruned = graft.io.ZoneMaps.prunedRead(spark, t, st,
       Seq(("l_shipdate", s"${Layout.WideLo} 00:00:00", s"${Layout.WideHi} 00:00:00")))
     assert(agg(wide) == agg(forcedPruned))
+  }
+
+  test("q212: the selector lands on each of flat/envelope/bloom/compound as the doctored stats dictate; rows identical") {
+    import graft.queries.Layout
+    import graft.io.ZoneMaps
+    val (t, st) = Layout.ensureBloomZoned(spark, Sf)
+    val ks = Layout.probeOrderkeys(spark, Sf)
+    val hashes = ks.map(k => graft.functions.TextKernels.hash60StrCol(
+      lit(k).cast("string")) % graft.functions.TextFns.P)
+    val ranges = Seq(("l_shipdate",
+      s"${Layout.CsLo} 00:00:00", s"${Layout.CsHi} 00:00:00"): (String, Any, Any))
+    def run(statsTable: String): (String, Set[(Long, Long)]) = {
+      val (path, df) = ZoneMaps.selectAccessPath(spark, t, statsTable, ranges, hashes)
+      (path, df.where(col("l_orderkey").isin(ks: _*) &&
+          col("l_shipdate").between(lit(Layout.CsLo).cast("timestamp"),
+            lit(Layout.CsHi).cast("timestamp")))
+        .groupBy(col("l_orderkey")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    // honest stats at this SF: ~190-row files under a 1000-row open
+    // charge — EVERY pruned path honestly prices above the catalog
+    // scan, and the optimizer declines its whole index
+    val (p0, r0) = run(st)
+    assert(p0 == "flat",
+      s"tiny files must make every pruned path lose to flat, got $p0")
+    assert(r0.nonEmpty)
+    // 100× rows per file (the at-scale file sizing): the open charge
+    // stops dominating and the intersection prices lowest
+    val heavy = "graft_statsplan_q212_heavy"
+    spark.table(st).withColumn("cnt", col("cnt") * 100)
+      .createOrReplaceTempView(heavy)
+    val (pH, rH) = run(heavy)
+    assert(pH == "compound", s"at-scale stats must pick compound, got $pH")
+    // saturated Blooms keep every file → the Bloom dimension buys
+    // nothing and the envelope alone must carry the pruning
+    val satBloom = "graft_statsplan_sat_bloom"
+    spark.table(heavy)
+      .withColumn("bloom", array_repeat(lit(-1L),
+        graft.functions.BloomSketch.NumWords))
+      .createOrReplaceTempView(satBloom)
+    val (p1, r1) = run(satBloom)
+    assert(p1 == "envelope", s"saturated Blooms must leave envelope, got $p1")
+    // domain-wide envelopes keep every file → only the Blooms prune
+    val wideEnv = "graft_statsplan_wide_env"
+    spark.table(heavy)
+      .withColumn("l_shipdate_min", lit("1970-01-01").cast("timestamp"))
+      .withColumn("l_shipdate_max", lit("2999-01-01").cast("timestamp"))
+      .createOrReplaceTempView(wideEnv)
+    val (p2, r2) = run(wideEnv)
+    assert(p2 == "bloom", s"useless envelopes must leave bloom, got $p2")
+    // both dimensions saturated → every pruned path reads everything
+    // AND pays fresh opens → back to the flat scan
+    val flatAll = "graft_statsplan_sat_both"
+    spark.table(satBloom)
+      .withColumn("l_shipdate_min", lit("1970-01-01").cast("timestamp"))
+      .withColumn("l_shipdate_max", lit("2999-01-01").cast("timestamp"))
+      .createOrReplaceTempView(flatAll)
+    val (p3, r3) = run(flatAll)
+    assert(p3 == "flat", s"fully saturated stats must fall back to flat, got $p3")
+    // five plans, one answer — access-path selection is answer-neutral
+    assert(rH == r0 && r1 == r0 && r2 == r0 && r3 == r0,
+      "the chosen path moved the rows")
   }
 }
