@@ -355,6 +355,62 @@ object Warehouse {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Absorb KEY TOMBSTONES into partitioned `table`: every row whose
+    * `keyCol` appears in `tombstones` leaves the table, by rewriting
+    * ONLY the tombstones' partitions (each tombstone row carries
+    * `partCol` — the store's assignment of its key, so the rewrite
+    * never scans unaffected partitions). The delete twin of
+    * [[upsertMergeByKey]], and like it idempotent: a replay finds no
+    * matching keys and rewrites the partitions to their own content.
+    *
+    * The dynamic-overwrite pitfall handled here: a partition whose
+    * EVERY row is tombstoned produces no rows in the rewrite frame,
+    * and dynamic partition overwrite only replaces partitions PRESENT
+    * in the written data — the emptied partition's stale files would
+    * survive. Those partitions are detected (tombstone partitions
+    * minus surviving ones — a bounded diff of two batch-sized
+    * collects) and their directories dropped explicitly.
+    *
+    * At 100 TB this is deletion propagation into a derived store:
+    * the change feed's delete rows (q211) arrive as (key, partition)
+    * tombstones and the maintenance cost is ∝ the affected
+    * partitions' contents, never the store.
+    */
+  def deleteMergeByKey(spark: SparkSession, table: String, tombstones: DataFrame,
+                       partCol: String, keyCol: String): Unit = {
+    val cols = spark.table(table).columns.toSeq
+    val tb = tombstones.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = tb.select(col(partCol)).distinct().collect().map(_.get(0))
+      if (parts.isEmpty) return
+      val existing = spark.table(table)
+        .where(col(partCol).isin(parts.toIndexedSeq: _*))
+      val kept = existing.join(tb.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(cols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keptParts = kept.select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        if (keptParts.nonEmpty)
+          upsertPartitions(spark, table, kept.repartition(col(partCol)))
+        // fully-emptied partitions: no rows to carry them through the
+        // dynamic overwrite — drop their directories explicitly
+        val emptied = parts.filterNot(keptParts)
+        if (emptied.nonEmpty) {
+          val (loc, fs) = locFs(spark, table)
+          emptied.foreach { v =>
+            val escaped = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(v.toString)
+            fs.delete(new org.apache.hadoop.fs.Path(loc, s"$partCol=$escaped"), true)
+            ()
+          }
+          spark.sql(s"MSCK REPAIR TABLE $table DROP PARTITIONS")
+          spark.catalog.refreshTable(table)
+        }
+      } finally kept.unpersist(blocking = false)
+    } finally tb.unpersist(blocking = false)
+  }
+
   /** Compact one partition's small files into `numFiles` (default 1)
     * by rewriting the partition through [[upsertPartitions]]. Small
     * files are the slow death of a partitioned warehouse (per-file

@@ -75,13 +75,18 @@ object AnnTrained {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** The trained-IVF search oracle, parameterized on the probe set:
-    * q70 (full query sweep over the session-trained codebook) and
-    * q182 (partition-pruned storage probe) share the same contract —
-    * assignment, probe ranking, and exact in-cell scoring are
-    * identical; q182 only changes WHERE the corpus side is read from.
+  /** The trained-IVF search oracle, parameterized on the probe set
+    * and on a STORE filter: q70 (full query sweep over the
+    * session-trained codebook) and q182 (partition-pruned storage
+    * probe) share the same contract — assignment, probe ranking, and
+    * exact in-cell scoring are identical; q182 only changes WHERE the
+    * corpus side is read from. `storeFilter` narrows the STORE'S
+    * contents (q213's tombstoned rows) without touching `v` itself —
+    * the codebook CTEs train on the full corpus (the quantizer is
+    * frozen; deletion never retrains it) and the probe set is drawn
+    * from the full corpus too.
     */
-  private def ivfSql(queryFilter: String): String = {
+  private def ivfSql(queryFilter: String, storeFilter: String = "true"): String = {
     def cosC(e: String, n: String) =
       s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
     val cents = s"cents$Iters"
@@ -93,7 +98,7 @@ object AnnTrained {
        |    SELECT v.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${cosC("v.embedding", "v.nrm")} DESC, c.cid ASC) AS rk
-       |    FROM v CROSS JOIN $cents c) WHERE rk = 1
+       |    FROM v CROSS JOIN $cents c WHERE $storeFilter) WHERE rk = 1
        |),
        |probe AS (
        |  SELECT query_id, cid AS cell FROM (
@@ -312,12 +317,57 @@ object AnnTrained {
     probeStore(spark, dir,
       graft.streaming.VectorIngest.ensureCompactedHotCell(spark, dir))
 
+  // ---------------------------------------------------------------
+  // q213_store_tombstones — DELETION PROPAGATED INTO THE MAINTAINED
+  // STORE: a tombstone set (every stored key with vec_id % 10 = 3,
+  // each carrying its assigned cell) is absorbed by
+  // Warehouse.deleteMergeByKey — ONLY the tombstones' cell
+  // directories rewrite (existing rows anti-joined against the keys;
+  // WarehouseMaintSpec pins untouched-partition file identity and the
+  // emptied-partition drop), the codebook stays frozen (deletion
+  // never retrains the quantizer), and the probe path is q182's
+  // verbatim. The oracle narrows the IVF replay's STORE side by the
+  // same predicate while training and probing on the full corpus —
+  // the hash-compare certifies that deleted vectors are gone from
+  // answers, surviving neighbors re-rank into their places, and
+  // nothing else moved. Probe ids (% 500 = 0) are never tombstoned
+  // (500 ≡ 0 mod 10), mirroring the serving contract that queries
+  // arrive from outside the store. This is q211's change-feed delete
+  // rows landing in a derived store: cost ∝ affected cells, never
+  // the corpus.
+  // ---------------------------------------------------------------
+  final val TombFilter = "vec_id % 10 = 3"
+
+  def ensureTombstonedCellStore(spark: SparkSession, dir: String): String = {
+    val t = s"graft_emb_celltomb_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/embeddings.parquet", "cell") {
+      cellRows(spark, dir, "true").repartition(col("cell"))
+    }
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, "tomb_mod10_3")) {
+      // tombstones carry (key, partition): the store's own assignment
+      // of each doomed key — a partition-pruned anti-join rewrite,
+      // never a store scan
+      val tombs = spark.table(t).where(expr(TombFilter))
+        .select(col("vec_id"), col("cell"))
+      graft.io.Warehouse.deleteMergeByKey(spark, t, tombs, "cell", "vec_id")
+      graft.io.Warehouse.ingestLogAdd(spark, t, "tomb_mod10_3")
+    }
+    t
+  }
+
+  def q213(spark: SparkSession, dir: String): DataFrame =
+    probeStore(spark, dir, ensureTombstonedCellStore(spark, dir))
+
+  val q213Sql: String = ivfSql(StoreProbeFilter, "vec_id % 10 <> 3")
+
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),
     "q182_ann_partition_pruned" -> (q182 _),
     "q190_ann_store_incremental" -> (q190 _),
     "q197_stream_vector_ingest" -> (q197 _),
-    "q200_store_optimize" -> (q200 _))
+    "q200_store_optimize" -> (q200 _),
+    "q213_store_tombstones" -> (q213 _))
 
   def oracles: Map[String, String] = Map(
     "q70_ann_ivf_kmeans" -> q70Sql,
@@ -328,5 +378,7 @@ object AnnTrained {
     // q197 likewise: streamed-in content == one-shot build
     "q197_stream_vector_ingest" -> q182Sql,
     // q200: compaction changes layout, never answers
-    "q200_store_optimize" -> q182Sql)
+    "q200_store_optimize" -> q182Sql,
+    // q213: the store minus the tombstoned keys, frozen codebook
+    "q213_store_tombstones" -> q213Sql)
 }

@@ -239,4 +239,44 @@ class WarehouseMaintSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $tbl")
     org.apache.spark.network.util.JavaUtils.deleteRecursively(tblLoc)
   }
+
+  test("deleteMergeByKey: tombstoned partitions rewrite, others' files untouched, emptied partitions drop") {
+    buildTable()
+    val before = fileState()
+    val d1 = java.sql.Date.valueOf("2024-01-08")
+    val d2 = java.sql.Date.valueOf("2024-01-22")
+    // tombstones: five keys of day 8 (partial) + EVERY key of day 22
+    // (the emptied-partition case dynamic overwrite cannot express)
+    val spark2 = spark
+    import spark2.implicits._
+    // pin the tombstone set as LITERALS so the idempotence replay
+    // below presents the exact same keys, not a re-evaluated query
+    val tombPairs = spark.table(table).where(col("day") === d1)
+      .select(col("event_id"), col("day"))
+      .orderBy(col("event_id")).limit(5)
+      .unionByName(spark.table(table).where(col("day") === d2)
+        .select(col("event_id"), col("day")))
+      .collect().map(r => (r.getLong(0), r.getDate(1))).toSeq
+    val tombs = tombPairs.toDF("event_id", "day")
+    val doomed = tombPairs.map(_._1).toSet
+    assert(doomed.size > 5, "fixture: day 22 must contribute keys")
+    val expectRows = spark.table(table).count() - doomed.size
+    Warehouse.deleteMergeByKey(spark, table, tombs, "day", "event_id")
+    assert(spark.table(table).count() == expectRows)
+    assert(spark.table(table)
+      .where(col("event_id").isin(doomed.toSeq.map(l => l: java.lang.Long): _*))
+      .isEmpty, "tombstoned keys must be gone")
+    val after = fileState()
+    // only the two tombstone partitions were touched
+    (before.keySet - s"day=$d1" - s"day=$d2").foreach { p =>
+      assert(after(p) == before(p), s"partition $p was touched by the delete")
+    }
+    assert(after(s"day=$d1") != before(s"day=$d1"),
+      "the partially-tombstoned day must rewrite")
+    assert(!after.contains(s"day=$d2"),
+      "the fully-tombstoned day's directory must drop")
+    // a replay deletes nothing further (no matching keys remain)
+    Warehouse.deleteMergeByKey(spark, table, tombs, "day", "event_id")
+    assert(spark.table(table).count() == expectRows)
+  }
 }
