@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{GenLog, GenZoned}
+import graft.queries.Layout
+import graft.sources.Tables
+
+/** The quality-triggered re-layout loop (io/GenZoned.scala): wide
+  * append waves degrade the persisted clustering metric, the bound
+  * fires the GenLog.recluster rewrite, skipping economics recover —
+  * and the windowed answer is identical at EVERY stage. All on a
+  * throwaway location; q214's warehouse artifact is never touched.
+  */
+class GenZonedSpec extends SparkTestBase {
+
+  private val Track = "l_shipdate"
+
+  private def win = (Layout.micros(Layout.ShipLo), Layout.micros(Layout.ShipHi))
+
+  /** The q194-shaped window answer off the PRUNED read. */
+  private def answer(loc: String): Set[(String, Long)] = {
+    val (lo, hi) = win
+    GenZoned.prunedRead(spark, loc, lo, hi)
+      .where(col(Track).between(lit(Layout.ShipLo).cast("timestamp"),
+        lit(Layout.ShipHi).cast("timestamp")))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  /** The same answer off the FLAT latest-generation read — what the
+    * pruned path must always equal, at every maintenance stage.
+    */
+  private def expected(loc: String): Set[(String, Long)] =
+    GenLog.readLatest(spark, loc)
+      .where(col(Track).between(lit(Layout.ShipLo).cast("timestamp"),
+        lit(Layout.ShipHi).cast("timestamp")))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("wide waves degrade the metric, the bound triggers re-layout through the log, skipping recovers; the answer never moves") {
+    val loc = java.nio.file.Files.createTempDirectory("genzoned").toString + "/t"
+    val (lo, hi) = win
+    // base: month-clustered — tight envelopes, sharp pruning
+    GenLog.appendBatch(spark, loc, "base",
+      Layout.adaptiveSlice(spark, Sf, "l_orderkey % 8 != 0")
+        .withColumn(GenZoned.PartCol, Layout.monthKey), GenZoned.PartCol)
+    assert(GenZoned.absorbStats(spark, loc, Track) > 0)
+    val q0 = GenZoned.quality(spark, loc)
+    val frac0 = GenZoned.matchedFraction(spark, loc, lo, hi)
+    assert(q0 < GenZoned.WidthBound, s"month clustering must score tight, got $q0")
+    assert(frac0 < 0.25, s"the 3-month window must prune sharply, got $frac0")
+    assert(answer(loc) == expected(loc))
+
+    // wave 1 (1/16 of rows, full-domain envelope): degraded but
+    // TOLERATED — the metric moves, the bound does not fire
+    GenLog.appendBatch(spark, loc, "wave1",
+      Layout.adaptiveSlice(spark, Sf, "l_orderkey % 16 = 0")
+        .withColumn(GenZoned.PartCol, lit("wave1")), GenZoned.PartCol)
+    GenZoned.absorbStats(spark, loc, Track)
+    assert(!GenZoned.maybeRecluster(spark, loc, "rl1", Layout.monthKey, Track),
+      "one tolerable wave must not trigger the rewrite")
+    val q1 = GenZoned.quality(spark, loc)
+    assert(q1 > q0 && q1 <= GenZoned.WidthBound,
+      s"wave 1 must degrade the metric within the bound, got $q0 -> $q1")
+    assert(GenZoned.matchedFraction(spark, loc, lo, hi) > frac0,
+      "the full-domain wave file must join every window's candidates")
+    assert(answer(loc) == expected(loc), "degraded layout must still answer exactly")
+
+    // wave 2: the metric crosses the bound — the rewrite fires
+    GenLog.appendBatch(spark, loc, "wave2",
+      Layout.adaptiveSlice(spark, Sf, "l_orderkey % 16 = 8")
+        .withColumn(GenZoned.PartCol, lit("wave2")), GenZoned.PartCol)
+    GenZoned.absorbStats(spark, loc, Track)
+    assert(GenZoned.quality(spark, loc) > GenZoned.WidthBound,
+      "two full-domain waves must push the metric past the bound")
+    assert(GenZoned.maybeRecluster(spark, loc, "rl2", Layout.monthKey, Track),
+      "the crossed bound must trigger the re-layout")
+    val q2 = GenZoned.quality(spark, loc)
+    val frac2 = GenZoned.matchedFraction(spark, loc, lo, hi)
+    assert(q2 <= q0 * 1.05,
+      s"re-clustering must restore the tight metric, got $q2 vs base $q0")
+    assert(frac2 < 0.25, s"skipping economics must recover, got $frac2")
+    assert(answer(loc) == expected(loc), "the re-layout must not move the answer")
+    // the rewrite is idempotent through the gen-id guard, and a
+    // healthy table declines further rewrites
+    assert(!GenZoned.maybeRecluster(spark, loc, "rl3", Layout.monthKey, Track))
+
+    // the full corpus is served, and the pre-relayout generations
+    // keep their own (wave-file) layout for time travel
+    assert(GenLog.readLatest(spark, loc).count() ==
+      Tables.lineitem(spark, Sf).count())
+    val gens = GenLog.generations(spark, loc).toMap
+    assert(gens("wave2").exists(_.contains(s"/${GenZoned.PartCol}=wave2/")),
+      "history must keep the wave layout")
+    assert(gens("wave2").forall(f => new java.io.File(f).exists()))
+    assert(gens("rl2").forall(f =>
+      !f.contains(s"/${GenZoned.PartCol}=wave")),
+      "the re-clustered generation must hold only clustered files")
+  }
+}
