@@ -86,13 +86,14 @@ object AnnTrained {
     * frozen; deletion never retrains it) and the probe set is drawn
     * from the full corpus too.
     */
-  private def ivfSql(queryFilter: String, storeFilter: String = "true"): String = {
+  private def ivfSql(queryFilter: String, storeFilter: String = "true",
+                     iters: Int = Iters): String = {
     def cosC(e: String, n: String) =
       s"${VecFns.dotSql(e, "c.e_c")} / ($n * c.n_c)"
-    val cents = s"cents$Iters"
+    val cents = s"cents$iters"
     s"""WITH v AS (SELECT vec_id, embedding,
        |  ${VecFns.normSql("embedding")} AS nrm FROM embeddings),
-       |${KMeansCodebook.centsSql(Cells, Iters, Dim)},
+       |${KMeansCodebook.centsSql(Cells, iters, Dim)},
        |assign AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT v.vec_id, c.cid,
@@ -237,9 +238,23 @@ object AnnTrained {
     * path is identical; only where the cells were WRITTEN differs.
     */
   private def probeStore(spark: SparkSession, dir: String,
-                         t: String): DataFrame = {
+                         t: String): DataFrame =
+    probeFrame(spark, dir, Iters, cells =>
+      spark.table(t)
+        .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*)))
+
+  /** The ONE serving path behind every store probe (catalog table,
+    * generation-pinned file list, evolved codebook): rank the probe
+    * batch's nprobe cells under the `iters`-trained codebook, hand
+    * the ≤ Cells probed ids to `storeOf` (which prunes HOWEVER its
+    * storage supports — PartitionFilters for catalog tables, manifest
+    * path filtering for log-pinned reads), then score exactly in the
+    * pruned cells.
+    */
+  private def probeFrame(spark: SparkSession, dir: String, iters: Int,
+                         storeOf: Seq[Int] => DataFrame): DataFrame = {
     val cents = KMeansCodebook.centsFrame(spark,
-      KMeansCodebook.persisted(spark, dir, Cells, Iters))
+      KMeansCodebook.persisted(spark, dir, Cells, iters))
     // probes arrive from OUTSIDE the store (here: the flat file, a
     // tiny filtered read) and rank their nprobe cells against the
     // broadcast codebook — the skinny (query, cell) frame
@@ -248,7 +263,7 @@ object AnnTrained {
         VecFns.normK(col("embedding")).as("nrm"))
     // the probe frame is ≤ queries × nprobe rows — compute it ONCE,
     // collect it (bounded), and re-lift as a local relation serving
-    // BOTH consumers below (the literal cell filter and the broadcast
+    // BOTH consumers below (the cell pruning and the broadcast
     // membership join), instead of paying the probe scan twice
     val spark2 = spark
     import spark2.implicits._
@@ -264,8 +279,7 @@ object AnnTrained {
         col("nrm").as("n_q"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    spark.table(t)
-      .where(col("cell").isin(cells.map(c => c: java.lang.Integer): _*))
+    storeOf(cells)
       .join(broadcast(probesDf), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), "query_id")
@@ -361,13 +375,104 @@ object AnnTrained {
 
   val q213Sql: String = ivfSql(StoreProbeFilter, "vec_id % 10 <> 3")
 
+  // ---------------------------------------------------------------
+  // q215/q216 — CODEBOOK EVOLUTION through the generation log: the
+  // coarse quantizer retrains (one more Lloyd iteration — a genuinely
+  // different codebook) and the store re-assigns under it as a NEW
+  // GENERATION (GenLog.recluster with the cell as the partition key —
+  // the vector-store instance of q209's partition evolution). Both
+  // codebooks keep serving:
+  //   - q215 reads AS OF the old generation and probes under the OLD
+  //     codebook — q182's oracle VERBATIM, proving the retrain left
+  //     history bit-identical (the old cell files are the same paths,
+  //     never rewritten; CodebookEvoSpec pins it at the file level);
+  //   - q216 reads the latest generation and probes under the NEW
+  //     codebook — the same IVF oracle replayed at iters=3.
+  // Cell pruning for a log-pinned read is MANIFEST pruning: the
+  // probed cell ids filter the generation's file LIST by path (the
+  // `cell_k=` directories), the Iceberg way — no catalog, no
+  // directory listing, cost ∝ probed cells. At 100 TB this is the
+  // re-index lifecycle every vector store needs: retrain, re-assign
+  // as a generation, cut consumers over atomically, keep the old
+  // index for rollback until vacuum.
+  // ---------------------------------------------------------------
+  final val ItersEvolved = 3
+
+  private[graft] def evolvedStoreTable(dir: String): String =
+    s"graft_emb_cellgen_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** The store's rows under the `iters`-trained persisted codebook,
+    * with the cell both as data and as the partition key (explicit
+    * file-list reads lose directory keys — the GenLog caller
+    * contract).
+    */
+  private[graft] def genStoreRows(spark: SparkSession, dir: String,
+                                  iters: Int): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.normK(col("embedding")).as("nrm"))
+    val cents = KMeansCodebook.centsFrame(spark,
+      KMeansCodebook.persisted(spark, dir, Cells, iters))
+    KMeansCodebook.assignCells(v, cents)
+      .join(v, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .withColumn("cell_k", col("cell").cast("string"))
+  }
+
+  def ensureEvolvedCellStore(spark: SparkSession, dir: String): String = {
+    val tbl = evolvedStoreTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/embeddings.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.io.GenLog.appendBatch(spark, loc, s"cb_i$Iters",
+        genStoreRows(spark, dir, Iters), "cell_k")
+      graft.io.GenLog.recluster(spark, loc, s"cb_i$ItersEvolved",
+        genStoreRows(spark, dir, ItersEvolved), "cell_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  /** Probe a generation-pinned store under its own codebook: the
+    * probed cells prune the generation's FILE LIST by path (manifest
+    * pruning), then the one serving path scores exactly.
+    */
+  private[graft] def probeGenStore(spark: SparkSession, dir: String,
+                                   loc: String, gen: String,
+                                   iters: Int): DataFrame =
+    probeFrame(spark, dir, iters, cells => {
+      val live = graft.io.GenLog.generations(spark, loc)
+        .find(_._1 == gen)
+        .getOrElse(throw new IllegalArgumentException(
+          s"generation '$gen' not committed at $loc"))._2
+      val files = live.filter(f => cells.exists(c => f.contains(s"/cell_k=$c/")))
+      if (files.isEmpty)
+        graft.io.GenLog.read(spark, loc, gen).where(lit(false))
+      else spark.read.parquet(files: _*)
+    })
+
+  def q215(spark: SparkSession, dir: String): DataFrame =
+    probeGenStore(spark, dir, ensureEvolvedCellStore(spark, dir),
+      s"cb_i$Iters", Iters)
+
+  def q216(spark: SparkSession, dir: String): DataFrame =
+    probeGenStore(spark, dir, ensureEvolvedCellStore(spark, dir),
+      s"cb_i$ItersEvolved", ItersEvolved)
+
+  val q216Sql: String = ivfSql(StoreProbeFilter, iters = ItersEvolved)
+
   def queries: Map[String, Q] = Map(
     "q70_ann_ivf_kmeans" -> (q70 _),
     "q182_ann_partition_pruned" -> (q182 _),
     "q190_ann_store_incremental" -> (q190 _),
     "q197_stream_vector_ingest" -> (q197 _),
     "q200_store_optimize" -> (q200 _),
-    "q213_store_tombstones" -> (q213 _))
+    "q213_store_tombstones" -> (q213 _),
+    "q215_codebook_asof" -> (q215 _),
+    "q216_codebook_evolved" -> (q216 _))
 
   def oracles: Map[String, String] = Map(
     "q70_ann_ivf_kmeans" -> q70Sql,
@@ -380,5 +485,10 @@ object AnnTrained {
     // q200: compaction changes layout, never answers
     "q200_store_optimize" -> q182Sql,
     // q213: the store minus the tombstoned keys, frozen codebook
-    "q213_store_tombstones" -> q213Sql)
+    "q213_store_tombstones" -> q213Sql,
+    // q215: AS-OF the pre-retrain generation — q182's oracle verbatim
+    // certifies the retrain left history bit-identical
+    "q215_codebook_asof" -> q182Sql,
+    // q216: the evolved generation under the retrained codebook
+    "q216_codebook_evolved" -> q216Sql)
 }
