@@ -137,8 +137,12 @@ object Plans {
       "q205_change_feed" -> "change feed between snapshots: AS-OF g3 left-joined to AS-OF g2 from the log's file lists alone — inserts + updates, oracle diffs the raw corpus at both cutoffs",
       "q206_schema_evolution" -> "merged read across TWO schemas: n_users NULL exactly where history predates the g4 widening; earlier AS-OF reads keep their own schema — evolution as a generation boundary, no migration",
       "q207_stream_generations" -> "the log's STREAMING writer: one generation per micro-batch, boundary day restated by ADDITIVE merge with the prior gen's stored counts; exactly-once by log visibility alone (no probes, no overwrites)",
-      "q208_stats_access_path" -> "executed CBO: ACCESS-PATH selection from the stats table's matched-fraction estimate — the wide window DECLINES the index (catalog flat scan), the narrow one prunes; identical rows either way",
-      "q209_partition_evolution" -> "re-clustering through the log: 30 day files become 5 week files in one generation (6:1 compaction), rows identical, AS-OF reads keep the fine layout — partition evolution with no reader migration")
+      "q208_stats_access_path" -> "executed CBO: ACCESS-PATH selection from a metadata cost estimate (candidate rows + per-file open charge vs the catalog scan) — the wide window DECLINES the index, the narrow one prunes; scale-aware where a fraction threshold is not",
+      "q209_partition_evolution" -> "re-clustering through the log: 30 day files become 5 week files in one generation (6:1 compaction), rows identical, AS-OF reads keep the fine layout — partition evolution with no reader migration",
+      "q210_delete_through_log" -> "copy-on-write DELETE as a generation: only the ten affected day files rewrite (surviving rows re-land, removed bytes stay for AS-OF history); the oracle is the flat rollup with the predicate applied",
+      "q212_cost_access_path" -> "the selector's FULL choice set (flat / envelope / bloom / compound) priced from ONE stats aggregate; the intersection wins for the point-set-in-window predicate and q202's oracle certifies answer-neutrality",
+      "q214_adaptive_relayout" -> "quality-triggered re-layout: wave files degrade the row-weighted envelope-width metric past the bound, GenLog.recluster rewrites one month-clustered generation, skipping recovers — q194's answer throughout",
+      "q216_codebook_evolved" -> "codebook evolution through the log: the store re-assigned under the retrained quantizer as a NEW generation; manifest (file-list) pruning by probed cell; AS-OF the old generation still serves the old codebook (q215)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -44,6 +44,11 @@ class PlansCoverageSpec extends SparkTestBase {
     "q91_frame_sample",
     // PQ/Bloom variants of q75/q85/q77
     "q76_pq_adc", "q77_bloom_prune",
+    // generation-log / store-probe twins of documented plans: q211's
+    // full-outer diff is q205's shape, q213/q215's probes are q182's
+    // (the tombstone/AS-OF semantics live in the build, not the plan)
+    "q211_change_feed_delete", "q213_store_tombstones",
+    "q215_codebook_asof",
     // job-core projections of the documented q94-q98 family
     "q95_job_missing_profile", "q96_job_value_distribution",
     "q97_job_age_relations", "q98_job_test_result_dist",
