@@ -142,7 +142,9 @@ object Plans {
       "q210_delete_through_log" -> "copy-on-write DELETE as a generation: only the ten affected day files rewrite (surviving rows re-land, removed bytes stay for AS-OF history); the oracle is the flat rollup with the predicate applied",
       "q212_cost_access_path" -> "the selector's FULL choice set (flat / envelope / bloom / compound) priced from ONE stats aggregate; the intersection wins for the point-set-in-window predicate and q202's oracle certifies answer-neutrality",
       "q214_adaptive_relayout" -> "quality-triggered re-layout: wave files degrade the row-weighted envelope-width metric past the bound, GenLog.recluster rewrites one month-clustered generation, skipping recovers — q194's answer throughout",
-      "q216_codebook_evolved" -> "codebook evolution through the log: the store re-assigned under the retrained quantizer as a NEW generation; manifest (file-list) pruning by probed cell; AS-OF the old generation still serves the old codebook (q215)")
+      "q216_codebook_evolved" -> "codebook evolution through the log: the store re-assigned under the retrained quantizer as a NEW generation; manifest (file-list) pruning by probed cell; AS-OF the old generation still serves the old codebook (q215)",
+      "q217_merge_through_log" -> "MERGE INTO as a generation: files holding matched keys rewrite (unmatched siblings survive the rewrite), late days insert, AS-OF-before-merge intact — the log's DML verbs complete",
+      "q218_insert_compact" -> "append-only inserts (no restatement, conflict-free by construction: an insert's delta removes nothing) accumulate 3 files/day; OPTIMIZE collapses the hot day in a new generation, history keeps the small files")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

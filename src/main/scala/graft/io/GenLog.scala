@@ -494,6 +494,123 @@ object GenLog {
     ()
   }
 
+  /** Commit `df` as PURE INSERTS under `partCol`: the files ADD to
+    * their partitions without restating them — previous files stay
+    * live, partitions accumulate one file per insert generation (the
+    * append-only ingest mode; [[compactPartitionThroughLog]] is the
+    * matching OPTIMIZE). The caller contracts that the batch's rows
+    * are key-disjoint from every live row — inserts, not upserts
+    * ([[mergeByKey]] is the upsert).
+    *
+    * Because an insert REMOVES nothing, its delta stays valid under
+    * ANY concurrent commit — it declares no partitions and therefore
+    * never aborts, only retries to the next version. That is the
+    * protocol expressing real conflict semantics instead of a global
+    * lock: blind inserts commute; restatements of the same partition
+    * do not.
+    */
+  def appendInsert(spark: SparkSession, loc: String, gen: String,
+                   df: DataFrame, partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, _) = latestState(spark, loc)
+    val before = listDataFiles(spark, loc)
+    df.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc, Commit(0L, gen, Nil, added, Nil), snapVer)
+    ()
+  }
+
+  /** Commit an UPSERT (MERGE INTO) as generation `gen`: rows of
+    * `updates` replace live rows with equal `keyCols` and insert
+    * where no such row exists. Copy-on-write at FILE granularity:
+    * one pass over the live files finds the files holding matched
+    * keys (a semi-join against the updates' keys — distributed; the
+    * collect is the affected-file names), those files' UNMATCHED rows
+    * rewrite beside the full updates frame, and the commit removes
+    * exactly the affected files. Untouched files stay live
+    * byte-identically; AS-OF-before-merge still reads the old rows.
+    * Cost ∝ affected files + updates, never the table — Delta's
+    * MERGE, executed small. Declares the affected files' partitions
+    * plus the updates' own (insert-target) partitions for conflict
+    * detection.
+    */
+  def mergeByKey(spark: SparkSession, loc: String, gen: String,
+                 updates: DataFrame, keyCols: Seq[String],
+                 partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, live) = latestState(spark, loc)
+    require(live.nonEmpty, s"mergeByKey on an empty table at $loc — use appendBatch")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val withFile = spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(live: _*)
+      .withColumn("__file", input_file_name())
+    val affected = withFile.join(keys, keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath).toSeq.sorted
+    val partRe = java.util.regex.Pattern.compile("/" +
+      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
+    val filePart = (f: String) => {
+      val m = partRe.matcher(f)
+      if (m.find()) s"$partCol=${m.group(1)}" else AllParts
+    }
+    val updParts = updates.select(col(partCol)).distinct()
+      .collect().map(r => s"$partCol=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
+    val parts = (affected.map(filePart) ++ updParts).distinct
+    val before = listDataFiles(spark, loc)
+    // surviving rows of the affected files (cast-aligned: the
+    // basePath read infers the partition column's type from the
+    // directory names, the updates frame carries the writer's)
+    val kept =
+      if (affected.isEmpty) None
+      else Some(spark.read.option("basePath", loc)
+        .option("mergeSchema", "true").parquet(affected: _*)
+        .join(keys, keyCols, "left_anti")
+        .select(updates.columns.toIndexedSeq
+          .map(c => col(c).cast(updates.schema(c).dataType)): _*))
+    kept.map(_.unionByName(updates)).getOrElse(updates)
+      .repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc, Commit(0L, gen, parts, added, affected), snapVer)
+    ()
+  }
+
+  /** OPTIMIZE one partition through the log: the partition's live
+    * files rewrite as `numFiles` (default 1) in a new generation —
+    * rows identical, siblings untouched, the small files the
+    * append-only insert mode accumulates retained as history until
+    * vacuum (AS-OF-before-compaction still reads them). The log twin
+    * of [[Warehouse.compactPartition]]: there the partition overwrite
+    * destroys the old files; here every earlier generation keeps
+    * reading its own layout.
+    */
+  def compactPartitionThroughLog(spark: SparkSession, loc: String, gen: String,
+                                 partCol: String, partValue: String,
+                                 numFiles: Int = 1): Unit = {
+    validateGen(gen)
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    if (contains(spark, loc, gen)) return
+    val (snapVer, live) = latestState(spark, loc)
+    val escaped = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(partValue)
+    val target = live.filter(_.contains(s"/$partCol=$escaped/"))
+    require(target.nonEmpty, s"no live files under $partCol=$escaped at $loc")
+    val before = listDataFiles(spark, loc)
+    spark.read.option("basePath", loc).option("mergeSchema", "true")
+      .parquet(target: _*)
+      .repartition(numFiles)
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc,
+      Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target), snapVer)
+    ()
+  }
+
   /** Commit a DELETE as generation `gen`: rows of the LATEST snapshot
     * matching `pred` leave the table by REWRITE-ON-DELETE of only the
     * files that contain them — untouched files stay in the live set

@@ -376,6 +376,115 @@ object TimeTravel {
        |WHERE a.n IS NULL OR b.n IS NULL OR a.n <> b.n
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q217_merge_through_log — UPSERT (MERGE INTO) as a generation
+  // (GenLog.mergeByKey): the table holds the rollup at a mid-day-25
+  // cutoff; a correction feed restates every `click` group from day
+  // 21 on (computed from the full corpus) — matched keys UPDATE,
+  // late days INSERT. Copy-on-write at file granularity: only the
+  // day files holding matched keys rewrite, and inside them the
+  // NON-click groups survive the rewrite untouched (the `kept` path
+  // — a key-scoped merge must not collateral-damage sibling rows of
+  // the same file). Days before 21 keep their exact files; AS-OF the
+  // pre-merge generation still reads the cutoff state. The oracle
+  // states the merged table directly: full-corpus counts for
+  // (click, day ≥ 21), cutoff counts for everything else — the
+  // hash-compare certifies MERGE semantics end-to-end. This
+  // completes the log's DML verbs: INSERT (appendBatch/appendInsert),
+  // DELETE (q210), UPDATE/MERGE (here).
+  // ---------------------------------------------------------------
+  final val MergeLo = "2024-01-21"
+  final val MergeCut = "2024-01-25 12:00:00"
+  final val MergeType = "click"
+
+  private[graft] def mergeTable(dir: String): String =
+    s"graft_ev_merge_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureMergeGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = mergeTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, Some(MergeCut), None, None), "day_k")
+      GenLog.mergeByKey(spark, loc, "g2_merge",
+        batch(spark, dir, None, Some(MergeLo), None)
+          .where(col("event_type") === lit(MergeType)),
+        Seq("day", "event_type"), "day_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q217(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureMergeGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q217Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+       |FROM events
+       |WHERE (event_type = '$MergeType'
+       |       AND CAST(ts AS DATE) >= DATE '$MergeLo')
+       |   OR ts <= TIMESTAMP '$MergeCut'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q218_insert_compact — the append-only ingest mode + OPTIMIZE
+  // through the log: three key-disjoint insert generations (the
+  // rollup sliced by event type) ACCUMULATE files — appendInsert
+  // restates nothing, so every day directory ends up with one file
+  // per insert wave (and, declaring no partitions, an insert can
+  // never conflict with a concurrent writer: blind inserts commute —
+  // the OCC protocol expressing real semantics, not a global lock).
+  // Then the hot day compacts to one file as a NEW generation
+  // (compactPartitionThroughLog): siblings untouched, rows
+  // identical, and — unlike the catalog-table q200 — the pre-compact
+  // generation still READS the small files (history until vacuum).
+  // The oracle is the flat daily rollup: slices ∪ = the corpus, and
+  // neither ingest mode nor compaction may move an answer.
+  // ---------------------------------------------------------------
+  final val HotDay = "2024-01-15"
+  private[graft] val InsertSlices = Seq(
+    "ins_ce" -> Seq("click", "error"),
+    "ins_ps" -> Seq("purchase", "signup"),
+    "ins_v" -> Seq("view"))
+
+  private[graft] def insertTable(dir: String): String =
+    s"graft_ev_insopt_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureInsertGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = insertTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      InsertSlices.foreach { case (gen, types) =>
+        GenLog.appendInsert(spark, loc, gen,
+          batch(spark, dir, None, None, None)
+            .where(col("event_type").isin(types: _*)), "day_k")
+      }
+      GenLog.compactPartitionThroughLog(spark, loc, "opt_hot", "day_k", HotDay)
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q218(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureInsertGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Slices ∪ = the corpus; ingest mode and OPTIMIZE are answer-
+    * neutral — the flat rollup, q207's oracle verbatim.
+    */
+  val q218Sql: String = q207Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -384,7 +493,9 @@ object TimeTravel {
     "q207_stream_generations" -> (q207 _),
     "q209_partition_evolution" -> (q209 _),
     "q210_delete_through_log" -> (q210 _),
-    "q211_change_feed_delete" -> (q211 _))
+    "q211_change_feed_delete" -> (q211 _),
+    "q217_merge_through_log" -> (q217 _),
+    "q218_insert_compact" -> (q218 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -394,5 +505,7 @@ object TimeTravel {
     "q207_stream_generations" -> q207Sql,
     "q209_partition_evolution" -> q209Sql,
     "q210_delete_through_log" -> q210Sql,
-    "q211_change_feed_delete" -> q211Sql)
+    "q211_change_feed_delete" -> q211Sql,
+    "q217_merge_through_log" -> q217Sql,
+    "q218_insert_compact" -> q218Sql)
 }

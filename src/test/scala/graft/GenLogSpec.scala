@@ -287,4 +287,61 @@ class GenLogSpec extends SparkTestBase {
       assert(days == 1, s"$f carries $days days; restatement-by-path needs exactly 1")
     }
   }
+
+  test("mergeByKey rewrites only files holding matched keys; unmatched siblings survive; inserts land; AS-OF-before-merge unchanged") {
+    val loc = TimeTravel.ensureMergeGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    val (g1, g2) = (gens("g1").toSet, gens("g2_merge").toSet)
+    // only day files holding matched (click, day >= 21) keys rewrote
+    val removed = g1 -- g2
+    assert(removed.nonEmpty && removed.forall { f =>
+      "/day_k=2024-01-2[1-5]/".r.findFirstIn(f).isDefined
+    }, s"only day 21-25 files may rewrite, got $removed")
+    assert((g1 -- removed).subsetOf(g2),
+      "files without matched keys must stay live byte-identically")
+    // the kept path: non-click groups of the rewritten days survived
+    val latest = GenLog.read(spark, loc, "g2_merge")
+    val d21 = lit(TimeTravel.MergeLo).cast("date")
+    assert(latest.where(col("day") >= d21 &&
+      col("event_type") =!= TimeTravel.MergeType).count() > 0,
+      "non-click siblings of rewritten files must survive the merge")
+    // inserts: late days exist only via the merge
+    assert(latest.where(col("day") > lit("2024-01-25").cast("date")).count() > 0)
+    assert(GenLog.read(spark, loc, "g1")
+      .where(col("day") > lit("2024-01-25").cast("date")).isEmpty,
+      "AS-OF before the merge must not see the inserted days")
+    // update semantics: the merged click counts exceed the cutoff's
+    val cutClicks = GenLog.read(spark, loc, "g1")
+      .where(col("event_type") === TimeTravel.MergeType && col("day") >= d21)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val mergedClicks = latest
+      .where(col("event_type") === TimeTravel.MergeType && col("day") >= d21)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(mergedClicks > cutClicks, "matched keys must carry the UPDATED counts")
+  }
+
+  test("insert generations accumulate files, never conflict semantics; OPTIMIZE collapses one partition; history keeps the small files") {
+    val loc = TimeTravel.ensureInsertGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    def dayFiles(gen: String, day: String) =
+      gens(gen).filter(_.contains(s"/day_k=$day/"))
+    val hot = TimeTravel.HotDay
+    // three insert waves -> three files per day, none removed
+    assert(dayFiles("ins_v", hot).size == 3,
+      s"three insert waves must accumulate three files, got ${dayFiles("ins_v", hot)}")
+    assert(dayFiles("ins_ce", hot).toSet.subsetOf(dayFiles("ins_v", hot).toSet),
+      "inserts must never remove earlier files")
+    // OPTIMIZE: the hot day collapses to ONE file, siblings untouched
+    assert(dayFiles("opt_hot", hot).size == 1,
+      s"compaction must collapse the hot day, got ${dayFiles("opt_hot", hot)}")
+    val otherDay = "2024-01-03"
+    assert(dayFiles("opt_hot", otherDay) == dayFiles("ins_v", otherDay),
+      "sibling partitions must keep their exact files")
+    // rows identical across the compaction boundary
+    assert(rows(GenLog.read(spark, loc, "ins_v")) ==
+      rows(GenLog.read(spark, loc, "opt_hot")))
+    // history: the pre-compaction generation still READS the small
+    // files (they stay on disk until vacuum)
+    assert(dayFiles("ins_v", hot).forall(f => new java.io.File(f).exists()))
+  }
 }
