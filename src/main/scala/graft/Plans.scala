@@ -144,7 +144,9 @@ object Plans {
       "q214_adaptive_relayout" -> "quality-triggered re-layout: wave files degrade the row-weighted envelope-width metric past the bound, GenLog.recluster rewrites one month-clustered generation, skipping recovers — q194's answer throughout",
       "q216_codebook_evolved" -> "codebook evolution through the log: the store re-assigned under the retrained quantizer as a NEW generation; manifest (file-list) pruning by probed cell; AS-OF the old generation still serves the old codebook (q215)",
       "q217_merge_through_log" -> "MERGE INTO as a generation: files holding matched keys rewrite (unmatched siblings survive the rewrite), late days insert, AS-OF-before-merge intact — the log's DML verbs complete",
-      "q218_insert_compact" -> "append-only inserts (no restatement, conflict-free by construction: an insert's delta removes nothing) accumulate 3 files/day; OPTIMIZE collapses the hot day in a new generation, history keeps the small files")
+      "q218_insert_compact" -> "append-only inserts (no restatement, conflict-free by construction: an insert's delta removes nothing) accumulate 3 files/day; OPTIMIZE collapses the hot day in a new generation, history keeps the small files",
+      "q219_incremental_consume" -> "the append feed: rows after a cursor generation = later data-changing commits' ADDED files (never a table diff); the OPTIMIZE's adds are skipped (dataChange=false) and its displaced files still serve — Delta's streaming-source read",
+      "q220_shallow_clone" -> "zero-copy snapshot clone: the clone's first generation's live set IS the source file list; writable branch diverges by restating source paths out of its own live set, source untouched")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

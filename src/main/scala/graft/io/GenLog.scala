@@ -96,10 +96,15 @@ object GenLog {
   final val AllParts = "*"
 
   /** One committed generation's delta. `parts` are
-    * `partCol=escapedValue` tokens (or [[AllParts]]).
+    * `partCol=escapedValue` tokens (or [[AllParts]]). `dataChange` is
+    * false for LAYOUT-ONLY commits (re-clustering, compaction) whose
+    * adds restate rows already delivered — incremental consumers
+    * ([[readAppendedSince]]) skip them, exactly Delta's
+    * dataChange=false contract.
     */
   private[graft] final case class Commit(version: Long, gen: String,
-      parts: Seq[String], adds: Seq[String], removes: Seq[String])
+      parts: Seq[String], adds: Seq[String], removes: Seq[String],
+      dataChange: Boolean = true)
 
   /** How a snapshot resolve was served: the live set, the checkpoint
     * version it started from (None = replayed from empty), and the
@@ -193,8 +198,10 @@ object GenLog {
   }
 
   private def commitBody(c: Commit): String =
-    sentinelBody(s"gen:${c.gen}" +: (c.parts.map("part:" + _) ++
-      c.adds.map("add:" + _) ++ c.removes.map("rm:" + _)))
+    sentinelBody(s"gen:${c.gen}" +:
+      ((if (c.dataChange) Nil else Seq("nodata:1")) ++
+        c.parts.map("part:" + _) ++
+        c.adds.map("add:" + _) ++ c.removes.map("rm:" + _)))
 
   private def parseCommit(v: Long, content: String): Option[Commit] =
     parseLines(content).map { lines =>
@@ -203,7 +210,8 @@ object GenLog {
           .getOrElse(sys.error(s"commit $v has no gen line")),
         lines.collect { case l if l.startsWith("part:") => l.drop(5) },
         lines.collect { case l if l.startsWith("add:") => l.drop(4) },
-        lines.collect { case l if l.startsWith("rm:") => l.drop(3) })
+        lines.collect { case l if l.startsWith("rm:") => l.drop(3) },
+        dataChange = !lines.contains("nodata:1"))
     }
 
   private def checkpointBody(gen: String, live: Seq[String]): String =
@@ -490,7 +498,8 @@ object GenLog {
       .write.mode("append").partitionBy(partCol).parquet(loc)
     val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
     commitDelta(spark, loc,
-      Commit(0L, gen, Seq(AllParts), added, prevLive), snapVer)
+      Commit(0L, gen, Seq(AllParts), added, prevLive, dataChange = false),
+      snapVer)
     ()
   }
 
@@ -607,7 +616,8 @@ object GenLog {
       .write.mode("append").partitionBy(partCol).parquet(loc)
     val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
     commitDelta(spark, loc,
-      Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target), snapVer)
+      Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target,
+        dataChange = false), snapVer)
     ()
   }
 
@@ -684,6 +694,62 @@ object GenLog {
     val gens = generations(spark, loc)
     require(gens.nonEmpty, s"no generations committed at $loc")
     read(spark, loc, gens.last._1)
+  }
+
+  /** INCREMENTAL CONSUMPTION: the rows APPENDED after `sinceGen`, as
+    * the union of every later data-changing commit's added files —
+    * never a table diff. Layout-only commits (re-clustering,
+    * compaction: `dataChange=false`) are skipped even though they add
+    * files, because their adds restate rows already delivered — and
+    * the original small files they displaced stay readable until
+    * vacuum, so a consumer mid-stream never loses data to an
+    * OPTIMIZE. This is the append-feed a downstream training-data
+    * pipeline tails (Delta's streaming-source contract): cost ∝ new
+    * data since the consumer's cursor, never the table. Scope:
+    * row-accurate for append-only tables (appendInsert); restating
+    * writers' updates/deletes surface through the change feed
+    * (q205/q211), not this feed.
+    */
+  def readAppendedSince(spark: SparkSession, loc: String,
+                        sinceGen: String): DataFrame = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    val sinceVer: Long = commits.map(readCommit(fs, dir, _))
+      .find(_.gen == sinceGen).map(_.version)
+      .orElse(checkpoints.find(cv =>
+        parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
+          .exists(_._1 == sinceGen)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation '$sinceGen' not in $loc/$LogDir (vacuumed or never committed)"))
+    val files = commits.filter(_ > sinceVer).map(readCommit(fs, dir, _))
+      .filter(_.dataChange).flatMap(_.adds).distinct
+    if (files.isEmpty) readLatest(spark, loc).where(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** SHALLOW CLONE: commit generation `clone_<gen>` at `destLoc`
+    * whose live set IS the source snapshot's file list — zero data
+    * copied, the manifest is the clone (Delta shallow clone /
+    * Iceberg snapshot ref). The clone is immediately writable as an
+    * independent table: its later commits write under `destLoc` and
+    * restate by removing SOURCE paths from its own live set — the
+    * source's files and log are never touched, and the clone's
+    * vacuum cannot collect source bytes (it only lists its own
+    * directory). Lifecycle caveat, as in every shallow-clone system:
+    * the SOURCE's vacuum can delete files the clone still
+    * references — clone from snapshots inside the source's retention
+    * window.
+    */
+  def cloneSnapshot(spark: SparkSession, srcLoc: String, gen: String,
+                    destLoc: String): Unit = {
+    val gname = s"clone_$gen"
+    if (contains(spark, destLoc, gname)) return
+    val live = resolveGen(spark, srcLoc, gen).live
+    val (snapVer, prevLive) = latestState(spark, destLoc)
+    commitDelta(spark, destLoc,
+      Commit(0L, gname, Seq(AllParts), live, prevLive), snapVer)
+    ()
   }
 
   /** Retain the last `keepLastN` generations: the retained state

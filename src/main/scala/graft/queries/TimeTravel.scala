@@ -454,7 +454,7 @@ object TimeTravel {
     "ins_v" -> Seq("view"))
 
   private[graft] def insertTable(dir: String): String =
-    s"graft_ev_insopt_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_insopt_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def ensureInsertGenerations(spark: SparkSession, dir: String): String = {
     val tbl = insertTable(dir)
@@ -485,6 +485,75 @@ object TimeTravel {
     */
   val q218Sql: String = q207Sql
 
+  // ---------------------------------------------------------------
+  // q219_incremental_consume — the APPEND FEED a downstream consumer
+  // tails: rows appended after a cursor generation, read as the
+  // union of later data-changing commits' ADDED FILES — never a
+  // table diff (GenLog.readAppendedSince). The fixture is q218's
+  // insert table: the cursor sits after the first slice, the feed is
+  // slices two and three — and the hot day's OPTIMIZE, which ADDED a
+  // file between them, is correctly skipped (dataChange=false: its
+  // rows were already delivered; the displaced small files stay
+  // readable until vacuum, so a mid-stream consumer loses nothing to
+  // compaction). The oracle recomputes the two slices' rollup from
+  // the corpus — the hash-compare certifies cursor semantics AND the
+  // dataChange contract at once. At 100 TB this is how derived
+  // pipelines stay O(new data): Delta streaming sources are exactly
+  // this read.
+  // ---------------------------------------------------------------
+  def q219(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readAppendedSince(spark,
+        ensureInsertGenerations(spark, dir), InsertSlices.head._1)
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q219Sql: String = {
+    val types = InsertSlices.tail.flatMap(_._2).map(t => s"'$t'").mkString(", ")
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+       |FROM events WHERE event_type IN ($types)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q220_shallow_clone — ZERO-COPY snapshot clone: a new table whose
+  // first generation's live set IS the source snapshot's file list
+  // (GenLog.cloneSnapshot) — no data moved, the manifest is the
+  // clone. Reading the clone's latest answers g2's cutoff oracle
+  // (q203Sql verbatim): the hash-compare certifies that a clone is
+  // the snapshot, not a copy of it. GenLogSpec pins the economics
+  // (zero data files under the clone) and the independence (writes
+  // to the clone restate source paths OUT of the clone's live set;
+  // the source's files, log, and answers never move; the clone's
+  // vacuum cannot collect source bytes). At 100 TB this is the
+  // dev/test/branch workflow: experiment on a writable branch of a
+  // petabyte table for the cost of a manifest.
+  // ---------------------------------------------------------------
+  private[graft] def cloneTable(dir: String): String =
+    s"graft_ev_clone_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureClonedSnapshot(spark: SparkSession, dir: String): String = {
+    val src = ensureEventGenerations(spark, dir)
+    val tbl = cloneTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val srcData = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, srcData)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.cloneSnapshot(spark, src, "g2", loc)
+      graft.io.Warehouse.writeFingerprint(spark, tbl, srcData)
+    }
+    loc
+  }
+
+  def q220(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureClonedSnapshot(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** The clone IS the g2 snapshot — q203's oracle verbatim. */
+  val q220Sql: String = q203Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -495,7 +564,9 @@ object TimeTravel {
     "q210_delete_through_log" -> (q210 _),
     "q211_change_feed_delete" -> (q211 _),
     "q217_merge_through_log" -> (q217 _),
-    "q218_insert_compact" -> (q218 _))
+    "q218_insert_compact" -> (q218 _),
+    "q219_incremental_consume" -> (q219 _),
+    "q220_shallow_clone" -> (q220 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -507,5 +578,7 @@ object TimeTravel {
     "q210_delete_through_log" -> q210Sql,
     "q211_change_feed_delete" -> q211Sql,
     "q217_merge_through_log" -> q217Sql,
-    "q218_insert_compact" -> q218Sql)
+    "q218_insert_compact" -> q218Sql,
+    "q219_incremental_consume" -> q219Sql,
+    "q220_shallow_clone" -> q220Sql)
 }

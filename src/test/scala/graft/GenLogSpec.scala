@@ -344,4 +344,70 @@ class GenLogSpec extends SparkTestBase {
     // files (they stay on disk until vacuum)
     assert(dayFiles("ins_v", hot).forall(f => new java.io.File(f).exists()))
   }
+
+  test("readAppendedSince delivers later inserts, skips layout-only commits, and respects the cursor") {
+    val loc = TimeTravel.ensureInsertGenerations(spark, Sf)
+    // the feed after slice 1 = slices 2 + 3, recomputed independently
+    val feed = rows(GenLog.readAppendedSince(spark, loc, "ins_ce"))
+    val types = TimeTravel.InsertSlices.tail.flatMap(_._2)
+    val expect = rows {
+      graft.sources.Tables.events(spark, Sf)
+        .where(col("event_type").isin(types: _*))
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
+    assert(feed == expect, "the append feed must be exactly the later slices")
+    // the OPTIMIZE's added file is NOT in the feed (dataChange=false)
+    val gens = GenLog.generations(spark, loc).toMap
+    val optOnly = gens("opt_hot").toSet -- gens("ins_v").toSet
+    assert(optOnly.nonEmpty, "fixture: compaction must have added a file")
+    val feedFiles = GenLog.readAppendedSince(spark, loc, "ins_ce")
+      .inputFiles.map(f => new org.apache.hadoop.fs.Path(
+        new java.net.URI(f)).toUri.getPath).toSet
+    assert(optOnly.intersect(feedFiles).isEmpty,
+      "layout-only adds must never enter the append feed")
+    // cursor at the last insert: only the (skipped) OPTIMIZE remains
+    assert(GenLog.readAppendedSince(spark, loc, "ins_v").isEmpty,
+      "a cursor past every data change must read empty")
+    intercept[IllegalArgumentException](
+      GenLog.readAppendedSince(spark, loc, "no_such_gen"))
+  }
+
+  test("a shallow clone copies no data, serves the snapshot, and diverges without touching the source") {
+    val srcLoc = TimeTravel.ensureEventGenerations(spark, Sf)
+    val loc = java.nio.file.Files.createTempDirectory("genclone").toString + "/t"
+    GenLog.cloneSnapshot(spark, srcLoc, "g2", loc)
+    // zero-copy: the clone directory holds a log and nothing else
+    def ownData(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(ownData(loc).isEmpty, "a shallow clone must copy no data files")
+    assert(rows(GenLog.readLatest(spark, loc)) ==
+      rows(GenLog.read(spark, srcLoc, "g2")),
+      "the clone IS the snapshot")
+    // diverge: restate day 5 on the CLONE
+    val srcFilesBefore = GenLog.generations(spark, srcLoc)
+    GenLog.appendBatch(spark, loc, "branch1",
+      TimeTravel.batch(spark, Sf, None, Some("2024-01-05"), Some("2024-01-05"))
+        .withColumn("n_events", col("n_events") + 1000), "day_k")
+    assert(ownData(loc).nonEmpty, "the branch write lands under the clone")
+    // the source never moved: same log, same files, same answers
+    assert(GenLog.generations(spark, srcLoc) == srcFilesBefore)
+    assert(rows(GenLog.read(spark, srcLoc, "g2")) !=
+      rows(GenLog.readLatest(spark, loc)),
+      "the branch must have diverged")
+    // the clone's vacuum collects only its OWN stale bytes — the
+    // source path it displaced stays on disk for the source's readers
+    val displaced = GenLog.generations(spark, loc).toMap
+      .apply("clone_g2").filter(_.contains("/day_k=2024-01-05/"))
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1)
+    assert(deleted.forall(_.startsWith(loc)),
+      s"clone vacuum must only touch its own directory, deleted $deleted")
+    assert(displaced.forall(f => new java.io.File(f).exists()),
+      "displaced source files must survive the clone's vacuum")
+    assert(rows(GenLog.read(spark, srcLoc, "g2")).nonEmpty)
+  }
 }
