@@ -432,6 +432,12 @@ object GenLog {
     * compute its delta against the CURRENT snapshot, without
     * committing. Exposed for the writer-vs-writer spec, which stages
     * two writers against the same snapshot deterministically.
+    *
+    * File-attribution caveat: `adds` comes from a before/after
+    * listing diff, which assumes stagings do not INTERLEAVE their
+    * physical writes (a production writer collects the task-committed
+    * file names from the write job instead — same protocol, exact
+    * attribution). The COMMIT phase is fully concurrent either way.
     */
   private[graft] def stageAppend(spark: SparkSession, loc: String, gen: String,
                                  df: DataFrame, partCol: String): Staged = {
