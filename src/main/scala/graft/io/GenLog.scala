@@ -484,6 +484,34 @@ object GenLog {
     ()
   }
 
+  /** [[appendBatch]] with COMMIT-TIME CONSTRAINTS (SQL CHECK
+    * semantics, Delta's constraint contract): each named predicate
+    * must not evaluate FALSE on any batch row (NULL passes, as in
+    * SQL CHECK); violations abort with per-constraint counts BEFORE
+    * anything lands — not a data file, not a log object — so a bad
+    * upstream batch can never become a generation readers see or
+    * vacuum must clean. One validation aggregate over the batch
+    * (a production writer fuses the checks into the write tasks;
+    * the contract is identical).
+    */
+  def appendBatchChecked(spark: SparkSession, loc: String, gen: String,
+                         df: DataFrame, partCol: String,
+                         checks: Seq[(String, Column)]): Unit = {
+    require(checks.nonEmpty, "appendBatchChecked needs at least one constraint")
+    val aggs = checks.map { case (_, p) =>
+      sum(when(!coalesce(p, lit(true)), 1L).otherwise(0L))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, _), i) if r.getLong(i) > 0 => s"$n (${r.getLong(i)} rows)"
+    }
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"constraint violation in batch '$gen': ${bad.mkString(", ")} — " +
+          "nothing was written")
+    appendBatch(spark, loc, gen, df, partCol)
+  }
+
   /** Commit `df` as a FULL RESTATEMENT under a (possibly new)
     * partition column: every previous file leaves the live set, the
     * new files are the generation. This is partition EVOLUTION /

@@ -554,6 +554,64 @@ object TimeTravel {
   /** The clone IS the g2 snapshot — q203's oracle verbatim. */
   val q220Sql: String = q203Sql
 
+  // ---------------------------------------------------------------
+  // q221_feed_apply — the CDC loop CLOSED: q211's change feed drives
+  // the maintenance of a DERIVED store. The derived table is the
+  // rollup re-partitioned by event_type (a consumer-owned layout —
+  // downstream stores cluster for THEIR queries, not the source's);
+  // it builds once from the PRE-delete snapshot and then absorbs the
+  // feed row-by-kind: `delete` rows become key tombstones
+  // (Warehouse.deleteMergeByKey — only the purchase partition
+  // rewrites), `update`/`insert` rows merge by key
+  // (upsertMergeByKey). The absorbed store must equal the POST-delete
+  // snapshot re-read — q210's oracle verbatim — which hash-certifies
+  // the whole pipeline: log → snapshot diff → feed classification →
+  // partition-scoped maintenance. At 100 TB this is how a deletion
+  // reaches every derived table: each consumer applies the feed at
+  // cost ∝ its affected partitions, and nobody ever diffs or
+  // rebuilds a table.
+  // ---------------------------------------------------------------
+  private[graft] def feedStoreTable(dir: String): String =
+    s"graft_ev_feedapply_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureFeedAppliedStore(spark: SparkSession, dir: String): String = {
+    val loc = ensureDeleteGenerations(spark, dir)
+    val t = feedStoreTable(dir)
+    // the consumer's own layout: keyed rows partitioned by event_type
+    // (k is the composite (day, event_type) key as one column — the
+    // keyed-merge/tombstone helpers take a single key column)
+    def keyed(df: DataFrame) = df.select(
+      concat_ws("|", col("day").cast("string"), col("event_type")).as("k"),
+      col("day"), col("event_type"), col("n_events"))
+    graft.io.Warehouse.ensurePartitionedTable(spark, t,
+      s"$dir/events.parquet", "event_type") {
+      keyed(GenLog.read(spark, loc, "g1")).repartition(col("event_type"))
+    }
+    if (!graft.io.Warehouse.ingestLogContains(spark, t, "feed_g2_del")) {
+      val feed = q211(spark, dir)
+      val dels = keyed(feed.where(col("change") === "delete")
+        .select(col("day"), col("event_type"), col("n_old").as("n_events")))
+        .select(col("k"), col("event_type"))
+      graft.io.Warehouse.deleteMergeByKey(spark, t, dels, "event_type", "k")
+      val ups = keyed(feed.where(col("change") =!= "delete")
+        .select(col("day"), col("event_type"), col("n_new").as("n_events")))
+      if (!ups.isEmpty)
+        graft.io.Warehouse.upsertMergeByKey(spark, t, ups, "event_type", "k")
+      graft.io.Warehouse.ingestLogAdd(spark, t, "feed_g2_del")
+    }
+    t
+  }
+
+  def q221(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureFeedAppliedStore(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** The feed-absorbed derived store == the post-delete snapshot —
+    * q210's oracle verbatim.
+    */
+  val q221Sql: String = q210Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -566,7 +624,8 @@ object TimeTravel {
     "q217_merge_through_log" -> (q217 _),
     "q218_insert_compact" -> (q218 _),
     "q219_incremental_consume" -> (q219 _),
-    "q220_shallow_clone" -> (q220 _))
+    "q220_shallow_clone" -> (q220 _),
+    "q221_feed_apply" -> (q221 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -580,5 +639,6 @@ object TimeTravel {
     "q217_merge_through_log" -> q217Sql,
     "q218_insert_compact" -> q218Sql,
     "q219_incremental_consume" -> q219Sql,
-    "q220_shallow_clone" -> q220Sql)
+    "q220_shallow_clone" -> q220Sql,
+    "q221_feed_apply" -> q221Sql)
 }

@@ -410,4 +410,31 @@ class GenLogSpec extends SparkTestBase {
       "displaced source files must survive the clone's vacuum")
     assert(rows(GenLog.read(spark, srcLoc, "g2")).nonEmpty)
   }
+
+  test("commit-time constraints: a violating batch aborts before anything lands; NULL passes (SQL CHECK)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("genlog-check").toString + "/t"
+    def frame(rows: (Int, java.lang.Long)*) =
+      rows.toSeq.toDF("k", "v").withColumn("p", col("k"))
+    val checks = Seq(
+      "v_positive" -> (col("v") > 0),
+      "k_not_null" -> col("k").isNotNull)
+    GenLog.appendBatchChecked(spark, loc, "g1",
+      frame((1, 10L), (2, null)), "p", checks) // NULL v passes CHECK
+    assert(GenLog.readLatest(spark, loc).count() == 2)
+    val logDir = new java.io.File(loc, GenLog.LogDir)
+    val before = (logDir.list().toSet,
+      GenLog.generations(spark, loc))
+    val ex = intercept[IllegalArgumentException] {
+      GenLog.appendBatchChecked(spark, loc, "g2",
+        frame((1, -5L), (2, -6L), (3, 7L)), "p", checks)
+    }
+    assert(ex.getMessage.contains("v_positive (2 rows)"),
+      s"the violation report must carry per-constraint counts: ${ex.getMessage}")
+    // NOTHING landed: no log object, no generation, no data file
+    assert((logDir.list().toSet, GenLog.generations(spark, loc)) == before,
+      "a rejected batch must leave the log untouched")
+    assert(GenLog.readLatest(spark, loc).count() == 2)
+  }
 }
