@@ -694,6 +694,38 @@ object ScaleStress {
       org.apache.spark.network.util.JavaUtils.deleteRecursively(
         new java.io.File(loc))
     }
+    // round-14 DML through the log at 10x: the copy-on-write verbs'
+    // BUILD walls are the evidence (delete rewrites only the ten
+    // affected day files of the 1M-event rollup; the merge only the
+    // matched-key days; the insert waves accumulate without
+    // restatement and OPTIMIZE collapses one day) — reads then
+    // resolve pinned lists over day-grained aggregates
+    locally {
+      val t0 = System.nanoTime()
+      val dloc = queries.TimeTravel.ensureDeleteGenerations(spark, sdir)
+      println(f"[stress] q210_delete_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q210_delete_through_log@10x")(queries.TimeTravel.q210(spark, sdir).count())
+      time("q211_change_feed_delete@10x")(queries.TimeTravel.q211(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(dloc))
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val mloc = queries.TimeTravel.ensureMergeGenerations(spark, sdir)
+      println(f"[stress] q217_merge_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q217_merge_through_log@10x")(queries.TimeTravel.q217(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(mloc))
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val iloc = queries.TimeTravel.ensureInsertGenerations(spark, sdir)
+      println(f"[stress] q218_insert_compact_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q218_insert_compact@10x")(queries.TimeTravel.q218(spark, sdir).count())
+      time("q219_incremental_consume@10x")(queries.TimeTravel.q219(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(iloc))
+    }
     // stream→warehouse HLL seam at 10x: 1M events / 10x user keys
     // through foreachBatch merge-upsert into the maintained register
     // table. Wall = map-side hashing + the hourly aggregate + 30
