@@ -612,6 +612,32 @@ object TimeTravel {
     */
   val q221Sql: String = q210Sql
 
+  // ---------------------------------------------------------------
+  // q222_stream_insert_log — the BRONZE streaming path: raw event
+  // micro-batches committed UNAGGREGATED as insert generations, gen
+  // id = window id (streaming/GenLogStream.ensureStreamedInserts).
+  // Exactly-once from log visibility alone — a replayed window skips
+  // on the gen-id guard (GenLogSpec replays the whole backlog with a
+  // fresh checkpoint and the second pass appends nothing), a crashed
+  // attempt leaves invisible orphans — and, because inserts remove
+  // nothing, concurrent topic writers can commit interleaved without
+  // conflicts. The query aggregates the raw bronze table to the
+  // daily rollup; the oracle is the flat corpus rollup, certifying
+  // no row was lost, duplicated, or double-committed across the
+  // three windows. q207 is the SILVER twin (additive restatement of
+  // an aggregate); together they are the medallion ingest story over
+  // one log.
+  // ---------------------------------------------------------------
+  def q222(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark,
+        graft.streaming.GenLogStream.ensureStreamedInserts(spark, dir))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Raw bronze rows re-aggregated == the flat rollup (q207Sql). */
+  val q222Sql: String = q207Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -625,7 +651,8 @@ object TimeTravel {
     "q218_insert_compact" -> (q218 _),
     "q219_incremental_consume" -> (q219 _),
     "q220_shallow_clone" -> (q220 _),
-    "q221_feed_apply" -> (q221 _))
+    "q221_feed_apply" -> (q221 _),
+    "q222_stream_insert_log" -> (q222 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -640,5 +667,6 @@ object TimeTravel {
     "q218_insert_compact" -> q218Sql,
     "q219_incremental_consume" -> q219Sql,
     "q220_shallow_clone" -> q220Sql,
-    "q221_feed_apply" -> q221Sql)
+    "q221_feed_apply" -> q221Sql,
+    "q222_stream_insert_log" -> q222Sql)
 }

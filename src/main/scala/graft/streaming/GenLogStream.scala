@@ -105,6 +105,77 @@ object GenLogStream {
     loc
   }
 
+  // -----------------------------------------------------------------
+  // the INSERT-mode streaming writer (q222): raw rows, not rollups
+  // -----------------------------------------------------------------
+
+  private[graft] def rawInsertsTable(dir: String): String =
+    s"graft_ev_rawins_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Streaming RAW-INGEST writer — the bronze-table shape: each
+    * micro-batch's rows commit UNAGGREGATED as an INSERT generation
+    * whose gen id is the batch's window id. Exactly-once needs
+    * nothing beyond log visibility: a replayed window (fresh
+    * checkpoint, crash recovery) hits the gen-id guard and skips; a
+    * crashed attempt leaves orphans no reader resolves. And because
+    * [[GenLog.appendInsert]] removes nothing, concurrent writers —
+    * other topics, other streams — can commit interleaved without
+    * ever conflicting. q207's committer is the SILVER path (additive
+    * restatement of an aggregate); this is the BRONZE path, and
+    * downstream consumers tail it with [[GenLog.readAppendedSince]].
+    */
+  def ensureStreamedInserts(spark: SparkSession, dir: String): String = {
+    val tbl = rawInsertsTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) return loc
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    streamInsertsInto(spark, dir, loc)
+    graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    loc
+  }
+
+  /** One full backlog replay through the insert committer, with a
+    * FRESH checkpoint — exposed so the spec can replay it twice and
+    * pin that the second pass appends nothing (exactly-once from the
+    * gen-id guard alone, no checkpoint needed for correctness).
+    */
+  private[graft] def streamInsertsInto(spark: SparkSession, dir: String,
+                                       loc: String): Unit = {
+    val staged = ensureStagedWindows(spark, dir)
+    val stagedLoc = graft.io.Warehouse.tableLocation(spark, staged)
+    val srcStream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING, win INT")
+      .option("maxFilesPerTrigger", "1") // one window per batch, mtime order
+      .parquet(stagedLoc)
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
+    val ckpt = s"$ckptBase/genlog-ins-${java.util.UUID.randomUUID()}"
+    val q = srcStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val ss = batch.sparkSession
+        val wins = batch.agg(min(col("win")), max(col("win"))).collect()
+        if (!(wins.isEmpty || wins(0).isNullAt(0))) {
+          val (wLo, wHi) = (wins(0).getInt(0), wins(0).getInt(1))
+          require(wLo == wHi,
+            s"one window per batch expected (maxFilesPerTrigger=1), got $wLo..$wHi")
+          GenLog.appendInsert(ss, loc, s"w$wLo",
+            batch.drop("win").withColumn("etype_k", col("event_type")),
+            "etype_k")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(ckpt))
+  }
+
   private def commitBatch(batch: Dataset[Row], loc: String,
                           lastWin: java.util.concurrent.atomic.AtomicInteger): Unit = {
     val ss = batch.sparkSession

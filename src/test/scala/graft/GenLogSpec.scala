@@ -437,4 +437,22 @@ class GenLogSpec extends SparkTestBase {
       "a rejected batch must leave the log untouched")
     assert(GenLog.readLatest(spark, loc).count() == 2)
   }
+
+  test("streamed inserts: a full backlog replay with a fresh checkpoint appends nothing (gen-id exactly-once)") {
+    val loc = java.nio.file.Files.createTempDirectory("genlog-ins").toString + "/t"
+    graft.streaming.GenLogStream.streamInsertsInto(spark, Sf, loc)
+    val first = GenLog.generations(spark, loc)
+    assert(first.map(_._1) == Seq("w1", "w2", "w3"),
+      "three windows must commit as insert generations")
+    // windows never remove: the live set only grows
+    assert(first.map(_._2.size) == first.map(_._2.size).sorted)
+    val total = graft.sources.Tables.events(spark, Sf).count()
+    assert(GenLog.readLatest(spark, loc).count() == total,
+      "the bronze table must hold every raw event exactly once")
+    // the crash/redeploy case: a second full replay, FRESH checkpoint
+    graft.streaming.GenLogStream.streamInsertsInto(spark, Sf, loc)
+    assert(GenLog.generations(spark, loc) == first,
+      "a replayed backlog must append nothing — the gen-id guard is the only dedup")
+    assert(GenLog.readLatest(spark, loc).count() == total)
+  }
 }
