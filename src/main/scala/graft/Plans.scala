@@ -148,7 +148,9 @@ object Plans {
       "q219_incremental_consume" -> "the append feed: rows after a cursor generation = later data-changing commits' ADDED files (never a table diff); the OPTIMIZE's adds are skipped (dataChange=false) and its displaced files still serve — Delta's streaming-source read",
       "q220_shallow_clone" -> "zero-copy snapshot clone: the clone's first generation's live set IS the source file list; writable branch diverges by restating source paths out of its own live set, source untouched",
       "q221_feed_apply" -> "the CDC loop closed: q211's change feed drives a DERIVED store's maintenance — delete rows become key tombstones, update/insert rows keyed merges, only affected partitions rewrite; result == the post-delete snapshot (q210's oracle)",
-      "q222_stream_insert_log" -> "BRONZE streaming ingest: raw micro-batches as insert generations, gen id = window id — exactly-once from the gen-id guard alone (fresh-checkpoint replay appends nothing), conflict-free by construction")
+      "q222_stream_insert_log" -> "BRONZE streaming ingest: raw micro-batches as insert generations, gen id = window id — exactly-once from the gen-id guard alone (fresh-checkpoint replay appends nothing), conflict-free by construction",
+      "q223_partial_relayout" -> "liquid-clustering economics: only the DECAYED files rewrite when the metric fires (GenLog.replaceFiles, dataChange=false) — the month-clustered base survives byte-identically; rewrite cost ∝ decayed data, never the table",
+      "q224_restore_generation" -> "ROLLBACK as a generation: restore re-lists the pre-delete generation's files (zero bytes written — the manifest is the rollback), the delete stays AS-OF auditable, a vacuumed target fails loudly")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -655,6 +655,75 @@ object GenLog {
     ()
   }
 
+  /** Generic LAYOUT-REWRITE commit: replace exactly the `target` live
+    * files with `transform` applied to their rows, re-partitioned by
+    * `partCol` — the building block behind partial re-clustering
+    * (GenZoned.maybeReclusterPartial) and any file-scoped OPTIMIZE.
+    * `transform` must be row-preserving (re-keying, re-sorting,
+    * coalescing — never filtering), which is why the commit carries
+    * dataChange=false: incremental consumers already have these rows.
+    * Declares BOTH the target files' partitions and the rewrite's
+    * output partitions for conflict detection (a concurrent
+    * restatement of either side would invalidate the rewrite).
+    * Cost ∝ target files, never the table.
+    */
+  def replaceFiles(spark: SparkSession, loc: String, gen: String,
+                   target: Seq[String], partCol: String)
+                  (transform: DataFrame => DataFrame): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, live) = latestState(spark, loc)
+    require(target.nonEmpty, "replaceFiles needs at least one target file")
+    require(target.forall(live.contains),
+      s"replaceFiles targets must be live files of the latest generation")
+    val partRe = java.util.regex.Pattern.compile("/" +
+      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
+    val targetParts = target.flatMap { f =>
+      val m = partRe.matcher(f)
+      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
+    }
+    val out = transform(spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(target: _*))
+    val outParts = out.select(col(partCol)).distinct()
+      .collect().map(r => s"$partCol=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
+    val before = listDataFiles(spark, loc)
+    out.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(loc)
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc,
+      Commit(0L, gen, (targetParts ++ outParts).distinct, added,
+        target.sorted, dataChange = false), snapVer)
+    ()
+  }
+
+  /** RESTORE: make the table's latest state equal generation
+    * `toGen`'s, as a NEW generation — the rollback that never erases
+    * (Delta RESTORE): nothing is copied or written, the commit simply
+    * re-lists the old generation's files (they are still on disk —
+    * that is what the retention window is FOR) and removes the
+    * current ones from live. Every intermediate generation stays
+    * AS-OF readable, so the mistake being rolled back remains
+    * auditable; dataChange=true because consumers see the table's
+    * rows change. Wildcard conflict scope: a restore invalidates any
+    * concurrent writer's snapshot by definition.
+    */
+  def restore(spark: SparkSession, loc: String, newGen: String,
+              toGen: String): Unit = {
+    validateGen(newGen)
+    if (contains(spark, loc, newGen)) return
+    val target = resolveGen(spark, loc, toGen).live
+    val (p, fs) = fsOf(spark, loc)
+    target.foreach { f =>
+      require(fs.exists(new Path(f)),
+        s"restore target file vacuumed: $f — '$toGen' is outside the retention window")
+    }
+    val (snapVer, cur) = latestState(spark, loc)
+    commitDelta(spark, loc,
+      Commit(0L, newGen, Seq(AllParts), target, cur), snapVer)
+    ()
+  }
+
   /** Commit a DELETE as generation `gen`: rows of the LATEST snapshot
     * matching `pred` leave the table by REWRITE-ON-DELETE of only the
     * files that contain them — untouched files stay in the live set

@@ -146,6 +146,31 @@ object GenZoned {
     true
   }
 
+  /** PARTIAL re-layout (the liquid-clustering economics): when the
+    * quality bound fires, rewrite ONLY the decayed files — the live
+    * files whose own envelope width exceeds the bound (the unsorted
+    * waves; clustered files score ~width(bucket)/domain and are
+    * untouched, byte-identically) — through [[GenLog.replaceFiles]].
+    * Rewrite cost ∝ decayed data, never the table: the difference
+    * between q214's full recluster and this is the difference between
+    * OPTIMIZE FULL and incremental clustering at 100 TB. Returns
+    * whether the rewrite ran.
+    */
+  def maybeReclusterPartial(spark: SparkSession, loc: String, gen: String,
+                            clusterKey: Column, tracked: String,
+                            bound: Double = WidthBound): Boolean = {
+    if (quality(spark, loc) <= bound) return false
+    val s = liveStats(spark, loc)
+    val domain = (s.map(_._4).max - s.map(_._3).min).toDouble
+    val wide = s.filter(r => (r._4 - r._3) / domain > bound).map(_._1)
+    require(wide.nonEmpty,
+      "quality crossed the bound but no single file exceeds it — widen the metric")
+    GenLog.replaceFiles(spark, loc, gen, wide, PartCol)(df =>
+      df.drop(PartCol).withColumn(PartCol, clusterKey))
+    absorbStats(spark, loc, tracked)
+    true
+  }
+
   /** Read only the live files whose envelope intersects
     * `[lo, hi]` (epoch micros) on the tracked column — candidate
     * superset; callers re-apply the exact predicate. Empty candidate

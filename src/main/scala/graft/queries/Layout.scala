@@ -554,6 +554,62 @@ object Layout {
   private[graft] def micros(day: String): Long =
     java.time.Instant.parse(s"${day}T00:00:00Z").toEpochMilli * 1000L
 
+  // ---------------------------------------------------------------
+  // q223_partial_relayout — q214's trigger with LIQUID-CLUSTERING
+  // economics: when the metric crosses the bound, only the DECAYED
+  // files rewrite (the wave files, whose own envelopes exceed the
+  // bound) through GenLog.replaceFiles — the month-clustered base is
+  // untouched byte-identically (GenZonedSpec pins the file paths
+  // surviving the re-layout), the rewrite is a dataChange=false
+  // generation (incremental consumers already have those rows), and
+  // skipping recovers exactly as q214's full rewrite does. At 100 TB
+  // this is OPTIMIZE FULL vs incremental clustering: rewrite cost ∝
+  // decayed data, never the table. Same corpus, same window — q194's
+  // oracle verbatim.
+  // ---------------------------------------------------------------
+  private[graft] def ensurePartialZoned(spark: SparkSession, dir: String): String = {
+    import graft.io.{GenLog, GenZoned}
+    val tbl = s"graft_li_genzonep_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/lineitem.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(loc, GenZoned.statsLoc(loc)).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      GenLog.appendBatch(spark, loc, "base",
+        adaptiveSlice(spark, dir, "l_orderkey % 8 != 0")
+          .withColumn(GenZoned.PartCol, monthKey), GenZoned.PartCol)
+      GenZoned.absorbStats(spark, loc, "l_shipdate")
+      Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
+        .foreach { case (w, f) =>
+          GenLog.appendBatch(spark, loc, s"wave$w",
+            adaptiveSlice(spark, dir, f)
+              .withColumn(GenZoned.PartCol, lit(s"wave$w")), GenZoned.PartCol)
+          GenZoned.absorbStats(spark, loc, "l_shipdate")
+          GenZoned.maybeReclusterPartial(spark, loc, s"prl$w", monthKey,
+            "l_shipdate")
+          ()
+        }
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q223(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensurePartialZoned(spark, dir)
+    val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
+    graft.io.GenZoned.prunedRead(spark, loc, micros(ShipLo), micros(ShipHi))
+      .where(col("l_shipdate").between(lo, hi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def q214(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensureAdaptiveZoned(spark, dir)
     val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
@@ -575,7 +631,8 @@ object Layout {
     "q202_compound_skipping" -> (q202 _),
     "q208_stats_access_path" -> (q208 _),
     "q212_cost_access_path" -> (q212 _),
-    "q214_adaptive_relayout" -> (q214 _))
+    "q214_adaptive_relayout" -> (q214 _),
+    "q223_partial_relayout" -> (q223 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -591,5 +648,7 @@ object Layout {
     "q212_cost_access_path" -> q202Sql,
     // q214: base + waves + re-layout = the full corpus; re-layout
     // timing changes cost, never answers — q194's oracle verbatim
-    "q214_adaptive_relayout" -> q194Sql)
+    "q214_adaptive_relayout" -> q194Sql,
+    // q223: the partial re-layout answers identically
+    "q223_partial_relayout" -> q194Sql)
 }

@@ -638,6 +638,47 @@ object TimeTravel {
   /** Raw bronze rows re-aggregated == the flat rollup (q207Sql). */
   val q222Sql: String = q207Sql
 
+  // ---------------------------------------------------------------
+  // q224_restore_generation — ROLLBACK as a generation (GenLog
+  // .restore): an over-eager compliance delete (q210's predicate) is
+  // rolled back by committing a NEW generation whose live set simply
+  // RE-LISTS the pre-delete generation's files — zero bytes written
+  // or copied (the retention window is what makes rollback free;
+  // GenLogSpec pins that restore adds no data files), the delete
+  // generation stays AS-OF readable for the audit trail, and the
+  // restored latest answers the full-corpus oracle. Delta RESTORE /
+  // Iceberg rollback, executed small — at 100 TB the difference
+  // between an incident rollback that is one manifest commit and one
+  // that re-copies a table.
+  // ---------------------------------------------------------------
+  private[graft] def restoreTable(dir: String): String =
+    s"graft_ev_restore_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureRestoredGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = restoreTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, None, None, None), "day_k")
+      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k")
+      GenLog.restore(spark, loc, "g3_restore", "g1")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q224(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureRestoredGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Restored == the pre-delete state == the flat rollup (q207Sql). */
+  val q224Sql: String = q207Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -652,7 +693,8 @@ object TimeTravel {
     "q219_incremental_consume" -> (q219 _),
     "q220_shallow_clone" -> (q220 _),
     "q221_feed_apply" -> (q221 _),
-    "q222_stream_insert_log" -> (q222 _))
+    "q222_stream_insert_log" -> (q222 _),
+    "q224_restore_generation" -> (q224 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -668,5 +710,6 @@ object TimeTravel {
     "q219_incremental_consume" -> q219Sql,
     "q220_shallow_clone" -> q220Sql,
     "q221_feed_apply" -> q221Sql,
-    "q222_stream_insert_log" -> q222Sql)
+    "q222_stream_insert_log" -> q222Sql,
+    "q224_restore_generation" -> q224Sql)
 }

@@ -455,4 +455,33 @@ class GenLogSpec extends SparkTestBase {
       "a replayed backlog must append nothing — the gen-id guard is the only dedup")
     assert(GenLog.readLatest(spark, loc).count() == total)
   }
+
+  test("restore re-lists the old generation's files with zero data written; the rolled-back state stays auditable") {
+    val loc = TimeTravel.ensureRestoredGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    // zero-copy rollback: the restored live set IS g1's file list
+    assert(gens("g3_restore") == gens("g1"),
+      "restore must re-list the target generation's exact files")
+    // nothing was written: every live file of the restore predates it
+    // (no new paths beyond g1's and g2's)
+    assert((gens("g3_restore").toSet -- gens("g1").toSet).isEmpty)
+    // the mistake stays auditable: the delete generation still serves
+    val delRows = GenLog.read(spark, loc, "g2_del")
+      .where(col("event_type") === TimeTravel.DelType &&
+        col("day") <= lit(TimeTravel.DelHi).cast("date")).count()
+    assert(delRows == 0, "AS-OF the delete must still show the deleted state")
+    val restored = GenLog.readLatest(spark, loc)
+      .where(col("event_type") === TimeTravel.DelType &&
+        col("day") <= lit(TimeTravel.DelHi).cast("date")).count()
+    assert(restored > 0, "the restore must bring the rows back")
+    // restoring to a vacuumed generation fails loudly, never silently
+    // serves missing files — exercised on a throwaway copy
+    val loc2 = java.nio.file.Files.createTempDirectory("genlog-rst").toString + "/t"
+    GenLog.appendBatch(spark, loc2, "g1",
+      TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut1), None, Some(TimeTravel.Day1)), "day_k")
+    GenLog.appendBatch(spark, loc2, "g2",
+      TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut2), Some(TimeTravel.Day1), Some(TimeTravel.Day2)), "day_k")
+    GenLog.vacuum(spark, loc2, keepLastN = 1)
+    intercept[IllegalArgumentException](GenLog.restore(spark, loc2, "rb", "g1"))
+  }
 }

@@ -97,4 +97,38 @@ class GenZonedSpec extends SparkTestBase {
       !f.contains(s"/${GenZoned.PartCol}=wave")),
       "the re-clustered generation must hold only clustered files")
   }
+
+  test("partial re-layout rewrites only the decayed files; the clustered base survives byte-identically") {
+    val loc = java.nio.file.Files.createTempDirectory("genzonedp").toString + "/t"
+    val (lo, hi) = win
+    GenLog.appendBatch(spark, loc, "base",
+      Layout.adaptiveSlice(spark, Sf, "l_orderkey % 8 != 0")
+        .withColumn(GenZoned.PartCol, Layout.monthKey), GenZoned.PartCol)
+    GenZoned.absorbStats(spark, loc, Track)
+    val baseFiles = GenLog.generations(spark, loc).toMap.apply("base").toSet
+    Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8").foreach {
+      case (w, f) =>
+        GenLog.appendBatch(spark, loc, s"wave$w",
+          Layout.adaptiveSlice(spark, Sf, f)
+            .withColumn(GenZoned.PartCol, lit(s"wave$w")), GenZoned.PartCol)
+        GenZoned.absorbStats(spark, loc, Track)
+    }
+    assert(GenZoned.quality(spark, loc) > GenZoned.WidthBound)
+    assert(GenZoned.maybeReclusterPartial(spark, loc, "prl", Layout.monthKey, Track))
+    val after = GenLog.generations(spark, loc).toMap.apply("prl").toSet
+    // the month-clustered base files are the SAME live paths — the
+    // partial rewrite never touched them (q214's full recluster
+    // replaces everything; this is the liquid-clustering economics)
+    assert(baseFiles.subsetOf(after),
+      "the clustered base must survive the partial re-layout byte-identically")
+    // the wave files left the live set (rewritten) but stay on disk
+    val waveFiles = after.filter(_.contains(s"/${GenZoned.PartCol}=wave"))
+    assert(waveFiles.isEmpty, "no wave-tagged file may stay live after the rewrite")
+    // quality and skipping recovered; the answer never moved
+    assert(GenZoned.quality(spark, loc) <= GenZoned.WidthBound)
+    assert(GenZoned.matchedFraction(spark, loc, lo, hi) < 0.25)
+    assert(answer(loc) == expected(loc))
+    assert(GenLog.readLatest(spark, loc).count() ==
+      Tables.lineitem(spark, Sf).count())
+  }
 }
