@@ -150,7 +150,9 @@ object Plans {
       "q221_feed_apply" -> "the CDC loop closed: q211's change feed drives a DERIVED store's maintenance — delete rows become key tombstones, update/insert rows keyed merges, only affected partitions rewrite; result == the post-delete snapshot (q210's oracle)",
       "q222_stream_insert_log" -> "BRONZE streaming ingest: raw micro-batches as insert generations, gen id = window id — exactly-once from the gen-id guard alone (fresh-checkpoint replay appends nothing), conflict-free by construction",
       "q223_partial_relayout" -> "liquid-clustering economics: only the DECAYED files rewrite when the metric fires (GenLog.replaceFiles, dataChange=false) — the month-clustered base survives byte-identically; rewrite cost ∝ decayed data, never the table",
-      "q224_restore_generation" -> "ROLLBACK as a generation: restore re-lists the pre-delete generation's files (zero bytes written — the manifest is the rollback), the delete stays AS-OF auditable, a vacuumed target fails loudly")
+      "q224_restore_generation" -> "ROLLBACK as a generation: restore re-lists the pre-delete generation's files (zero bytes written — the manifest is the rollback), the delete stays AS-OF auditable, a vacuumed target fails loudly",
+      "q225_delete_mor" -> "MERGE-ON-READ delete: matched (file, row-position) pairs land in a _dv sidecar the reader anti-joins via _metadata.row_index — not one data file touched, q210's CoW oracle verbatim; O(matched positions) now vs read amplification later",
+      "q226_dv_materialize" -> "the DV debt settled: exactly the vector-referenced files rewrite without their deleted rows, vectors drop, dataChange=false — read amplification moves, answers do not (same oracle again)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -104,7 +104,8 @@ object GenLog {
     */
   private[graft] final case class Commit(version: Long, gen: String,
       parts: Seq[String], adds: Seq[String], removes: Seq[String],
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      dvAdds: Seq[String] = Nil, dvRemoves: Seq[String] = Nil)
 
   /** How a snapshot resolve was served: the live set, the checkpoint
     * version it started from (None = replayed from empty), and the
@@ -112,7 +113,8 @@ object GenLog {
     * economics, observable.
     */
   private[graft] final case class Resolution(live: Seq[String],
-      checkpointUsed: Option[Long], commitsParsed: Int)
+      checkpointUsed: Option[Long], commitsParsed: Int,
+      dvLive: Seq[String] = Nil)
 
   // ----------------------------------------------------------------
   // filesystem plumbing
@@ -131,14 +133,31 @@ object GenLog {
   private def checkpointPath(dir: Path, v: Long) =
     new Path(dir, f"$v%020d.checkpoint")
 
-  /** All data files currently on disk (orphans included). */
+  /** The deletion-vector sidecar directory under the table root. */
+  final val DvDir = "_dv"
+
+  /** All data files currently on disk (orphans included). Underscore
+    * directories are metadata namespaces (`_genlog`, `_dv`), never
+    * table data — the Hive hidden-path convention.
+    */
   private def listDataFiles(spark: SparkSession, loc: String): Set[String] = {
     val (p, fs) = fsOf(spark, loc)
     if (!fs.exists(p)) return Set.empty
     def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
-      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-      else Seq(s.getPath.toUri.getPath)
+      if (s.isDirectory) {
+        if (s.getPath.getName.startsWith("_")) Nil
+        else fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      } else Seq(s.getPath.toUri.getPath)
     walk(fs.getFileStatus(p)).filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** All deletion-vector sidecar files on disk (orphans included). */
+  private def listDvFiles(spark: SparkSession, loc: String): Set[String] = {
+    val (p, fs) = fsOf(spark, loc)
+    val dv = new Path(p, DvDir)
+    if (!fs.exists(dv)) return Set.empty
+    fs.listStatus(dv).toSeq.map(_.getPath.toUri.getPath)
+      .filter(_.endsWith(".parquet")).toSet
   }
 
   private def readText(fs: FileSystem, p: Path): String = {
@@ -201,7 +220,8 @@ object GenLog {
     sentinelBody(s"gen:${c.gen}" +:
       ((if (c.dataChange) Nil else Seq("nodata:1")) ++
         c.parts.map("part:" + _) ++
-        c.adds.map("add:" + _) ++ c.removes.map("rm:" + _)))
+        c.adds.map("add:" + _) ++ c.removes.map("rm:" + _) ++
+        c.dvAdds.map("dvadd:" + _) ++ c.dvRemoves.map("dvrm:" + _)))
 
   private def parseCommit(v: Long, content: String): Option[Commit] =
     parseLines(content).map { lines =>
@@ -211,18 +231,23 @@ object GenLog {
         lines.collect { case l if l.startsWith("part:") => l.drop(5) },
         lines.collect { case l if l.startsWith("add:") => l.drop(4) },
         lines.collect { case l if l.startsWith("rm:") => l.drop(3) },
-        dataChange = !lines.contains("nodata:1"))
+        dataChange = !lines.contains("nodata:1"),
+        dvAdds = lines.collect { case l if l.startsWith("dvadd:") => l.drop(6) },
+        dvRemoves = lines.collect { case l if l.startsWith("dvrm:") => l.drop(5) })
     }
 
-  private def checkpointBody(gen: String, live: Seq[String]): String =
-    sentinelBody(s"gen:$gen" +: live.map("live:" + _))
+  private def checkpointBody(gen: String, live: Seq[String],
+                             dvLive: Seq[String]): String =
+    sentinelBody(s"gen:$gen" +: (live.map("live:" + _) ++
+      dvLive.map("dvlive:" + _)))
 
-  /** (gen id, live set) of a checkpoint. */
-  private def parseCheckpoint(content: String): Option[(String, Seq[String])] =
+  /** (gen id, live set, dv live set) of a checkpoint. */
+  private def parseCheckpoint(content: String): Option[(String, Seq[String], Seq[String])] =
     parseLines(content).map { lines =>
       (lines.collectFirst { case l if l.startsWith("gen:") => l.drop(4) }
         .getOrElse(sys.error("checkpoint has no gen line")),
-        lines.collect { case l if l.startsWith("live:") => l.drop(5) })
+        lines.collect { case l if l.startsWith("live:") => l.drop(5) },
+        lines.collect { case l if l.startsWith("dvlive:") => l.drop(7) })
     }
 
   // ----------------------------------------------------------------
@@ -253,23 +278,25 @@ object GenLog {
     * single snapshot read takes.
     */
   private def genStates(spark: SparkSession, loc: String)
-      : Seq[(Long, String, Seq[String])] = {
+      : Seq[(Long, String, Seq[String], Seq[String])] = {
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
     if (commits.isEmpty && checkpoints.isEmpty) return Nil
-    val out = Seq.newBuilder[(Long, String, Seq[String])]
+    val out = Seq.newBuilder[(Long, String, Seq[String], Seq[String])]
     var live = Set.empty[String]
+    var dvLive = Set.empty[String]
     var from = 0L // replay commits > from
     if (!commits.headOption.contains(1L)) {
       // history was truncated (vacuum): start at the earliest
       // surviving checkpoint — the retention cut's resolved state
       val start = checkpoints.headOption.getOrElse(return Nil)
-      val (g, l) = parseCheckpoint(readText(fs, checkpointPath(dir, start)))
+      val (g, l, dl) = parseCheckpoint(readText(fs, checkpointPath(dir, start)))
         .getOrElse(sys.error(s"torn checkpoint at version $start in $dir"))
       live = l.toSet
+      dvLive = dl.toSet
       from = start
-      out += ((start, g, l.sorted))
+      out += ((start, g, l.sorted, dl.sorted))
     }
     val tail = commits.filter(_ > from)
     require(tail == ((from + 1) to tail.lastOption.getOrElse(from)),
@@ -277,7 +304,8 @@ object GenLog {
     tail.foreach { v =>
       val c = readCommit(fs, dir, v)
       live = live -- c.removes ++ c.adds
-      out += ((v, c.gen, live.toSeq.sorted))
+      dvLive = dvLive -- c.dvRemoves ++ c.dvAdds
+      out += ((v, c.gen, live.toSeq.sorted, dvLive.toSeq.sorted))
     }
     out.result()
   }
@@ -287,7 +315,7 @@ object GenLog {
     * history through.
     */
   def generations(spark: SparkSession, loc: String): Seq[(String, Seq[String])] =
-    genStates(spark, loc).map { case (_, g, l) => (g, l) }
+    genStates(spark, loc).map { case (_, g, l, _) => (g, l) }
 
   def contains(spark: SparkSession, loc: String, gen: String): Boolean =
     generations(spark, loc).exists(_._1 == gen)
@@ -330,18 +358,19 @@ object GenLog {
     require(tail == expected,
       s"broken commit chain resolving version $target in $dir: " +
         s"have $tail, need $expected")
-    var live: Set[String] = ck match {
+    var (live: Set[String], dvLive: Set[String]) = ck match {
       case Some(cv) =>
-        parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
+        val c = parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
           .getOrElse(sys.error(s"torn checkpoint at version $cv in $dir"))
-          ._2.toSet
-      case None => Set.empty
+        (c._2.toSet, c._3.toSet)
+      case None => (Set.empty[String], Set.empty[String])
     }
     tail.foreach { v =>
       val c = readCommit(fs, dir, v)
       live = live -- c.removes ++ c.adds
+      dvLive = dvLive -- c.dvRemoves ++ c.dvAdds
     }
-    Resolution(live.toSeq.sorted, ck, tail.size)
+    Resolution(live.toSeq.sorted, ck, tail.size, dvLive.toSeq.sorted)
   }
 
   // ----------------------------------------------------------------
@@ -403,19 +432,25 @@ object GenLog {
     if (v % CheckpointInterval == 0) {
       val (commits, checkpoints) = listLog(fs, dir)
       val r = resolveVersion(fs, dir, commits, checkpoints, v)
-      installIfAbsent(fs, dir, checkpointBody(gen, r.live),
+      installIfAbsent(fs, dir, checkpointBody(gen, r.live, r.dvLive),
         checkpointPath(dir, v))
       ()
     }
 
-  /** Latest (version, live set), or (0, empty) for a virgin table. */
-  private def latestState(spark: SparkSession, loc: String): (Long, Seq[String]) = {
+  /** Latest (version, resolution), or (0, empty) for a virgin table. */
+  private def latestFull(spark: SparkSession, loc: String): (Long, Resolution) = {
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
     val latest = (commits ++ checkpoints).maxOption.getOrElse(0L)
-    if (latest == 0L) (0L, Nil)
-    else (latest, resolveVersion(fs, dir, commits, checkpoints, latest).live)
+    if (latest == 0L) (0L, Resolution(Nil, None, 0))
+    else (latest, resolveVersion(fs, dir, commits, checkpoints, latest))
+  }
+
+  /** Latest (version, live set), or (0, empty) for a virgin table. */
+  private def latestState(spark: SparkSession, loc: String): (Long, Seq[String]) = {
+    val (v, r) = latestFull(spark, loc)
+    (v, r.live)
   }
 
   /** A prepared-but-uncommitted generation: the data files are on
@@ -712,15 +747,16 @@ object GenLog {
               toGen: String): Unit = {
     validateGen(newGen)
     if (contains(spark, loc, newGen)) return
-    val target = resolveGen(spark, loc, toGen).live
+    val target = resolveGen(spark, loc, toGen)
     val (p, fs) = fsOf(spark, loc)
-    target.foreach { f =>
+    (target.live ++ target.dvLive).foreach { f =>
       require(fs.exists(new Path(f)),
         s"restore target file vacuumed: $f — '$toGen' is outside the retention window")
     }
-    val (snapVer, cur) = latestState(spark, loc)
+    val (snapVer, cur) = latestFull(spark, loc)
     commitDelta(spark, loc,
-      Commit(0L, newGen, Seq(AllParts), target, cur), snapVer)
+      Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
+        dvAdds = target.dvLive, dvRemoves = cur.dvLive), snapVer)
     ()
   }
 
@@ -778,19 +814,137 @@ object GenLog {
     ()
   }
 
+  /** Commit a MERGE-ON-READ delete as generation `gen`: instead of
+    * rewriting the affected files (the [[deleteWhere]] copy-on-write
+    * path), the matched rows' (file, row-position) pairs land in a
+    * DELETION-VECTOR sidecar (`_dv/`) and the commit adds it to the
+    * DV live set — readers anti-join the vectors at scan time
+    * ([[read]]). The write cost is O(matched positions) regardless of
+    * how many rows the affected files hold — the Delta
+    * deletion-vector / Iceberg position-delete trade: delete-heavy
+    * workloads defer the rewrite, [[materializeDeletes]] settles the
+    * debt when read amplification says so. Matching runs on the MoR
+    * VIEW (existing vectors applied), so repeated deletes never
+    * double-enter positions. Declares the affected files' partitions
+    * for conflict detection.
+    */
+  def deleteWhereMoR(spark: SparkSession, loc: String, gen: String,
+                     pred: Column, partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, st) = latestFull(spark, loc)
+    require(st.live.nonEmpty, s"deleteWhereMoR on an empty table at $loc")
+    val hit = coalesce(pred, lit(false))
+    val data = spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(st.live: _*)
+      .withColumn("__graft_dv_f", col("_metadata.file_path"))
+      .withColumn("__graft_dv_i", col("_metadata.row_index"))
+    val view =
+      if (st.dvLive.isEmpty) data
+      else data.join(spark.read.parquet(st.dvLive: _*)
+        .select(col("file_path").as("__graft_dv_f"),
+          col("row_index").as("__graft_dv_i")),
+        Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+    val matches = view.where(hit)
+      .select(col("__graft_dv_f").as("file_path"),
+        col("__graft_dv_i").as("row_index"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = matches.select(col("file_path")).distinct()
+        .collect().map(r => new Path(new java.net.URI(r.getString(0)))
+          .toUri.getPath).toSeq.sorted
+      if (affected.isEmpty) {
+        commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
+        return
+      }
+      val partRe = java.util.regex.Pattern.compile("/" +
+        java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
+      val parts = affected.flatMap { f =>
+        val m = partRe.matcher(f)
+        if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
+      }.distinct
+      val before = listDvFiles(spark, loc)
+      matches.coalesce(1).write.mode("append").parquet(s"$loc/$DvDir")
+      val dvAdds = (listDvFiles(spark, loc) -- before).toSeq.sorted
+      commitDelta(spark, loc,
+        Commit(0L, gen, parts, Nil, Nil, dvAdds = dvAdds), snapVer)
+      ()
+    } finally { matches.unpersist(blocking = false); () }
+  }
+
+  /** Settle the deletion-vector debt as generation `gen`: every data
+    * file the live vectors reference rewrites WITHOUT its deleted
+    * rows (copy-on-write, at last), the vectors leave the DV live
+    * set, and the table is vector-free again. dataChange=false — the
+    * MoR view's rows are identical before and after; this commit
+    * moves read amplification, never answers. Cost ∝ affected files,
+    * exactly the rewrite the MoR delete deferred.
+    */
+  def materializeDeletes(spark: SparkSession, loc: String, gen: String,
+                         partCol: String): Unit = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return
+    val (snapVer, st) = latestFull(spark, loc)
+    require(st.dvLive.nonEmpty, s"no deletion vectors to materialize at $loc")
+    val dv = spark.read.parquet(st.dvLive: _*)
+      .select(col("file_path").as("__graft_dv_f"),
+        col("row_index").as("__graft_dv_i"))
+    val affected = dv.select(col("__graft_dv_f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath).filter(st.live.contains).toSeq.sorted
+    val partRe = java.util.regex.Pattern.compile("/" +
+      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
+    val parts = affected.flatMap { f =>
+      val m = partRe.matcher(f)
+      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
+    }.distinct
+    val before = listDataFiles(spark, loc)
+    if (affected.nonEmpty) {
+      val kept = spark.read.option("basePath", loc)
+        .option("mergeSchema", "true").parquet(affected: _*)
+        .withColumn("__graft_dv_f", col("_metadata.file_path"))
+        .withColumn("__graft_dv_i", col("_metadata.row_index"))
+        .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+        .drop("__graft_dv_f", "__graft_dv_i")
+      kept.repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(loc)
+    }
+    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    commitDelta(spark, loc,
+      Commit(0L, gen, parts, added, affected, dataChange = false,
+        dvRemoves = st.dvLive), snapVer)
+    ()
+  }
+
   /** Read the table AS OF `gen` — exactly the files that generation
     * committed, regardless of every later append/overwrite/delete.
     * The partition column comes back as a DATA column because the
     * writer stores it in-file too (callers include it in `df`).
     */
   def read(spark: SparkSession, loc: String, gen: String): DataFrame = {
-    val live = resolveGen(spark, loc, gen).live
-    if (live.isEmpty)
+    val r = resolveGen(spark, loc, gen)
+    if (r.live.isEmpty)
       throw new IllegalArgumentException(s"generation '$gen' is empty")
     // a generation may span files written under evolving schemas
     // (q206): merge the footers so widened columns read as NULL where
     // history predates them
-    spark.read.option("mergeSchema", "true").parquet(live: _*)
+    val data = spark.read.option("mergeSchema", "true").parquet(r.live: _*)
+    if (r.dvLive.isEmpty) data
+    else {
+      // merge-on-read: anti-join the deletion vectors' (file, row)
+      // positions against the scan's metadata columns — deleted rows
+      // vanish at read time, no data file is touched. DV rows whose
+      // file left the live set match nothing (inert until vacuum).
+      val dv = spark.read.parquet(r.dvLive: _*)
+        .select(col("file_path").as("__graft_dv_f"),
+          col("row_index").as("__graft_dv_i"))
+      val cols = data.columns.toSeq
+      data
+        .withColumn("__graft_dv_f", col("_metadata.file_path"))
+        .withColumn("__graft_dv_i", col("_metadata.row_index"))
+        .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   def readLatest(spark: SparkSession, loc: String): DataFrame = {
@@ -848,10 +1002,11 @@ object GenLog {
                     destLoc: String): Unit = {
     val gname = s"clone_$gen"
     if (contains(spark, destLoc, gname)) return
-    val live = resolveGen(spark, srcLoc, gen).live
-    val (snapVer, prevLive) = latestState(spark, destLoc)
+    val src = resolveGen(spark, srcLoc, gen)
+    val (snapVer, prev) = latestFull(spark, destLoc)
     commitDelta(spark, destLoc,
-      Commit(0L, gname, Seq(AllParts), live, prevLive), snapVer)
+      Commit(0L, gname, Seq(AllParts), src.live, prev.live,
+        dvAdds = src.dvLive, dvRemoves = prev.dvLive), snapVer)
     ()
   }
 
@@ -871,9 +1026,9 @@ object GenLog {
     val kept = states.takeRight(keepLastN)
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
-    kept.headOption.foreach { case (cutVer, cutGen, cutLive) =>
+    kept.headOption.foreach { case (cutVer, cutGen, cutLive, cutDv) =>
       // 1. retained state installs first (idempotent claim)
-      installIfAbsent(fs, dir, checkpointBody(cutGen, cutLive),
+      installIfAbsent(fs, dir, checkpointBody(cutGen, cutLive, cutDv),
         checkpointPath(dir, cutVer))
       // 2. drop pre-cut log objects + the cut's now-redundant commit
       val (commits, checkpoints) = listLog(fs, dir)
@@ -888,9 +1043,12 @@ object GenLog {
         .filter(_.getName.startsWith(".tmp-"))
         .foreach { t => fs.delete(t, false); () }
     }
-    // 3. collect data files no retained generation references
+    // 3. collect data files AND deletion vectors no retained
+    //    generation references
     val referenced = kept.flatMap(_._3).toSet
-    val doomed = (listDataFiles(spark, loc) -- referenced).toSeq.sorted
+    val referencedDv = kept.flatMap(_._4).toSet
+    val doomed = ((listDataFiles(spark, loc) -- referenced) ++
+      (listDvFiles(spark, loc) -- referencedDv)).toSeq.sorted
     doomed.foreach { f => fs.delete(new Path(f), false); () }
     doomed
   }

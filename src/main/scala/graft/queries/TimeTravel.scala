@@ -679,6 +679,63 @@ object TimeTravel {
   /** Restored == the pre-delete state == the flat rollup (q207Sql). */
   val q224Sql: String = q207Sql
 
+  // ---------------------------------------------------------------
+  // q225_delete_mor / q226_dv_materialize — MERGE-ON-READ deletion
+  // and its settlement. q210 deletes by copy-on-write (rewrite the
+  // ten affected day files); q225 commits the SAME predicate as a
+  // DELETION VECTOR instead — the matched (file, row-position) pairs
+  // in a sidecar the reader anti-joins at scan time. Not one data
+  // file is touched (GenLogSpec pins the data live set unchanged),
+  // yet the snapshot answers q210's oracle verbatim: MoR and CoW are
+  // the same ANSWER with opposite cost profiles (O(matched
+  // positions) now + read amplification later, vs O(affected files)
+  // now). q226 settles the debt: materializeDeletes rewrites exactly
+  // the vector-referenced files without their deleted rows, drops
+  // the vectors, and answers the SAME oracle again — the
+  // dataChange=false commit that moves read amplification, never
+  // answers. AS-OF reads hold at every step: pre-delete serves the
+  // deleted rows, the MoR generation still merge-on-reads after
+  // materialization. This is Delta deletion vectors / Iceberg v2
+  // position deletes, executed small — at 100 TB the difference
+  // between a GDPR sweep that rewrites petabytes tonight and one
+  // that writes kilobytes now and compacts on schedule.
+  // ---------------------------------------------------------------
+  private[graft] def morTable(dir: String): String =
+    s"graft_ev_mor_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureMorGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = morTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, None, None, None), "day_k")
+      GenLog.deleteWhereMoR(spark, loc, "g2_dv", delPred, "day_k")
+      GenLog.materializeDeletes(spark, loc, "g3_mat", "day_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q225(spark: SparkSession, dir: String): DataFrame =
+    GenLog.read(spark, ensureMorGenerations(spark, dir), "g2_dv")
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** MoR answers exactly what CoW answers — q210's oracle verbatim. */
+  val q225Sql: String = q210Sql
+
+  def q226(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureMorGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Materialization moves read amplification, never answers. */
+  val q226Sql: String = q210Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -694,7 +751,9 @@ object TimeTravel {
     "q220_shallow_clone" -> (q220 _),
     "q221_feed_apply" -> (q221 _),
     "q222_stream_insert_log" -> (q222 _),
-    "q224_restore_generation" -> (q224 _))
+    "q224_restore_generation" -> (q224 _),
+    "q225_delete_mor" -> (q225 _),
+    "q226_dv_materialize" -> (q226 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -711,5 +770,7 @@ object TimeTravel {
     "q220_shallow_clone" -> q220Sql,
     "q221_feed_apply" -> q221Sql,
     "q222_stream_insert_log" -> q222Sql,
-    "q224_restore_generation" -> q224Sql)
+    "q224_restore_generation" -> q224Sql,
+    "q225_delete_mor" -> q225Sql,
+    "q226_dv_materialize" -> q226Sql)
 }

@@ -484,4 +484,57 @@ class GenLogSpec extends SparkTestBase {
     GenLog.vacuum(spark, loc2, keepLastN = 1)
     intercept[IllegalArgumentException](GenLog.restore(spark, loc2, "rb", "g1"))
   }
+
+  test("merge-on-read delete touches no data file; materialization settles exactly the vector debt; AS-OF holds at every step") {
+    val loc = TimeTravel.ensureMorGenerations(spark, Sf)
+    val gens = GenLog.generations(spark, loc).toMap
+    // the MoR delete changed NOTHING in the data live set
+    assert(gens("g2_dv") == gens("g1"),
+      "a deletion-vector commit must leave the data live set untouched")
+    // ...but the answers changed (the vectors apply at read time)
+    val deletedPred = col("event_type") === TimeTravel.DelType &&
+      col("day") <= lit(TimeTravel.DelHi).cast("date")
+    assert(GenLog.read(spark, loc, "g1").where(deletedPred).count() > 0)
+    assert(GenLog.read(spark, loc, "g2_dv").where(deletedPred).isEmpty,
+      "the MoR read must hide the vectored rows")
+    // a DV sidecar exists and is tiny (positions, not rows)
+    val dvDir = new java.io.File(loc, GenLog.DvDir)
+    assert(dvDir.isDirectory &&
+      dvDir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "the deletion vector must live in the _dv sidecar namespace")
+    // materialization rewrote ONLY the vector-referenced (first ten
+    // day) files; later days are the same paths
+    val mat = gens("g3_mat")
+    val rewritten = gens("g2_dv").toSet -- mat.toSet
+    assert(rewritten.nonEmpty && rewritten.forall { f =>
+      "/day_k=2024-01-(0[1-9]|10)/".r.findFirstIn(f).isDefined
+    }, s"only vector-referenced files may materialize, got $rewritten")
+    assert((gens("g2_dv").toSet -- rewritten).subsetOf(mat.toSet))
+    // post-materialization: vector-free and identical answers
+    assert(GenLog.readLatest(spark, loc).where(deletedPred).isEmpty)
+    assert(rows(GenLog.read(spark, loc, "g2_dv")) ==
+      rows(GenLog.read(spark, loc, "g3_mat")),
+      "materialization must not move a row of the visible table")
+    // the MoR generation still merge-on-reads AFTER materialization
+    // (its vectors and files are history until vacuum)
+    assert(GenLog.read(spark, loc, "g2_dv").where(deletedPred).isEmpty)
+  }
+
+  test("vacuum collects deletion vectors no retained generation references") {
+    // throwaway MoR table: g1 + a DV delete + materialization
+    val loc = java.nio.file.Files.createTempDirectory("genlog-dv").toString + "/t"
+    GenLog.appendBatch(spark, loc, "g1",
+      TimeTravel.batch(spark, Sf, None, None, None), "day_k")
+    GenLog.deleteWhereMoR(spark, loc, "g2", TimeTravel.delPred, "day_k")
+    GenLog.materializeDeletes(spark, loc, "g3", "day_k")
+    val dvDir = new java.io.File(loc, GenLog.DvDir)
+    assert(dvDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    val g3 = rows(GenLog.readLatest(spark, loc))
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1)
+    assert(deleted.exists(_.contains(s"/${GenLog.DvDir}/")),
+      "vacuum must collect the orphaned deletion vectors")
+    assert(!dvDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(rows(GenLog.readLatest(spark, loc)) == g3,
+      "the retained vector-free generation reads identically")
+  }
 }
