@@ -2,9 +2,10 @@ package graft.io
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A generation log: the minimal transaction-log storage protocol
   * (the Delta/Iceberg core idea, executed small). The directory is
@@ -33,7 +34,12 @@ import org.apache.spark.sql.functions._
   *     retention cut), then dropped log objects and unreferenced data
   *     files (overwritten history and crash orphans) are deleted — a
   *     crash between the two leaves collectable garbage, never a log
-  *     that advertises vanished files.
+  *     that advertises vanished files. Unreferenced files younger
+  *     than the retention horizon ([[DefaultRetentionMs]]) are NOT
+  *     collected: a concurrently STAGING writer's pre-commit files
+  *     are indistinguishable from orphans by listing alone, and the
+  *     age bound is what keeps them safe (Delta's
+  *     `deletedFileRetentionDuration`, same reasoning).
   *
   * == Log layout (the Delta/Iceberg shape, executed small) ==
   *
@@ -41,17 +47,21 @@ import org.apache.spark.sql.functions._
   * checkpoints:
   *
   *   - `%020d.commit` — ONE generation's delta: its gen id, the
-  *     partitions it restates (for writer-vs-writer conflict
-  *     detection), added file paths, removed file paths. Commit cost
-  *     is O(batch), never O(table) — the property a full-live-set log
-  *     loses as history grows.
-  *   - `%020d.checkpoint` — the RESOLVED live set as of that version,
-  *     written every [[CheckpointInterval]] commits (and at every
-  *     vacuum cut). A snapshot resolve reads the nearest checkpoint ≤
-  *     the target plus the commit tail after it — O(interval), never
-  *     O(history). [[resolveGen]] reports which checkpoint served and
-  *     how many commits were replayed, so the economics are
-  *     spec-pinned rather than asserted in prose.
+  *     partitions it touches (for writer-vs-writer conflict
+  *     detection), added file paths with their row counts (footer
+  *     metadata, recorded at commit time so live-row accounting never
+  *     re-reads data), removed file paths, deletion-vector sidecar
+  *     deltas, the table schema when this commit changes it, and a
+  *     pointer to the commit's change files (CDF). Commit cost is
+  *     O(batch), never O(table).
+  *   - `%020d.checkpoint` — the RESOLVED state as of that version
+  *     (live set, DV live set, row counts, current schema, and the
+  *     gen→version INDEX of every resolvable generation), written
+  *     every [[CheckpointInterval]] commits and at every vacuum cut.
+  *     A snapshot resolve reads the nearest checkpoint ≤ the target
+  *     plus the commit tail after it — O(interval), never
+  *     O(history) — and the gen index makes `contains`/AS-OF version
+  *     lookup O(tail) instead of O(surviving log objects).
   *
   * == Writer-vs-writer optimistic concurrency ==
   *
@@ -62,25 +72,45 @@ import org.apache.spark.sql.functions._
   * intervening commits and
   *
   *   - SKIPS if its own gen id landed (a replayed batch),
-  *   - RETRIES at the next version if every intervening commit
-  *     touched DISJOINT partitions (its delta is still valid: adds
-  *     and removes are confined to its own partitions),
+  *   - RETRIES at the next version if its delta is still valid:
+  *     an INSERT-kind commit (pure adds — [[appendInsert]]) is valid
+  *     under ANY concurrent commit and never aborts; a RESTATING
+  *     commit retries only past commits that touched DISJOINT
+  *     partitions,
   *   - ABORTS with [[java.util.ConcurrentModificationException]] if
-  *     any intervening commit overlaps its partitions (its removes
-  *     were computed against a state that no longer holds).
+  *     it restates a partition ANY intervening commit touched —
+  *     including a blind insert: a restatement's contract is "this
+  *     partition's rows are exactly my batch", and an insert that
+  *     landed first would survive the restatement's removes and
+  *     violate it (Delta's ConcurrentAppendException, same case).
+  *   - ABORTS if the race window's commits were vacuumed (history
+  *     truncated past the writer's snapshot): disjointness can no
+  *     longer be proven, and claiming a vacuumed version number would
+  *     silently corrupt the chain. Never retried blind.
   *
   * A full restatement ([[recluster]]) declares the wildcard partition
-  * `*`, which conflicts with every concurrent commit — the correct
-  * semantics for a rewrite of the whole live set.
+  * `*`, which conflicts with every concurrent RESTATER — while a
+  * concurrent insert still commits (its rows simply add on top of the
+  * new layout; they were never part of the rewrite's input).
+  *
+  * == Schema enforcement ==
+  *
+  * The log records the table schema; [[appendBatch]] validates the
+  * batch against it BEFORE anything lands — a renamed or retyped
+  * column aborts with nothing written (the CHECK-constraint seam).
+  * Widening (new columns) must be requested explicitly
+  * (`evolve = true`, the q206 path); [[recluster]] replaces the
+  * schema wholesale (a full rewrite defines the table, Delta's
+  * overwriteSchema).
   *
   * Batch contract for [[appendBatch]]: the frame carries `partCol`,
   * and RESTATES every partition value it contains completely — the
   * previous generation's files for exactly those partitions are
   * marked removed. partitionBy guarantees one partition value per
-  * file, and removal matches the ESCAPED directory name Spark writes
-  * (ExternalCatalogUtils.escapePathName), so removal-by-path never
-  * strands rows of an untouched partition — for any value, not just
-  * path-safe ones.
+  * file, and file attribution is EXACT: the write lands in a private
+  * staging directory and renames into place, so removal-by-path never
+  * strands rows and physically interleaved stagings never
+  * mis-attribute files (see [[writeAttributed]]).
   */
 object GenLog {
 
@@ -91,30 +121,91 @@ object GenLog {
   final val CheckpointInterval = 10
 
   /** The wildcard partition a full restatement declares: conflicts
-    * with every concurrent commit.
+    * with every concurrent restater.
     */
   final val AllParts = "*"
 
+  /** The deletion-vector sidecar directory under the table root. */
+  final val DvDir = "_dv"
+
+  /** The change-file (CDF) directory under the table root: one
+    * subdirectory per change-writing commit, referenced from the
+    * commit object — never discovered by listing.
+    */
+  final val ChangesDir = "_changes"
+
+  /** Private staging area for in-flight writes (invisible to the
+    * data listing; swept by vacuum past the retention horizon).
+    */
+  final val StagedDir = "_staged"
+
+  /** Change-feed column: 'delete' (row left the table) or 'insert'
+    * (row entered). An update is a delete+insert pair at the same
+    * commit version — [[netKeyedChanges]] reassembles it.
+    */
+  final val ChangeTypeCol = "_change_type"
+
+  /** Change-feed column: the commit version the change landed in. */
+  final val ChangeVersionCol = "_commit_version"
+
+  /** Vacuum's default file-age horizon: unreferenced files younger
+    * than this are presumed to belong to an in-flight (staged but not
+    * yet committed) writer and survive the sweep. Tests pass 0 to
+    * collect immediately; production keeps days (Delta defaults to
+    * 7).
+    */
+  final val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** One committed generation's delta. `parts` are
-    * `partCol=escapedValue` tokens (or [[AllParts]]). `dataChange` is
-    * false for LAYOUT-ONLY commits (re-clustering, compaction) whose
-    * adds restate rows already delivered — incremental consumers
-    * ([[readAppendedSince]]) skip them, exactly Delta's
-    * dataChange=false contract.
+    * `partCol=escapedValue` tokens (or [[AllParts]]); insert-kind
+    * commits ([[appendInsert]]) declare theirs too — restaters must
+    * conflict against them — but never abort as losers. `dataChange`
+    * is false for LAYOUT-ONLY commits (re-clustering, compaction, DV
+    * settlement) whose adds restate rows already delivered —
+    * incremental consumers ([[readAppendedSince]]) skip them, exactly
+    * Delta's dataChange=false contract. `rows`/`dvRows` carry footer
+    * row counts for the added files (live-row accounting without
+    * data reads). `schema` is the table schema AFTER this commit,
+    * present only when it changes. `cdf` names this commit's change
+    * directory under [[ChangesDir]].
     */
   private[graft] final case class Commit(version: Long, gen: String,
       parts: Seq[String], adds: Seq[String], removes: Seq[String],
       dataChange: Boolean = true,
-      dvAdds: Seq[String] = Nil, dvRemoves: Seq[String] = Nil)
+      dvAdds: Seq[String] = Nil, dvRemoves: Seq[String] = Nil,
+      insert: Boolean = false,
+      rows: Map[String, Long] = Map.empty,
+      dvRows: Map[String, Long] = Map.empty,
+      schema: Option[String] = None,
+      cdf: Option[String] = None)
 
-  /** How a snapshot resolve was served: the live set, the checkpoint
-    * version it started from (None = replayed from empty), and the
-    * number of commit files applied on top. The checkpoint+tail
-    * economics, observable.
+  /** How a snapshot resolve was served: the live sets, the checkpoint
+    * version it started from (None = replayed from empty), the number
+    * of commit files applied on top (the checkpoint+tail economics,
+    * observable), the known per-file row counts, and the table schema
+    * as of the target.
     */
   private[graft] final case class Resolution(live: Seq[String],
       checkpointUsed: Option[Long], commitsParsed: Int,
-      dvLive: Seq[String] = Nil)
+      dvLive: Seq[String] = Nil,
+      rows: Map[String, Long] = Map.empty,
+      dvRows: Map[String, Long] = Map.empty,
+      schema: Option[String] = None)
+
+  /** A parsed checkpoint: resolved state + the gen→version index of
+    * every generation resolvable at its version.
+    */
+  private final case class CkptState(gen: String, live: Seq[String],
+      dvLive: Seq[String], rows: Map[String, Long],
+      dvRows: Map[String, Long], schema: Option[String],
+      genIndex: Seq[(Long, String)])
+
+  /** One resolvable generation's full state (vacuum's unit of
+    * retention).
+    */
+  private[graft] final case class GenState(version: Long, gen: String,
+      live: Seq[String], dvLive: Seq[String], rows: Map[String, Long],
+      dvRows: Map[String, Long], schema: Option[String])
 
   // ----------------------------------------------------------------
   // filesystem plumbing
@@ -133,17 +224,15 @@ object GenLog {
   private def checkpointPath(dir: Path, v: Long) =
     new Path(dir, f"$v%020d.checkpoint")
 
-  /** The deletion-vector sidecar directory under the table root. */
-  final val DvDir = "_dv"
-
   /** All data files currently on disk (orphans included). Underscore
-    * directories are metadata namespaces (`_genlog`, `_dv`), never
-    * table data — the Hive hidden-path convention.
+    * directories are metadata namespaces (`_genlog`, `_dv`,
+    * `_changes`, `_staged`), never table data — the Hive hidden-path
+    * convention.
     */
   private def listDataFiles(spark: SparkSession, loc: String): Set[String] = {
     val (p, fs) = fsOf(spark, loc)
     if (!fs.exists(p)) return Set.empty
-    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+    def walk(s: FileStatus): Seq[String] =
       if (s.isDirectory) {
         if (s.getPath.getName.startsWith("_")) Nil
         else fs.listStatus(s.getPath).toSeq.flatMap(walk)
@@ -151,13 +240,18 @@ object GenLog {
     walk(fs.getFileStatus(p)).filter(_.endsWith(".parquet")).toSet
   }
 
-  /** All deletion-vector sidecar files on disk (orphans included). */
+  /** All deletion-vector sidecar files on disk (orphans included) —
+    * recursive: each MoR commit writes its vectors under a private
+    * `_dv/<token>/` subdirectory (exact attribution by construction).
+    */
   private def listDvFiles(spark: SparkSession, loc: String): Set[String] = {
     val (p, fs) = fsOf(spark, loc)
     val dv = new Path(p, DvDir)
     if (!fs.exists(dv)) return Set.empty
-    fs.listStatus(dv).toSeq.map(_.getPath.toUri.getPath)
-      .filter(_.endsWith(".parquet")).toSet
+    def walk(s: FileStatus): Seq[String] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else Seq(s.getPath.toUri.getPath)
+    walk(fs.getFileStatus(dv)).filter(_.endsWith(".parquet")).toSet
   }
 
   private def readText(fs: FileSystem, p: Path): String = {
@@ -166,14 +260,30 @@ object GenLog {
     finally in.close()
   }
 
+  /** Parquet footer row count — O(1) metadata per file, never a data
+    * read. This is where the log's row accounting comes from.
+    */
+  private def footerRowCount(spark: SparkSession, file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(file), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def footerRows(spark: SparkSession, files: Seq[String]): Map[String, Long] =
+    files.map(f => f -> footerRowCount(spark, f)).toMap
+
   /** Install `body` at `dst` by atomic create-if-absent; returns
     * whether THIS call won the claim. On a local FS the claim is a
     * hard link (atomic, EEXIST on collision — java.io.File#renameTo
     * would silently REPLACE an existing dst, so rename cannot claim
-    * here); elsewhere it is FileSystem.rename, which the HDFS
-    * contract defines as non-overwriting for files. Either way a
-    * visible dst is always a complete object and the loser's temp is
-    * removed.
+    * here). On HDFS-like schemes it is FileSystem.rename, which their
+    * contract defines as atomic and non-overwriting for files; a
+    * false return with no existing dst is a TRANSIENT failure, not a
+    * lost race, and fails loudly instead of looping. Any other scheme
+    * (S3A renames by copy+delete — neither atomic nor
+    * non-overwriting) is REFUSED: the whole OCC safety argument rests
+    * on this primitive, so it degrades loudly, never silently.
     */
   private def installIfAbsent(fs: FileSystem, dir: Path, body: String,
                               dst: Path): Boolean = {
@@ -181,8 +291,9 @@ object GenLog {
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val claimed =
-      if ("file" == Option(dst.toUri.getScheme).getOrElse(fs.getScheme)) {
+    val scheme = Option(dst.toUri.getScheme).getOrElse(fs.getScheme)
+    val claimed = scheme match {
+      case "file" =>
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
@@ -191,7 +302,20 @@ object GenLog {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else fs.rename(tmp, dst)
+      case "hdfs" | "viewfs" =>
+        val ok = fs.rename(tmp, dst)
+        if (!ok && !fs.exists(dst))
+          sys.error(s"claim rename $tmp -> $dst failed with no existing " +
+            "dst — transient filesystem failure, not a lost race; aborting " +
+            "instead of retrying the same version forever")
+        ok
+      case other =>
+        fs.delete(tmp, false)
+        throw new UnsupportedOperationException(
+          s"GenLog commit claims need an atomic non-overwriting rename or " +
+            s"link; scheme '$other' provides neither (object-store rename " +
+            "is copy+delete) — front it with a locking/catalog service")
+    }
     fs.delete(tmp, false)
     claimed
   }
@@ -199,7 +323,8 @@ object GenLog {
   // ----------------------------------------------------------------
   // serialization — line-oriented, sentinel-terminated. Paths and gen
   // ids may contain anything but line terminators (validated at
-  // commit time); the prefix encoding needs no other escaping.
+  // commit time); count-prefixed lines parse the count then take the
+  // REST as the path, so ':' in paths is safe.
   // ----------------------------------------------------------------
 
   private def sentinelBody(lines: Seq[String]): String =
@@ -216,12 +341,26 @@ object GenLog {
     if (sentinel != s"#end:${entries.size}") None else Some(entries)
   }
 
+  private def countedLines(tag: String, m: Map[String, Long]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (p, n) => s"$tag:$n:$p" }
+
+  private def parseCounted(lines: Seq[String], tag: String): Map[String, Long] =
+    lines.collect { case l if l.startsWith(tag + ":") =>
+      val rest = l.drop(tag.length + 1)
+      val i = rest.indexOf(':')
+      rest.drop(i + 1) -> rest.take(i).toLong
+    }.toMap
+
   private def commitBody(c: Commit): String =
     sentinelBody(s"gen:${c.gen}" +:
       ((if (c.dataChange) Nil else Seq("nodata:1")) ++
+        (if (c.insert) Seq("ins:1") else Nil) ++
+        c.schema.map("schema:" + _).toSeq ++
+        c.cdf.map("cdf:" + _).toSeq ++
         c.parts.map("part:" + _) ++
         c.adds.map("add:" + _) ++ c.removes.map("rm:" + _) ++
-        c.dvAdds.map("dvadd:" + _) ++ c.dvRemoves.map("dvrm:" + _)))
+        c.dvAdds.map("dvadd:" + _) ++ c.dvRemoves.map("dvrm:" + _) ++
+        countedLines("rows", c.rows) ++ countedLines("dvrows", c.dvRows)))
 
   private def parseCommit(v: Long, content: String): Option[Commit] =
     parseLines(content).map { lines =>
@@ -233,21 +372,40 @@ object GenLog {
         lines.collect { case l if l.startsWith("rm:") => l.drop(3) },
         dataChange = !lines.contains("nodata:1"),
         dvAdds = lines.collect { case l if l.startsWith("dvadd:") => l.drop(6) },
-        dvRemoves = lines.collect { case l if l.startsWith("dvrm:") => l.drop(5) })
+        dvRemoves = lines.collect { case l if l.startsWith("dvrm:") => l.drop(5) },
+        insert = lines.contains("ins:1"),
+        rows = parseCounted(lines, "rows"),
+        dvRows = parseCounted(lines, "dvrows"),
+        schema = lines.collectFirst { case l if l.startsWith("schema:") => l.drop(7) },
+        cdf = lines.collectFirst { case l if l.startsWith("cdf:") => l.drop(4) })
     }
 
   private def checkpointBody(gen: String, live: Seq[String],
-                             dvLive: Seq[String]): String =
-    sentinelBody(s"gen:$gen" +: (live.map("live:" + _) ++
-      dvLive.map("dvlive:" + _)))
+      dvLive: Seq[String], rows: Map[String, Long],
+      dvRows: Map[String, Long], schema: Option[String],
+      genIndex: Seq[(Long, String)]): String =
+    sentinelBody(s"gen:$gen" +:
+      (schema.map("schema:" + _).toSeq ++
+        genIndex.sortBy(_._1).map { case (v, g) => s"genver:$v:$g" } ++
+        live.map("live:" + _) ++ dvLive.map("dvlive:" + _) ++
+        countedLines("rows", rows.view.filterKeys(live.contains).toMap) ++
+        countedLines("dvrows", dvRows.view.filterKeys(dvLive.contains).toMap)))
 
-  /** (gen id, live set, dv live set) of a checkpoint. */
-  private def parseCheckpoint(content: String): Option[(String, Seq[String], Seq[String])] =
+  private def parseCheckpoint(content: String): Option[CkptState] =
     parseLines(content).map { lines =>
-      (lines.collectFirst { case l if l.startsWith("gen:") => l.drop(4) }
-        .getOrElse(sys.error("checkpoint has no gen line")),
+      CkptState(
+        lines.collectFirst { case l if l.startsWith("gen:") => l.drop(4) }
+          .getOrElse(sys.error("checkpoint has no gen line")),
         lines.collect { case l if l.startsWith("live:") => l.drop(5) },
-        lines.collect { case l if l.startsWith("dvlive:") => l.drop(7) })
+        lines.collect { case l if l.startsWith("dvlive:") => l.drop(7) },
+        parseCounted(lines, "rows"),
+        parseCounted(lines, "dvrows"),
+        lines.collectFirst { case l if l.startsWith("schema:") => l.drop(7) },
+        lines.collect { case l if l.startsWith("genver:") =>
+          val rest = l.drop(7)
+          val i = rest.indexOf(':')
+          (rest.take(i).toLong, rest.drop(i + 1))
+        })
     }
 
   // ----------------------------------------------------------------
@@ -270,33 +428,42 @@ object GenLog {
     parseCommit(v, readText(fs, commitPath(dir, v)))
       .getOrElse(sys.error(s"torn commit object at version $v in $dir"))
 
-  /** Ordered (version, gen, liveSet) for every RESOLVABLE generation:
-    * a single forward pass from the earliest resolvable point (commit
-    * 1, or the earliest checkpoint whose commit chain is unbroken —
-    * i.e. after a vacuum cut). O(surviving log objects) — the
-    * full-history listing; [[resolveGen]] is the O(interval) path a
-    * single snapshot read takes.
+  private def readCheckpointState(fs: FileSystem, dir: Path, v: Long): CkptState =
+    parseCheckpoint(readText(fs, checkpointPath(dir, v)))
+      .getOrElse(sys.error(s"torn checkpoint at version $v in $dir"))
+
+  /** Ordered full state for every RESOLVABLE generation: a single
+    * forward pass from the earliest resolvable point (commit 1, or
+    * the earliest checkpoint whose commit chain is unbroken — i.e.
+    * after a vacuum cut). O(surviving log objects) — the full-history
+    * listing; [[resolveGen]] is the O(interval) path a single
+    * snapshot read takes.
     */
-  private def genStates(spark: SparkSession, loc: String)
-      : Seq[(Long, String, Seq[String], Seq[String])] = {
+  private[graft] def genStates(spark: SparkSession, loc: String): Seq[GenState] = {
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
     if (commits.isEmpty && checkpoints.isEmpty) return Nil
-    val out = Seq.newBuilder[(Long, String, Seq[String], Seq[String])]
+    val out = Seq.newBuilder[GenState]
     var live = Set.empty[String]
     var dvLive = Set.empty[String]
+    var rows = Map.empty[String, Long]
+    var dvRows = Map.empty[String, Long]
+    var schema: Option[String] = None
     var from = 0L // replay commits > from
     if (!commits.headOption.contains(1L)) {
       // history was truncated (vacuum): start at the earliest
       // surviving checkpoint — the retention cut's resolved state
       val start = checkpoints.headOption.getOrElse(return Nil)
-      val (g, l, dl) = parseCheckpoint(readText(fs, checkpointPath(dir, start)))
-        .getOrElse(sys.error(s"torn checkpoint at version $start in $dir"))
-      live = l.toSet
-      dvLive = dl.toSet
+      val ck = readCheckpointState(fs, dir, start)
+      live = ck.live.toSet
+      dvLive = ck.dvLive.toSet
+      rows = ck.rows
+      dvRows = ck.dvRows
+      schema = ck.schema
       from = start
-      out += ((start, g, l.sorted, dl.sorted))
+      out += GenState(start, ck.gen, ck.live.sorted, ck.dvLive.sorted,
+        rows, dvRows, schema)
     }
     val tail = commits.filter(_ > from)
     require(tail == ((from + 1) to tail.lastOption.getOrElse(from)),
@@ -305,7 +472,11 @@ object GenLog {
       val c = readCommit(fs, dir, v)
       live = live -- c.removes ++ c.adds
       dvLive = dvLive -- c.dvRemoves ++ c.dvAdds
-      out += ((v, c.gen, live.toSeq.sorted, dvLive.toSeq.sorted))
+      rows = rows -- c.removes ++ c.rows
+      dvRows = dvRows -- c.dvRemoves ++ c.dvRows
+      schema = c.schema.orElse(schema)
+      out += GenState(v, c.gen, live.toSeq.sorted, dvLive.toSeq.sorted,
+        rows, dvRows, schema)
     }
     out.result()
   }
@@ -315,36 +486,63 @@ object GenLog {
     * history through.
     */
   def generations(spark: SparkSession, loc: String): Seq[(String, Seq[String])] =
-    genStates(spark, loc).map { case (_, g, l, _) => (g, l) }
+    genStates(spark, loc).map(s => (s.gen, s.live))
 
-  def contains(spark: SparkSession, loc: String, gen: String): Boolean =
-    generations(spark, loc).exists(_._1 == gen)
+  /** The committed version of `gen`, O(tail): the latest checkpoint's
+    * gen→version index plus the commit tail after it. Falls back to
+    * the full-log scan for pre-index (legacy) checkpoints. None if
+    * absent or vacuumed past the index's memory.
+    */
+  private def versionOf(fs: FileSystem, dir: Path, commits: Seq[Long],
+                        checkpoints: Seq[Long], gen: String): Option[Long] = {
+    def tailScan(after: Long): Option[Long] =
+      commits.filter(_ > after).reverse.collectFirst {
+        case v if readCommit(fs, dir, v).gen == gen => v
+      }
+    checkpoints.lastOption match {
+      case Some(cv) =>
+        val ck = readCheckpointState(fs, dir, cv)
+        if (ck.genIndex.nonEmpty)
+          tailScan(cv).orElse(
+            ck.genIndex.collectFirst { case (v, g) if g == gen => v })
+        else // legacy checkpoint: scan checkpoints then all commits
+          checkpoints.reverse.collectFirst {
+            case v if readCheckpointState(fs, dir, v).gen == gen => v
+          }.orElse(tailScan(0L))
+      case None => tailScan(0L)
+    }
+  }
 
-  /** Resolve ONE generation checkpoint+tail: start from the nearest
-    * checkpoint at or below the target version and apply only the
-    * commit tail after it — O([[CheckpointInterval]]) log reads for a
-    * current snapshot regardless of history length. Falls back to a
-    * from-empty replay when the target predates every checkpoint
-    * (short young history). Throws for a gen id that is absent or
-    * vacuumed.
+  def contains(spark: SparkSession, loc: String, gen: String): Boolean = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    versionOf(fs, dir, commits, checkpoints, gen).isDefined
+  }
+
+  /** Resolve ONE generation checkpoint+tail: locate its version via
+    * the gen index (O(tail)), start from the nearest checkpoint at or
+    * below it and apply only the commit tail after it —
+    * O([[CheckpointInterval]]) log reads for a current snapshot
+    * regardless of history length. Falls back to a from-empty replay
+    * when the target predates every checkpoint (short young history).
+    * Throws for a gen id that is absent or vacuumed.
     */
   private[graft] def resolveGen(spark: SparkSession, loc: String,
                                 gen: String): Resolution = {
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
-    // locate the target version: the checkpoint carrying the gen id,
-    // or the commit carrying it (commits are read target-down so a
-    // current-snapshot lookup stays O(tail))
-    val target: Long = checkpoints.reverse.collectFirst {
-      case cv if parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
-        .exists(_._1 == gen) => cv
-    }.orElse {
-      commits.reverse.collectFirst {
-        case v if readCommit(fs, dir, v).gen == gen => v
-      }
-    }.getOrElse(throw new IllegalArgumentException(
-      s"generation '$gen' not in $loc/$LogDir (vacuumed or never committed)"))
+    val target = versionOf(fs, dir, commits, checkpoints, gen)
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation '$gen' not in $loc/$LogDir (vacuumed or never committed)"))
+    val earliest =
+      if (commits.headOption.contains(1L)) 1L
+      else checkpoints.headOption.getOrElse(Long.MaxValue)
+    if (target < earliest)
+      throw new IllegalArgumentException(
+        s"generation '$gen' (v$target) predates the log's surviving " +
+          s"history in $loc/$LogDir — vacuumed")
     resolveVersion(fs, dir, commits, checkpoints, target)
   }
 
@@ -358,19 +556,25 @@ object GenLog {
     require(tail == expected,
       s"broken commit chain resolving version $target in $dir: " +
         s"have $tail, need $expected")
-    var (live: Set[String], dvLive: Set[String]) = ck match {
+    var (live, dvLive, rows, dvRows, schema) = ck match {
       case Some(cv) =>
-        val c = parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
-          .getOrElse(sys.error(s"torn checkpoint at version $cv in $dir"))
-        (c._2.toSet, c._3.toSet)
-      case None => (Set.empty[String], Set.empty[String])
+        val c = readCheckpointState(fs, dir, cv)
+        (c.live.toSet, c.dvLive.toSet, c.rows, c.dvRows, c.schema)
+      case None =>
+        (Set.empty[String], Set.empty[String],
+          Map.empty[String, Long], Map.empty[String, Long],
+          Option.empty[String])
     }
     tail.foreach { v =>
       val c = readCommit(fs, dir, v)
       live = live -- c.removes ++ c.adds
       dvLive = dvLive -- c.dvRemoves ++ c.dvAdds
+      rows = rows -- c.removes ++ c.rows
+      dvRows = dvRows -- c.dvRemoves ++ c.dvRows
+      schema = c.schema.orElse(schema)
     }
-    Resolution(live.toSeq.sorted, ck, tail.size, dvLive.toSeq.sorted)
+    Resolution(live.toSeq.sorted, ck, tail.size, dvLive.toSeq.sorted,
+      rows, dvRows, schema)
   }
 
   // ----------------------------------------------------------------
@@ -389,7 +593,11 @@ object GenLog {
     * `snapshotVersion` is the version the delta was computed against
     * (0 for an empty table). Returns the installed version, or the
     * existing one if `gen` turned out to be already committed by a
-    * racing writer.
+    * racing writer. Conflict semantics are the object scaladoc's:
+    * insert-kind deltas always retry; restaters retry past disjoint
+    * commits and abort on partition overlap (a landed INSERT's
+    * partitions count — its rows would survive the loser's removes);
+    * a race window truncated by vacuum aborts rather than guessing.
     */
   private def commitDelta(spark: SparkSession, loc: String, c: Commit,
                           snapshotVersion: Long): Long = {
@@ -397,28 +605,74 @@ object GenLog {
     val dir = logDirOf(p)
     var attempt = snapshotVersion + 1
     while (true) {
+      val (commits, checkpoints) = listLog(fs, dir)
+      val latest = (commits ++ checkpoints).maxOption.getOrElse(0L)
+      if (latest >= attempt) {
+        // commits landed since the snapshot (or the last loop):
+        // examine every version in [attempt, latest]
+        val range = attempt to latest
+        val missing = range.filterNot(commits.contains)
+        if (missing.nonEmpty) {
+          // vacuum truncated part of the race window — disjointness
+          // is unprovable against vanished deltas. Skip if our own
+          // gen survives in the index; abort otherwise, never guess.
+          if (versionOf(fs, dir, commits, checkpoints, c.gen).isDefined)
+            return versionOf(fs, dir, commits, checkpoints, c.gen).get
+          throw new java.util.ConcurrentModificationException(
+            s"generation '${c.gen}' was staged against v$snapshotVersion " +
+              s"but the log's history was vacuumed past it (versions " +
+              s"${missing.mkString(",")} gone) — recompute against the " +
+              "current snapshot and retry")
+        }
+        val landed = range.map(readCommit(fs, dir, _))
+        landed.find(_.gen == c.gen) match {
+          case Some(winner) => return winner.version // replayed batch
+          case None =>
+        }
+        if (!c.insert) {
+          val clash = landed.filter(l => partsOverlap(l.parts, c.parts))
+          if (clash.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"generation '${c.gen}' conflicts with concurrently committed " +
+                s"${clash.map(l => s"'${l.gen}' (v${l.version})").mkString(", ")} " +
+                s"on partitions ${c.parts.mkString(",")} — recompute against " +
+                "the new snapshot and retry")
+        }
+        attempt = latest + 1 // delta still valid: retry at the head
+      }
       if (installIfAbsent(fs, dir, commitBody(c.copy(version = attempt)),
           commitPath(dir, attempt))) {
         maybeCheckpoint(fs, dir, attempt, c.gen)
         return attempt
       }
-      // lost the race: examine every commit that landed since
-      val (commits, _) = listLog(fs, dir)
-      val landed = commits.filter(_ >= attempt).map(readCommit(fs, dir, _))
-      landed.find(_.gen == c.gen) match {
-        case Some(winner) => return winner.version // replayed batch: idempotent
-        case None =>
-      }
-      val clash = landed.filter(l => partsOverlap(l.parts, c.parts))
-      if (clash.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"generation '${c.gen}' conflicts with concurrently committed " +
-            s"${clash.map(l => s"'${l.gen}' (v${l.version})").mkString(", ")} " +
-            s"on partitions ${c.parts.mkString(",")} — recompute against " +
-            "the new snapshot and retry")
-      attempt = commits.last + 1 // disjoint writers: delta still valid
+      // lost the claim race: loop re-lists and re-examines
     }
     sys.error("unreachable")
+  }
+
+  /** The gen→version index of every resolvable generation at or below
+    * `v`: the prior checkpoint's index plus the commit tail. A legacy
+    * (pre-index) prior checkpoint triggers one full scan; every
+    * checkpoint after that carries the index forward incrementally.
+    */
+  private def genIndexUpTo(fs: FileSystem, dir: Path, commits: Seq[Long],
+                           checkpoints: Seq[Long], v: Long): Seq[(Long, String)] = {
+    val prior = checkpoints.filter(_ < v).lastOption
+    val base: Seq[(Long, String)] = prior match {
+      case Some(cv) =>
+        val ck = readCheckpointState(fs, dir, cv)
+        if (ck.genIndex.nonEmpty) ck.genIndex
+        else { // legacy: reconstruct from surviving objects once
+          val ckGens = checkpoints.filter(_ <= cv)
+            .map(x => (x, readCheckpointState(fs, dir, x).gen))
+          val cGens = commits.filter(_ <= cv)
+            .map(x => (x, readCommit(fs, dir, x).gen))
+          (ckGens ++ cGens).distinct.sortBy(_._1)
+        }
+      case None => Nil
+    }
+    base ++ commits.filter(x => x > prior.getOrElse(0L) && x <= v)
+      .map(x => (x, readCommit(fs, dir, x).gen))
   }
 
   /** Write a checkpoint at `v` when the interval says so. Resolved
@@ -432,7 +686,9 @@ object GenLog {
     if (v % CheckpointInterval == 0) {
       val (commits, checkpoints) = listLog(fs, dir)
       val r = resolveVersion(fs, dir, commits, checkpoints, v)
-      installIfAbsent(fs, dir, checkpointBody(gen, r.live, r.dvLive),
+      val idx = genIndexUpTo(fs, dir, commits, checkpoints, v)
+      installIfAbsent(fs, dir,
+        checkpointBody(gen, r.live, r.dvLive, r.rows, r.dvRows, r.schema, idx),
         checkpointPath(dir, v))
       ()
     }
@@ -453,69 +709,209 @@ object GenLog {
     (v, r.live)
   }
 
+  // ----------------------------------------------------------------
+  // attributed writes, change files, schema enforcement
+  // ----------------------------------------------------------------
+
+  /** The `partCol=value` token of a data file's parent directory —
+    * exact (it IS the directory partitionBy wrote), already escaped.
+    */
+  private def partTokenOf(f: String, partCol: String): String = {
+    val name = new Path(f).getParent.getName
+    if (name.startsWith(partCol + "=")) name else AllParts
+  }
+
+  /** Write `df` partitioned by `partCol` under `loc` with EXACT file
+    * attribution: the write lands in a private staging directory
+    * (`_staged/<uuid>` — invisible to the data listing), the staged
+    * files are listed (only this writer's files can be there), and
+    * each renames into its final partition directory. Task-generated
+    * file names are globally unique, so physically INTERLEAVED
+    * stagings never collide, and attribution needs no before/after
+    * listing diff, no quiescence assumption, and no O(table) listing
+    * on the commit path. A crash mid-rename leaves invisible orphans
+    * plus a stale staging directory; vacuum sweeps both past the
+    * retention horizon. Returns the final file paths, sorted.
+    */
+  private def writeAttributed(spark: SparkSession, loc: String, df: DataFrame,
+                              partCol: String,
+                              numFiles: Option[Int] = None): Seq[String] = {
+    val (p, fs) = fsOf(spark, loc)
+    val stage = new Path(p, s"$StagedDir/w-${UUID.randomUUID()}")
+    val rep = numFiles.map(df.repartition(_)).getOrElse(df.repartition(col(partCol)))
+    rep.write.partitionBy(partCol).parquet(stage.toString)
+    def walk(s: FileStatus): Seq[Path] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+      else Nil
+    val staged = walk(fs.getFileStatus(stage))
+    val out = staged.map { f =>
+      val part = f.getParent.getName
+      require(part.startsWith(partCol + "="),
+        s"unexpected staged layout under $stage: $f")
+      val destDir = new Path(p, part)
+      fs.mkdirs(destDir)
+      val dst = new Path(destDir, f.getName)
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      dst.toUri.getPath
+    }
+    fs.delete(stage, true)
+    out.sorted
+  }
+
+  /** Persist a commit's change rows (CDF) under `_changes/<token>/`
+    * and return the token the commit records. Change rows are FULL
+    * logical rows (partition column included) tagged
+    * [[ChangeTypeCol]] = 'delete' (row left the table as of this
+    * commit) or 'insert' (row entered); an update is the delete +
+    * insert pair. Cost ∝ changed rows — never the table.
+    */
+  private def writeChanges(spark: SparkSession, loc: String,
+                           deletes: Option[DataFrame],
+                           inserts: Option[DataFrame]): Option[String] = {
+    val frames =
+      deletes.map(_.withColumn(ChangeTypeCol, lit("delete"))).toSeq ++
+        inserts.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq
+    if (frames.isEmpty) return None
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val token = s"c-${UUID.randomUUID()}"
+    all.write.parquet(s"$loc/$ChangesDir/$token")
+    Some(token)
+  }
+
+  /** Validate a batch schema against the table's recorded one BEFORE
+    * anything lands. Name+type map comparison (order- and
+    * nullability-insensitive — reads are by name). Returns the schema
+    * line the commit must carry: Some(json) when this commit
+    * establishes or widens the schema, None when unchanged. A missing
+    * or retyped column ALWAYS aborts (a rename looks like
+    * missing+added and aborts on the missing side); added columns
+    * need `evolve = true` — the q206 widening path.
+    */
+  private def enforceSchema(current: Option[String], batch: StructType,
+                            evolve: Boolean, gen: String): Option[String] = {
+    current match {
+      case None => Some(batch.json) // first commit (or pre-schema log)
+      case Some(js) =>
+        val cur = DataType.fromJson(js).asInstanceOf[StructType]
+        val curM = cur.fields.map(f => f.name -> f.dataType).toMap
+        val batM = batch.fields.map(f => f.name -> f.dataType).toMap
+        val missing = (curM.keySet -- batM.keySet).toSeq.sorted
+        val retyped = (curM.keySet & batM.keySet).toSeq.sorted
+          .filter(k => curM(k) != batM(k))
+        if (missing.nonEmpty || retyped.nonEmpty)
+          throw new IllegalArgumentException(
+            s"schema enforcement: batch '$gen' does not match the table " +
+              s"schema — missing: [${missing.mkString(", ")}], retyped: " +
+              s"[${retyped.map(k => s"$k: ${curM(k).simpleString} -> " +
+                s"${batM(k).simpleString}").mkString(", ")}] — nothing " +
+              "was written (a renamed or retyped column must go through " +
+              "an explicit recluster migration)")
+        val added = cur.fields.map(_.name).toSet
+        val newFields = batch.fields.filterNot(f => added(f.name))
+        if (newFields.isEmpty) None
+        else if (!evolve)
+          throw new IllegalArgumentException(
+            s"schema enforcement: batch '$gen' adds columns " +
+              s"[${newFields.map(_.name).mkString(", ")}] — pass " +
+              "evolve = true (the schema-evolution path) to widen the " +
+              "table; nothing was written")
+        else Some(StructType(cur.fields ++ newFields).json)
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // writer verbs
+  // ----------------------------------------------------------------
+
   /** A prepared-but-uncommitted generation: the data files are on
     * disk (invisible — no reader resolves them), the delta is
     * computed against `snapshotVersion`. [[commitStaged]] makes it
     * visible. The two-phase split IS the concurrency protocol: the
     * expensive write happens outside any critical section, and only
-    * the O(batch)-sized commit contends.
+    * the O(batch)-sized commit contends. File attribution is exact
+    * ([[writeAttributed]]), so stagings may physically interleave.
     */
   private[graft] final case class Staged(gen: String, parts: Seq[String],
-      adds: Seq[String], removes: Seq[String], snapshotVersion: Long)
+      adds: Seq[String], removes: Seq[String], snapshotVersion: Long,
+      rows: Map[String, Long] = Map.empty,
+      schema: Option[String] = None, cdf: Option[String] = None)
 
-  /** Phase one of [[appendBatch]]: write the batch's data files and
-    * compute its delta against the CURRENT snapshot, without
-    * committing. Exposed for the writer-vs-writer spec, which stages
-    * two writers against the same snapshot deterministically.
-    *
-    * File-attribution caveat: `adds` comes from a before/after
-    * listing diff, which assumes stagings do not INTERLEAVE their
-    * physical writes (a production writer collects the task-committed
-    * file names from the write job instead — same protocol, exact
-    * attribution). The COMMIT phase is fully concurrent either way.
+  /** Phase one of [[appendBatch]]: validate the batch schema, write
+    * the batch's data files (staged + renamed — exact attribution),
+    * and compute its delta against the CURRENT snapshot, without
+    * committing. The batch's partitions come from the files it
+    * actually wrote (already escaped — partitionBy wrote the
+    * directories), so removal-by-path never strands rows of an
+    * untouched partition. With `cdf = true` the commit's change rows
+    * persist beside it: the restated partitions' prior rows as
+    * deletes, the batch's rows as inserts — read back from the
+    * written files, cost ∝ restated data.
     */
   private[graft] def stageAppend(spark: SparkSession, loc: String, gen: String,
-                                 df: DataFrame, partCol: String): Staged = {
+                                 df: DataFrame, partCol: String,
+                                 evolve: Boolean = false,
+                                 cdf: Boolean = false): Staged = {
     validateGen(gen)
-    val (snapVer, prevLive) = latestState(spark, loc)
-    val before = listDataFiles(spark, loc)
-    // the batch's partitions — bounded by the batch's span; matched
-    // against the ESCAPED directory names Spark actually writes
-    val parts = df.select(col(partCol)).distinct()
-      .collect().map(r => org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
-    df.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
-    val removed = prevLive.filter(f =>
-      parts.exists(v => f.contains(s"/$partCol=$v/")))
-    Staged(gen, parts.map(v => s"$partCol=$v"), added, removed, snapVer)
+    val (snapVer, prev) = latestFull(spark, loc)
+    val schemaLine = enforceSchema(prev.schema, df.schema, evolve, gen)
+    val added = writeAttributed(spark, loc, df, partCol)
+    val parts = added.map(partTokenOf(_, partCol)).distinct.sorted
+    val removed = prev.live.filter(f => parts.contains(partTokenOf(f, partCol)))
+    val rows = footerRows(spark, added)
+    val cdfTok =
+      if (!cdf) None
+      else writeChanges(spark, loc,
+        deletes =
+          if (removed.isEmpty) None
+          else Some(spark.read.option("basePath", loc)
+            .option("mergeSchema", "true").parquet(removed: _*)),
+        inserts =
+          if (added.isEmpty) None
+          else Some(spark.read.option("basePath", loc)
+            .option("mergeSchema", "true").parquet(added: _*)))
+    Staged(gen, parts, added, removed, snapVer, rows, schemaLine, cdfTok)
   }
 
   /** Phase two: install a staged generation's commit, with the object
     * scaladoc's optimistic-concurrency semantics (skip own gen, retry
-    * past disjoint writers, abort on overlap). Returns the installed
-    * version.
+    * past disjoint writers, abort on overlap or on a vacuumed race
+    * window). Returns the installed version.
     */
   private[graft] def commitStaged(spark: SparkSession, loc: String,
                                   s: Staged): Long =
     commitDelta(spark, loc,
-      Commit(0L, s.gen, s.parts, s.adds, s.removes), s.snapshotVersion)
+      Commit(0L, s.gen, s.parts, s.adds, s.removes,
+        rows = s.rows, schema = s.schema, cdf = s.cdf), s.snapshotVersion)
+
+  /** Phase two for an INSERT-kind staged delta (the [[appendInsert]]
+    * semantics: declares its partitions so restaters conflict, but
+    * never aborts as the loser). Exposed for the insert-vs-restater
+    * race specs, which need both writers staged deterministically.
+    */
+  private[graft] def commitStagedInsert(spark: SparkSession, loc: String,
+                                        s: Staged): Long =
+    commitDelta(spark, loc,
+      Commit(0L, s.gen, s.parts, s.adds, Nil, insert = true,
+        rows = s.rows, schema = s.schema, cdf = s.cdf), s.snapshotVersion)
 
   /** Commit `df` as generation `gen`: append its files, mark the
     * previous generation's files for the RESTATED partitions removed,
     * record the delta. Skips if `gen` is already committed (crash
     * replay: orphan files from the failed attempt stay invisible and
-    * vacuum collects them — the gen-id scan is O(surviving log
-    * objects), the price of idempotence). Concurrent-writer semantics
-    * are the object scaladoc's: disjoint partitions retry,
-    * overlapping partitions abort.
+    * vacuum collects them — the gen-id probe is O(tail) through the
+    * checkpoint index). Schema is enforced before anything lands
+    * (`evolve` gates widening); `cdf = true` persists the commit's
+    * change rows for [[readChangeFeed]]. Concurrent-writer semantics
+    * are the object scaladoc's.
     */
   def appendBatch(spark: SparkSession, loc: String, gen: String,
-                  df: DataFrame, partCol: String): Unit = {
+                  df: DataFrame, partCol: String,
+                  evolve: Boolean = false, cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
-    commitStaged(spark, loc, stageAppend(spark, loc, gen, df, partCol))
+    commitStaged(spark, loc,
+      stageAppend(spark, loc, gen, df, partCol, evolve, cdf))
     ()
   }
 
@@ -525,16 +921,16 @@ object GenLog {
     * SQL CHECK); violations abort with per-constraint counts BEFORE
     * anything lands — not a data file, not a log object — so a bad
     * upstream batch can never become a generation readers see or
-    * vacuum must clean. One validation aggregate over the batch
-    * (a production writer fuses the checks into the write tasks;
-    * the contract is identical).
+    * vacuum must clean. One validation aggregate over the batch; an
+    * EMPTY batch trivially satisfies every constraint (the aggregate
+    * sums coalesce to zero) and commits an empty delta.
     */
   def appendBatchChecked(spark: SparkSession, loc: String, gen: String,
                          df: DataFrame, partCol: String,
                          checks: Seq[(String, Column)]): Unit = {
     require(checks.nonEmpty, "appendBatchChecked needs at least one constraint")
     val aggs = checks.map { case (_, p) =>
-      sum(when(!coalesce(p, lit(true)), 1L).otherwise(0L))
+      coalesce(sum(when(!coalesce(p, lit(true)), 1L).otherwise(0L)), lit(0L))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val bad = checks.zipWithIndex.collect {
@@ -554,21 +950,22 @@ object GenLog {
     * (day files → week files), the logical rows don't, earlier
     * generations keep reading their own layout, and the dropped
     * fine-grained files become vacuum-collectable history. Declares
-    * the wildcard partition, so it conflicts with EVERY concurrent
-    * commit — the only sound semantics for a whole-table rewrite.
+    * the wildcard partition, so it conflicts with every concurrent
+    * RESTATER (an insert still lands — its rows add on top). The
+    * rewrite REPLACES the table schema (Delta's overwriteSchema):
+    * a whole-table rewrite defines the table.
     */
   def recluster(spark: SparkSession, loc: String, gen: String,
                 df: DataFrame, partCol: String): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
-    val (snapVer, prevLive) = latestState(spark, loc)
-    val before = listDataFiles(spark, loc)
-    df.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    val (snapVer, prev) = latestFull(spark, loc)
+    val added = writeAttributed(spark, loc, df, partCol)
+    val schemaLine =
+      if (prev.schema.contains(df.schema.json)) None else Some(df.schema.json)
     commitDelta(spark, loc,
-      Commit(0L, gen, Seq(AllParts), added, prevLive, dataChange = false),
-      snapVer)
+      Commit(0L, gen, Seq(AllParts), added, prev.live, dataChange = false,
+        rows = footerRows(spark, added), schema = schemaLine), snapVer)
     ()
   }
 
@@ -581,22 +978,35 @@ object GenLog {
     * ([[mergeByKey]] is the upsert).
     *
     * Because an insert REMOVES nothing, its delta stays valid under
-    * ANY concurrent commit — it declares no partitions and therefore
-    * never aborts, only retries to the next version. That is the
-    * protocol expressing real conflict semantics instead of a global
-    * lock: blind inserts commute; restatements of the same partition
-    * do not.
+    * ANY concurrent commit — even a full restatement: its rows were
+    * never part of the rewrite's input and simply add on top. An
+    * insert therefore NEVER aborts as the loser, only retries to the
+    * next version. It still DECLARES its partitions: a concurrent
+    * RESTATER of the same partition must abort (the insert's file
+    * would survive its removes and break the "restates completely"
+    * contract — Delta's ConcurrentAppendException). That asymmetry —
+    * inserts commute with everything, restatements conflict with
+    * anything that touched their partitions — is the protocol
+    * expressing real semantics instead of a global lock.
     */
   def appendInsert(spark: SparkSession, loc: String, gen: String,
-                   df: DataFrame, partCol: String): Unit = {
+                   df: DataFrame, partCol: String,
+                   cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
-    val (snapVer, _) = latestState(spark, loc)
-    val before = listDataFiles(spark, loc)
-    df.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
-    commitDelta(spark, loc, Commit(0L, gen, Nil, added, Nil), snapVer)
+    val (snapVer, prev) = latestFull(spark, loc)
+    val schemaLine = enforceSchema(prev.schema, df.schema, evolve = false, gen)
+    val added = writeAttributed(spark, loc, df, partCol)
+    val parts = added.map(partTokenOf(_, partCol)).distinct.sorted
+    val cdfTok =
+      if (!cdf || added.isEmpty) None
+      else writeChanges(spark, loc, deletes = None,
+        inserts = Some(spark.read.option("basePath", loc)
+          .option("mergeSchema", "true").parquet(added: _*)))
+    commitDelta(spark, loc,
+      Commit(0L, gen, parts, added, Nil, insert = true,
+        rows = footerRows(spark, added), schema = schemaLine, cdf = cdfTok),
+      snapVer)
     ()
   }
 
@@ -610,51 +1020,62 @@ object GenLog {
     * exactly the affected files. Untouched files stay live
     * byte-identically; AS-OF-before-merge still reads the old rows.
     * Cost ∝ affected files + updates, never the table — Delta's
-    * MERGE, executed small. Declares the affected files' partitions
-    * plus the updates' own (insert-target) partitions for conflict
-    * detection.
+    * MERGE, executed small. Matched rows replace WHOLESALE, so the
+    * updates frame must cover the live schema (a narrower frame
+    * would silently drop the kept rows' extra columns — enforced,
+    * not assumed). Declares the affected files' partitions plus the
+    * rewrite's output partitions for conflict detection.
     */
   def mergeByKey(spark: SparkSession, loc: String, gen: String,
                  updates: DataFrame, keyCols: Seq[String],
-                 partCol: String): Unit = {
+                 partCol: String, cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
-    val (snapVer, live) = latestState(spark, loc)
-    require(live.nonEmpty, s"mergeByKey on an empty table at $loc — use appendBatch")
+    val (snapVer, st) = latestFull(spark, loc)
+    require(st.live.nonEmpty, s"mergeByKey on an empty table at $loc — use appendBatch")
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val withFile = spark.read.option("basePath", loc)
-      .option("mergeSchema", "true").parquet(live: _*)
+      .option("mergeSchema", "true").parquet(st.live: _*)
       .withColumn("__file", input_file_name())
     val affected = withFile.join(keys, keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).toSeq.sorted
-    val partRe = java.util.regex.Pattern.compile("/" +
-      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
-    val filePart = (f: String) => {
-      val m = partRe.matcher(f)
-      if (m.find()) s"$partCol=${m.group(1)}" else AllParts
-    }
-    val updParts = updates.select(col(partCol)).distinct()
-      .collect().map(r => s"$partCol=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
-    val parts = (affected.map(filePart) ++ updParts).distinct
-    val before = listDataFiles(spark, loc)
     // surviving rows of the affected files (cast-aligned: the
     // basePath read infers the partition column's type from the
     // directory names, the updates frame carries the writer's)
     val kept =
       if (affected.isEmpty) None
-      else Some(spark.read.option("basePath", loc)
-        .option("mergeSchema", "true").parquet(affected: _*)
-        .join(keys, keyCols, "left_anti")
-        .select(updates.columns.toIndexedSeq
+      else {
+        val keptBase = spark.read.option("basePath", loc)
+          .option("mergeSchema", "true").parquet(affected: _*)
+          .join(keys, keyCols, "left_anti")
+        val narrower = keptBase.columns.filterNot(updates.columns.contains)
+        require(narrower.isEmpty,
+          s"mergeByKey updates frame must cover the live schema — missing " +
+            s"columns: [${narrower.mkString(", ")}]; matched rows replace " +
+            "wholesale, so a narrower frame would drop those columns from " +
+            "the rewritten files (widen the updates, or evolve the table " +
+            "through appendBatch first)")
+        Some(keptBase.select(updates.columns.toIndexedSeq
           .map(c => col(c).cast(updates.schema(c).dataType)): _*))
-    kept.map(_.unionByName(updates)).getOrElse(updates)
-      .repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
-    commitDelta(spark, loc, Commit(0L, gen, parts, added, affected), snapVer)
+      }
+    val cdfTok =
+      if (!cdf) None
+      else writeChanges(spark, loc,
+        deletes =
+          if (affected.isEmpty) None
+          else Some(spark.read.option("basePath", loc)
+            .option("mergeSchema", "true").parquet(affected: _*)
+            .join(keys, keyCols, "left_semi")),
+        inserts = Some(updates))
+    val added = writeAttributed(spark, loc,
+      kept.map(_.unionByName(updates)).getOrElse(updates), partCol)
+    val parts = (added.map(partTokenOf(_, partCol)) ++
+      affected.map(partTokenOf(_, partCol))).distinct.sorted
+    commitDelta(spark, loc,
+      Commit(0L, gen, parts, added, affected,
+        rows = footerRows(spark, added), cdf = cdfTok), snapVer)
     ()
   }
 
@@ -678,15 +1099,13 @@ object GenLog {
       .ExternalCatalogUtils.escapePathName(partValue)
     val target = live.filter(_.contains(s"/$partCol=$escaped/"))
     require(target.nonEmpty, s"no live files under $partCol=$escaped at $loc")
-    val before = listDataFiles(spark, loc)
-    spark.read.option("basePath", loc).option("mergeSchema", "true")
-      .parquet(target: _*)
-      .repartition(numFiles)
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    val added = writeAttributed(spark, loc,
+      spark.read.option("basePath", loc).option("mergeSchema", "true")
+        .parquet(target: _*),
+      partCol, numFiles = Some(numFiles))
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target,
-        dataChange = false), snapVer)
+        dataChange = false, rows = footerRows(spark, added)), snapVer)
     ()
   }
 
@@ -711,24 +1130,14 @@ object GenLog {
     require(target.nonEmpty, "replaceFiles needs at least one target file")
     require(target.forall(live.contains),
       s"replaceFiles targets must be live files of the latest generation")
-    val partRe = java.util.regex.Pattern.compile("/" +
-      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
-    val targetParts = target.flatMap { f =>
-      val m = partRe.matcher(f)
-      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
-    }
     val out = transform(spark.read.option("basePath", loc)
       .option("mergeSchema", "true").parquet(target: _*))
-    val outParts = out.select(col(partCol)).distinct()
-      .collect().map(r => s"$partCol=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.get(0).toString)).toSeq
-    val before = listDataFiles(spark, loc)
-    out.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    val added = writeAttributed(spark, loc, out, partCol)
+    val parts = (target.map(partTokenOf(_, partCol)) ++
+      added.map(partTokenOf(_, partCol))).distinct.sorted
     commitDelta(spark, loc,
-      Commit(0L, gen, (targetParts ++ outParts).distinct, added,
-        target.sorted, dataChange = false), snapVer)
+      Commit(0L, gen, parts, added, target.sorted, dataChange = false,
+        rows = footerRows(spark, added)), snapVer)
     ()
   }
 
@@ -740,8 +1149,10 @@ object GenLog {
     * current ones from live. Every intermediate generation stays
     * AS-OF readable, so the mistake being rolled back remains
     * auditable; dataChange=true because consumers see the table's
-    * rows change. Wildcard conflict scope: a restore invalidates any
-    * concurrent writer's snapshot by definition.
+    * rows change (a restore invalidates feed cursors — consumers
+    * re-seed, the documented Delta caveat). Wildcard conflict scope:
+    * a restore invalidates any concurrent writer's snapshot by
+    * definition. The restored schema is the target generation's.
     */
   def restore(spark: SparkSession, loc: String, newGen: String,
               toGen: String): Unit = {
@@ -754,9 +1165,12 @@ object GenLog {
         s"restore target file vacuumed: $f — '$toGen' is outside the retention window")
     }
     val (snapVer, cur) = latestFull(spark, loc)
+    val schemaLine = if (target.schema == cur.schema) None else target.schema
     commitDelta(spark, loc,
       Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
-        dvAdds = target.dvLive, dvRemoves = cur.dvLive), snapVer)
+        dvAdds = target.dvLive, dvRemoves = cur.dvLive,
+        rows = target.rows, dvRows = target.dvRows,
+        schema = schemaLine), snapVer)
     ()
   }
 
@@ -764,8 +1178,10 @@ object GenLog {
     * matching `pred` leave the table by REWRITE-ON-DELETE of only the
     * files that contain them — untouched files stay in the live set
     * byte-identically, earlier generations still serve the deleted
-    * rows (AS-OF-before-delete is the legal-hold read), and the
-    * change feed between the adjacent snapshots shows the deletions.
+    * rows (AS-OF-before-delete is the legal-hold read), and with
+    * `cdf = true` the deleted rows persist as the commit's change
+    * files (the feed [[readChangeFeed]] serves — O(changes), never a
+    * snapshot diff).
     *
     * Mechanics: one pass over the live files finds the AFFECTED file
     * set (`input_file_name` + the predicate — distributed, collect
@@ -780,7 +1196,8 @@ object GenLog {
     * files' partitions for conflict detection.
     */
   def deleteWhere(spark: SparkSession, loc: String, gen: String,
-                  pred: Column, partCol: String): Unit = {
+                  pred: Column, partCol: String,
+                  cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
     val (snapVer, live) = latestState(spark, loc)
@@ -797,39 +1214,42 @@ object GenLog {
       commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
       return
     }
-    val partRe = java.util.regex.Pattern.compile("/" +
-      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
-    val parts = affected.flatMap { f =>
-      val m = partRe.matcher(f)
-      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
-    }.distinct
-    val before = listDataFiles(spark, loc)
-    spark.read.option("basePath", loc).option("mergeSchema", "true")
-      .parquet(affected: _*)
-      .where(!hit)
-      .repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(loc)
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
-    commitDelta(spark, loc, Commit(0L, gen, parts, added, affected), snapVer)
+    val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+    val cdfTok =
+      if (!cdf) None
+      else writeChanges(spark, loc,
+        deletes = Some(spark.read.option("basePath", loc)
+          .option("mergeSchema", "true").parquet(affected: _*).where(hit)),
+        inserts = None)
+    val added = writeAttributed(spark, loc,
+      spark.read.option("basePath", loc).option("mergeSchema", "true")
+        .parquet(affected: _*).where(!hit),
+      partCol)
+    commitDelta(spark, loc,
+      Commit(0L, gen, parts, added, affected,
+        rows = footerRows(spark, added), cdf = cdfTok), snapVer)
     ()
   }
 
   /** Commit a MERGE-ON-READ delete as generation `gen`: instead of
     * rewriting the affected files (the [[deleteWhere]] copy-on-write
     * path), the matched rows' (file, row-position) pairs land in a
-    * DELETION-VECTOR sidecar (`_dv/`) and the commit adds it to the
-    * DV live set — readers anti-join the vectors at scan time
-    * ([[read]]). The write cost is O(matched positions) regardless of
-    * how many rows the affected files hold — the Delta
-    * deletion-vector / Iceberg position-delete trade: delete-heavy
-    * workloads defer the rewrite, [[materializeDeletes]] settles the
-    * debt when read amplification says so. Matching runs on the MoR
-    * VIEW (existing vectors applied), so repeated deletes never
-    * double-enter positions. Declares the affected files' partitions
-    * for conflict detection.
+    * DELETION-VECTOR sidecar (`_dv/<token>/` — exact attribution by
+    * construction) and the commit adds it to the DV live set —
+    * readers anti-join the vectors at scan time ([[read]]). The write
+    * cost is O(matched positions) regardless of how many rows the
+    * affected files hold — the Delta deletion-vector / Iceberg
+    * position-delete trade: delete-heavy workloads defer the rewrite;
+    * [[materializeDeletes]] settles the debt when [[dvDebt]] says the
+    * read amplification is no longer worth it, and
+    * [[compactDeletionVectors]] merges sidecar fragments in between.
+    * Matching runs on the MoR VIEW (existing vectors applied), so
+    * repeated deletes never double-enter positions. Declares the
+    * affected files' partitions for conflict detection.
     */
   def deleteWhereMoR(spark: SparkSession, loc: String, gen: String,
-                     pred: Column, partCol: String): Unit = {
+                     pred: Column, partCol: String,
+                     cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
     val (snapVer, st) = latestFull(spark, loc)
@@ -845,31 +1265,33 @@ object GenLog {
         .select(col("file_path").as("__graft_dv_f"),
           col("row_index").as("__graft_dv_i")),
         Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
-    val matches = view.where(hit)
-      .select(col("__graft_dv_f").as("file_path"),
-        col("__graft_dv_i").as("row_index"))
+    val matched = view.where(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val affected = matches.select(col("file_path")).distinct()
+      val affected = matched.select(col("__graft_dv_f")).distinct()
         .collect().map(r => new Path(new java.net.URI(r.getString(0)))
           .toUri.getPath).toSeq.sorted
       if (affected.isEmpty) {
         commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
         return
       }
-      val partRe = java.util.regex.Pattern.compile("/" +
-        java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
-      val parts = affected.flatMap { f =>
-        val m = partRe.matcher(f)
-        if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
-      }.distinct
-      val before = listDvFiles(spark, loc)
-      matches.coalesce(1).write.mode("append").parquet(s"$loc/$DvDir")
-      val dvAdds = (listDvFiles(spark, loc) -- before).toSeq.sorted
+      val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+      val cdfTok =
+        if (!cdf) None
+        else writeChanges(spark, loc,
+          deletes = Some(matched.drop("__graft_dv_f", "__graft_dv_i")),
+          inserts = None)
+      val token = s"d-${UUID.randomUUID()}"
+      matched.select(col("__graft_dv_f").as("file_path"),
+          col("__graft_dv_i").as("row_index"))
+        .coalesce(1).write.parquet(s"$loc/$DvDir/$token")
+      val dvAdds = listDvFiles(spark, loc)
+        .filter(_.contains(s"/$DvDir/$token/")).toSeq.sorted
       commitDelta(spark, loc,
-        Commit(0L, gen, parts, Nil, Nil, dvAdds = dvAdds), snapVer)
+        Commit(0L, gen, parts, Nil, Nil, dvAdds = dvAdds,
+          dvRows = footerRows(spark, dvAdds), cdf = cdfTok), snapVer)
       ()
-    } finally { matches.unpersist(blocking = false); () }
+    } finally { matched.unpersist(blocking = false); () }
   }
 
   /** Settle the deletion-vector debt as generation `gen`: every data
@@ -892,29 +1314,83 @@ object GenLog {
     val affected = dv.select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).filter(st.live.contains).toSeq.sorted
-    val partRe = java.util.regex.Pattern.compile("/" +
-      java.util.regex.Pattern.quote(partCol) + "=([^/]+)/")
-    val parts = affected.flatMap { f =>
-      val m = partRe.matcher(f)
-      if (m.find()) Some(s"$partCol=${m.group(1)}") else Some(AllParts)
-    }.distinct
-    val before = listDataFiles(spark, loc)
-    if (affected.nonEmpty) {
-      val kept = spark.read.option("basePath", loc)
-        .option("mergeSchema", "true").parquet(affected: _*)
-        .withColumn("__graft_dv_f", col("_metadata.file_path"))
-        .withColumn("__graft_dv_i", col("_metadata.row_index"))
-        .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
-        .drop("__graft_dv_f", "__graft_dv_i")
-      kept.repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol).parquet(loc)
-    }
-    val added = (listDataFiles(spark, loc) -- before).toSeq.sorted
+    val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+    val added =
+      if (affected.isEmpty) Nil
+      else writeAttributed(spark, loc,
+        spark.read.option("basePath", loc)
+          .option("mergeSchema", "true").parquet(affected: _*)
+          .withColumn("__graft_dv_f", col("_metadata.file_path"))
+          .withColumn("__graft_dv_i", col("_metadata.row_index"))
+          .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+          .drop("__graft_dv_f", "__graft_dv_i"),
+        partCol)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected, dataChange = false,
-        dvRemoves = st.dvLive), snapVer)
+        dvRemoves = st.dvLive, rows = footerRows(spark, added)), snapVer)
     ()
   }
+
+  /** The deletion-vector DEBT: live vector rows / live data rows —
+    * the read-amplification metric every MoR table needs (each
+    * scan anti-joins the vectors, so debt IS the extra work). Row
+    * counts come from the log's commit metadata (footer counts
+    * recorded at write time); files a legacy commit recorded without
+    * counts are footer-read on demand — still metadata-only, never a
+    * data scan.
+    */
+  def dvDebt(spark: SparkSession, loc: String): Double = {
+    val (_, st) = latestFull(spark, loc)
+    if (st.dvLive.isEmpty) return 0.0
+    def total(files: Seq[String], known: Map[String, Long]): Double =
+      files.map(f => known.getOrElse(f, footerRowCount(spark, f)).toDouble).sum
+    val data = total(st.live, st.rows)
+    if (data == 0) 1.0 else total(st.dvLive, st.dvRows) / data
+  }
+
+  /** Settle the DV debt IF it crossed `bound` (the q214 WidthBound
+    * pattern, settlement edition): the metadata metric decides, the
+    * rewrite is [[materializeDeletes]]. Returns whether it ran —
+    * idempotent through the gen-id guard.
+    */
+  def maybeMaterialize(spark: SparkSession, loc: String, gen: String,
+                       partCol: String, bound: Double): Boolean = {
+    if (contains(spark, loc, gen)) return true
+    if (dvDebt(spark, loc) <= bound) false
+    else { materializeDeletes(spark, loc, gen, partCol); true }
+  }
+
+  /** Merge the live deletion-vector sidecars into ONE (the
+    * in-between maintenance for delete-heavy tables: each MoR delete
+    * adds a sidecar, every scan opens all of them — compaction keeps
+    * the count flat without paying the data-file rewrite
+    * [[materializeDeletes]] costs). dataChange=false; declares no
+    * partitions — DV application is idempotent and a vector row whose
+    * file left the live set is inert, so a compaction commit is valid
+    * under any concurrent commit. Returns whether a compaction
+    * committed (false when ≤ 1 sidecar is live).
+    */
+  def compactDeletionVectors(spark: SparkSession, loc: String,
+                             gen: String): Boolean = {
+    validateGen(gen)
+    if (contains(spark, loc, gen)) return true
+    val (snapVer, st) = latestFull(spark, loc)
+    if (st.dvLive.size <= 1) return false
+    val token = s"d-${UUID.randomUUID()}"
+    spark.read.parquet(st.dvLive: _*)
+      .coalesce(1).write.parquet(s"$loc/$DvDir/$token")
+    val dvAdds = listDvFiles(spark, loc)
+      .filter(_.contains(s"/$DvDir/$token/")).toSeq.sorted
+    commitDelta(spark, loc,
+      Commit(0L, gen, Nil, Nil, Nil, dataChange = false,
+        dvAdds = dvAdds, dvRemoves = st.dvLive,
+        dvRows = footerRows(spark, dvAdds)), snapVer)
+    true
+  }
+
+  // ----------------------------------------------------------------
+  // readers
+  // ----------------------------------------------------------------
 
   /** Read the table AS OF `gen` — exactly the files that generation
     * committed, regardless of every later append/overwrite/delete.
@@ -964,25 +1440,98 @@ object GenLog {
     * pipeline tails (Delta's streaming-source contract): cost ∝ new
     * data since the consumer's cursor, never the table. Scope:
     * row-accurate for append-only tables (appendInsert); restating
-    * writers' updates/deletes surface through the change feed
-    * (q205/q211), not this feed.
+    * writers' updates/deletes surface through [[readChangeFeed]],
+    * not this feed. A cursor vacuumed out of the surviving history
+    * fails loudly — the consumer must re-seed, never silently skip.
     */
   def readAppendedSince(spark: SparkSession, loc: String,
                         sinceGen: String): DataFrame = {
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
-    val sinceVer: Long = commits.map(readCommit(fs, dir, _))
-      .find(_.gen == sinceGen).map(_.version)
-      .orElse(checkpoints.find(cv =>
-        parseCheckpoint(readText(fs, checkpointPath(dir, cv)))
-          .exists(_._1 == sinceGen)))
+    val sinceVer = versionOf(fs, dir, commits, checkpoints, sinceGen)
       .getOrElse(throw new IllegalArgumentException(
         s"generation '$sinceGen' not in $loc/$LogDir (vacuumed or never committed)"))
-    val files = commits.filter(_ > sinceVer).map(readCommit(fs, dir, _))
+    val range = (sinceVer + 1) to commits.lastOption.getOrElse(sinceVer)
+    require(range.forall(commits.contains),
+      s"cursor '$sinceGen' (v$sinceVer) predates the log's surviving " +
+        s"history at $loc — vacuum truncated the feed; re-seed the consumer")
+    val files = range.map(readCommit(fs, dir, _))
       .filter(_.dataChange).flatMap(_.adds).distinct
     if (files.isEmpty) readLatest(spark, loc).where(lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
+  }
+
+  /** The COMMIT-TIME change feed between two generations: the union
+    * of the range's change files (`_changes/<token>/`, written by the
+    * committing verb — [[appendBatch]]/[[appendInsert]]/
+    * [[deleteWhere]]/[[deleteWhereMoR]]/[[mergeByKey]] with
+    * `cdf = true`), each tagged with its [[ChangeVersionCol]].
+    * Cost ∝ CHANGED rows in the range — never a snapshot resolve,
+    * never a table diff: `df.inputFiles` on the result lists only
+    * `_changes` paths (spec-pinned). Layout-only commits contribute
+    * nothing by construction. A data-changing commit in range that
+    * did NOT record change files fails loudly (the writer committed
+    * without cdf — the feed would silently lie otherwise), as does a
+    * range vacuum truncated.
+    */
+  def readChangeFeed(spark: SparkSession, loc: String,
+                     fromGen: String, toGen: String): DataFrame = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    def verOf(g: String): Long = versionOf(fs, dir, commits, checkpoints, g)
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation '$g' not in $loc/$LogDir (vacuumed or never committed)"))
+    val (lo, hi) = (verOf(fromGen), verOf(toGen))
+    require(lo <= hi, s"change feed range is backwards: " +
+      s"'$fromGen' (v$lo) after '$toGen' (v$hi)")
+    val range = (lo + 1) to hi
+    val missing = range.filterNot(commits.contains)
+    require(missing.isEmpty,
+      s"change feed v${lo + 1}..v$hi at $loc has vacuumed commits " +
+        s"(${missing.mkString(",")}) — re-seed the consumer")
+    val cs = range.map(readCommit(fs, dir, _))
+    val silent = cs.filter(c => c.dataChange && c.cdf.isEmpty &&
+      (c.adds.nonEmpty || c.removes.nonEmpty || c.dvAdds.nonEmpty))
+    require(silent.isEmpty,
+      s"commits ${silent.map(c => s"'${c.gen}' (v${c.version})").mkString(", ")} " +
+        s"changed data without change files — the writer committed with " +
+        "cdf = false; this table cannot serve a commit-time feed for that range")
+    val frames = cs.flatMap(c => c.cdf.map(tok =>
+      spark.read.parquet(s"$loc/$ChangesDir/$tok")
+        .withColumn(ChangeVersionCol, lit(c.version))))
+    if (frames.isEmpty)
+      readLatest(spark, loc).limit(0)
+        .withColumn(ChangeTypeCol, lit(""))
+        .withColumn(ChangeVersionCol, lit(0L))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** NET the change feed per key: what a keyed consumer applies.
+    * Within a key, events order by (version, delete-before-insert);
+    * the net change is (first event's preimage if it was a delete,
+    * last event's postimage if it was an insert) — so an
+    * insert-then-update chain nets to one insert, an
+    * update-then-delete to one delete, and a restated-but-equal value
+    * to nothing (dropped). ONE partial+final aggregate, no window, no
+    * shuffle beyond the keys. Contract: the table is key-unique per
+    * snapshot (one row per key), which every rollup/dimension store
+    * is. Returns keyCols + `n_old` (value before the range, NULL if
+    * the key is new) + `n_new` (value after, NULL if deleted).
+    */
+  def netKeyedChanges(feed: DataFrame, keyCols: Seq[String],
+                      valueCol: String): DataFrame = {
+    val rank = when(col(ChangeTypeCol) === lit("delete"), lit(0)).otherwise(lit(1))
+    val ev = struct(col(ChangeVersionCol).as("v"), rank.as("r"),
+      col(valueCol).as("x"))
+    feed.groupBy(keyCols.map(col): _*)
+      .agg(min(ev).as("__first"), max(ev).as("__last"))
+      .select(keyCols.map(col) ++ Seq(
+        when(col("__first.r") === 0, col("__first.x")).as("n_old"),
+        when(col("__last.r") === 1, col("__last.x")).as("n_new")): _*)
+      .where(col("n_old").isNull || col("n_new").isNull ||
+        col("n_old") =!= col("n_new"))
   }
 
   /** SHALLOW CLONE: commit generation `clone_<gen>` at `destLoc`
@@ -996,7 +1545,8 @@ object GenLog {
     * directory). Lifecycle caveat, as in every shallow-clone system:
     * the SOURCE's vacuum can delete files the clone still
     * references — clone from snapshots inside the source's retention
-    * window.
+    * window. The clone commit writes no change files (it is a new
+    * table; its feed starts after the clone).
     */
   def cloneSnapshot(spark: SparkSession, srcLoc: String, gen: String,
                     destLoc: String): Unit = {
@@ -1006,50 +1556,93 @@ object GenLog {
     val (snapVer, prev) = latestFull(spark, destLoc)
     commitDelta(spark, destLoc,
       Commit(0L, gname, Seq(AllParts), src.live, prev.live,
-        dvAdds = src.dvLive, dvRemoves = prev.dvLive), snapVer)
+        dvAdds = src.dvLive, dvRemoves = prev.dvLive,
+        rows = src.rows, dvRows = src.dvRows, schema = src.schema), snapVer)
     ()
   }
 
   /** Retain the last `keepLastN` generations: the retained state
     * installs FIRST (a checkpoint at the retention cut, so the cut
     * generation resolves without its dropped predecessors), then the
-    * dropped log objects and the data files referenced by no retained
+    * dropped log objects and the files referenced by no retained
     * generation — overwritten history AND crash orphans — are
-    * deleted. Returns the deleted data paths. A crash between install
-    * and deletion leaves only collectable garbage; retained
-    * generations read exactly what they always read.
+    * deleted. Returns the deleted data/DV paths.
+    *
+    * `minAgeMs` is the FILE-AGE horizon (default
+    * [[DefaultRetentionMs]]): an unreferenced file younger than it
+    * survives the sweep, because a concurrently STAGING writer's
+    * pre-commit files are indistinguishable from orphans by listing —
+    * the age bound is the entire safety argument (Delta's
+    * deletedFileRetentionDuration). The same horizon guards crashed
+    * writers' log temps, stale `_staged` directories, and
+    * unreferenced `_changes` directories. Tests pass 0 to collect
+    * immediately.
+    *
+    * A crash between install and deletion leaves only collectable
+    * garbage; retained generations read exactly what they always
+    * read. Log truncation also bounds the gen-id idempotence memory:
+    * a batch replayed after its generation was vacuumed out of every
+    * surviving index re-commits (the Delta txn-id retention caveat).
     */
-  def vacuum(spark: SparkSession, loc: String, keepLastN: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, loc: String, keepLastN: Int,
+             minAgeMs: Long = DefaultRetentionMs): Seq[String] = {
     require(keepLastN >= 1,
       s"vacuum must retain at least one generation, got keepLastN=$keepLastN")
     val states = genStates(spark, loc)
     val kept = states.takeRight(keepLastN)
     val (p, fs) = fsOf(spark, loc)
     val dir = logDirOf(p)
-    kept.headOption.foreach { case (cutVer, cutGen, cutLive, cutDv) =>
-      // 1. retained state installs first (idempotent claim)
-      installIfAbsent(fs, dir, checkpointBody(cutGen, cutLive, cutDv),
-        checkpointPath(dir, cutVer))
+    val now = System.currentTimeMillis()
+    def oldEnough(path: Path): Boolean =
+      try now - fs.getFileStatus(path).getModificationTime >= minAgeMs
+      catch { case _: java.io.FileNotFoundException => false }
+    kept.headOption.foreach { cut =>
+      // 1. retained state installs first (idempotent claim). The cut
+      // checkpoint's gen index carries only the cut itself — every
+      // later retained generation stays indexed via the surviving
+      // commit tail.
+      installIfAbsent(fs, dir,
+        checkpointBody(cut.gen, cut.live, cut.dvLive, cut.rows, cut.dvRows,
+          cut.schema, Seq((cut.version, cut.gen))),
+        checkpointPath(dir, cut.version))
       // 2. drop pre-cut log objects + the cut's now-redundant commit
       val (commits, checkpoints) = listLog(fs, dir)
-      commits.filter(_ <= cutVer).foreach { v =>
+      commits.filter(_ <= cut.version).foreach { v =>
         fs.delete(commitPath(dir, v), false); ()
       }
-      checkpoints.filter(_ < cutVer).foreach { v =>
+      checkpoints.filter(_ < cut.version).foreach { v =>
         fs.delete(checkpointPath(dir, v), false); ()
       }
-      // crashed writers' pre-claim temps are dead weight too
+      // crashed writers' pre-claim temps — past the horizon only (a
+      // LIVE claim in flight is younger by definition)
       fs.listStatus(dir).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(".tmp-"))
+        .filter(t => t.getName.startsWith(".tmp-") && oldEnough(t))
         .foreach { t => fs.delete(t, false); () }
     }
     // 3. collect data files AND deletion vectors no retained
-    //    generation references
-    val referenced = kept.flatMap(_._3).toSet
-    val referencedDv = kept.flatMap(_._4).toSet
+    //    generation references — past the age horizon only
+    val referenced = kept.flatMap(_.live).toSet
+    val referencedDv = kept.flatMap(_.dvLive).toSet
     val doomed = ((listDataFiles(spark, loc) -- referenced) ++
-      (listDvFiles(spark, loc) -- referencedDv)).toSeq.sorted
+      (listDvFiles(spark, loc) -- referencedDv))
+      .filter(f => oldEnough(new Path(f))).toSeq.sorted
     doomed.foreach { f => fs.delete(new Path(f), false); () }
+    // 4. stale staging directories (crashed writers) past the horizon
+    val staged = new Path(p, StagedDir)
+    if (fs.exists(staged))
+      fs.listStatus(staged).toSeq.map(_.getPath).filter(oldEnough)
+        .foreach { d => fs.delete(d, true); () }
+    // 5. change directories no SURVIVING commit references, past the
+    //    horizon (a vacuumed commit's feed went with its log object)
+    val changes = new Path(p, ChangesDir)
+    if (fs.exists(changes)) {
+      val (commits, _) = listLog(fs, dir)
+      val liveTokens = commits.map(readCommit(fs, dir, _))
+        .flatMap(_.cdf).toSet
+      fs.listStatus(changes).toSeq.map(_.getPath)
+        .filter(d => !liveTokens.contains(d.getName) && oldEnough(d))
+        .foreach { d => fs.delete(d, true); () }
+    }
     doomed
   }
 }

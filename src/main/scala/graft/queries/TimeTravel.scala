@@ -32,14 +32,17 @@ object TimeTravel {
   final val Day1 = "2024-01-10"
   final val Day2 = "2024-01-20"
 
-  /** v3: the log format moved from full-live-set snapshots to delta
-    * commits + checkpoints — a new table name keys the artifact to
-    * the log FORMAT as well as the source (a surviving v2 single-file
-    * log is unreadable to the delta-log reader and must rebuild, not
-    * fingerprint-match).
+  /** v4: the table enables the COMMIT-TIME change feed (every
+    * data-changing commit persists its change rows under `_changes/`)
+    * and the v2 log object format (schema tracking, row counts,
+    * gen→version index). A new table name keys the artifact to the
+    * log FORMAT as well as the source — a surviving old-format log
+    * would fingerprint-match and then fail the feed read (no change
+    * files), so it must rebuild instead (v2→v3 learned this the hard
+    * way with the single-file log).
     */
   private[graft] def gensTable(dir: String): String =
-    s"graft_ev_gens_v3_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_gens_v4_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** One ingest batch: daily counts for `dayLo..dayHi` from events at
     * or before `cut`. The day is stored BOTH as the partition key
@@ -75,16 +78,20 @@ object TimeTravel {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       GenLog.appendBatch(spark, loc, "g1",
-        batch(spark, dir, Some(Cut1), None, Some(Day1)), "day_k")
+        batch(spark, dir, Some(Cut1), None, Some(Day1)), "day_k", cdf = true)
       GenLog.appendBatch(spark, loc, "g2",
-        batch(spark, dir, Some(Cut2), Some(Day1), Some(Day2)), "day_k")
+        batch(spark, dir, Some(Cut2), Some(Day1), Some(Day2)), "day_k",
+        cdf = true)
       GenLog.appendBatch(spark, loc, "g3",
-        batch(spark, dir, None, Some(Day2), None), "day_k")
+        batch(spark, dir, None, Some(Day2), None), "day_k", cdf = true)
       // g4: the SAME day range restated under a WIDENED schema (the
       // pipeline started tracking per-day distinct users) — schema
-      // evolution as a generation boundary, not a table migration
+      // evolution as a generation boundary, not a table migration.
+      // evolve = true is the explicit widening request; without it
+      // commit-time schema enforcement aborts the batch.
       GenLog.appendBatch(spark, loc, "g4",
-        widenedBatch(spark, dir, Some(Day2)), "day_k")
+        widenedBatch(spark, dir, Some(Day2)), "day_k",
+        evolve = true, cdf = true)
       graft.io.Warehouse.writeFingerprint(spark, tbl, src)
     }
     loc
@@ -143,24 +150,25 @@ object TimeTravel {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
-  // q205_change_feed — the change-data-feed between two snapshots,
-  // computed from the LOG'S file lists alone: diff AS-OF g3 against
-  // AS-OF g2 keyed by (day, event_type). Counts only grow between
-  // these generations, so the feed is inserts (new days) + updates
-  // (the restated boundary day and late-window days); the oracle
-  // recomputes both snapshots from the raw corpus at their cutoffs
-  // and diffs in SQL — the hash-compare certifies the feed, not just
-  // its size. At 100 TB this is incremental-consumer backbone:
-  // downstream jobs process snapshot deltas, never full tables.
+  // q205_change_feed — the COMMIT-TIME change-data-feed between two
+  // snapshots: the writer persisted each commit's changed rows under
+  // `_changes/<token>/` (GenLog cdf=true), so the feed is the union
+  // of the range's change files — cost ∝ CHANGED rows, with NO
+  // snapshot resolve and NO table diff (GenLogSpec pins that the
+  // feed's inputFiles are `_changes` paths only, and the 50-commit
+  // economics axis where a diff would read ~50× the bytes).
+  // netKeyedChanges reassembles the delete+insert pairs into keyed
+  // updates/inserts. The oracle is UNCHANGED from the snapshot-diff
+  // era — it recomputes both snapshots from the raw corpus and diffs
+  // in SQL — so the hash-compare certifies that the commit-time feed
+  // equals the table diff it replaces. At 100 TB this is the
+  // incremental-consumer backbone: downstream jobs read kilobytes of
+  // change files, never two table snapshots.
   // ---------------------------------------------------------------
   def q205(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensureEventGenerations(spark, dir)
-    val a = GenLog.read(spark, loc, "g2")
-      .select(col("day"), col("event_type"), col("n_events").as("n_old"))
-    val b = GenLog.read(spark, loc, "g3")
-      .select(col("day"), col("event_type"), col("n_events").as("n_new"))
-    b.join(a, Seq("day", "event_type"), "left_outer")
-      .where(col("n_old").isNull || col("n_old") =!= col("n_new"))
+    val feed = GenLog.readChangeFeed(spark, loc, "g2", "g3")
+    GenLog.netKeyedChanges(feed, Seq("day", "event_type"), "n_events")
       .select(col("day"), col("event_type"),
         coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"),
         when(col("n_old").isNull, lit("insert")).otherwise(lit("update"))
@@ -290,8 +298,11 @@ object TimeTravel {
   final val DelType = "purchase"
   final val DelHi = "2024-01-10"
 
+  /** v2: the delete commit persists its change files (cdf = true) —
+    * q211's feed reads them instead of diffing snapshots.
+    */
   private[graft] def delTable(dir: String): String =
-    s"graft_ev_del_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_del_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def delPred: org.apache.spark.sql.Column =
     col("event_type") === lit(DelType) &&
@@ -307,7 +318,7 @@ object TimeTravel {
       if (fs.exists(p)) fs.delete(p, true)
       GenLog.appendBatch(spark, loc, "g1",
         batch(spark, dir, None, None, None), "day_k")
-      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k")
+      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k", cdf = true)
       graft.io.Warehouse.writeFingerprint(spark, tbl, src)
     }
     loc
@@ -326,32 +337,28 @@ object TimeTravel {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
-  // q211_change_feed_delete — the change feed ACROSS a delete
-  // generation, with the full insert/update/DELETE classification
-  // (q205 could only see inserts and updates because counts only
-  // grew between its snapshots; a delete generation completes the
-  // CDC vocabulary): full-outer-diff the pre- and post-delete
-  // snapshots from the log's file lists alone — keys present only
-  // before are `delete` rows (n_new = 0), only after `insert`,
-  // changed counts `update`. On this fixture exactly the deleted
-  // groups surface, and the oracle recomputes both snapshots and
-  // diffs them in SQL — the feed itself is hash-certified.
-  // Downstream at 100 TB: deletion propagation to derived stores
-  // consumes THIS feed, never a table diff.
+  // q211_change_feed_delete — the COMMIT-TIME change feed ACROSS a
+  // delete generation, with the full insert/update/DELETE
+  // classification (q205's range only shrinks-nothing; a delete
+  // completes the CDC vocabulary). deleteWhere persisted exactly the
+  // DELETED rows as the commit's change files, so the feed is those
+  // rows — never a snapshot diff, never a full-outer join of two
+  // table reads. Keys whose net change is a disappearance classify
+  // `delete` (n_new = 0). The oracle is UNCHANGED: it recomputes
+  // both snapshots and diffs them in SQL, hash-certifying that the
+  // commit-time feed equals the diff it replaces. Downstream at
+  // 100 TB: deletion propagation to derived stores consumes THIS
+  // feed (q221), at cost ∝ deleted rows.
   // ---------------------------------------------------------------
   def q211(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensureDeleteGenerations(spark, dir)
-    val a = GenLog.read(spark, loc, "g1")
-      .select(col("day"), col("event_type"), col("n_events").as("n_a"))
-    val b = GenLog.read(spark, loc, "g2_del")
-      .select(col("day"), col("event_type"), col("n_events").as("n_b"))
-    a.join(b, Seq("day", "event_type"), "full_outer")
-      .where(col("n_a").isNull || col("n_b").isNull || col("n_a") =!= col("n_b"))
+    val feed = GenLog.readChangeFeed(spark, loc, "g1", "g2_del")
+    GenLog.netKeyedChanges(feed, Seq("day", "event_type"), "n_events")
       .select(col("day"), col("event_type"),
-        coalesce(col("n_a"), lit(0L)).as("n_old"),
-        coalesce(col("n_b"), lit(0L)).as("n_new"),
-        when(col("n_a").isNull, lit("insert"))
-          .when(col("n_b").isNull, lit("delete"))
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_old").isNull, lit("insert"))
+          .when(col("n_new").isNull, lit("delete"))
           .otherwise(lit("update")).as("change"))
       .orderBy(col("day"), col("event_type"))
   }
@@ -528,8 +535,11 @@ object TimeTravel {
   // dev/test/branch workflow: experiment on a writable branch of a
   // petabyte table for the cost of a manifest.
   // ---------------------------------------------------------------
+  /** v2: re-cloned from the v4 source table (the clone references the
+    * SOURCE's physical files, so a source rebuild must re-clone).
+    */
   private[graft] def cloneTable(dir: String): String =
-    s"graft_ev_clone_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_clone_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def ensureClonedSnapshot(spark: SparkSession, dir: String): String = {
     val src = ensureEventGenerations(spark, dir)

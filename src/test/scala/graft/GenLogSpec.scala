@@ -27,6 +27,16 @@ class GenLogSpec extends SparkTestBase {
     df.select(col("day").cast("string"), col("event_type"), col("n_events"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
 
+  /** DV sidecars live under per-commit `_dv/<token>/` subdirectories
+    * (exact attribution); list them recursively.
+    */
+  private def dvParquets(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    if (dir.isDirectory) walk(dir) else Nil
+  }
+
   test("a logical overwrite removes the old file from live but retains it for history") {
     val loc = freshGens()
     val gens = GenLog.generations(spark, loc).toMap
@@ -65,7 +75,7 @@ class GenLogSpec extends SparkTestBase {
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     val g3 = rows(GenLog.readLatest(spark, loc))
     assert(g3.nonEmpty, "readers resolve the log, so a garbage orphan cannot break them")
-    val deleted = GenLog.vacuum(spark, loc, keepLastN = 3)
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 3, minAgeMs = 0L)
     assert(deleted.exists(_.endsWith("part-orphan.parquet")))
     assert(!orphan.exists())
     assert(rows(GenLog.readLatest(spark, loc)) == g3)
@@ -78,7 +88,7 @@ class GenLogSpec extends SparkTestBase {
     assert(g1Only.nonEmpty)
     val g2Rows = rows(GenLog.read(spark, loc, "g2"))
     val g3Rows = rows(GenLog.read(spark, loc, "g3"))
-    val deleted = GenLog.vacuum(spark, loc, keepLastN = 2)
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 2, minAgeMs = 0L)
     assert(g1Only.subsetOf(deleted.toSet), "g1-only files must be collected")
     intercept[IllegalArgumentException](GenLog.read(spark, loc, "g1"))
     assert(rows(GenLog.read(spark, loc, "g2")) == g2Rows)
@@ -89,7 +99,8 @@ class GenLogSpec extends SparkTestBase {
     val loc = freshGens()
     // widen at g4: day-20+ restated with n_users
     GenLog.appendBatch(spark, loc, "g4",
-      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k",
+      evolve = true)
     // AS OF g3: the column does not exist — time travel sees the
     // schema of its day
     assert(!GenLog.read(spark, loc, "g3").columns.contains("n_users"))
@@ -128,7 +139,8 @@ class GenLogSpec extends SparkTestBase {
     val pinned = GenLog.read(spark, loc, "g3")
     val before = rows(pinned)
     GenLog.appendBatch(spark, loc, "g4",
-      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k",
+      evolve = true)
     assert(rows(pinned) == before,
       "a snapshot pinned before the commit must be unaffected by it")
     assert(rows(GenLog.readLatest(spark, loc)) != before ||
@@ -150,9 +162,10 @@ class GenLogSpec extends SparkTestBase {
     assert(tmp.exists(), "readers must never mutate the log directory")
     // the log stays writable past the dead temp
     GenLog.appendBatch(spark, loc, "g4",
-      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k")
+      TimeTravel.widenedBatch(spark, Sf, Some(TimeTravel.Day2)), "day_k",
+      evolve = true)
     assert(GenLog.generations(spark, loc).map(_._1).last == "g4")
-    val deleted = GenLog.vacuum(spark, loc, keepLastN = 4)
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 4, minAgeMs = 0L)
     assert(!tmp.exists(), "vacuum must sweep dead temps")
     assert(deleted.forall(_.endsWith(".parquet")),
       "vacuum's returned list is data files only")
@@ -403,7 +416,7 @@ class GenLogSpec extends SparkTestBase {
     // source path it displaced stays on disk for the source's readers
     val displaced = GenLog.generations(spark, loc).toMap
       .apply("clone_g2").filter(_.contains("/day_k=2024-01-05/"))
-    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1)
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1, minAgeMs = 0L)
     assert(deleted.forall(_.startsWith(loc)),
       s"clone vacuum must only touch its own directory, deleted $deleted")
     assert(displaced.forall(f => new java.io.File(f).exists()),
@@ -481,7 +494,7 @@ class GenLogSpec extends SparkTestBase {
       TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut1), None, Some(TimeTravel.Day1)), "day_k")
     GenLog.appendBatch(spark, loc2, "g2",
       TimeTravel.batch(spark, Sf, Some(TimeTravel.Cut2), Some(TimeTravel.Day1), Some(TimeTravel.Day2)), "day_k")
-    GenLog.vacuum(spark, loc2, keepLastN = 1)
+    GenLog.vacuum(spark, loc2, keepLastN = 1, minAgeMs = 0L)
     intercept[IllegalArgumentException](GenLog.restore(spark, loc2, "rb", "g1"))
   }
 
@@ -499,8 +512,7 @@ class GenLogSpec extends SparkTestBase {
       "the MoR read must hide the vectored rows")
     // a DV sidecar exists and is tiny (positions, not rows)
     val dvDir = new java.io.File(loc, GenLog.DvDir)
-    assert(dvDir.isDirectory &&
-      dvDir.listFiles().exists(_.getName.endsWith(".parquet")),
+    assert(dvDir.isDirectory && dvParquets(dvDir).nonEmpty,
       "the deletion vector must live in the _dv sidecar namespace")
     // materialization rewrote ONLY the vector-referenced (first ten
     // day) files; later days are the same paths
@@ -528,12 +540,12 @@ class GenLogSpec extends SparkTestBase {
     GenLog.deleteWhereMoR(spark, loc, "g2", TimeTravel.delPred, "day_k")
     GenLog.materializeDeletes(spark, loc, "g3", "day_k")
     val dvDir = new java.io.File(loc, GenLog.DvDir)
-    assert(dvDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(dvParquets(dvDir).nonEmpty)
     val g3 = rows(GenLog.readLatest(spark, loc))
-    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1)
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1, minAgeMs = 0L)
     assert(deleted.exists(_.contains(s"/${GenLog.DvDir}/")),
       "vacuum must collect the orphaned deletion vectors")
-    assert(!dvDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(dvParquets(dvDir).isEmpty)
     assert(rows(GenLog.readLatest(spark, loc)) == g3,
       "the retained vector-free generation reads identically")
   }
