@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.GenLog
+
+/** Round-15 transaction-log safety surface (io/GenLog.scala): the
+  * vacuum-vs-stager retention horizon, truncation-safe OCC, the
+  * insert-vs-restatement conflict matrix, exact file attribution
+  * under physically interleaved stagings, commit-time schema
+  * enforcement, the commit-time change feed's economics, and the
+  * deletion-vector debt lifecycle. Everything on throwaway locations;
+  * the queries' warehouse artifacts are never touched.
+  */
+class GenLogSafetySpec extends SparkTestBase {
+
+  private def tmpLoc(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  /** A tiny keyed frame: rows (k, v) under partition p. */
+  private def frame(p: String, kvs: (Int, Long)*) = {
+    import spark.implicits._
+    kvs.toSeq.toDF("k", "v").withColumn("p", lit(p))
+  }
+
+  /** (k, v) rows of the latest snapshot — the partition column is a
+    * directory key only (partitionBy strips it from the files), so
+    * each fixture keeps its keys partition-distinct.
+    */
+  private def rows(loc: String) =
+    GenLog.readLatest(spark, loc).select(col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  // ----------------------------------------------------------------
+  // vacuum retention horizon (round-15 directive #1)
+  // ----------------------------------------------------------------
+
+  test("a staged-but-uncommitted generation survives a concurrent vacuum, then commits and reads green") {
+    val loc = tmpLoc("gl15-vacstage")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L, 2 -> 20L), "p")
+    GenLog.appendBatch(spark, loc, "g2", frame("b", 3 -> 30L), "p")
+    // a second writer stages its batch: files are on disk, invisible,
+    // indistinguishable from crash orphans by listing alone
+    val staged = GenLog.stageAppend(spark, loc, "g3", frame("c", 4 -> 40L), "p")
+    staged.adds.foreach(f => assert(new java.io.File(f).exists()))
+    // vacuum with the DEFAULT retention horizon: the staged files are
+    // young, so they survive even though no generation references them
+    val deleted = GenLog.vacuum(spark, loc, keepLastN = 1)
+    assert(deleted.isEmpty,
+      s"young unreferenced files must survive the default horizon, got $deleted")
+    staged.adds.foreach(f => assert(new java.io.File(f).exists(),
+      s"vacuum collected a concurrently staged writer's file: $f"))
+    // ...and the staged generation still commits and reads green
+    // (its snapshot version IS the retention cut, so the chain holds)
+    GenLog.commitStaged(spark, loc, staged)
+    assert(rows(loc) == Set(1 -> 10L, 2 -> 20L, 3 -> 30L, 4 -> 40L))
+    // the aggressive horizon (tests/emergencies) still collects true
+    // orphans: an abandoned staging left behind
+    val orphan = GenLog.stageAppend(spark, loc, "dead", frame("z", 9 -> 90L), "p")
+    val swept = GenLog.vacuum(spark, loc, keepLastN = 1, minAgeMs = 0L)
+    assert(orphan.adds.forall(swept.contains),
+      "an abandoned staging must be collectable past the horizon")
+  }
+
+  test("a commit staged against a vacuumed-away snapshot aborts loudly, never corrupts the chain") {
+    val loc = tmpLoc("gl15-vactrunc")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L), "p")
+    GenLog.appendBatch(spark, loc, "g2", frame("b", 2 -> 20L), "p")
+    // staged against v2; then more history lands and vacuum truncates
+    val stale = GenLog.stageAppend(spark, loc, "late", frame("c", 3 -> 30L), "p")
+    GenLog.appendBatch(spark, loc, "g3", frame("d", 4 -> 40L), "p")
+    GenLog.vacuum(spark, loc, keepLastN = 1, minAgeMs = 0L)
+    // the race window (v3) is gone — disjointness is unprovable, and
+    // claiming v3 blind would write an ignored, data-losing commit
+    intercept[java.util.ConcurrentModificationException] {
+      GenLog.commitStaged(spark, loc, stale)
+    }
+    assert(GenLog.generations(spark, loc).map(_._1) == Seq("g3"),
+      "the aborted stale commit must leave the log untouched")
+  }
+
+  // ----------------------------------------------------------------
+  // insert-vs-restatement conflicts (ADVICE r14, medium)
+  // ----------------------------------------------------------------
+
+  test("a restater racing a blind insert on the same partition aborts; disjoint partitions commit") {
+    val loc = tmpLoc("gl15-insclash")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L), "p")
+    // writer R stages a restatement of partition a...
+    val restater = GenLog.stageAppend(spark, loc, "r1", frame("a", 1 -> 11L), "p")
+    // ...an insert into the SAME partition lands first. The insert's
+    // file would survive R's removes and break "restates completely":
+    // R must abort (Delta's ConcurrentAppendException case).
+    GenLog.appendInsert(spark, loc, "i1", frame("a", 2 -> 20L), "p")
+    intercept[java.util.ConcurrentModificationException] {
+      GenLog.commitStaged(spark, loc, restater)
+    }
+    assert(rows(loc) == Set(1 -> 10L, 2 -> 20L))
+    // a restater of a DISJOINT partition sails past the insert
+    val disjoint = GenLog.stageAppend(spark, loc, "r2", frame("b", 5 -> 50L), "p")
+    GenLog.appendInsert(spark, loc, "i2", frame("a", 3 -> 31L), "p")
+    GenLog.commitStaged(spark, loc, disjoint)
+    assert(rows(loc) == Set(1 -> 10L, 2 -> 20L, 3 -> 31L, 5 -> 50L))
+  }
+
+  test("an insert never aborts as the loser — not to a same-partition restater, not to a wildcard rewrite") {
+    val loc = tmpLoc("gl15-insloser")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L), "p")
+    // insert staged; a restatement of its target partition lands first
+    val ins = GenLog.stageAppend(spark, loc, "i1", frame("a", 2 -> 20L), "p")
+    GenLog.appendBatch(spark, loc, "g2", frame("a", 1 -> 11L), "p")
+    // pure adds stay valid under ANY concurrent commit: retry, not abort
+    GenLog.commitStagedInsert(spark, loc, ins)
+    assert(rows(loc) == Set(1 -> 11L, 2 -> 20L))
+    // same against a WILDCARD rewrite: the insert's rows were never
+    // part of the recluster's input and add on top of the new layout
+    val ins2 = GenLog.stageAppend(spark, loc, "i2", frame("a", 3 -> 30L), "p")
+    GenLog.recluster(spark, loc, "rw",
+      GenLog.readLatest(spark, loc).withColumn("p", lit("z")), "p")
+    GenLog.commitStagedInsert(spark, loc, ins2)
+    assert(rows(loc) == Set(1 -> 11L, 2 -> 20L, 3 -> 30L))
+  }
+
+  // ----------------------------------------------------------------
+  // exact file attribution (round-15 directive #4)
+  // ----------------------------------------------------------------
+
+  test("physically interleaved stagings attribute their files exactly and both commit") {
+    val loc = tmpLoc("gl15-interleave")
+    GenLog.appendBatch(spark, loc, "g1",
+      frame("a", 1 -> 10L).unionByName(frame("b", 2 -> 20L)), "p")
+    // two writers' physical writes interleave: A stages, then B
+    // stages, then A commits, then B commits. A before/after listing
+    // diff would hand B's files to nobody and A's to B — exact
+    // attribution (staged dir + rename) cannot confuse them.
+    val a = GenLog.stageAppend(spark, loc, "wa", frame("a", 1 -> 11L), "p")
+    val b = GenLog.stageAppend(spark, loc, "wb", frame("b", 2 -> 22L), "p")
+    assert(a.adds.toSet.intersect(b.adds.toSet).isEmpty)
+    assert(a.adds.nonEmpty && a.adds.forall(_.contains("/p=a/")),
+      s"writer A's adds must be exactly its partition's files: ${a.adds}")
+    assert(b.adds.nonEmpty && b.adds.forall(_.contains("/p=b/")),
+      s"writer B's adds must be exactly its partition's files: ${b.adds}")
+    GenLog.commitStaged(spark, loc, a)
+    GenLog.commitStaged(spark, loc, b) // disjoint: retries past A
+    assert(rows(loc) == Set(1 -> 11L, 2 -> 22L))
+    // no staging residue is left behind by a completed writer
+    val stagedDir = new java.io.File(loc, GenLog.StagedDir)
+    assert(!stagedDir.exists() || stagedDir.listFiles().isEmpty,
+      "completed stagings must clean their private directories")
+  }
+
+  // ----------------------------------------------------------------
+  // commit-time schema enforcement (round-15 directive #5)
+  // ----------------------------------------------------------------
+
+  test("a renamed or retyped column aborts before anything lands; widening needs evolve=true") {
+    val loc = tmpLoc("gl15-schema")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L), "p")
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_")) Nil
+          else f.listFiles().toSeq.flatMap(walk)
+        } else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
+      walk(new java.io.File(loc)).toSet
+    }
+    val before = dataFiles()
+    import spark.implicits._
+    // renamed column (v -> value): missing on the batch side — abort
+    val renamed = Seq((1, 10L)).toDF("k", "value").withColumn("p", lit("b"))
+    val e1 = intercept[IllegalArgumentException] {
+      GenLog.appendBatch(spark, loc, "bad1", renamed, "p")
+    }
+    assert(e1.getMessage.contains("missing: [v]"))
+    // retyped column (v: long -> string) — abort
+    val retyped = Seq((1, "x")).toDF("k", "v").withColumn("p", lit("b"))
+    val e2 = intercept[IllegalArgumentException] {
+      GenLog.appendBatch(spark, loc, "bad2", retyped, "p")
+    }
+    assert(e2.getMessage.contains("retyped"))
+    // silent widening — abort; explicit evolve — lands
+    val widened = frame("b", 2 -> 20L).withColumn("extra", lit(1))
+    val e3 = intercept[IllegalArgumentException] {
+      GenLog.appendBatch(spark, loc, "bad3", widened, "p")
+    }
+    assert(e3.getMessage.contains("evolve"))
+    assert(dataFiles() == before,
+      "schema enforcement must abort BEFORE any file lands")
+    assert(GenLog.generations(spark, loc).map(_._1) == Seq("g1"))
+    GenLog.appendBatch(spark, loc, "g2", widened, "p", evolve = true)
+    assert(GenLog.readLatest(spark, loc).columns.contains("extra"))
+    // the widened schema is now the contract: the ORIGINAL width is
+    // the narrow frame, and it aborts
+    val e4 = intercept[IllegalArgumentException] {
+      GenLog.appendBatch(spark, loc, "bad4", frame("c", 3 -> 30L), "p")
+    }
+    assert(e4.getMessage.contains("missing: [extra]"))
+  }
+
+  // ----------------------------------------------------------------
+  // commit-time change feed economics (round-15 directive #2)
+  // ----------------------------------------------------------------
+
+  test("the change feed reads ONLY _changes files — O(changes) against a 50-commit history where a snapshot diff reads ~100 files") {
+    val loc = tmpLoc("gl15-cdf50")
+    import spark.implicits._
+    (1 to 50).foreach { i =>
+      GenLog.appendInsert(spark, loc, s"g$i",
+        Seq((i, i.toLong)).toDF("k", "v").withColumn("p", lit(s"p$i")),
+        "p", cdf = true)
+    }
+    val feed = GenLog.readChangeFeed(spark, loc, "g49", "g50")
+    val inputs = feed.inputFiles.toSeq
+    assert(inputs.nonEmpty &&
+      inputs.forall(_.contains(s"/${GenLog.ChangesDir}/")),
+      s"the feed must read only change files, got $inputs")
+    // the economics: one commit's change files vs the two snapshot
+    // file lists a diff would have to read (49 + 50 data files here)
+    val diffBytes = (GenLog.read(spark, loc, "g49").inputFiles ++
+      GenLog.read(spark, loc, "g50").inputFiles)
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val feedBytes = inputs
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    assert(feedBytes * 10 < diffBytes,
+      s"feed bytes ($feedBytes) must be far under the diff's ($diffBytes)")
+    // content: exactly the one inserted row, tagged insert@v50
+    val got = feed.select(col("k"), col("v"), col(GenLog.ChangeTypeCol),
+      col(GenLog.ChangeVersionCol)).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet == Set((50, 50L, "insert", 50L)))
+    // a wider range unions its commits' files, still _changes-only
+    val feed10 = GenLog.readChangeFeed(spark, loc, "g40", "g50")
+    assert(feed10.count() == 10 &&
+      feed10.inputFiles.forall(_.contains(s"/${GenLog.ChangesDir}/")))
+  }
+
+  test("layout-only commits are invisible to the feed; a cdf-less data commit in range fails loudly; vacuum keeps referenced change files") {
+    val loc = tmpLoc("gl15-cdfmix")
+    GenLog.appendBatch(spark, loc, "g1",
+      frame("a", 1 -> 10L).unionByName(frame("b", 2 -> 20L)), "p", cdf = true)
+    GenLog.appendBatch(spark, loc, "g2", frame("a", 1 -> 11L), "p", cdf = true)
+    // an OPTIMIZE between feed endpoints: dataChange=false, no change
+    // files, and the feed must not error or emit anything for it
+    GenLog.compactPartitionThroughLog(spark, loc, "opt", "p", "a")
+    GenLog.appendBatch(spark, loc, "g3", frame("b", 2 -> 22L), "p", cdf = true)
+    val net = GenLog.netKeyedChanges(
+      GenLog.readChangeFeed(spark, loc, "g1", "g3"), Seq("k"), "v")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(net == Set((1, Some(10L), Some(11L)), (2, Some(20L), Some(22L))),
+      s"the netted feed must carry both updates and skip the OPTIMIZE, got $net")
+    // vacuum: surviving commits keep their change files, dropped
+    // commits lose theirs (past the horizon). keepLastN=2 keeps
+    // [opt, g3]; g3 is the only surviving COMMIT and the only one
+    // whose change directory may remain.
+    GenLog.vacuum(spark, loc, keepLastN = 2, minAgeMs = 0L)
+    val changes = new java.io.File(loc, GenLog.ChangesDir)
+    assert(changes.isDirectory && changes.listFiles().length == 1,
+      "only the surviving commit's change directory may remain")
+    // a writer that commits data WITHOUT change files poisons the
+    // range — the feed fails loudly instead of silently lying
+    GenLog.appendBatch(spark, loc, "g4", frame("c", 3 -> 30L), "p")
+    val e = intercept[IllegalArgumentException] {
+      GenLog.readChangeFeed(spark, loc, "g3", "g4").collect()
+    }
+    assert(e.getMessage.contains("cdf = false"))
+  }
+
+  // ----------------------------------------------------------------
+  // deletion-vector debt lifecycle (round-15 directive #3)
+  // ----------------------------------------------------------------
+
+  test("dvDebt grows with MoR deletes, DV compaction merges sidecars without moving it, and the bound triggers settlement") {
+    val loc = tmpLoc("gl15-dvdebt")
+    import spark.implicits._
+    val base = (1 to 10).map(i => (i, i.toLong)).toDF("k", "v")
+      .withColumn("p", when(col("k") <= 5, "a").otherwise("b"))
+    GenLog.appendBatch(spark, loc, "g1", base, "p")
+    assert(GenLog.dvDebt(spark, loc) == 0.0)
+    def expect(deleted: Set[Int]) =
+      assert(GenLog.readLatest(spark, loc).select(col("k"))
+        .collect().map(_.getInt(0)).toSet == (1 to 10).toSet -- deleted)
+    GenLog.deleteWhereMoR(spark, loc, "d1", col("k").isin(1, 2), "p")
+    val debt1 = GenLog.dvDebt(spark, loc)
+    assert(math.abs(debt1 - 0.2) < 1e-9, s"debt after 2/10 must be 0.2, got $debt1")
+    expect(Set(1, 2))
+    GenLog.deleteWhereMoR(spark, loc, "d2", col("k").isin(3, 4), "p")
+    assert(math.abs(GenLog.dvDebt(spark, loc) - 0.4) < 1e-9)
+    expect(Set(1, 2, 3, 4))
+    // two sidecars → one; answers and debt unmoved; dataChange=false
+    def dvFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      val d = new java.io.File(loc, GenLog.DvDir)
+      if (d.isDirectory) walk(d).size else 0
+    }
+    assert(GenLog.compactDeletionVectors(spark, loc, "dvc"))
+    assert(math.abs(GenLog.dvDebt(spark, loc) - 0.4) < 1e-9,
+      "DV compaction moves sidecar counts, never the debt")
+    expect(Set(1, 2, 3, 4))
+    // under the bound: no settlement
+    assert(!GenLog.maybeMaterialize(spark, loc, "mat_early", "p", bound = 0.5))
+    // the debt crosses the bound → settlement fires and clears it
+    GenLog.deleteWhereMoR(spark, loc, "d3", col("k").isin(5, 6), "p")
+    assert(math.abs(GenLog.dvDebt(spark, loc) - 0.6) < 1e-9)
+    assert(GenLog.maybeMaterialize(spark, loc, "mat", "p", bound = 0.5))
+    assert(GenLog.dvDebt(spark, loc) == 0.0)
+    expect(Set(1, 2, 3, 4, 5, 6))
+    // the MoR generations still answer AS-OF after settlement
+    assert(GenLog.read(spark, loc, "d2").select(col("k"))
+      .collect().map(_.getInt(0)).toSet == (5 to 10).toSet)
+  }
+}
