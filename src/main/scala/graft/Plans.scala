@@ -134,7 +134,7 @@ object Plans {
       "q202_compound_skipping" -> "BOTH pruning dimensions in ONE stats pass: shipdate envelopes AND orderkey Blooms intersect (6 of 32 files where each alone keeps 15) — compound skipping for a compound predicate",
       "q203_snapshot_read" -> "generation-log snapshot: the AS-OF file list pins days 1-9 from g1's files + the restated day 10 from g2's, blind to g3 — the oracle is the corpus at g2's cutoff, certifying snapshot isolation by hash",
       "q204_travel_overwritten" -> "time travel ACROSS a logical overwrite: g1 reads the file g2's restatement removed from live (bytes retained until vacuum) — read-repeatability the eager-delete overwrite cannot give",
-      "q205_change_feed" -> "change feed between snapshots: AS-OF g3 left-joined to AS-OF g2 from the log's file lists alone — inserts + updates, oracle diffs the raw corpus at both cutoffs",
+      "q205_change_feed" -> "COMMIT-TIME change feed: the range's _changes files union + one netting aggregate — no snapshot resolve, no table diff; the oracle still diffs the raw corpus at both cutoffs",
       "q206_schema_evolution" -> "merged read across TWO schemas: n_users NULL exactly where history predates the g4 widening; earlier AS-OF reads keep their own schema — evolution as a generation boundary, no migration",
       "q207_stream_generations" -> "the log's STREAMING writer: one generation per micro-batch, boundary day restated by ADDITIVE merge with the prior gen's stored counts; exactly-once by log visibility alone (no probes, no overwrites)",
       "q208_stats_access_path" -> "executed CBO: ACCESS-PATH selection from a metadata cost estimate (candidate rows + per-file open charge vs the catalog scan) — the wide window DECLINES the index, the narrow one prunes; scale-aware where a fraction threshold is not",
@@ -152,7 +152,9 @@ object Plans {
       "q223_partial_relayout" -> "liquid-clustering economics: only the DECAYED files rewrite when the metric fires (GenLog.replaceFiles, dataChange=false) — the month-clustered base survives byte-identically; rewrite cost ∝ decayed data, never the table",
       "q224_restore_generation" -> "ROLLBACK as a generation: restore re-lists the pre-delete generation's files (zero bytes written — the manifest is the rollback), the delete stays AS-OF auditable, a vacuumed target fails loudly",
       "q225_delete_mor" -> "MERGE-ON-READ delete: matched (file, row-position) pairs land in a _dv sidecar the reader anti-joins via _metadata.row_index — not one data file touched, q210's CoW oracle verbatim; O(matched positions) now vs read amplification later",
-      "q226_dv_materialize" -> "the DV debt settled: exactly the vector-referenced files rewrite without their deleted rows, vectors drop, dataChange=false — read amplification moves, answers do not (same oracle again)")
+      "q226_dv_materialize" -> "the DV debt settled: exactly the vector-referenced files rewrite without their deleted rows, vectors drop, dataChange=false — read amplification moves, answers do not (same oracle again)",
+      "q227_dv_debt_settlement" -> "DV economics closed: debt metric (vector rows / data rows, commit metadata only) priced per wave, sidecar compaction between waves, bound-triggered materialization — q210's oracle at every stage",
+      "q228_zoned2d_relayout" -> "2-D maintained skipping: aligned Morton blocks, worst-dimension width metric, z-order recluster on bound crossing, box pruned on BOTH envelopes — q195's oracle verbatim")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -12,6 +12,9 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(',').toSeq))
     }
     val spark = GraftSession.local("graft-verify")
+    // sweep fixture dirs superseded by format-version bumps before
+    // anything fingerprint-matches against them
+    graft.io.Warehouse.dropSuperseded(spark)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }

@@ -488,6 +488,44 @@ object Warehouse {
     * Re-registration runs one DDL + MSCK REPAIR to rediscover the
     * surviving partition directories in the catalog.
     */
+  /** Fixture-table name patterns SUPERSEDED by a format-version bump
+    * (the memory-note discipline: a persisted artifact whose FORMAT
+    * changed gets a new table name so fingerprint-matching can never
+    * serve the old layout). The old directories are dead bytes the
+    * moment the bump lands — this registry is what [[dropSuperseded]]
+    * sweeps, and appending to it is part of every future bump.
+    */
+  private[graft] val SupersededFixtures: Seq[scala.util.matching.Regex] = Seq(
+    "graft_ev_gens_v[23]_[0-9a-f]+".r,  // v4: delta log + CDF
+    "graft_ev_insopt_[0-9a-f]+".r,      // v2: dataChange markers
+    "graft_ev_evolve_[0-9a-f]+".r,      // v2: delta log format
+    "graft_ev_del_[0-9a-f]+".r,         // v2: CDF on the delete commit
+    "graft_ev_clone_[0-9a-f]+".r,       // v2: re-cloned from gens v4
+    "graft_ev_sgens_[0-9a-f]+".r)       // v2: delta log format
+
+  /** Delete superseded fixture directories (and any catalog entries
+    * under those names) from the warehouse — the cruft sweep that
+    * stops format-version bumps from accumulating dead bytes forever.
+    * Idempotent; returns the directories removed. Runs at the top of
+    * [[graft.Verify]] so every round's artifact dump starts clean.
+    */
+  def dropSuperseded(spark: SparkSession): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val doomed = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(p =>
+        SupersededFixtures.exists(_.pattern.matcher(p.getName).matches()))
+    doomed.foreach { p =>
+      if (spark.catalog.tableExists(p.getName))
+        spark.sql(s"DROP TABLE IF EXISTS ${p.getName}")
+      fs.delete(p, true)
+      ()
+    }
+    doomed.map(_.getName).sorted
+  }
+
   def ensurePartitionedTable(spark: SparkSession, table: String,
                              srcPath: String, partCol: String)
                             (build: => DataFrame): String = {

@@ -622,6 +622,82 @@ object Layout {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------
+  // q228_zoned2d_relayout — q214's maintenance loop in TWO
+  // dimensions (io/GenZoned2.scala): the layout clusters
+  // (l_partkey, l_suppkey) into aligned Morton blocks (q86's curve
+  // as storage, q195's point as policy), append waves land unsorted
+  // with full-domain envelopes in BOTH keys, and the persisted 2-D
+  // quality metric — row-weighted max(width_p, width_s)/domain —
+  // tolerates one wave and crosses WidthBound2 at the second, firing
+  // a Z-ORDER recluster through the log. The reader prunes the
+  // 2-D box on BOTH columns' envelopes simultaneously — what no
+  // single-key sort can serve (a partkey-sorted layout keeps the
+  // full supplier domain in every file) — and re-applies the exact
+  // predicate, so the maintained layout answers q195's oracle
+  // verbatim at every maintenance stage (GenZonedSpec pins the 2-D
+  // degrade → tolerate → trigger → recover cycle). At 100 TB this is
+  // liquid clustering on two dimensions: the table measures its own
+  // 2-D skipping decay and rewrites when the numbers pay for it.
+  // ---------------------------------------------------------------
+  private[graft] def zoned2Slice(spark: SparkSession, dir: String,
+                                 filter: String): DataFrame =
+    Tables.lineitem(spark, dir).where(expr(filter))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"))
+
+  private[graft] def ensureZoned2(spark: SparkSession, dir: String): String = {
+    import graft.io.{GenLog, GenZoned2}
+    val tbl = s"graft_li_genzone2_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/lineitem.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(loc, GenZoned2.statsLoc(loc)).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val base = zoned2Slice(spark, dir, "l_orderkey % 8 != 0")
+      val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      GenLog.appendBatch(spark, loc, "base",
+        base.withColumn(GenZoned2.PartCol,
+          GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
+            m.getLong(0), m.getLong(1))),
+        GenZoned2.PartCol)
+      GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+      Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
+        .foreach { case (w, f) =>
+          GenLog.appendBatch(spark, loc, s"wave$w",
+            zoned2Slice(spark, dir, f)
+              .withColumn(GenZoned2.PartCol, lit(s"wave$w")),
+            GenZoned2.PartCol)
+          GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+          GenZoned2.maybeRecluster(spark, loc, s"zrl$w",
+            "l_partkey", "l_suppkey")
+          ()
+        }
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.GenZoned2
+    val loc = ensureZoned2(spark, dir)
+    // the box bounds derive from the layout's own stats (max of
+    // per-file maxes == the global max — O(files) metadata)
+    val (pmax, smax) = GenZoned2.liveMaxes(spark, loc)
+    val (pLo, pHi, sLo, sHi) = zBox(pmax, smax)
+    GenZoned2.prunedRead(spark, loc, pLo, pHi, sLo, sHi)
+      .where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
+        col("l_suppkey").between(lit(sLo), lit(sHi)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
@@ -632,7 +708,8 @@ object Layout {
     "q208_stats_access_path" -> (q208 _),
     "q212_cost_access_path" -> (q212 _),
     "q214_adaptive_relayout" -> (q214 _),
-    "q223_partial_relayout" -> (q223 _))
+    "q223_partial_relayout" -> (q223 _),
+    "q228_zoned2d_relayout" -> (q228 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -650,5 +727,9 @@ object Layout {
     // timing changes cost, never answers — q194's oracle verbatim
     "q214_adaptive_relayout" -> q194Sql,
     // q223: the partial re-layout answers identically
-    "q223_partial_relayout" -> q194Sql)
+    "q223_partial_relayout" -> q194Sql,
+    // q228: base + waves + z-order re-layout = the full corpus; the
+    // maintained 2-D layout answers the 2-D box — q195's oracle
+    // verbatim
+    "q228_zoned2d_relayout" -> q195Sql)
 }

@@ -746,6 +746,77 @@ object TimeTravel {
   /** Materialization moves read amplification, never answers. */
   val q226Sql: String = q210Sql
 
+  // ---------------------------------------------------------------
+  // q227_dv_debt_settlement — the deletion-vector ECONOMICS closed
+  // into a lifecycle (q225/q226 showed the mechanism; this is the
+  // policy loop a delete-heavy table actually runs): three MoR
+  // delete waves accumulate vectors against the rollup, the
+  // persisted DEBT metric (live vector rows / live data rows — pure
+  // commit metadata, GenLog.dvDebt) is priced after every wave, a
+  // DV COMPACTION between waves merges sidecar fragments without
+  // moving the debt (dataChange=false — scan-open count drops,
+  // answers don't), and when the debt crosses DvDebtBound the bound
+  // itself fires materializeDeletes (GenLog.maybeMaterialize — the
+  // q214 WidthBound pattern, settlement edition). The waves union to
+  // exactly q210's predicate, so the settled table answers q210's
+  // oracle verbatim — every cost decision on the way is
+  // answer-neutral by construction, and GenLogSafetySpec pins the
+  // debt values, the compaction invariants, and the trigger point.
+  // At 100 TB this is how a GDPR pipeline runs: deletes are
+  // kilobyte sidecars tonight, the rewrite happens when the
+  // metadata says read amplification stopped being worth it.
+  // ---------------------------------------------------------------
+  /** Debt bound between wave 2 (8 tombstoned groups / 150 ≈ 0.053)
+    * and wave 3 (10/150 ≈ 0.067) — tolerate-then-trigger at every SF
+    * (the events corpus carries all 150 (day, type) groups and all
+    * ten purchase days at each scale).
+    */
+  final val DvDebtBound = 0.06
+
+  private[graft] def dvDebtTable(dir: String): String =
+    s"graft_ev_dvdebt_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureDvDebtGenerations(spark: SparkSession, dir: String): String = {
+    val tbl = dvDebtTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, None, None, None), "day_k")
+      def wave(gen: String, dayLo: String, dayHi: String): Unit = {
+        GenLog.deleteWhereMoR(spark, loc, gen,
+          col("event_type") === lit(DelType) &&
+            col("day").between(lit(dayLo).cast("date"), lit(dayHi).cast("date")),
+          "day_k")
+        GenLog.maybeMaterialize(spark, loc, s"${gen}_settle", "day_k",
+          DvDebtBound)
+        ()
+      }
+      wave("w1", "2024-01-01", "2024-01-04") // debt ~0.027: tolerated
+      wave("w2", "2024-01-05", "2024-01-08") // debt ~0.053: tolerated
+      GenLog.compactDeletionVectors(spark, loc, "dvc") // 2 sidecars -> 1
+      wave("w3", "2024-01-09", DelHi) // debt ~0.067: settlement fires
+      require(graft.io.GenLog.dvDebt(spark, loc) == 0.0,
+        "the third wave must have crossed the bound and settled")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q227(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureDvDebtGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Waves ∪ = q210's predicate; debt pricing, DV compaction, and
+    * bound-triggered settlement are all answer-neutral — q210's
+    * oracle verbatim.
+    */
+  val q227Sql: String = q210Sql
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -763,7 +834,8 @@ object TimeTravel {
     "q222_stream_insert_log" -> (q222 _),
     "q224_restore_generation" -> (q224 _),
     "q225_delete_mor" -> (q225 _),
-    "q226_dv_materialize" -> (q226 _))
+    "q226_dv_materialize" -> (q226 _),
+    "q227_dv_debt_settlement" -> (q227 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -782,5 +854,6 @@ object TimeTravel {
     "q222_stream_insert_log" -> q222Sql,
     "q224_restore_generation" -> q224Sql,
     "q225_delete_mor" -> q225Sql,
-    "q226_dv_materialize" -> q226Sql)
+    "q226_dv_materialize" -> q226Sql,
+    "q227_dv_debt_settlement" -> q227Sql)
 }

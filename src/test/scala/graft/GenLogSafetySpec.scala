@@ -309,4 +309,42 @@ class GenLogSafetySpec extends SparkTestBase {
     assert(GenLog.read(spark, loc, "d2").select(col("k"))
       .collect().map(_.getInt(0)).toSet == (5 to 10).toSet)
   }
+
+  // ----------------------------------------------------------------
+  // ADVICE r14 regressions: empty checked batch, narrowing merge
+  // ----------------------------------------------------------------
+
+  test("an empty batch passes every CHECK constraint and commits an empty delta (no NPE on the null aggregate)") {
+    val loc = tmpLoc("gl15-emptycheck")
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L), "p")
+    GenLog.appendBatchChecked(spark, loc, "g2",
+      frame("a", 1 -> 10L).where(lit(false)), "p",
+      Seq("v_positive" -> (col("v") > 0)))
+    assert(GenLog.generations(spark, loc).map(_._1) == Seq("g1", "g2"),
+      "the empty batch must commit an empty delta, not crash")
+    assert(rows(loc) == Set(1 -> 10L))
+  }
+
+  test("mergeByKey refuses an updates frame narrower than the live schema instead of silently dropping columns") {
+    val loc = tmpLoc("gl15-narrowmerge")
+    import spark.implicits._
+    val wide = Seq((1, 10L, "x"), (2, 20L, "y")).toDF("k", "v", "tag")
+      .withColumn("p", lit("a"))
+    GenLog.appendBatch(spark, loc, "g1", wide, "p")
+    val narrow = Seq((1, 11L)).toDF("k", "v").withColumn("p", lit("a"))
+    val e = intercept[IllegalArgumentException] {
+      GenLog.mergeByKey(spark, loc, "m1", narrow, Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("tag"),
+      s"the refusal must name the dropped column, got: ${e.getMessage}")
+    // nothing moved: the wide rows are intact
+    assert(GenLog.readLatest(spark, loc).columns.contains("tag"))
+    assert(GenLog.readLatest(spark, loc).count() == 2)
+    // a covering frame merges fine
+    val full = Seq((1, 11L, "x2")).toDF("k", "v", "tag").withColumn("p", lit("a"))
+    GenLog.mergeByKey(spark, loc, "m2", full, Seq("k"), "p")
+    assert(GenLog.readLatest(spark, loc).where(col("k") === 1)
+      .select(col("v"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set(11L -> "x2"))
+  }
 }

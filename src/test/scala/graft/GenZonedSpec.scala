@@ -131,4 +131,91 @@ class GenZonedSpec extends SparkTestBase {
     assert(GenLog.readLatest(spark, loc).count() ==
       Tables.lineitem(spark, Sf).count())
   }
+
+  test("2-D: wide waves degrade the worst-dimension metric, the bound fires a z-order re-layout, BOTH envelopes recover; the box answer never moves") {
+    import graft.io.GenZoned2
+    val loc = java.nio.file.Files.createTempDirectory("genzoned2").toString + "/t"
+    def box(): (Long, Long, Long, Long) = {
+      val (pm, sm) = GenZoned2.liveMaxes(spark, loc)
+      Layout.zBox(pm, sm)
+    }
+    def answer2(): Set[(String, Long)] = {
+      val (pLo, pHi, sLo, sHi) = box()
+      GenZoned2.prunedRead(spark, loc, pLo, pHi, sLo, sHi)
+        .where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
+          col("l_suppkey").between(lit(sLo), lit(sHi)))
+        .groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    def expected2(): Set[(String, Long)] = {
+      val (pLo, pHi, sLo, sHi) = box()
+      GenLog.readLatest(spark, loc)
+        .where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
+          col("l_suppkey").between(lit(sLo), lit(sHi)))
+        .groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    // base: aligned Morton blocks — tight in BOTH dimensions (the
+    // block geometry floors the metric near 1/8 per dim)
+    val base = Layout.zoned2Slice(spark, Sf, "l_orderkey % 8 != 0")
+    val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    GenLog.appendBatch(spark, loc, "base",
+      base.withColumn(GenZoned2.PartCol,
+        GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
+          m.getLong(0), m.getLong(1))), GenZoned2.PartCol)
+    assert(GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey") > 0)
+    val q0 = GenZoned2.quality(spark, loc)
+    assert(q0 < GenZoned2.WidthBound2,
+      s"z-blocked base must score under the bound, got $q0")
+    val (pLo, pHi, sLo, sHi) = box()
+    val frac0 = GenZoned2.matchedFraction(spark, loc, pLo, pHi, sLo, sHi)
+    assert(frac0 < 0.3, s"the 2-D box must prune the blocked base, got $frac0")
+    assert(answer2() == expected2())
+
+    // wave 1: full-domain in BOTH keys — degraded but tolerated
+    GenLog.appendBatch(spark, loc, "wave1",
+      Layout.zoned2Slice(spark, Sf, "l_orderkey % 16 = 0")
+        .withColumn(GenZoned2.PartCol, lit("wave1")), GenZoned2.PartCol)
+    GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+    assert(!GenZoned2.maybeRecluster(spark, loc, "zrl1", "l_partkey", "l_suppkey"),
+      "one tolerable wave must not trigger the rewrite")
+    val q1 = GenZoned2.quality(spark, loc)
+    assert(q1 > q0 && q1 <= GenZoned2.WidthBound2,
+      s"wave 1 must degrade within the bound, got $q0 -> $q1")
+    assert(answer2() == expected2(), "degraded layout must answer exactly")
+
+    // wave 2: the metric crosses — the Z-ORDER rewrite fires and
+    // tightens BOTH dimensions at once
+    GenLog.appendBatch(spark, loc, "wave2",
+      Layout.zoned2Slice(spark, Sf, "l_orderkey % 16 = 8")
+        .withColumn(GenZoned2.PartCol, lit("wave2")), GenZoned2.PartCol)
+    GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+    assert(GenZoned2.quality(spark, loc) > GenZoned2.WidthBound2,
+      "two full-domain waves must cross the bound")
+    assert(GenZoned2.maybeRecluster(spark, loc, "zrl2", "l_partkey", "l_suppkey"),
+      "the crossed bound must trigger the z-order re-layout")
+    val q2 = GenZoned2.quality(spark, loc)
+    assert(q2 <= q0 * 1.1,
+      s"the z-order rewrite must restore the 2-D metric, got $q2 vs base $q0")
+    assert(GenZoned2.matchedFraction(spark, loc, pLo, pHi, sLo, sHi) < 0.3,
+      "2-D skipping economics must recover")
+    assert(answer2() == expected2(), "the re-layout must not move the answer")
+    assert(!GenZoned2.maybeRecluster(spark, loc, "zrl3", "l_partkey", "l_suppkey"))
+    assert(GenLog.readLatest(spark, loc).count() ==
+      Tables.lineitem(spark, Sf).count())
+
+    // the 1-D counterfactual, measured not asserted-in-prose: a
+    // partkey-SORTED layout scores ~1 on the 2-D metric (tight in
+    // partkey, full supplier domain per file) — exactly the decay a
+    // 1-D metric cannot see
+    val loc1 = java.nio.file.Files.createTempDirectory("genzoned2s").toString + "/t"
+    GenLog.appendBatch(spark, loc1, "sorted",
+      base.withColumn(GenZoned2.PartCol,
+        format_string("b%02d", floor(col("l_partkey") * 16 /
+          (m.getLong(0) + 1)))), GenZoned2.PartCol)
+    GenZoned2.absorbStats(spark, loc1, "l_partkey", "l_suppkey")
+    val qSorted = GenZoned2.quality(spark, loc1)
+    assert(qSorted > 0.8,
+      s"a single-key sort must score near 1 on the 2-D metric, got $qSorted")
+  }
 }

@@ -279,4 +279,28 @@ class WarehouseMaintSpec extends SparkTestBase {
     Warehouse.deleteMergeByKey(spark, table, tombs, "day", "event_id")
     assert(spark.table(table).count() == expectRows)
   }
+
+  test("dropSuperseded sweeps format-bumped fixture dirs, spares current versions, and is idempotent") {
+    // the conf value is a URI (file:/...): normalize to a local path
+    val root = new java.io.File(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath)
+    root.mkdirs()
+    val stale = new java.io.File(root, "graft_ev_gens_v2_deadbee")
+    val current = new java.io.File(root, "graft_ev_gens_v4_deadbee")
+    Seq(stale, current).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "x.parquet").toPath, "stub")
+    }
+    val swept = Warehouse.dropSuperseded(spark)
+    assert(swept.contains("graft_ev_gens_v2_deadbee"),
+      s"the superseded dir must be swept, got $swept")
+    assert(!stale.exists(), "superseded fixture bytes must be gone")
+    assert(current.exists(),
+      "a current-version fixture must never match a superseded pattern")
+    // idempotent: a second sweep finds nothing
+    assert(!Warehouse.dropSuperseded(spark).contains("graft_ev_gens_v2_deadbee"))
+    current.listFiles().foreach(_.delete()); current.delete()
+    ()
+  }
 }
