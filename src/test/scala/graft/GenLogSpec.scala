@@ -205,6 +205,15 @@ class GenLogSpec extends SparkTestBase {
     // and the resolved snapshots answer correctly
     assert(GenLog.read(spark, loc, "g45").count() == 45)
     assert(GenLog.readLatest(spark, loc).count() == 52)
+    // the checkpoint carries the gen→version INDEX, so a gen-id probe
+    // (contains — run on EVERY commit for idempotence) is the latest
+    // checkpoint + tail, never a scan of all surviving commits
+    val ck50 = java.nio.file.Files.readString(
+      new java.io.File(logDir, f"${50L}%020d.checkpoint").toPath)
+    val genvers = ck50.linesIterator.count(_.startsWith("genver:"))
+    assert(genvers == 50, s"checkpoint 50 must index all 50 gens, got $genvers")
+    assert(ck50.linesIterator.contains("genver:7:g7"),
+      "mid-history gens must be index entries, not commit scans")
   }
 
   test("optimistic concurrency: disjoint writers both commit; overlapping writers abort; replayed gen skips") {
