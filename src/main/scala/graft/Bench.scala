@@ -149,6 +149,14 @@ object Bench {
       }),
       "evolved_generations" -> (() => {
         queries.TimeTravel.ensureEvolvedGenerations(spark, sfDir); ()
+      }),
+      // q228/q229's Morton-blocked lineitem layouts: the base write
+      // fans into ~64 block files and each wave runs the metric +
+      // possible re-layout — the heaviest of the log fixtures, so the
+      // build is setup, the samples measure the 2-D pruned read
+      "zoned2_layouts" -> (() => {
+        queries.Layout.ensureZoned2(spark, sfDir)
+        queries.Layout.ensureZoned2Partial(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

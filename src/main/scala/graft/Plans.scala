@@ -154,7 +154,10 @@ object Plans {
       "q225_delete_mor" -> "MERGE-ON-READ delete: matched (file, row-position) pairs land in a _dv sidecar the reader anti-joins via _metadata.row_index — not one data file touched, q210's CoW oracle verbatim; O(matched positions) now vs read amplification later",
       "q226_dv_materialize" -> "the DV debt settled: exactly the vector-referenced files rewrite without their deleted rows, vectors drop, dataChange=false — read amplification moves, answers do not (same oracle again)",
       "q227_dv_debt_settlement" -> "DV economics closed: debt metric (vector rows / data rows, commit metadata only) priced per wave, sidecar compaction between waves, bound-triggered materialization — q210's oracle at every stage",
-      "q228_zoned2d_relayout" -> "2-D maintained skipping: aligned Morton blocks, worst-dimension width metric, z-order recluster on bound crossing, box pruned on BOTH envelopes — q195's oracle verbatim")
+      "q228_zoned2d_relayout" -> "2-D maintained skipping: aligned Morton blocks, worst-dimension width metric, z-order recluster on bound crossing, box pruned on BOTH envelopes — q195's oracle verbatim",
+      "q229_zoned2d_partial" -> "2-D liquid clustering: only the decayed files rewrite into Morton blocks (GenLog.replaceFiles, dataChange=false) — the z-blocked base survives byte-identically; same oracle",
+      "q230_restore_feed" -> "the rollback feeds CDC: restore's change files from the file-list diff, netted to the delete's exact inverse (pure inserts) — derived stores absorb a rollback through the same feed path",
+      "q231_stream_cdc" -> "streaming CDC source: each micro-batch commit persists its change rows; the windowed feed nets to the cutoff diff — bronze/silver/gold each hop O(new data)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

@@ -1153,9 +1153,21 @@ object GenLog {
     * re-seed, the documented Delta caveat). Wildcard conflict scope:
     * a restore invalidates any concurrent writer's snapshot by
     * definition. The restored schema is the target generation's.
+    *
+    * With `cdf = true` the rollback itself feeds the change stream:
+    * change rows come from the FILE-LIST DIFF alone — rows of files
+    * only the current state holds are deletes, rows of files only the
+    * target holds are inserts (each side read through its own
+    * deletion vectors, so MoR state diffs correctly) — cost ∝
+    * DIFFERING files, never the table. Rows restated identically
+    * across layouts surface as equal delete+insert pairs, which
+    * [[netKeyedChanges]] drops, so keyed consumers see exactly the
+    * net rollback. Without cdf, a restore poisons feed ranges that
+    * cross it (the loud [[readChangeFeed]] contract) — consumers
+    * re-seed, the documented Delta caveat.
     */
   def restore(spark: SparkSession, loc: String, newGen: String,
-              toGen: String): Unit = {
+              toGen: String, cdf: Boolean = false): Unit = {
     validateGen(newGen)
     if (contains(spark, loc, newGen)) return
     val target = resolveGen(spark, loc, toGen)
@@ -1166,11 +1178,38 @@ object GenLog {
     }
     val (snapVer, cur) = latestFull(spark, loc)
     val schemaLine = if (target.schema == cur.schema) None else target.schema
+    val cdfTok =
+      if (!cdf) None
+      else {
+        def side(files: Seq[String], dvLive: Seq[String]): Option[DataFrame] =
+          if (files.isEmpty) None
+          else {
+            val data = spark.read.option("basePath", loc)
+              .option("mergeSchema", "true").parquet(files: _*)
+            if (dvLive.isEmpty) Some(data)
+            else {
+              val dv = spark.read.parquet(dvLive: _*)
+                .select(col("file_path").as("__graft_dv_f"),
+                  col("row_index").as("__graft_dv_i"))
+              val cols = data.columns.toSeq
+              Some(data
+                .withColumn("__graft_dv_f", col("_metadata.file_path"))
+                .withColumn("__graft_dv_i", col("_metadata.row_index"))
+                .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+                .select(cols.map(col): _*))
+            }
+          }
+        val curOnly = cur.live.filterNot(target.live.toSet)
+        val tgtOnly = target.live.filterNot(cur.live.toSet)
+        writeChanges(spark, loc,
+          deletes = side(curOnly, cur.dvLive),
+          inserts = side(tgtOnly, target.dvLive))
+      }
     commitDelta(spark, loc,
       Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
         dvAdds = target.dvLive, dvRemoves = cur.dvLive,
         rows = target.rows, dvRows = target.dvRows,
-        schema = schemaLine), snapVer)
+        schema = schemaLine, cdf = cdfTok), snapVer)
     ()
   }
 

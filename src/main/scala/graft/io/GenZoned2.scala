@@ -181,6 +181,37 @@ object GenZoned2 {
     true
   }
 
+  /** PARTIAL 2-D re-layout (liquid clustering in two dimensions):
+    * when the quality bound fires, rewrite ONLY the decayed files —
+    * the live files whose own WORST-dimension envelope exceeds the
+    * bound (the unsorted waves; aligned z-blocks score ~1/8 per dim
+    * and are untouched, byte-identically) — through
+    * [[GenLog.replaceFiles]], re-keyed into Morton blocks. Rewrite
+    * cost ∝ decayed data, never the table. Returns whether the
+    * rewrite ran.
+    */
+  def maybeReclusterPartial(spark: SparkSession, loc: String, gen: String,
+                            c1: String, c2: String,
+                            bound: Double = WidthBound2): Boolean = {
+    if (quality(spark, loc) <= bound) return false
+    val s = liveStats(spark, loc)
+    val d1 = (s.map(_._4).max - s.map(_._3).min).toDouble
+    val d2 = (s.map(_._6).max - s.map(_._5).min).toDouble
+    val wide = s.filter { r =>
+      val w1 = if (d1 == 0) 0.0 else (r._4 - r._3) / d1
+      val w2 = if (d2 == 0) 0.0 else (r._6 - r._5) / d2
+      math.max(w1, w2) > bound
+    }.map(_._1)
+    require(wide.nonEmpty,
+      "quality crossed the bound but no single file exceeds it — widen the metric")
+    val (m1, m2) = liveMaxes(spark, loc)
+    GenLog.replaceFiles(spark, loc, gen, wide, PartCol)(df =>
+      df.drop(PartCol)
+        .withColumn(PartCol, blockKey(col(c1), col(c2), m1, m2)))
+    absorbStats(spark, loc, c1, c2)
+    true
+  }
+
   /** Read only the live files whose envelopes intersect the 2-D box
     * `[lo1, hi1] × [lo2, hi2]` — candidate superset pruned on BOTH
     * columns simultaneously; callers re-apply the exact predicate.

@@ -501,7 +501,8 @@ object Warehouse {
     "graft_ev_evolve_[0-9a-f]+".r,      // v2: delta log format
     "graft_ev_del_[0-9a-f]+".r,         // v2: CDF on the delete commit
     "graft_ev_clone_[0-9a-f]+".r,       // v2: re-cloned from gens v4
-    "graft_ev_sgens_[0-9a-f]+".r)       // v2: delta log format
+    "graft_ev_sgens_(v2_)?[0-9a-f]+".r, // v3: streaming committer CDF
+    "graft_ev_restore_[0-9a-f]+".r)     // v2: restore writes CDF
 
   /** Delete superseded fixture directories (and any catalog entries
     * under those names) from the warehouse — the cruft sweep that

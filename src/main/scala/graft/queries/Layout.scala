@@ -682,11 +682,56 @@ object Layout {
     loc
   }
 
-  def q228(spark: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------
+  // q229_zoned2d_partial — q228's trigger with LIQUID-CLUSTERING
+  // economics in two dimensions: when the 2-D metric crosses the
+  // bound, ONLY the decayed files (the waves — full-domain in both
+  // keys) rewrite into aligned Morton blocks through
+  // GenLog.replaceFiles; the z-blocked base survives byte-identically
+  // (GenZonedSpec pins the surviving paths), the commit is
+  // dataChange=false, and the 2-D box prunes on both recovered
+  // envelopes. Rewrite cost ∝ decayed data, never the table — the
+  // q223-vs-q214 distinction, now on the layout a single sort key
+  // cannot serve. Same corpus, same box — q195's oracle verbatim.
+  // ---------------------------------------------------------------
+  private[graft] def ensureZoned2Partial(spark: SparkSession, dir: String): String = {
+    import graft.io.{GenLog, GenZoned2}
+    val tbl = s"graft_li_genzone2p_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/lineitem.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(loc, GenZoned2.statsLoc(loc)).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val base = zoned2Slice(spark, dir, "l_orderkey % 8 != 0")
+      val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      GenLog.appendBatch(spark, loc, "base",
+        base.withColumn(GenZoned2.PartCol,
+          GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
+            m.getLong(0), m.getLong(1))),
+        GenZoned2.PartCol)
+      GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+      Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
+        .foreach { case (w, f) =>
+          GenLog.appendBatch(spark, loc, s"wave$w",
+            zoned2Slice(spark, dir, f)
+              .withColumn(GenZoned2.PartCol, lit(s"wave$w")),
+            GenZoned2.PartCol)
+          GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+          GenZoned2.maybeReclusterPartial(spark, loc, s"zprl$w",
+            "l_partkey", "l_suppkey")
+          ()
+        }
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  private def zoned2BoxAgg(spark: SparkSession, loc: String): DataFrame = {
     import graft.io.GenZoned2
-    val loc = ensureZoned2(spark, dir)
-    // the box bounds derive from the layout's own stats (max of
-    // per-file maxes == the global max — O(files) metadata)
     val (pmax, smax) = GenZoned2.liveMaxes(spark, loc)
     val (pLo, pHi, sLo, sHi) = zBox(pmax, smax)
     GenZoned2.prunedRead(spark, loc, pLo, pHi, sLo, sHi)
@@ -697,6 +742,18 @@ object Layout {
         dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
   }
+
+  def q229(spark: SparkSession, dir: String): DataFrame =
+    zoned2BoxAgg(spark, ensureZoned2Partial(spark, dir))
+
+  /** The shared q228/q229 body: box bounds derive from the layout's
+    * own stats (max of per-file maxes == the global max — O(files)
+    * metadata), the 2-D pruned read, the exact predicate re-applied.
+    * ONE definition so the partial variant can never drift from the
+    * oracle it shares with the full rewrite.
+    */
+  def q228(spark: SparkSession, dir: String): DataFrame =
+    zoned2BoxAgg(spark, ensureZoned2(spark, dir))
 
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
@@ -709,7 +766,8 @@ object Layout {
     "q212_cost_access_path" -> (q212 _),
     "q214_adaptive_relayout" -> (q214 _),
     "q223_partial_relayout" -> (q223 _),
-    "q228_zoned2d_relayout" -> (q228 _))
+    "q228_zoned2d_relayout" -> (q228 _),
+    "q229_zoned2d_partial" -> (q229 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -731,5 +789,7 @@ object Layout {
     // q228: base + waves + z-order re-layout = the full corpus; the
     // maintained 2-D layout answers the 2-D box — q195's oracle
     // verbatim
-    "q228_zoned2d_relayout" -> q195Sql)
+    "q228_zoned2d_relayout" -> q195Sql,
+    // q229: the 2-D partial re-layout answers identically
+    "q229_zoned2d_partial" -> q195Sql)
 }

@@ -661,8 +661,11 @@ object TimeTravel {
   // between an incident rollback that is one manifest commit and one
   // that re-copies a table.
   // ---------------------------------------------------------------
+  /** v2: the delete and the restore both write change files — the
+    * rollback itself feeds the change stream (q230).
+    */
   private[graft] def restoreTable(dir: String): String =
-    s"graft_ev_restore_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_restore_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   private[graft] def ensureRestoredGenerations(spark: SparkSession, dir: String): String = {
     val tbl = restoreTable(dir)
@@ -673,9 +676,9 @@ object TimeTravel {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       GenLog.appendBatch(spark, loc, "g1",
-        batch(spark, dir, None, None, None), "day_k")
-      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k")
-      GenLog.restore(spark, loc, "g3_restore", "g1")
+        batch(spark, dir, None, None, None), "day_k", cdf = true)
+      GenLog.deleteWhere(spark, loc, "g2_del", delPred, "day_k", cdf = true)
+      GenLog.restore(spark, loc, "g3_restore", "g1", cdf = true)
       graft.io.Warehouse.writeFingerprint(spark, tbl, src)
     }
     loc
@@ -817,6 +820,90 @@ object TimeTravel {
     */
   val q227Sql: String = q210Sql
 
+  // ---------------------------------------------------------------
+  // q230_restore_feed — the ROLLBACK feeds the change stream: q224's
+  // restore commits with cdf=true, persisting change rows computed
+  // from the FILE-LIST DIFF alone (rows of current-only files as
+  // deletes, rows of target-only files as inserts — cost ∝ differing
+  // files, never the table). Netting the feed across the restore
+  // kills the equal delete+insert pairs of rows the delete's rewrite
+  // restated (the non-purchase siblings of the affected day files),
+  // leaving exactly the resurrected groups: the deleted purchase
+  // rows come back as pure INSERTS. The oracle states that directly
+  // — the deleted predicate's groups with n_old = 0 — so the
+  // hash-compare certifies that a zero-copy rollback produces the
+  // row-accurate inverse of the delete in the feed. At 100 TB this
+  // closes the last CDC hole: derived stores absorb an incident
+  // rollback through the SAME feed path as every other commit
+  // (q221's machinery), instead of rebuilding after a restore.
+  // ---------------------------------------------------------------
+  def q230(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureRestoredGenerations(spark, dir)
+    val feed = GenLog.readChangeFeed(spark, loc, "g2_del", "g3_restore")
+    GenLog.netKeyedChanges(feed, Seq("day", "event_type"), "n_events")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_old").isNull, lit("insert"))
+          .when(col("n_new").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** The rollback's net feed = the delete's inverse: the deleted
+    * groups, reborn as inserts.
+    */
+  val q230Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type,
+       |  CAST(0 AS BIGINT) AS n_old, COUNT(*) AS n_new,
+       |  'insert' AS change
+       |FROM events
+       |WHERE event_type = '$DelType' AND CAST(ts AS DATE) <= DATE '$DelHi'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q231_stream_cdc — the STREAMING writer as a CDC source: q207's
+  // silver committer now persists each micro-batch commit's change
+  // rows (GenLogStream, cdf=true) — the restated boundary days'
+  // preimages plus the window's rows — so a downstream consumer nets
+  // the feed across windows at O(changed rows) per window, with no
+  // snapshot resolve and no table diff. The feed from w1 to w3
+  // nets to exactly "what changed after window 1": new days insert,
+  // the boundary day (and every later-restated day) updates, and
+  // untouched early days are absent. The oracle diffs the corpus at
+  // w1's cutoff against the full corpus — the hash-compare certifies
+  // the stream→log→feed→net pipeline end-to-end. At 100 TB this is
+  // the medallion CDC spine: bronze inserts (q222), silver additive
+  // restatements (q207), and silver's OWN change feed for gold —
+  // each hop O(new data).
+  // ---------------------------------------------------------------
+  def q231(spark: SparkSession, dir: String): DataFrame = {
+    val loc = graft.streaming.GenLogStream.ensureStreamedGenerations(spark, dir)
+    val feed = GenLog.readChangeFeed(spark, loc, "w1", "w3")
+    GenLog.netKeyedChanges(feed, Seq("day", "event_type"), "n_events")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"),
+        when(col("n_old").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** What changed after window 1 == the diff of the corpus at w1's
+    * cutoff against the full corpus (q205's shape at Cut1).
+    */
+  val q231Sql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events WHERE ts <= TIMESTAMP '$Cut1' GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT b.day, b.event_type, COALESCE(a.n, 0) AS n_old, b.n AS n_new,
+       |  CASE WHEN a.n IS NULL THEN 'insert' ELSE 'update' END AS change
+       |FROM b LEFT JOIN a ON b.day = a.day AND b.event_type = a.event_type
+       |WHERE a.n IS NULL OR a.n <> b.n
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -835,7 +922,9 @@ object TimeTravel {
     "q224_restore_generation" -> (q224 _),
     "q225_delete_mor" -> (q225 _),
     "q226_dv_materialize" -> (q226 _),
-    "q227_dv_debt_settlement" -> (q227 _))
+    "q227_dv_debt_settlement" -> (q227 _),
+    "q230_restore_feed" -> (q230 _),
+    "q231_stream_cdc" -> (q231 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -855,5 +944,7 @@ object TimeTravel {
     "q224_restore_generation" -> q224Sql,
     "q225_delete_mor" -> q225Sql,
     "q226_dv_materialize" -> q226Sql,
-    "q227_dv_debt_settlement" -> q227Sql)
+    "q227_dv_debt_settlement" -> q227Sql,
+    "q230_restore_feed" -> q230Sql,
+    "q231_stream_cdc" -> q231Sql)
 }

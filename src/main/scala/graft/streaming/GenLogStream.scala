@@ -39,8 +39,12 @@ object GenLogStream {
   private[graft] def stagingTable(dir: String): String =
     s"graft_ev_winstage_${java.lang.Integer.toHexString(dir.hashCode)}"
 
+  /** v3: the streaming committer writes COMMIT-TIME change files
+    * (cdf = true), making the silver table a streaming CDC source —
+    * q231 nets its feed across windows.
+    */
   private[graft] def streamGensTable(dir: String): String =
-    s"graft_ev_sgens_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ev_sgens_v3_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   /** Events staged as three ts-window files (the upstream producer's
     * landing sequence), mtimes ascending so the file stream replays
@@ -212,9 +216,12 @@ object GenLogStream {
             .groupBy(col("day"), col("event_type"))
             .agg(sum(col("n_events")).as("n_events"))
         }
+      // cdf = true: each micro-batch commit persists its change rows —
+      // the restated boundary days' preimages plus the batch's rows —
+      // so downstream CDC consumers read O(changes) per window (q231)
       GenLog.appendBatch(ss, loc, s"w$wLo",
         restated.withColumn("day_k", date_format(col("day"), "yyyy-MM-dd")),
-        "day_k")
+        "day_k", cdf = true)
     } finally { counts.unpersist(blocking = false); () }
   }
 }

@@ -218,4 +218,36 @@ class GenZonedSpec extends SparkTestBase {
     assert(qSorted > 0.8,
       s"a single-key sort must score near 1 on the 2-D metric, got $qSorted")
   }
+
+  test("2-D partial re-layout rewrites only the decayed files into z-blocks; the blocked base survives byte-identically") {
+    import graft.io.GenZoned2
+    val loc = java.nio.file.Files.createTempDirectory("genzoned2p").toString + "/t"
+    val base = Layout.zoned2Slice(spark, Sf, "l_orderkey % 8 != 0")
+    val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    GenLog.appendBatch(spark, loc, "base",
+      base.withColumn(GenZoned2.PartCol,
+        GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
+          m.getLong(0), m.getLong(1))), GenZoned2.PartCol)
+    GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+    val baseFiles = GenLog.generations(spark, loc).toMap.apply("base").toSet
+    Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8").foreach {
+      case (w, f) =>
+        GenLog.appendBatch(spark, loc, s"wave$w",
+          Layout.zoned2Slice(spark, Sf, f)
+            .withColumn(GenZoned2.PartCol, lit(s"wave$w")), GenZoned2.PartCol)
+        GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
+    }
+    assert(GenZoned2.quality(spark, loc) > GenZoned2.WidthBound2)
+    assert(GenZoned2.maybeReclusterPartial(spark, loc, "zprl",
+      "l_partkey", "l_suppkey"))
+    val after = GenLog.generations(spark, loc).toMap.apply("zprl").toSet
+    assert(baseFiles.subsetOf(after),
+      "the z-blocked base must survive the 2-D partial re-layout byte-identically")
+    assert(!after.exists(_.contains(s"/${GenZoned2.PartCol}=wave")),
+      "no wave-tagged file may stay live after the rewrite")
+    assert(GenZoned2.quality(spark, loc) <= GenZoned2.WidthBound2,
+      "the 2-D metric must recover")
+    assert(GenLog.readLatest(spark, loc).count() ==
+      Tables.lineitem(spark, Sf).count())
+  }
 }
