@@ -726,6 +726,30 @@ object ScaleStress {
       org.apache.spark.network.util.JavaUtils.deleteRecursively(
         new java.io.File(iloc))
     }
+    // round-15 DML economics at 10x: the MoR debt lifecycle (three
+    // delete waves priced by the commit-metadata debt metric, a
+    // sidecar compaction, the bound-triggered settlement) and the
+    // rollback's commit-time change feed. The BUILD walls are the
+    // evidence — cost tracks the affected/differing day files of the
+    // 1M-event rollup, never the raw corpus — and the feed read's
+    // wall tracks the changed rows alone.
+    locally {
+      val t0 = System.nanoTime()
+      val vloc = queries.TimeTravel.ensureDvDebtGenerations(spark, sdir)
+      println(f"[stress] q227_dv_debt_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q227_dv_debt_settlement@10x")(queries.TimeTravel.q227(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(vloc))
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val rloc = queries.TimeTravel.ensureRestoredGenerations(spark, sdir)
+      println(f"[stress] q230_restore_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q224_restore_generation@10x")(queries.TimeTravel.q224(spark, sdir).count())
+      time("q230_restore_feed@10x")(queries.TimeTravel.q230(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(rloc))
+    }
     // stream→warehouse HLL seam at 10x: 1M events / 10x user keys
     // through foreachBatch merge-upsert into the maintained register
     // table. Wall = map-side hashing + the hourly aggregate + 30

@@ -261,7 +261,11 @@ object GenLog {
   }
 
   /** Parquet footer row count — O(1) metadata per file, never a data
-    * read. This is where the log's row accounting comes from.
+    * read. This is where the log's row accounting comes from. The
+    * loop is driver-side over ONE COMMIT'S files (O(batch), not
+    * O(table)); a production writer would lift the counts from the
+    * write tasks' stats for zero extra I/O — the commit-object
+    * contract is identical either way.
     */
   private def footerRowCount(spark: SparkSession, file: String): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
