@@ -128,6 +128,20 @@ object GenLog {
   /** The deletion-vector sidecar directory under the table root. */
   final val DvDir = "_dv"
 
+  /** The conflict-scope token verbs that REMOVE deletion vectors
+    * declare ([[materializeDeletes]], [[compactDeletionVectors]]): a
+    * vector-removing commit computed against sidecars another
+    * vector-remover replaced must abort, not retry — a retried
+    * compaction would re-add sidecars a settlement already drained
+    * (answers stay right, the vectors are inert, but the debt metric
+    * would read non-zero on a settled table). Vector ADDERS
+    * ([[deleteWhereMoR]]) do not declare it: blind sidecar adds
+    * commute with each other and with compaction, and their races
+    * with a settlement are already covered by the affected files'
+    * partition tokens.
+    */
+  final val DvParts = "__dv_rewrite__"
+
   /** The change-file (CDF) directory under the table root: one
     * subdirectory per change-writing commit, referenced from the
     * commit object — never discovered by listing.
@@ -387,13 +401,15 @@ object GenLog {
   private def checkpointBody(gen: String, live: Seq[String],
       dvLive: Seq[String], rows: Map[String, Long],
       dvRows: Map[String, Long], schema: Option[String],
-      genIndex: Seq[(Long, String)]): String =
+      genIndex: Seq[(Long, String)]): String = {
+    val (liveSet, dvSet) = (live.toSet, dvLive.toSet)
     sentinelBody(s"gen:$gen" +:
       (schema.map("schema:" + _).toSeq ++
         genIndex.sortBy(_._1).map { case (v, g) => s"genver:$v:$g" } ++
         live.map("live:" + _) ++ dvLive.map("dvlive:" + _) ++
-        countedLines("rows", rows.view.filterKeys(live.contains).toMap) ++
-        countedLines("dvrows", dvRows.view.filterKeys(dvLive.contains).toMap)))
+        countedLines("rows", rows.view.filterKeys(liveSet).toMap) ++
+        countedLines("dvrows", dvRows.view.filterKeys(dvSet).toMap)))
+  }
 
   private def parseCheckpoint(content: String): Option[CkptState] =
     parseLines(content).map { lines =>
@@ -620,8 +636,8 @@ object GenLog {
           // vacuum truncated part of the race window — disjointness
           // is unprovable against vanished deltas. Skip if our own
           // gen survives in the index; abort otherwise, never guess.
-          if (versionOf(fs, dir, commits, checkpoints, c.gen).isDefined)
-            return versionOf(fs, dir, commits, checkpoints, c.gen).get
+          versionOf(fs, dir, commits, checkpoints, c.gen)
+            .foreach(v => return v)
           throw new java.util.ConcurrentModificationException(
             s"generation '${c.gen}' was staged against v$snapshotVersion " +
               s"but the log's history was vacuumed past it (versions " +
@@ -783,6 +799,27 @@ object GenLog {
     Some(token)
   }
 
+  /** Read `files` through the `dvLive` deletion vectors: the
+    * MERGE-ON-READ view every row-level operation must run on — a
+    * copy-on-write rewrite computed from the RAW files would carry
+    * MoR-deleted rows into the new files and resurrect them (the old
+    * file leaves the live set, so its vectors go inert). The metadata
+    * join columns stay as __graft_dv_f/__graft_dv_i (callers drop
+    * them); basePath recovers the partition column.
+    */
+  private def morView(spark: SparkSession, loc: String, files: Seq[String],
+                      dvLive: Seq[String]): DataFrame = {
+    val data = spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("__graft_dv_f", col("_metadata.file_path"))
+      .withColumn("__graft_dv_i", col("_metadata.row_index"))
+    if (dvLive.isEmpty) data
+    else data.join(spark.read.parquet(dvLive: _*)
+      .select(col("file_path").as("__graft_dv_f"),
+        col("row_index").as("__graft_dv_i")),
+      Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
+  }
+
   /** Validate a batch schema against the table's recorded one BEFORE
     * anything lands. Name+type map comparison (order- and
     * nullability-insensitive — reads are by name). Returns the schema
@@ -868,8 +905,11 @@ object GenLog {
       else writeChanges(spark, loc,
         deletes =
           if (removed.isEmpty) None
-          else Some(spark.read.option("basePath", loc)
-            .option("mergeSchema", "true").parquet(removed: _*)),
+          // preimages through the vectors: an MoR-deleted row of a
+          // restated file was not logically in the table and must not
+          // appear as a delete event
+          else Some(morView(spark, loc, removed, prev.dvLive)
+            .drop("__graft_dv_f", "__graft_dv_i")),
         inserts =
           if (added.isEmpty) None
           else Some(spark.read.option("basePath", loc)
@@ -931,7 +971,9 @@ object GenLog {
     */
   def appendBatchChecked(spark: SparkSession, loc: String, gen: String,
                          df: DataFrame, partCol: String,
-                         checks: Seq[(String, Column)]): Unit = {
+                         checks: Seq[(String, Column)],
+                         evolve: Boolean = false,
+                         cdf: Boolean = false): Unit = {
     require(checks.nonEmpty, "appendBatchChecked needs at least one constraint")
     val aggs = checks.map { case (_, p) =>
       coalesce(sum(when(!coalesce(p, lit(true)), 1L).otherwise(0L)), lit(0L))
@@ -944,7 +986,7 @@ object GenLog {
       throw new IllegalArgumentException(
         s"constraint violation in batch '$gen': ${bad.mkString(", ")} — " +
           "nothing was written")
-    appendBatch(spark, loc, gen, df, partCol)
+    appendBatch(spark, loc, gen, df, partCol, evolve, cdf)
   }
 
   /** Commit `df` as a FULL RESTATEMENT under a (possibly new)
@@ -1038,22 +1080,24 @@ object GenLog {
     val (snapVer, st) = latestFull(spark, loc)
     require(st.live.nonEmpty, s"mergeByKey on an empty table at $loc — use appendBatch")
     val keys = updates.select(keyCols.map(col): _*).distinct()
-    val withFile = spark.read.option("basePath", loc)
-      .option("mergeSchema", "true").parquet(st.live: _*)
-      .withColumn("__file", input_file_name())
-    val affected = withFile.join(keys, keyCols, "left_semi")
-      .select(col("__file")).distinct()
+    // everything runs on the MoR VIEW: a raw-file read would count
+    // MoR-deleted rows as matches, carry them into the rewrite, and
+    // resurrect them when the old file (and with it the vectors'
+    // reach) leaves the live set
+    val view = morView(spark, loc, st.live, st.dvLive)
+    val affected = view.join(keys, keyCols, "left_semi")
+      .select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).toSeq.sorted
+    def affectedView() = morView(spark, loc, affected, st.dvLive)
+      .drop("__graft_dv_f", "__graft_dv_i")
     // surviving rows of the affected files (cast-aligned: the
     // basePath read infers the partition column's type from the
     // directory names, the updates frame carries the writer's)
     val kept =
       if (affected.isEmpty) None
       else {
-        val keptBase = spark.read.option("basePath", loc)
-          .option("mergeSchema", "true").parquet(affected: _*)
-          .join(keys, keyCols, "left_anti")
+        val keptBase = affectedView().join(keys, keyCols, "left_anti")
         val narrower = keptBase.columns.filterNot(updates.columns.contains)
         require(narrower.isEmpty,
           s"mergeByKey updates frame must cover the live schema — missing " +
@@ -1069,9 +1113,7 @@ object GenLog {
       else writeChanges(spark, loc,
         deletes =
           if (affected.isEmpty) None
-          else Some(spark.read.option("basePath", loc)
-            .option("mergeSchema", "true").parquet(affected: _*)
-            .join(keys, keyCols, "left_semi")),
+          else Some(affectedView().join(keys, keyCols, "left_semi")),
         inserts = Some(updates))
     val added = writeAttributed(spark, loc,
       kept.map(_.unionByName(updates)).getOrElse(updates), partCol)
@@ -1243,12 +1285,15 @@ object GenLog {
                   cdf: Boolean = false): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
-    val (snapVer, live) = latestState(spark, loc)
-    require(live.nonEmpty, s"deleteWhere on an empty table at $loc")
+    val (snapVer, st) = latestFull(spark, loc)
+    require(st.live.nonEmpty, s"deleteWhere on an empty table at $loc")
     val hit = coalesce(pred, lit(false))
-    val affected = spark.read.option("basePath", loc)
-      .option("mergeSchema", "true").parquet(live: _*)
-      .where(hit).select(input_file_name().as("f")).distinct()
+    // matching and the rewrite both run on the MoR VIEW: a raw-file
+    // read would keep MoR-deleted rows in the rewrite (resurrecting
+    // them once the old file's vectors go inert) and mark files
+    // affected on dead rows alone
+    val affected = morView(spark, loc, st.live, st.dvLive)
+      .where(hit).select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).toSeq.sorted
     if (affected.isEmpty) {
@@ -1258,16 +1303,14 @@ object GenLog {
       return
     }
     val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+    def affectedView() = morView(spark, loc, affected, st.dvLive)
+      .drop("__graft_dv_f", "__graft_dv_i")
     val cdfTok =
       if (!cdf) None
       else writeChanges(spark, loc,
-        deletes = Some(spark.read.option("basePath", loc)
-          .option("mergeSchema", "true").parquet(affected: _*).where(hit)),
+        deletes = Some(affectedView().where(hit)),
         inserts = None)
-    val added = writeAttributed(spark, loc,
-      spark.read.option("basePath", loc).option("mergeSchema", "true")
-        .parquet(affected: _*).where(!hit),
-      partCol)
+    val added = writeAttributed(spark, loc, affectedView().where(!hit), partCol)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
         rows = footerRows(spark, added), cdf = cdfTok), snapVer)
@@ -1369,7 +1412,7 @@ object GenLog {
           .drop("__graft_dv_f", "__graft_dv_i"),
         partCol)
     commitDelta(spark, loc,
-      Commit(0L, gen, parts, added, affected, dataChange = false,
+      Commit(0L, gen, parts :+ DvParts, added, affected, dataChange = false,
         dvRemoves = st.dvLive, rows = footerRows(spark, added)), snapVer)
     ()
   }
@@ -1407,11 +1450,13 @@ object GenLog {
     * in-between maintenance for delete-heavy tables: each MoR delete
     * adds a sidecar, every scan opens all of them — compaction keeps
     * the count flat without paying the data-file rewrite
-    * [[materializeDeletes]] costs). dataChange=false; declares no
-    * partitions — DV application is idempotent and a vector row whose
-    * file left the live set is inert, so a compaction commit is valid
-    * under any concurrent commit. Returns whether a compaction
-    * committed (false when ≤ 1 sidecar is live).
+    * [[materializeDeletes]] costs). dataChange=false; declares only
+    * the [[DvParts]] token — data-file commits never conflict with it
+    * (DV application is idempotent and a vector row whose file left
+    * the live set is inert), but a concurrent VECTOR-REMOVING commit
+    * (a settlement) does: a retried compaction would re-add the
+    * drained sidecars and corrupt the debt metric. Returns whether a
+    * compaction committed (false when ≤ 1 sidecar is live).
     */
   def compactDeletionVectors(spark: SparkSession, loc: String,
                              gen: String): Boolean = {
@@ -1425,7 +1470,7 @@ object GenLog {
     val dvAdds = listDvFiles(spark, loc)
       .filter(_.contains(s"/$DvDir/$token/")).toSeq.sorted
     commitDelta(spark, loc,
-      Commit(0L, gen, Nil, Nil, Nil, dataChange = false,
+      Commit(0L, gen, Seq(DvParts), Nil, Nil, dataChange = false,
         dvAdds = dvAdds, dvRemoves = st.dvLive,
         dvRows = footerRows(spark, dvAdds)), snapVer)
     true
@@ -1556,8 +1601,9 @@ object GenLog {
     * the net change is (first event's preimage if it was a delete,
     * last event's postimage if it was an insert) — so an
     * insert-then-update chain nets to one insert, an
-    * update-then-delete to one delete, and a restated-but-equal value
-    * to nothing (dropped). ONE partial+final aggregate, no window, no
+    * update-then-delete to one delete, and both a restated-but-equal
+    * value AND a key born-and-deleted inside the range net to nothing
+    * (dropped). ONE partial+final aggregate, no window, no
     * shuffle beyond the keys. Contract: the table is key-unique per
     * snapshot (one row per key), which every rollup/dimension store
     * is. Returns keyCols + `n_old` (value before the range, NULL if
@@ -1573,8 +1619,9 @@ object GenLog {
       .select(keyCols.map(col) ++ Seq(
         when(col("__first.r") === 0, col("__first.x")).as("n_old"),
         when(col("__last.r") === 1, col("__last.x")).as("n_new")): _*)
-      .where(col("n_old").isNull || col("n_new").isNull ||
-        col("n_old") =!= col("n_new"))
+      .where((col("n_old").isNotNull || col("n_new").isNotNull) &&
+        (col("n_old").isNull || col("n_new").isNull ||
+          col("n_old") =!= col("n_new")))
   }
 
   /** SHALLOW CLONE: commit generation `clone_<gen>` at `destLoc`

@@ -85,17 +85,24 @@ object GenZoned {
     val known = readStats(spark, loc).map(_._1).toSet
     val fresh = live.filterNot(known)
     if (fresh.isEmpty) return 0
-    spark.read.parquet(fresh: _*)
+    import spark.implicits._
+    // one stats row per fresh file, collected (O(fresh files) —
+    // metadata scale, same class as every readStats) so the file key
+    // normalizes through URI DECODING to the log's plain-path form —
+    // a scheme-strip regexp would leave percent-encoded paths that
+    // never match the live list (spaces, non-ASCII partition values)
+    val stats = spark.read.parquet(fresh: _*)
       .groupBy(input_file_name().as("raw"))
       // the tracked column may be TIMESTAMP_NTZ (parquet wall time);
       // the UTC session makes the cast an exact instant mapping
       .agg(count(lit(1)).as("cnt"),
         min(unix_micros(col(tracked).cast("timestamp"))).as("lo"),
         max(unix_micros(col(tracked).cast("timestamp"))).as("hi"))
-      // normalize to the log's plain-path form so stats keys and live
-      // lists always compare equal
-      .withColumn("file", regexp_replace(col("raw"), "^file:(//)?", ""))
-      .select(col("file"), col("cnt"), col("lo"), col("hi"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).toUri.getPath,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    stats.toDF("file", "cnt", "lo", "hi")
       .write.mode("append").parquet(statsLoc(loc))
     fresh.size
   }

@@ -112,14 +112,21 @@ object GenZoned2 {
     val known = readStats(spark, loc).map(_._1).toSet
     val fresh = live.filterNot(known)
     if (fresh.isEmpty) return 0
-    spark.read.parquet(fresh: _*)
+    import spark.implicits._
+    // collected at metadata scale (one row per fresh file) so the
+    // file key normalizes through URI DECODING to the log's
+    // plain-path form — GenZoned.absorbStats' discipline
+    val stats = spark.read.parquet(fresh: _*)
       .groupBy(input_file_name().as("raw"))
       .agg(count(lit(1)).as("cnt"),
         min(col(c1).cast("long")).as("lo1"), max(col(c1).cast("long")).as("hi1"),
         min(col(c2).cast("long")).as("lo2"), max(col(c2).cast("long")).as("hi2"))
-      .withColumn("file", regexp_replace(col("raw"), "^file:(//)?", ""))
-      .select(col("file"), col("cnt"), col("lo1"), col("hi1"),
-        col("lo2"), col("hi2"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).toUri.getPath,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    stats.toDF("file", "cnt", "lo1", "hi1", "lo2", "hi2")
       .write.mode("append").parquet(statsLoc(loc))
     fresh.size
   }
