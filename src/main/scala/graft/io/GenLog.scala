@@ -191,7 +191,8 @@ object GenLog {
       rows: Map[String, Long] = Map.empty,
       dvRows: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
-      cdf: Option[String] = None)
+      cdf: Option[String] = None,
+      op: String = "write")
 
   /** How a snapshot resolve was served: the live sets, the checkpoint
     * version it started from (None = replayed from empty), the number
@@ -371,7 +372,8 @@ object GenLog {
 
   private def commitBody(c: Commit): String =
     sentinelBody(s"gen:${c.gen}" +:
-      ((if (c.dataChange) Nil else Seq("nodata:1")) ++
+      (Seq(s"op:${c.op}") ++
+        (if (c.dataChange) Nil else Seq("nodata:1")) ++
         (if (c.insert) Seq("ins:1") else Nil) ++
         c.schema.map("schema:" + _).toSeq ++
         c.cdf.map("cdf:" + _).toSeq ++
@@ -395,7 +397,9 @@ object GenLog {
         rows = parseCounted(lines, "rows"),
         dvRows = parseCounted(lines, "dvrows"),
         schema = lines.collectFirst { case l if l.startsWith("schema:") => l.drop(7) },
-        cdf = lines.collectFirst { case l if l.startsWith("cdf:") => l.drop(4) })
+        cdf = lines.collectFirst { case l if l.startsWith("cdf:") => l.drop(4) },
+        op = lines.collectFirst { case l if l.startsWith("op:") => l.drop(3) }
+          .getOrElse("write"))
     }
 
   private def checkpointBody(gen: String, live: Seq[String],
@@ -926,7 +930,8 @@ object GenLog {
                                   s: Staged): Long =
     commitDelta(spark, loc,
       Commit(0L, s.gen, s.parts, s.adds, s.removes,
-        rows = s.rows, schema = s.schema, cdf = s.cdf), s.snapshotVersion)
+        rows = s.rows, schema = s.schema, cdf = s.cdf,
+        op = "append"), s.snapshotVersion)
 
   /** Phase two for an INSERT-kind staged delta (the [[appendInsert]]
     * semantics: declares its partitions so restaters conflict, but
@@ -937,7 +942,8 @@ object GenLog {
                                         s: Staged): Long =
     commitDelta(spark, loc,
       Commit(0L, s.gen, s.parts, s.adds, Nil, insert = true,
-        rows = s.rows, schema = s.schema, cdf = s.cdf), s.snapshotVersion)
+        rows = s.rows, schema = s.schema, cdf = s.cdf,
+        op = "insert"), s.snapshotVersion)
 
   /** Commit `df` as generation `gen`: append its files, mark the
     * previous generation's files for the RESTATED partitions removed,
@@ -1011,7 +1017,8 @@ object GenLog {
       if (prev.schema.contains(df.schema.json)) None else Some(df.schema.json)
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(AllParts), added, prev.live, dataChange = false,
-        rows = footerRows(spark, added), schema = schemaLine), snapVer)
+        rows = footerRows(spark, added), schema = schemaLine,
+        op = "recluster"), snapVer)
     ()
   }
 
@@ -1051,8 +1058,8 @@ object GenLog {
           .option("mergeSchema", "true").parquet(added: _*)))
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, Nil, insert = true,
-        rows = footerRows(spark, added), schema = schemaLine, cdf = cdfTok),
-      snapVer)
+        rows = footerRows(spark, added), schema = schemaLine, cdf = cdfTok,
+        op = "insert"), snapVer)
     ()
   }
 
@@ -1121,7 +1128,8 @@ object GenLog {
       affected.map(partTokenOf(_, partCol))).distinct.sorted
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
-        rows = footerRows(spark, added), cdf = cdfTok), snapVer)
+        rows = footerRows(spark, added), cdf = cdfTok,
+        op = "merge"), snapVer)
     ()
   }
 
@@ -1151,7 +1159,8 @@ object GenLog {
       partCol, numFiles = Some(numFiles))
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target,
-        dataChange = false, rows = footerRows(spark, added)), snapVer)
+        dataChange = false, rows = footerRows(spark, added),
+        op = "optimize"), snapVer)
     ()
   }
 
@@ -1183,7 +1192,7 @@ object GenLog {
       added.map(partTokenOf(_, partCol))).distinct.sorted
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, target.sorted, dataChange = false,
-        rows = footerRows(spark, added)), snapVer)
+        rows = footerRows(spark, added), op = "replaceFiles"), snapVer)
     ()
   }
 
@@ -1255,7 +1264,7 @@ object GenLog {
       Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
         dvAdds = target.dvLive, dvRemoves = cur.dvLive,
         rows = target.rows, dvRows = target.dvRows,
-        schema = schemaLine, cdf = cdfTok), snapVer)
+        schema = schemaLine, cdf = cdfTok, op = "restore"), snapVer)
     ()
   }
 
@@ -1299,7 +1308,8 @@ object GenLog {
     if (affected.isEmpty) {
       // nothing matches: commit an empty delta so the generation
       // exists (the snapshot is the previous one's live set)
-      commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
+      commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil, op = "delete"),
+        snapVer)
       return
     }
     val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
@@ -1313,7 +1323,7 @@ object GenLog {
     val added = writeAttributed(spark, loc, affectedView().where(!hit), partCol)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
-        rows = footerRows(spark, added), cdf = cdfTok), snapVer)
+        rows = footerRows(spark, added), cdf = cdfTok, op = "delete"), snapVer)
     ()
   }
 
@@ -1358,7 +1368,8 @@ object GenLog {
         .collect().map(r => new Path(new java.net.URI(r.getString(0)))
           .toUri.getPath).toSeq.sorted
       if (affected.isEmpty) {
-        commitDelta(spark, loc, Commit(0L, gen, Nil, Nil, Nil), snapVer)
+        commitDelta(spark, loc,
+          Commit(0L, gen, Nil, Nil, Nil, op = "deleteMoR"), snapVer)
         return
       }
       val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
@@ -1375,7 +1386,8 @@ object GenLog {
         .filter(_.contains(s"/$DvDir/$token/")).toSeq.sorted
       commitDelta(spark, loc,
         Commit(0L, gen, parts, Nil, Nil, dvAdds = dvAdds,
-          dvRows = footerRows(spark, dvAdds), cdf = cdfTok), snapVer)
+          dvRows = footerRows(spark, dvAdds), cdf = cdfTok,
+          op = "deleteMoR"), snapVer)
       ()
     } finally { matched.unpersist(blocking = false); () }
   }
@@ -1413,7 +1425,8 @@ object GenLog {
         partCol)
     commitDelta(spark, loc,
       Commit(0L, gen, parts :+ DvParts, added, affected, dataChange = false,
-        dvRemoves = st.dvLive, rows = footerRows(spark, added)), snapVer)
+        dvRemoves = st.dvLive, rows = footerRows(spark, added),
+        op = "materializeDeletes"), snapVer)
     ()
   }
 
@@ -1472,7 +1485,8 @@ object GenLog {
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(DvParts), Nil, Nil, dataChange = false,
         dvAdds = dvAdds, dvRemoves = st.dvLive,
-        dvRows = footerRows(spark, dvAdds)), snapVer)
+        dvRows = footerRows(spark, dvAdds), op = "compactDeletionVectors"),
+      snapVer)
     true
   }
 
@@ -1624,6 +1638,40 @@ object GenLog {
           col("n_old") =!= col("n_new")))
   }
 
+  /** DESCRIBE HISTORY: one row per surviving log object, newest
+    * first — the audit surface every lake table carries (Delta's
+    * DESCRIBE HISTORY, executed small). Versions vacuumed into the
+    * retention-cut checkpoint surface as one `checkpoint` row (their
+    * per-commit deltas are gone by design); every surviving commit
+    * reports its operation, conflict scope, file/row deltas, and
+    * whether it changed data, evolved the schema, or wrote change
+    * files. Driver-side O(surviving log objects) — metadata only.
+    */
+  def history(spark: SparkSession, loc: String): DataFrame = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    val cutRows: Seq[(Long, String, String, Boolean, Boolean, Int, Int, Long,
+      Int, Int, Boolean, Boolean)] =
+      if (commits.headOption.contains(1L)) Nil
+      else checkpoints.headOption.map { cv =>
+        val ck = readCheckpointState(fs, dir, cv)
+        (cv, ck.gen, "checkpoint", true, false, ck.live.size, 0,
+          ck.rows.values.sum, ck.dvLive.size, 0, false, ck.schema.isDefined)
+      }.toSeq
+    val commitRows = commits.map { v =>
+      val c = readCommit(fs, dir, v)
+      (v, c.gen, c.op, c.dataChange, c.insert, c.adds.size, c.removes.size,
+        c.rows.values.sum, c.dvAdds.size, c.dvRemoves.size, c.cdf.isDefined,
+        c.schema.isDefined)
+    }
+    import spark.implicits._
+    (cutRows ++ commitRows).sortBy(-_._1)
+      .toDF("version", "gen", "operation", "data_change", "insert_kind",
+        "n_added_files", "n_removed_files", "n_added_rows", "n_dv_adds",
+        "n_dv_removes", "wrote_change_files", "schema_changed")
+  }
+
   /** SHALLOW CLONE: commit generation `clone_<gen>` at `destLoc`
     * whose live set IS the source snapshot's file list — zero data
     * copied, the manifest is the clone (Delta shallow clone /
@@ -1647,7 +1695,8 @@ object GenLog {
     commitDelta(spark, destLoc,
       Commit(0L, gname, Seq(AllParts), src.live, prev.live,
         dvAdds = src.dvLive, dvRemoves = prev.dvLive,
-        rows = src.rows, dvRows = src.dvRows, schema = src.schema), snapVer)
+        rows = src.rows, dvRows = src.dvRows, schema = src.schema,
+        op = "clone"), snapVer)
     ()
   }
 

@@ -480,4 +480,76 @@ class GenLogSafetySpec extends SparkTestBase {
     assert(GenLog.dvDebt(spark, loc2) == 0.0,
       "the debt metric must stay zero on a settled table")
   }
+
+  test("history() is the audit surface: one row per verb with its operation, deltas, and flags; vacuumed history collapses to the cut checkpoint") {
+    val loc = tmpLoc("gl15-history")
+    import spark.implicits._
+    GenLog.appendBatch(spark, loc, "g1", frame("a", 1 -> 10L, 3 -> 30L), "p",
+      cdf = true)
+    GenLog.appendInsert(spark, loc, "g2", frame("a", 2 -> 20L), "p")
+    GenLog.appendBatch(spark, loc, "g3",
+      frame("a", 1 -> 11L, 2 -> 22L, 3 -> 33L).withColumn("extra", lit(1)),
+      "p", evolve = true)
+    GenLog.deleteWhereMoR(spark, loc, "g4", col("k") === 2, "p")
+    GenLog.materializeDeletes(spark, loc, "g5", "p")
+    GenLog.deleteWhere(spark, loc, "g6", col("k") === 1, "p")
+    GenLog.recluster(spark, loc, "g7",
+      GenLog.readLatest(spark, loc).withColumn("p", lit("z")), "p")
+    val h = GenLog.history(spark, loc)
+      .select(col("version"), col("gen"), col("operation"),
+        col("data_change"), col("insert_kind"), col("wrote_change_files"),
+        col("schema_changed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    // schema_changed: g1 ESTABLISHES the schema, g3 widens it, and
+    // the recluster re-records it for its new shape — all three are
+    // schema events by design
+    assert(h.toSeq == Seq(
+      (7L, "g7", "recluster", false, false, false, true),
+      (6L, "g6", "delete", true, false, false, false),
+      (5L, "g5", "materializeDeletes", false, false, false, false),
+      (4L, "g4", "deleteMoR", true, false, false, false),
+      (3L, "g3", "append", true, false, false, true),
+      (2L, "g2", "insert", true, true, false, false),
+      (1L, "g1", "append", true, false, true, true)),
+      s"history rows mismatch: ${h.toSeq}")
+    // per-commit metrics: the MoR delete added a vector, not a file;
+    // its settlement removed it
+    assert(GenLog.history(spark, loc).where(col("version") === 4)
+      .select(col("n_added_files"), col("n_dv_adds")).head() ==
+      org.apache.spark.sql.Row(0, 1))
+    assert(GenLog.history(spark, loc).where(col("version") === 5)
+      .select(col("n_dv_removes")).head().getInt(0) == 1)
+    // vacuum: dropped versions collapse into one checkpoint row
+    GenLog.vacuum(spark, loc, keepLastN = 2, minAgeMs = 0L)
+    val ops = GenLog.history(spark, loc)
+      .select(col("version"), col("operation")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((7L, "recluster"), (6L, "checkpoint")),
+      s"vacuumed history must collapse to the cut checkpoint, got $ops")
+  }
+
+  test("concurrent MoR deletes on disjoint partitions commute: both vectors land, both deletions hold") {
+    val loc = tmpLoc("gl15-conc-mor")
+    import spark.implicits._
+    GenLog.appendBatch(spark, loc, "g1",
+      (1 to 10).map(i => (i, i.toLong)).toDF("k", "v")
+        .withColumn("p", when(col("k") <= 5, "a").otherwise("b")), "p")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = Seq(
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            GenLog.deleteWhereMoR(spark, loc, "da", col("k") === 1, "p")
+        }),
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            GenLog.deleteWhereMoR(spark, loc, "db", col("k") === 6, "p")
+        }))
+      futs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally { pool.shutdown(); () }
+    assert(rows(loc).map(_._1) == ((2 to 5) ++ (7 to 10)).toSet,
+      "both concurrent MoR deletes must hold")
+    assert(math.abs(GenLog.dvDebt(spark, loc) - 0.2) < 1e-9)
+  }
 }
