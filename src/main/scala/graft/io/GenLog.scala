@@ -181,7 +181,11 @@ object GenLog {
     * row counts for the added files (live-row accounting without
     * data reads). `schema` is the table schema AFTER this commit,
     * present only when it changes. `cdf` names this commit's change
-    * directory under [[ChangesDir]].
+    * directory under [[ChangesDir]]. `ts` is the commit wall-clock
+    * timestamp (epoch millis), stamped at claim time; 0 marks a
+    * legacy (pre-timestamp) object, which timestamp resolution then
+    * serves from the commit FILE's modification time (Delta reads
+    * commit-file mtimes for exactly this).
     */
   private[graft] final case class Commit(version: Long, gen: String,
       parts: Seq[String], adds: Seq[String], removes: Seq[String],
@@ -192,7 +196,8 @@ object GenLog {
       dvRows: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
       cdf: Option[String] = None,
-      op: String = "write")
+      op: String = "write",
+      ts: Long = 0L)
 
   /** How a snapshot resolve was served: the live sets, the checkpoint
     * version it started from (None = replayed from empty), the number
@@ -373,6 +378,7 @@ object GenLog {
   private def commitBody(c: Commit): String =
     sentinelBody(s"gen:${c.gen}" +:
       (Seq(s"op:${c.op}") ++
+        (if (c.ts > 0) Seq(s"ts:${c.ts}") else Nil) ++
         (if (c.dataChange) Nil else Seq("nodata:1")) ++
         (if (c.insert) Seq("ins:1") else Nil) ++
         c.schema.map("schema:" + _).toSeq ++
@@ -399,7 +405,9 @@ object GenLog {
         schema = lines.collectFirst { case l if l.startsWith("schema:") => l.drop(7) },
         cdf = lines.collectFirst { case l if l.startsWith("cdf:") => l.drop(4) },
         op = lines.collectFirst { case l if l.startsWith("op:") => l.drop(3) }
-          .getOrElse("write"))
+          .getOrElse("write"),
+        ts = lines.collectFirst { case l if l.startsWith("ts:") => l.drop(3).toLong }
+          .getOrElse(0L))
     }
 
   private def checkpointBody(gen: String, live: Seq[String],
@@ -664,7 +672,9 @@ object GenLog {
         }
         attempt = latest + 1 // delta still valid: retry at the head
       }
-      if (installIfAbsent(fs, dir, commitBody(c.copy(version = attempt)),
+      if (installIfAbsent(fs, dir,
+          commitBody(c.copy(version = attempt,
+            ts = System.currentTimeMillis())),
           commitPath(dir, attempt))) {
         maybeCheckpoint(fs, dir, attempt, c.gen)
         return attempt
@@ -937,12 +947,18 @@ object GenLog {
     * semantics: declares its partitions so restaters conflict, but
     * never aborts as the loser). Exposed for the insert-vs-restater
     * race specs, which need both writers staged deterministically.
+    * The staged cdf token (if any) is DROPPED, not carried: a delta
+    * staged via [[stageAppend]] with cdf=true recorded the restated
+    * partitions' prior rows as delete preimages, and an insert-kind
+    * commit applies no removes — carrying the token would make
+    * [[readChangeFeed]] report phantom deletes. The orphaned change
+    * directory is unreferenced and vacuum sweeps it.
     */
   private[graft] def commitStagedInsert(spark: SparkSession, loc: String,
                                         s: Staged): Long =
     commitDelta(spark, loc,
       Commit(0L, s.gen, s.parts, s.adds, Nil, insert = true,
-        rows = s.rows, schema = s.schema, cdf = s.cdf,
+        rows = s.rows, schema = s.schema, cdf = None,
         op = "insert"), s.snapshotVersion)
 
   /** Commit `df` as generation `gen`: append its files, mark the
@@ -1503,9 +1519,16 @@ object GenLog {
     val r = resolveGen(spark, loc, gen)
     if (r.live.isEmpty)
       throw new IllegalArgumentException(s"generation '$gen' is empty")
-    // a generation may span files written under evolving schemas
-    // (q206): merge the footers so widened columns read as NULL where
-    // history predates them
+    frameOf(spark, r)
+  }
+
+  /** The snapshot frame of a resolution: the live files merged across
+    * evolving schemas (q206 — widened columns read as NULL where
+    * history predates them), anti-joined against the live deletion
+    * vectors (merge-on-read). The ONE reader implementation behind
+    * [[read]] and [[readAsOfTimestamp]].
+    */
+  private def frameOf(spark: SparkSession, r: Resolution): DataFrame = {
     val data = spark.read.option("mergeSchema", "true").parquet(r.live: _*)
     if (r.dvLive.isEmpty) data
     else {
@@ -1529,6 +1552,66 @@ object GenLog {
     val gens = generations(spark, loc)
     require(gens.nonEmpty, s"no generations committed at $loc")
     read(spark, loc, gens.last._1)
+  }
+
+  /** The surviving commits' (version, gen, timestamp-millis) triples,
+    * oldest first, with MONOTONIC ADJUSTMENT: raw stamps come from
+    * the commit object's `ts` line (legacy objects fall back to the
+    * commit FILE's modification time — exactly what Delta reads), and
+    * each commit's served timestamp is forced to at least its
+    * predecessor's + 1 ms, so version order and timestamp order can
+    * never disagree even across writer clock skew (Delta's
+    * monotonization, same rule). Driver-side O(surviving commits) —
+    * the same metadata class as [[history]]; timestamp resolution is
+    * an audit/AS-OF surface, not a hot path.
+    */
+  def commitTimestamps(spark: SparkSession, loc: String): Seq[(Long, String, Long)] = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, _) = listLog(fs, dir)
+    var prev = Long.MinValue
+    commits.map { v =>
+      val c = readCommit(fs, dir, v)
+      val raw =
+        if (c.ts > 0) c.ts
+        else fs.getFileStatus(commitPath(dir, v)).getModificationTime
+      val adj = math.max(raw, if (prev == Long.MinValue) raw else prev + 1)
+      prev = adj
+      (v, c.gen, adj)
+    }
+  }
+
+  /** TIMESTAMP AS OF: read the table as of wall-clock `tsMillis` —
+    * the snapshot of the LATEST commit whose (monotonically adjusted)
+    * timestamp is ≤ `tsMillis` (Delta's `TIMESTAMP AS OF` semantics:
+    * "what did the table look like yesterday 14:00"). A timestamp
+    * later than every commit clamps to the latest snapshot; a
+    * timestamp EARLIER than the first surviving commit aborts — the
+    * answer would need history that was vacuumed (or never existed),
+    * and guessing would silently serve the wrong snapshot. After a
+    * vacuum, resolution starts at the first surviving COMMIT: the
+    * retention-cut checkpoint's own commit time went with its log
+    * object, so timestamps inside the cut are unprovable (Delta's
+    * commit-retention rule, same shape).
+    */
+  def readAsOfTimestamp(spark: SparkSession, loc: String,
+                        tsMillis: Long): DataFrame = {
+    val tss = commitTimestamps(spark, loc)
+    require(tss.nonEmpty, s"no commits at $loc")
+    if (tsMillis < tss.head._3)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the log's surviving history at " +
+          s"$loc (earliest surviving commit is v${tss.head._1} at " +
+          s"${tss.head._3}) — vacuumed, or before the table existed")
+    val target = tss.takeWhile(_._3 <= tsMillis).last._1
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    val r = resolveVersion(fs, dir, commits, checkpoints, target)
+    if (r.live.isEmpty)
+      throw new IllegalArgumentException(
+        s"the snapshot at timestamp $tsMillis (v$target) is empty")
+    frameOf(spark, r)
   }
 
   /** INCREMENTAL CONSUMPTION: the rows APPENDED after `sinceGen`, as
@@ -1564,6 +1647,44 @@ object GenLog {
     else spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
   }
 
+  /** The committed version of `gen`, O(tail) through the checkpoint
+    * gen index — exposed for cursor seeding (a streaming consumer
+    * starting "after generation g") and the stream-source specs.
+    */
+  private[graft] def versionOfGen(spark: SparkSession, loc: String,
+                                  gen: String): Option[Long] = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    versionOf(fs, dir, commits, checkpoints, gen)
+  }
+
+  /** The parsed commits with version > `afterVersion`, oldest first —
+    * the micro-batch DISCOVERY read of a streaming source over the
+    * log ([[graft.streaming.GenLogStream.readSource]]): one log-dir
+    * listing plus O(new commits) object reads, never a snapshot
+    * resolve. A cursor the vacuum truncated past fails LOUDLY (the
+    * missing versions are unprovable — the consumer must re-seed,
+    * never silently skip), exactly [[readAppendedSince]]'s contract.
+    */
+  private[graft] def commitsAfter(spark: SparkSession, loc: String,
+                                  afterVersion: Long): Seq[Commit] = {
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    val (commits, checkpoints) = listLog(fs, dir)
+    // checkpoints bound the range too: a vacuum that truncated EVERY
+    // commit past the cursor leaves only the retention-cut checkpoint,
+    // and "no new commits" would then be a silent lie
+    val latest = (commits ++ checkpoints).maxOption.getOrElse(afterVersion)
+    val range = (afterVersion + 1) to latest
+    val missing = range.filterNot(commits.contains)
+    require(missing.isEmpty,
+      s"stream cursor v$afterVersion predates the log's surviving history " +
+        s"at $loc (versions ${missing.mkString(",")} vacuumed) — re-seed " +
+        "the consumer")
+    range.map(readCommit(fs, dir, _))
+  }
+
   /** The COMMIT-TIME change feed between two generations: the union
     * of the range's change files (`_changes/<token>/`, written by the
     * committing verb — [[appendBatch]]/[[appendInsert]]/
@@ -1595,7 +1716,8 @@ object GenLog {
         s"(${missing.mkString(",")}) — re-seed the consumer")
     val cs = range.map(readCommit(fs, dir, _))
     val silent = cs.filter(c => c.dataChange && c.cdf.isEmpty &&
-      (c.adds.nonEmpty || c.removes.nonEmpty || c.dvAdds.nonEmpty))
+      (c.adds.nonEmpty || c.removes.nonEmpty || c.dvAdds.nonEmpty ||
+        c.dvRemoves.nonEmpty))
     require(silent.isEmpty,
       s"commits ${silent.map(c => s"'${c.gen}' (v${c.version})").mkString(", ")} " +
         s"changed data without change files — the writer committed with " +
@@ -1652,24 +1774,28 @@ object GenLog {
     val dir = logDirOf(p)
     val (commits, checkpoints) = listLog(fs, dir)
     val cutRows: Seq[(Long, String, String, Boolean, Boolean, Int, Int, Long,
-      Int, Int, Boolean, Boolean)] =
+      Int, Int, Boolean, Boolean, Option[Long])] =
       if (commits.headOption.contains(1L)) Nil
       else checkpoints.headOption.map { cv =>
         val ck = readCheckpointState(fs, dir, cv)
+        // the cut's own commit time went with its vacuumed log object
         (cv, ck.gen, "checkpoint", true, false, ck.live.size, 0,
-          ck.rows.values.sum, ck.dvLive.size, 0, false, ck.schema.isDefined)
+          ck.rows.values.sum, ck.dvLive.size, 0, false, ck.schema.isDefined,
+          Option.empty[Long])
       }.toSeq
+    val tsOf = commitTimestamps(spark, loc).map(t => t._1 -> t._3).toMap
     val commitRows = commits.map { v =>
       val c = readCommit(fs, dir, v)
       (v, c.gen, c.op, c.dataChange, c.insert, c.adds.size, c.removes.size,
         c.rows.values.sum, c.dvAdds.size, c.dvRemoves.size, c.cdf.isDefined,
-        c.schema.isDefined)
+        c.schema.isDefined, tsOf.get(v))
     }
     import spark.implicits._
     (cutRows ++ commitRows).sortBy(-_._1)
       .toDF("version", "gen", "operation", "data_change", "insert_kind",
         "n_added_files", "n_removed_files", "n_added_rows", "n_dv_adds",
-        "n_dv_removes", "wrote_change_files", "schema_changed")
+        "n_dv_removes", "wrote_change_files", "schema_changed",
+        "timestamp_ms")
   }
 
   /** SHALLOW CLONE: commit generation `clone_<gen>` at `destLoc`
@@ -1716,6 +1842,18 @@ object GenLog {
     * writers' log temps, stale `_staged` directories, and
     * unreferenced `_changes` directories. Tests pass 0 to collect
     * immediately.
+    *
+    * CLOCK ASSUMPTION: "older than the horizon" is judged by the
+    * file's MODIFICATION TIME against the vacuum host's LOCAL clock —
+    * exact on a local FS or HDFS (one clock), but on an object store
+    * a skewed writer clock can make a just-staged file LOOK older
+    * than it is and be collected inside the horizon. Delta carries
+    * the same exposure; the defence is the same: keep the retention
+    * horizon generous relative to plausible skew ([[DefaultRetentionMs]]
+    * is 7 days — clock drift is measured in seconds-to-minutes, so
+    * the default dwarfs it by 3–4 orders of magnitude). Shortening
+    * `minAgeMs` toward zero trades that margin away and is safe only
+    * where writers and the vacuum share a clock (tests do).
     *
     * A crash between install and deletion leaves only collectable
     * garbage; retained generations read exactly what they always

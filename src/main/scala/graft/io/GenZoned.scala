@@ -99,9 +99,17 @@ object GenZoned {
         min(unix_micros(col(tracked).cast("timestamp"))).as("lo"),
         max(unix_micros(col(tracked).cast("timestamp"))).as("hi"))
       .collect()
-      .map(r => (new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0))).toUri.getPath,
-        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .map { r =>
+        // an all-null tracked column leaves NULL min/max aggregates;
+        // a silent getLong would NPE here — fail loudly naming the
+        // file (an envelope cannot be stated for a stat-less file)
+        require(!r.isNullAt(2) && !r.isNullAt(3),
+          s"file ${r.getString(0)} has an all-null '$tracked' column — " +
+            "no envelope can be absorbed for it")
+        (new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).toUri.getPath,
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toSeq
     stats.toDF("file", "cnt", "lo", "hi")
       .write.mode("append").parquet(statsLoc(loc))
     fresh.size

@@ -122,10 +122,16 @@ object GenZoned2 {
         min(col(c1).cast("long")).as("lo1"), max(col(c1).cast("long")).as("hi1"),
         min(col(c2).cast("long")).as("lo2"), max(col(c2).cast("long")).as("hi2"))
       .collect()
-      .map(r => (new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0))).toUri.getPath,
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-      .toSeq
+      .map { r =>
+        // all-null tracked columns leave NULL min/max aggregates —
+        // fail loudly naming the file (GenZoned.absorbStats' guard)
+        require((2 to 5).forall(!r.isNullAt(_)),
+          s"file ${r.getString(0)} has an all-null '$c1' or '$c2' " +
+            "column — no 2-D envelope can be absorbed for it")
+        (new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).toUri.getPath,
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      }.toSeq
     stats.toDF("file", "cnt", "lo1", "hi1", "lo2", "hi2")
       .write.mode("append").parquet(statsLoc(loc))
     fresh.size

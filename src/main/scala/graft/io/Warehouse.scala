@@ -478,16 +478,6 @@ object Warehouse {
     mode
   }
 
-  /** Provide `table` as an external HIVE-PARTITIONED parquet layout
-    * (`table/partCol=value/…`) with the same fingerprinted,
-    * cross-session economics as [[ensureBucketedTable]]. Partitioned
-    * layouts are the complement of bucketed ones: bucketing co-
-    * locates JOIN keys, partitioning prunes SCAN ranges — a reader
-    * filtering on the partition column opens only the matching
-    * directories (PartitionFilters never touch row groups at all).
-    * Re-registration runs one DDL + MSCK REPAIR to rediscover the
-    * surviving partition directories in the catalog.
-    */
   /** Fixture-table name patterns SUPERSEDED by a format-version bump
     * (the memory-note discipline: a persisted artifact whose FORMAT
     * changed gets a new table name so fingerprint-matching can never
@@ -527,6 +517,16 @@ object Warehouse {
     doomed.map(_.getName).sorted
   }
 
+  /** Provide `table` as an external HIVE-PARTITIONED parquet layout
+    * (`table/partCol=value/…`) with the same fingerprinted,
+    * cross-session economics as [[ensureBucketedTable]]. Partitioned
+    * layouts are the complement of bucketed ones: bucketing co-
+    * locates JOIN keys, partitioning prunes SCAN ranges — a reader
+    * filtering on the partition column opens only the matching
+    * directories (PartitionFilters never touch row groups at all).
+    * Re-registration runs one DDL + MSCK REPAIR to rediscover the
+    * surviving partition directories in the catalog.
+    */
   def ensurePartitionedTable(spark: SparkSession, table: String,
                              srcPath: String, partCol: String)
                             (build: => DataFrame): String = {

@@ -180,6 +180,130 @@ object GenLogStream {
       new java.io.File(ckpt))
   }
 
+  // -----------------------------------------------------------------
+  // the STREAMING SOURCE over the log (Delta-as-a-source): the last
+  // hop of the medallion loop — downstream jobs stream the TABLE
+  // itself instead of polling readChangeFeed by hand
+  // -----------------------------------------------------------------
+
+  /** Source mode: emit each data-changing commit's ADDED-FILE rows —
+    * the bronze append feed (GenLog.readAppendedSince's contract,
+    * delivered as micro-batches). Restating commits surface their
+    * adds; row-accurate for append-only tables.
+    */
+  final val SourceAdds = "adds"
+
+  /** Source mode: emit each commit's CHANGE ROWS (`_change_type` +
+    * `_commit_version` — GenLog.readChangeFeed's contract, one
+    * micro-batch per commit). A data-changing commit in range that
+    * recorded no change files fails LOUDLY, exactly as the batch feed
+    * does — a CDC stream must never silently lie.
+    */
+  final val SourceCdf = "cdf"
+
+  private def ckptFs(spark: SparkSession, checkpointLoc: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val p = new org.apache.hadoop.fs.Path(checkpointLoc)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def doneMarker(ckpt: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(ckpt, f"$v%020d.done")
+
+  /** The checkpointed cursor: the highest commit version already
+    * processed (0 = virgin checkpoint — consume from the log's
+    * beginning). One marker file per processed version; the max is
+    * the offset, so a torn multi-batch run resumes exactly after its
+    * last COMPLETED batch.
+    */
+  private[graft] def cursorOf(spark: SparkSession, checkpointLoc: String): Long = {
+    val (p, fs) = ckptFs(spark, checkpointLoc)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".done"))
+      .map(_.stripSuffix(".done").toLong)
+      .maxOption.getOrElse(0L)
+  }
+
+  private def markDone(spark: SparkSession, checkpointLoc: String, v: Long): Unit = {
+    val (p, fs) = ckptFs(spark, checkpointLoc)
+    fs.mkdirs(p)
+    val out = fs.create(doneMarker(p, v), true)
+    out.close()
+  }
+
+  /** Seed a source checkpoint so consumption starts AFTER `version` —
+    * the "stream from generation g onwards" idiom (a consumer that
+    * bootstraps from a snapshot read, then tails changes).
+    */
+  def seedCursor(spark: SparkSession, checkpointLoc: String, version: Long): Unit =
+    markDone(spark, checkpointLoc, version)
+
+  /** A STREAMING SOURCE over a generation-logged table — the
+    * micro-batch source lifecycle (DataSource V2's
+    * latestOffset / planInputPartitions / commit), executed with the
+    * log's own primitives and a Trigger.AvailableNow drain:
+    *
+    *   - DISCOVERY (`latestOffset`): list the log dir once and parse
+    *     exactly the commits past the checkpointed cursor
+    *     (GenLog.commitsAfter — O(new commits), never a snapshot
+    *     resolve). A cursor the vacuum truncated past aborts loudly:
+    *     the consumer must re-seed, never silently skip.
+    *   - PLAN: each data-changing commit becomes ONE micro-batch —
+    *     its added files ([[SourceAdds]]) or its commit-time change
+    *     files tagged with the version ([[SourceCdf]]). Layout-only
+    *     commits (dataChange=false: OPTIMIZE, re-clustering, DV
+    *     settlement) advance the cursor WITHOUT emitting — their rows
+    *     were already delivered (Delta's streaming-source contract).
+    *   - COMMIT (`commit(offset)`): the version's done-marker installs
+    *     AFTER `onBatch` returns, so a crash mid-batch re-delivers
+    *     exactly the in-flight batch on restart (at-least-once;
+    *     exactly-once lands at idempotent sinks — the GenLog-committed
+    *     sink gets it from the gen-id guard alone, q222's pattern),
+    *     and a COMPLETED drain replays nothing (the restart-replay
+    *     spec pins it).
+    *
+    * Deliberately a driver-side pump rather than a registered
+    * DataSource V2 MicroBatchStream: the batches here are real
+    * DataFrames over Spark's native vectorized parquet scan (full
+    * whole-stage codegen, pushdown, AQE), which a third-party
+    * PartitionReader would have to reimplement row-by-row — the
+    * offset/commit semantics are identical, the plan quality is
+    * strictly better, and the contract is spec-pinned instead of
+    * API-shaped. Returns the number of batches emitted.
+    */
+  def readSource(spark: SparkSession, loc: String, checkpointLoc: String,
+                 mode: String = SourceCdf)
+                (onBatch: (DataFrame, Long) => Unit): Int = {
+    require(mode == SourceAdds || mode == SourceCdf,
+      s"unknown source mode '$mode' — use '$SourceAdds' or '$SourceCdf'")
+    val cursor = cursorOf(spark, checkpointLoc)
+    var emitted = 0
+    GenLog.commitsAfter(spark, loc, cursor).foreach { c =>
+      val frame: Option[DataFrame] =
+        if (!c.dataChange) None // layout-only: rows already delivered
+        else if (mode == SourceAdds) {
+          if (c.adds.isEmpty) None // e.g. a delete that rewrote to nothing
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(c.adds: _*))
+        } else c.cdf match {
+          case Some(tok) =>
+            Some(spark.read.parquet(s"$loc/${GenLog.ChangesDir}/$tok")
+              .withColumn(GenLog.ChangeVersionCol, lit(c.version)))
+          case None =>
+            require(c.adds.isEmpty && c.removes.isEmpty &&
+              c.dvAdds.isEmpty && c.dvRemoves.isEmpty,
+              s"commit '${c.gen}' (v${c.version}) changed data without " +
+                "change files — the writer committed with cdf = false; " +
+                "this table cannot serve a CDC stream past that commit")
+            None // an empty delta (no-match delete): nothing changed
+        }
+      frame.foreach { df => onBatch(df, c.version); emitted += 1 }
+      markDone(spark, checkpointLoc, c.version)
+    }
+    emitted
+  }
+
   private def commitBatch(batch: Dataset[Row], loc: String,
                           lastWin: java.util.concurrent.atomic.AtomicInteger): Unit = {
     val ss = batch.sparkSession

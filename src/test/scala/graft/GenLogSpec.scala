@@ -95,6 +95,53 @@ class GenLogSpec extends SparkTestBase {
     assert(rows(GenLog.read(spark, loc, "g3")) == g3Rows)
   }
 
+  test("timestamp time travel: exactly-at resolves the commit, between resolves backwards, pre-history and post-vacuum abort") {
+    val loc = freshGens()
+    val tss = GenLog.commitTimestamps(spark, loc)
+    assert(tss.map(t => (t._1, t._2)) == Seq((1L, "g1"), (2L, "g2"), (3L, "g3")))
+    // monotonic adjustment: strictly increasing even when consecutive
+    // commits land in the same wall-clock millisecond (these three do
+    // land close; the +1ms rule is what makes the assert stable)
+    assert(tss.map(_._3) == tss.map(_._3).sorted &&
+      tss.map(_._3).distinct.size == 3,
+      s"adjusted stamps must be strictly monotone: ${tss.map(_._3)}")
+    val Seq(t1, t2, t3) = tss.map(_._3)
+    // exactly-at each commit's stamp addresses that commit's snapshot
+    assert(rows(GenLog.readAsOfTimestamp(spark, loc, t1)) ==
+      rows(GenLog.read(spark, loc, "g1")))
+    assert(rows(GenLog.readAsOfTimestamp(spark, loc, t2)) ==
+      rows(GenLog.read(spark, loc, "g2")))
+    // between two commits resolves BACKWARDS (latest commit ≤ ts);
+    // t2-1 >= t1 is guaranteed by the monotone adjustment
+    assert(rows(GenLog.readAsOfTimestamp(spark, loc, t2 - 1)) ==
+      rows(GenLog.read(spark, loc, "g1")))
+    // later than every commit clamps to the latest snapshot
+    assert(rows(GenLog.readAsOfTimestamp(spark, loc, t3 + 3600000L)) ==
+      rows(GenLog.read(spark, loc, "g3")))
+    // earlier than the first commit: the table did not exist — abort
+    intercept[IllegalArgumentException](
+      GenLog.readAsOfTimestamp(spark, loc, t1 - 1))
+    // vacuum to the last two generations: the cut (g2) commit object
+    // is gone, so its timestamp is no longer provable — g2-era
+    // timestamps abort; the surviving commit still resolves
+    GenLog.vacuum(spark, loc, keepLastN = 2, minAgeMs = 0L)
+    intercept[IllegalArgumentException](
+      GenLog.readAsOfTimestamp(spark, loc, t2))
+    // t3 = max(raw3, adj2+1) >= raw3, so it still addresses v3 even
+    // though the adjustment chain restarted at the surviving commit
+    assert(rows(GenLog.readAsOfTimestamp(spark, loc, t3)) ==
+      rows(GenLog.read(spark, loc, "g3")))
+    // DESCRIBE HISTORY surfaces the surviving stamps (audit surface)
+    val t3After = GenLog.commitTimestamps(spark, loc)
+      .collectFirst { case (3L, _, t) => t }.get
+    val h = GenLog.history(spark, loc)
+      .select(col("version"), col("timestamp_ms")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(h(3L).contains(t3After), "history must carry the adjusted stamp")
+    assert(h(2L).isEmpty, "the retention cut's stamp went with its object")
+  }
+
   test("schema evolution: earlier generations keep their own schema; the merged read nulls pre-column history") {
     val loc = freshGens()
     // widen at g4: day-20+ restated with n_users
