@@ -103,14 +103,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * schema wholesale (a full rewrite defines the table, Delta's
   * overwriteSchema).
   *
-  * Batch contract for [[appendBatch]]: the frame carries `partCol`,
-  * and RESTATES every partition value it contains completely — the
-  * previous generation's files for exactly those partitions are
-  * marked removed. partitionBy guarantees one partition value per
-  * file, and file attribution is EXACT: the write lands in a private
-  * staging directory and renames into place, so removal-by-path never
-  * strands rows and physically interleaved stagings never
-  * mis-attribute files (see [[writeAttributed]]).
+  * Batch contract for [[appendBatch]]: the frame carries its
+  * partition column(s) — ONE OR MORE; a (day, region) table nests
+  * `day=…/region=…` directories and its conflict tokens are the full
+  * tuple paths — and RESTATES every partition tuple it contains
+  * completely: the previous generation's files for exactly those
+  * tuples are marked removed. partitionBy guarantees one tuple per
+  * file, tokens are STRUCTURAL (read from the file's own directory
+  * chain — [[partTokenOf]]), a batch at a different partition DEPTH
+  * than the live layout aborts loudly (layout migration is
+  * [[recluster]]'s job), and file attribution is EXACT: the write
+  * lands in a private staging directory and renames into place, so
+  * removal-by-path never strands rows and physically interleaved
+  * stagings never mis-attribute files (see [[writeAttributed]]).
   */
 object GenLog {
 
@@ -171,7 +176,8 @@ object GenLog {
   final val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
   /** One committed generation's delta. `parts` are
-    * `partCol=escapedValue` tokens (or [[AllParts]]); insert-kind
+    * `col=escapedValue` tokens — `/`-joined tuples on a multi-column
+    * layout — (or [[AllParts]]); insert-kind
     * commits ([[appendInsert]]) declare theirs too — restaters must
     * conflict against them — but never abort as losers. `dataChange`
     * is false for LAYOUT-ONLY commits (re-clustering, compaction, DV
@@ -619,7 +625,7 @@ object GenLog {
 
   private def partsOverlap(a: Seq[String], b: Seq[String]): Boolean =
     a.contains(AllParts) || b.contains(AllParts) ||
-      a.toSet.intersect(b.toSet).nonEmpty
+      a.exists(x => b.exists(tokensOverlap(x, _)))
 
   /** Commit a prepared delta with optimistic-concurrency retry.
     * `snapshotVersion` is the version the delta was computed against
@@ -747,43 +753,87 @@ object GenLog {
   // attributed writes, change files, schema enforcement
   // ----------------------------------------------------------------
 
-  /** The `partCol=value` token of a data file's parent directory —
-    * exact (it IS the directory partitionBy wrote), already escaped.
+  /** The partition token of a data file: the chain of `col=value`
+    * directory components between the table root and the file, joined
+    * with '/' — exact (it IS the path partitionBy wrote), already
+    * escaped, and STRUCTURAL: no caller has to re-state the table's
+    * partition columns to name a file's partition, so the conflict
+    * tokens of a (day, type)-partitioned table are the full
+    * `day_k=…/etype_k=…` tuples by construction. A file outside any
+    * `col=value` chain maps to the wildcard (conservative: conflicts
+    * with every restater).
     */
-  private def partTokenOf(f: String, partCol: String): String = {
-    val name = new Path(f).getParent.getName
-    if (name.startsWith(partCol + "=")) name else AllParts
+  private def partTokenOf(root: Path, f: String): String = {
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val comps = scala.collection.mutable.ListBuffer.empty[String]
+    var p = new Path(f).getParent
+    while (p != null && p.toUri.getPath != rootPath && p.getName.contains("=")) {
+      comps.prepend(p.getName)
+      p = p.getParent
+    }
+    if (comps.isEmpty) AllParts
+    else if (p != null && p.toUri.getPath == rootPath) comps.mkString("/")
+    // a SHALLOW CLONE's live files sit under a FOREIGN root (the
+    // source table's directory): their token is the trailing
+    // `col=value` chain — the clone shares the source's partition
+    // scheme, so the chain names the same tuple
+    else if (!new Path(f).toUri.getPath.startsWith(rootPath + "/"))
+      comps.mkString("/")
+    // an own file whose chain does not reach the root: wildcard
+    // (conservative — conflicts with everything, removes nothing)
+    else AllParts
   }
 
-  /** Write `df` partitioned by `partCol` under `loc` with EXACT file
-    * attribution: the write lands in a private staging directory
-    * (`_staged/<uuid>` — invisible to the data listing), the staged
-    * files are listed (only this writer's files can be there), and
-    * each renames into its final partition directory. Task-generated
-    * file names are globally unique, so physically INTERLEAVED
-    * stagings never collide, and attribution needs no before/after
-    * listing diff, no quiescence assumption, and no O(table) listing
-    * on the commit path. A crash mid-rename leaves invisible orphans
-    * plus a stale staging directory; vacuum sweeps both past the
-    * retention horizon. Returns the final file paths, sorted.
+  /** Do two conflict tokens overlap? Equal tuples do; so does a
+    * PREFIX relation (`day_k=X` restates every type under day X, so
+    * it must conflict with `day_k=X/etype_k=click`); the wildcard
+    * overlaps everything.
+    */
+  private def tokensOverlap(a: String, b: String): Boolean =
+    a == b || a == AllParts || b == AllParts ||
+      a.startsWith(b + "/") || b.startsWith(a + "/")
+
+  /** Write `df` partitioned by `partCols` (one or more levels —
+    * `day_k=…/etype_k=…` directories for a two-column key) under
+    * `loc` with EXACT file attribution: the write lands in a private
+    * staging directory (`_staged/<uuid>` — invisible to the data
+    * listing), the staged files are listed (only this writer's files
+    * can be there), and each renames into its final partition
+    * directory. Task-generated file names are globally unique, so
+    * physically INTERLEAVED stagings never collide, and attribution
+    * needs no before/after listing diff, no quiescence assumption,
+    * and no O(table) listing on the commit path. A crash mid-rename
+    * leaves invisible orphans plus a stale staging directory; vacuum
+    * sweeps both past the retention horizon. Returns the final file
+    * paths, sorted.
     */
   private def writeAttributed(spark: SparkSession, loc: String, df: DataFrame,
-                              partCol: String,
+                              partCols: Seq[String],
                               numFiles: Option[Int] = None): Seq[String] = {
+    require(partCols.nonEmpty, "writeAttributed needs a partition column")
     val (p, fs) = fsOf(spark, loc)
     val stage = new Path(p, s"$StagedDir/w-${UUID.randomUUID()}")
-    val rep = numFiles.map(df.repartition(_)).getOrElse(df.repartition(col(partCol)))
-    rep.write.partitionBy(partCol).parquet(stage.toString)
+    val rep = numFiles.map(df.repartition(_))
+      .getOrElse(df.repartition(partCols.map(col): _*))
+    rep.write.partitionBy(partCols: _*).parquet(stage.toString)
     def walk(s: FileStatus): Seq[Path] =
       if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
       else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
       else Nil
     val staged = walk(fs.getFileStatus(stage))
     val out = staged.map { f =>
-      val part = f.getParent.getName
-      require(part.startsWith(partCol + "="),
+      // the partition chain between the stage root and the file must
+      // be exactly one `col=value` component per partition column
+      var d = f.getParent
+      val chain = scala.collection.mutable.ListBuffer.empty[String]
+      while (d != null && d.toUri.getPath != stage.toUri.getPath) {
+        chain.prepend(d.getName)
+        d = d.getParent
+      }
+      require(chain.size == partCols.size &&
+        chain.zip(partCols).forall { case (c, k) => c.startsWith(k + "=") },
         s"unexpected staged layout under $stage: $f")
-      val destDir = new Path(p, part)
+      val destDir = new Path(p, chain.mkString("/"))
       fs.mkdirs(destDir)
       val dst = new Path(destDir, f.getName)
       require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
@@ -906,13 +956,33 @@ object GenLog {
   private[graft] def stageAppend(spark: SparkSession, loc: String, gen: String,
                                  df: DataFrame, partCol: String,
                                  evolve: Boolean = false,
-                                 cdf: Boolean = false): Staged = {
+                                 cdf: Boolean = false): Staged =
+    stageAppend(spark, loc, gen, df, Seq(partCol), evolve, cdf)
+
+  private[graft] def stageAppend(spark: SparkSession, loc: String, gen: String,
+                                 df: DataFrame, partCols: Seq[String],
+                                 evolve: Boolean, cdf: Boolean): Staged = {
     validateGen(gen)
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, prev) = latestFull(spark, loc)
     val schemaLine = enforceSchema(prev.schema, df.schema, evolve, gen)
-    val added = writeAttributed(spark, loc, df, partCol)
-    val parts = added.map(partTokenOf(_, partCol)).distinct.sorted
-    val removed = prev.live.filter(f => parts.contains(partTokenOf(f, partCol)))
+    val added = writeAttributed(spark, loc, df, partCols)
+    val parts = added.map(partTokenOf(root, _)).distinct.sorted
+    // removal is EXACT-token only: a tuple restatement replaces files
+    // of exactly its tuples. A coarser-layout file (a whole-day file
+    // under a now-(day,type) batch) must NOT be removed — dropping it
+    // would destroy its other tuples' rows — and silently ADDING
+    // beside it would duplicate the restated rows, so a depth
+    // mismatch aborts: migrating layouts is recluster's job.
+    val liveTokens = prev.live.map(f => f -> partTokenOf(root, f))
+    val mixed = liveTokens.collect { case (f, t)
+      if parts.exists(pt => pt != t && tokensOverlap(pt, t)) => f }
+    require(mixed.isEmpty,
+      s"batch '$gen' restates partitions [${parts.take(3).mkString(", ")}…] " +
+        s"at a different depth than the live layout (e.g. ${mixed.head}) — " +
+        "a partition-scheme change must go through recluster; nothing of " +
+        "this batch is visible (its staged files await vacuum)")
+    val removed = liveTokens.collect { case (f, t) if parts.contains(t) => f }
     val rows = footerRows(spark, added)
     val cdfTok =
       if (!cdf) None
@@ -973,11 +1043,23 @@ object GenLog {
     */
   def appendBatch(spark: SparkSession, loc: String, gen: String,
                   df: DataFrame, partCol: String,
-                  evolve: Boolean = false, cdf: Boolean = false): Unit = {
+                  evolve: Boolean = false, cdf: Boolean = false): Unit =
+    appendBatch(spark, loc, gen, df, Seq(partCol), evolve, cdf)
+
+  /** [[appendBatch]] under a MULTI-COLUMN partition key: the batch
+    * restates every `(c1, c2, …)` TUPLE it contains — partition
+    * directories nest (`c1=…/c2=…/`), conflict tokens are the full
+    * tuple paths, and a one-tuple restatement leaves every other
+    * tuple's files untouched (the real 100 TB shape: tables partition
+    * by (date, region), not one column).
+    */
+  def appendBatch(spark: SparkSession, loc: String, gen: String,
+                  df: DataFrame, partCols: Seq[String],
+                  evolve: Boolean, cdf: Boolean): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
     commitStaged(spark, loc,
-      stageAppend(spark, loc, gen, df, partCol, evolve, cdf))
+      stageAppend(spark, loc, gen, df, partCols, evolve, cdf))
     ()
   }
 
@@ -1024,11 +1106,20 @@ object GenLog {
     * a whole-table rewrite defines the table.
     */
   def recluster(spark: SparkSession, loc: String, gen: String,
-                df: DataFrame, partCol: String): Unit = {
+                df: DataFrame, partCol: String): Unit =
+    recluster(spark, loc, gen, df, Seq(partCol))
+
+  /** [[recluster]] under a multi-column partition key — partition
+    * EVOLUTION between depths goes through here (the one verb allowed
+    * to change the table's partition scheme, because a full rewrite
+    * defines the table).
+    */
+  def recluster(spark: SparkSession, loc: String, gen: String,
+                df: DataFrame, partCols: Seq[String]): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
     val (snapVer, prev) = latestFull(spark, loc)
-    val added = writeAttributed(spark, loc, df, partCol)
+    val added = writeAttributed(spark, loc, df, partCols)
     val schemaLine =
       if (prev.schema.contains(df.schema.json)) None else Some(df.schema.json)
     commitDelta(spark, loc,
@@ -1060,13 +1151,23 @@ object GenLog {
     */
   def appendInsert(spark: SparkSession, loc: String, gen: String,
                    df: DataFrame, partCol: String,
-                   cdf: Boolean = false): Unit = {
+                   cdf: Boolean = false): Unit =
+    appendInsert(spark, loc, gen, df, Seq(partCol), cdf)
+
+  /** [[appendInsert]] under a multi-column partition key (tuple
+    * directories + tuple conflict tokens — see the multi-column
+    * [[appendBatch]]).
+    */
+  def appendInsert(spark: SparkSession, loc: String, gen: String,
+                   df: DataFrame, partCols: Seq[String],
+                   cdf: Boolean): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, prev) = latestFull(spark, loc)
     val schemaLine = enforceSchema(prev.schema, df.schema, evolve = false, gen)
-    val added = writeAttributed(spark, loc, df, partCol)
-    val parts = added.map(partTokenOf(_, partCol)).distinct.sorted
+    val added = writeAttributed(spark, loc, df, partCols)
+    val parts = added.map(partTokenOf(root, _)).distinct.sorted
     val cdfTok =
       if (!cdf || added.isEmpty) None
       else writeChanges(spark, loc, deletes = None,
@@ -1097,9 +1198,16 @@ object GenLog {
     */
   def mergeByKey(spark: SparkSession, loc: String, gen: String,
                  updates: DataFrame, keyCols: Seq[String],
-                 partCol: String, cdf: Boolean = false): Unit = {
+                 partCol: String, cdf: Boolean = false): Unit =
+    mergeByKey(spark, loc, gen, updates, keyCols, Seq(partCol), cdf)
+
+  /** [[mergeByKey]] under a multi-column partition key. */
+  def mergeByKey(spark: SparkSession, loc: String, gen: String,
+                 updates: DataFrame, keyCols: Seq[String],
+                 partCols: Seq[String], cdf: Boolean): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, st) = latestFull(spark, loc)
     require(st.live.nonEmpty, s"mergeByKey on an empty table at $loc — use appendBatch")
     val keys = updates.select(keyCols.map(col): _*).distinct()
@@ -1139,9 +1247,9 @@ object GenLog {
           else Some(affectedView().join(keys, keyCols, "left_semi")),
         inserts = Some(updates))
     val added = writeAttributed(spark, loc,
-      kept.map(_.unionByName(updates)).getOrElse(updates), partCol)
-    val parts = (added.map(partTokenOf(_, partCol)) ++
-      affected.map(partTokenOf(_, partCol))).distinct.sorted
+      kept.map(_.unionByName(updates)).getOrElse(updates), partCols)
+    val parts = (added.map(partTokenOf(root, _)) ++
+      affected.map(partTokenOf(root, _))).distinct.sorted
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
         rows = footerRows(spark, added), cdf = cdfTok,
@@ -1172,9 +1280,15 @@ object GenLog {
     val added = writeAttributed(spark, loc,
       spark.read.option("basePath", loc).option("mergeSchema", "true")
         .parquet(target: _*),
-      partCol, numFiles = Some(numFiles))
+      Seq(partCol), numFiles = Some(numFiles))
+    // declare the STRUCTURAL tuple tokens of the touched files (on a
+    // multi-level table, `day_k=X` alone would not string-match a
+    // concurrent restater's `day_k=X/etype_k=…` token — the prefix
+    // rule in tokensOverlap needs the real tokens on both sides)
+    val (root, _) = fsOf(spark, loc)
+    val parts = (target ++ added).map(partTokenOf(root, _)).distinct.sorted
     commitDelta(spark, loc,
-      Commit(0L, gen, Seq(s"$partCol=$escaped"), added, target,
+      Commit(0L, gen, parts, added, target,
         dataChange = false, rows = footerRows(spark, added),
         op = "optimize"), snapVer)
     ()
@@ -1194,18 +1308,25 @@ object GenLog {
     */
   def replaceFiles(spark: SparkSession, loc: String, gen: String,
                    target: Seq[String], partCol: String)
+                  (transform: DataFrame => DataFrame): Unit =
+    replaceFiles(spark, loc, gen, target, Seq(partCol))(transform)
+
+  /** [[replaceFiles]] under a multi-column partition key. */
+  def replaceFiles(spark: SparkSession, loc: String, gen: String,
+                   target: Seq[String], partCols: Seq[String])
                   (transform: DataFrame => DataFrame): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, live) = latestState(spark, loc)
     require(target.nonEmpty, "replaceFiles needs at least one target file")
     require(target.forall(live.contains),
       s"replaceFiles targets must be live files of the latest generation")
     val out = transform(spark.read.option("basePath", loc)
       .option("mergeSchema", "true").parquet(target: _*))
-    val added = writeAttributed(spark, loc, out, partCol)
-    val parts = (target.map(partTokenOf(_, partCol)) ++
-      added.map(partTokenOf(_, partCol))).distinct.sorted
+    val added = writeAttributed(spark, loc, out, partCols)
+    val parts = (target.map(partTokenOf(root, _)) ++
+      added.map(partTokenOf(root, _))).distinct.sorted
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, target.sorted, dataChange = false,
         rows = footerRows(spark, added), op = "replaceFiles"), snapVer)
@@ -1307,9 +1428,16 @@ object GenLog {
     */
   def deleteWhere(spark: SparkSession, loc: String, gen: String,
                   pred: Column, partCol: String,
-                  cdf: Boolean = false): Unit = {
+                  cdf: Boolean = false): Unit =
+    deleteWhere(spark, loc, gen, pred, Seq(partCol), cdf)
+
+  /** [[deleteWhere]] under a multi-column partition key. */
+  def deleteWhere(spark: SparkSession, loc: String, gen: String,
+                  pred: Column, partCols: Seq[String],
+                  cdf: Boolean): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, st) = latestFull(spark, loc)
     require(st.live.nonEmpty, s"deleteWhere on an empty table at $loc")
     val hit = coalesce(pred, lit(false))
@@ -1328,7 +1456,7 @@ object GenLog {
         snapVer)
       return
     }
-    val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+    val parts = affected.map(partTokenOf(root, _)).distinct.sorted
     def affectedView() = morView(spark, loc, affected, st.dvLive)
       .drop("__graft_dv_f", "__graft_dv_i")
     val cdfTok =
@@ -1336,7 +1464,7 @@ object GenLog {
       else writeChanges(spark, loc,
         deletes = Some(affectedView().where(hit)),
         inserts = None)
-    val added = writeAttributed(spark, loc, affectedView().where(!hit), partCol)
+    val added = writeAttributed(spark, loc, affectedView().where(!hit), partCols)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
         rows = footerRows(spark, added), cdf = cdfTok, op = "delete"), snapVer)
@@ -1362,8 +1490,13 @@ object GenLog {
   def deleteWhereMoR(spark: SparkSession, loc: String, gen: String,
                      pred: Column, partCol: String,
                      cdf: Boolean = false): Unit = {
+    // partCol is unused since conflict tokens became structural
+    // (partTokenOf reads the file's own directory chain); kept for
+    // signature symmetry with deleteWhere
+    val _ = partCol
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, st) = latestFull(spark, loc)
     require(st.live.nonEmpty, s"deleteWhereMoR on an empty table at $loc")
     val hit = coalesce(pred, lit(false))
@@ -1388,7 +1521,7 @@ object GenLog {
           Commit(0L, gen, Nil, Nil, Nil, op = "deleteMoR"), snapVer)
         return
       }
-      val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+      val parts = affected.map(partTokenOf(root, _)).distinct.sorted
       val cdfTok =
         if (!cdf) None
         else writeChanges(spark, loc,
@@ -1417,9 +1550,15 @@ object GenLog {
     * exactly the rewrite the MoR delete deferred.
     */
   def materializeDeletes(spark: SparkSession, loc: String, gen: String,
-                         partCol: String): Unit = {
+                         partCol: String): Unit =
+    materializeDeletes(spark, loc, gen, Seq(partCol))
+
+  /** [[materializeDeletes]] under a multi-column partition key. */
+  def materializeDeletes(spark: SparkSession, loc: String, gen: String,
+                         partCols: Seq[String]): Unit = {
     validateGen(gen)
     if (contains(spark, loc, gen)) return
+    val (root, _) = fsOf(spark, loc)
     val (snapVer, st) = latestFull(spark, loc)
     require(st.dvLive.nonEmpty, s"no deletion vectors to materialize at $loc")
     val dv = spark.read.parquet(st.dvLive: _*)
@@ -1428,7 +1567,7 @@ object GenLog {
     val affected = dv.select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).filter(st.live.contains).toSeq.sorted
-    val parts = affected.map(partTokenOf(_, partCol)).distinct.sorted
+    val parts = affected.map(partTokenOf(root, _)).distinct.sorted
     val added =
       if (affected.isEmpty) Nil
       else writeAttributed(spark, loc,
@@ -1438,7 +1577,7 @@ object GenLog {
           .withColumn("__graft_dv_i", col("_metadata.row_index"))
           .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
           .drop("__graft_dv_f", "__graft_dv_i"),
-        partCol)
+        partCols)
     commitDelta(spark, loc,
       Commit(0L, gen, parts :+ DvParts, added, affected, dataChange = false,
         dvRemoves = st.dvLive, rows = footerRows(spark, added),

@@ -1020,6 +1020,72 @@ object TimeTravel {
   /** The timestamp addresses g1's snapshot — q204's oracle verbatim. */
   val q234Sql: String = q204Sql
 
+  // ---------------------------------------------------------------
+  // q235_multipart_restate — MULTI-COLUMN partitioning through the
+  // log: the rollup commits under a (day_k, etype_k) TUPLE key —
+  // nested `day_k=…/etype_k=…` directories, one file per tuple, and
+  // conflict tokens that are the full tuple paths — and then ONE
+  // tuple (the cutoff's partial boundary day × 'click') restates from
+  // the full corpus. Every other tuple's file survives byte-
+  // identically (GenLogSpec pins the file listing: exactly the one
+  // tuple's file is replaced), a same-day-different-type writer is
+  // DISJOINT under the tuple OCC (a 1-D day token would have made it
+  // a false conflict), and a batch at the wrong partition DEPTH
+  // aborts loudly instead of silently duplicating rows. The oracle
+  // states the merged table directly: full-corpus counts for the
+  // restated tuple, cutoff counts elsewhere. At 100 TB this is the
+  // real table shape — (date, region) partitioning — where restating
+  // one region's day must never touch, nor falsely conflict with,
+  // the other regions of the same day.
+  // ---------------------------------------------------------------
+  final val MpDay = "2024-01-25"
+  final val MpType = "click"
+
+  private[graft] def multiTable(dir: String): String =
+    s"graft_ev_multipart_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** One ingest batch under the TUPLE key: the daily rollup with the
+    * event type doubled into a partition column.
+    */
+  private[graft] def tupleBatch(spark: SparkSession, dir: String,
+                                cut: Option[String], dayLo: Option[String],
+                                dayHi: Option[String]): DataFrame =
+    batch(spark, dir, cut, dayLo, dayHi)
+      .withColumn("etype_k", col("event_type"))
+
+  private[graft] def ensureMultipartGenerations(spark: SparkSession,
+                                                dir: String): String = {
+    val tbl = multiTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        tupleBatch(spark, dir, Some(MergeCut), None, None),
+        Seq("day_k", "etype_k"), evolve = false, cdf = false)
+      GenLog.appendBatch(spark, loc, "g2_tuple",
+        tupleBatch(spark, dir, None, Some(MpDay), Some(MpDay))
+          .where(col("event_type") === lit(MpType)),
+        Seq("day_k", "etype_k"), evolve = false, cdf = false)
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q235(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureMultipartGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q235Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+       |FROM events
+       |WHERE ts <= TIMESTAMP '$MergeCut'
+       |   OR (event_type = '$MpType' AND CAST(ts AS DATE) = DATE '$MpDay')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -1043,7 +1109,8 @@ object TimeTravel {
     "q231_stream_cdc" -> (q231 _),
     "q232_stream_source" -> (q232 _),
     "q233_stream_source_adds" -> (q233 _),
-    "q234_asof_timestamp" -> (q234 _))
+    "q234_asof_timestamp" -> (q234 _),
+    "q235_multipart_restate" -> (q235 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -1068,5 +1135,6 @@ object TimeTravel {
     "q231_stream_cdc" -> q231Sql,
     "q232_stream_source" -> q232Sql,
     "q233_stream_source_adds" -> q233Sql,
-    "q234_asof_timestamp" -> q234Sql)
+    "q234_asof_timestamp" -> q234Sql,
+    "q235_multipart_restate" -> q235Sql)
 }

@@ -95,6 +95,60 @@ class GenLogSpec extends SparkTestBase {
     assert(rows(GenLog.read(spark, loc, "g3")) == g3Rows)
   }
 
+  test("multi-column partitioning: one-tuple restatement replaces exactly its file; OCC conflicts on tuples, not days; depth mismatch aborts") {
+    val loc = java.nio.file.Files.createTempDirectory("genlogmp").toString + "/t"
+    def tb(lo: String, hi: String) =
+      TimeTravel.tupleBatch(spark, Sf, None, Some(lo), Some(hi))
+    GenLog.appendBatch(spark, loc, "g1",
+      TimeTravel.tupleBatch(spark, Sf, None, None, None),
+      Seq("day_k", "etype_k"), evolve = false, cdf = false)
+    val live1 = GenLog.generations(spark, loc).last._2.toSet
+    assert(live1.forall(_.matches(".*/day_k=[^/]+/etype_k=[^/]+/[^/]+\\.parquet")),
+      "every file must sit under a full tuple directory chain")
+    val g1Rows = rows(GenLog.readLatest(spark, loc))
+    // restate ONE tuple — recomputed from the same corpus, so the
+    // VALUES are identical; the files must move for exactly one tuple
+    GenLog.appendBatch(spark, loc, "g2",
+      tb("2024-01-15", "2024-01-15").where(col("event_type") === "click"),
+      Seq("day_k", "etype_k"), evolve = false, cdf = false)
+    val live2 = GenLog.generations(spark, loc).last._2.toSet
+    val tuple = "/day_k=2024-01-15/etype_k=click/"
+    assert((live1 -- live2).nonEmpty && (live1 -- live2).forall(_.contains(tuple)),
+      "only the restated tuple's file may leave the live set")
+    assert((live2 -- live1).nonEmpty && (live2 -- live1).forall(_.contains(tuple)),
+      "only the restated tuple's file may be added")
+    assert(live1.filterNot(_.contains(tuple)) == live2.filterNot(_.contains(tuple)),
+      "every other tuple's files survive byte-identically (same paths)")
+    assert(rows(GenLog.readLatest(spark, loc)) == g1Rows)
+    // OCC on TUPLES: three writers staged against one snapshot — a
+    // same-day-DIFFERENT-TYPE writer is disjoint (a 1-D day token
+    // would falsely conflict it); a same-tuple writer aborts
+    val sSame = GenLog.stageAppend(spark, loc, "w_view",
+      tb("2024-01-20", "2024-01-20").where(col("event_type") === "view"),
+      Seq("day_k", "etype_k"), evolve = false, cdf = false)
+    val sDisj = GenLog.stageAppend(spark, loc, "w_error",
+      tb("2024-01-20", "2024-01-20").where(col("event_type") === "error"),
+      Seq("day_k", "etype_k"), evolve = false, cdf = false)
+    val sClash = GenLog.stageAppend(spark, loc, "w_view2",
+      tb("2024-01-20", "2024-01-20").where(col("event_type") === "view"),
+      Seq("day_k", "etype_k"), evolve = false, cdf = false)
+    GenLog.commitStaged(spark, loc, sSame)
+    GenLog.commitStaged(spark, loc, sDisj)
+    intercept[java.util.ConcurrentModificationException](
+      GenLog.commitStaged(spark, loc, sClash))
+    // a batch at the WRONG DEPTH (day-only onto a (day,type) table)
+    // aborts loudly with nothing visible — silently adding beside the
+    // tuple files would duplicate the restated rows
+    val before = GenLog.generations(spark, loc).map(_._1)
+    val e = intercept[IllegalArgumentException](
+      GenLog.appendBatch(spark, loc, "bad_depth",
+        tb("2024-01-20", "2024-01-20"), Seq("day_k"),
+        evolve = false, cdf = false))
+    assert(e.getMessage.contains("recluster"))
+    assert(GenLog.generations(spark, loc).map(_._1) == before,
+      "the depth-mismatched batch must not become a generation")
+  }
+
   test("timestamp time travel: exactly-at resolves the commit, between resolves backwards, pre-history and post-vacuum abort") {
     val loc = freshGens()
     val tss = GenLog.commitTimestamps(spark, loc)
