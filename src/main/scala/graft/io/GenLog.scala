@@ -187,7 +187,12 @@ object GenLog {
     * row counts for the added files (live-row accounting without
     * data reads). `schema` is the table schema AFTER this commit,
     * present only when it changes. `cdf` names this commit's change
-    * directory under [[ChangesDir]]. `ts` is the commit wall-clock
+    * directory under [[ChangesDir]]. `stats` carries each ADDED
+    * file's per-column (min, max) envelope and `blooms` its key
+    * Bloom bits (when the table's [[configureStats]] spec asks for
+    * them): per-file skipping statistics live IN the commit object —
+    * transactional with the data, Delta/Iceberg-style — so a
+    * snapshot's stats can never lag its files. `ts` is the commit wall-clock
     * timestamp (epoch millis), stamped at claim time; 0 marks a
     * legacy (pre-timestamp) object, which timestamp resolution then
     * serves from the commit FILE's modification time (Delta reads
@@ -203,7 +208,9 @@ object GenLog {
       schema: Option[String] = None,
       cdf: Option[String] = None,
       op: String = "write",
-      ts: Long = 0L)
+      ts: Long = 0L,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   /** How a snapshot resolve was served: the live sets, the checkpoint
     * version it started from (None = replayed from empty), the number
@@ -216,7 +223,9 @@ object GenLog {
       dvLive: Seq[String] = Nil,
       rows: Map[String, Long] = Map.empty,
       dvRows: Map[String, Long] = Map.empty,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   /** A parsed checkpoint: resolved state + the gen→version index of
     * every generation resolvable at its version.
@@ -224,14 +233,18 @@ object GenLog {
   private final case class CkptState(gen: String, live: Seq[String],
       dvLive: Seq[String], rows: Map[String, Long],
       dvRows: Map[String, Long], schema: Option[String],
-      genIndex: Seq[(Long, String)])
+      genIndex: Seq[(Long, String)],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   /** One resolvable generation's full state (vacuum's unit of
     * retention).
     */
   private[graft] final case class GenState(version: Long, gen: String,
       live: Seq[String], dvLive: Seq[String], rows: Map[String, Long],
-      dvRows: Map[String, Long], schema: Option[String])
+      dvRows: Map[String, Long], schema: Option[String],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   // ----------------------------------------------------------------
   // filesystem plumbing
@@ -381,6 +394,48 @@ object GenLog {
       rest.drop(i + 1) -> rest.take(i).toLong
     }.toMap
 
+  /** Per-file column envelopes: one `st:<lo>:<hi>:<col>:<path>` line
+    * per (file, column) — the count-prefixed discipline (the path is
+    * the colon-safe REST; column names are validated colon-free at
+    * compute time).
+    */
+  private def statLines(m: Map[String, Map[String, (Long, Long)]]): Seq[String] =
+    m.toSeq.sortBy(_._1).flatMap { case (p, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"st:$lo:$hi:$c:$p" }
+    }
+
+  private def parseStats(lines: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] =
+    lines.collect { case l if l.startsWith("st:") =>
+      val a = l.drop(3)
+      val i1 = a.indexOf(':'); val i2 = a.indexOf(':', i1 + 1)
+      val i3 = a.indexOf(':', i2 + 1)
+      (a.substring(i3 + 1), a.substring(i2 + 1, i3),
+        (a.substring(0, i1).toLong, a.substring(i1 + 1, i2).toLong))
+    }.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+
+  /** Per-file Bloom bits: one `bl:<base64 words>:<path>` line per
+    * file (base64's alphabet is colon-free, so the path stays the
+    * REST). Which column the Bloom indexes is the table's
+    * [[configureStats]] spec — fixed at table creation.
+    */
+  private def bloomLines(m: Map[String, Array[Long]]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (p, words) =>
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      words.foreach(bb.putLong)
+      s"bl:${java.util.Base64.getEncoder.encodeToString(bb.array())}:$p"
+    }
+
+  private def parseBlooms(lines: Seq[String]): Map[String, Array[Long]] =
+    lines.collect { case l if l.startsWith("bl:") =>
+      val a = l.drop(3)
+      val i = a.indexOf(':')
+      val bytes = java.util.Base64.getDecoder.decode(a.take(i))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      a.drop(i + 1) -> Array.fill(bytes.length / 8)(bb.getLong)
+    }.toMap
+
   private def commitBody(c: Commit): String =
     sentinelBody(s"gen:${c.gen}" +:
       (Seq(s"op:${c.op}") ++
@@ -392,7 +447,8 @@ object GenLog {
         c.parts.map("part:" + _) ++
         c.adds.map("add:" + _) ++ c.removes.map("rm:" + _) ++
         c.dvAdds.map("dvadd:" + _) ++ c.dvRemoves.map("dvrm:" + _) ++
-        countedLines("rows", c.rows) ++ countedLines("dvrows", c.dvRows)))
+        countedLines("rows", c.rows) ++ countedLines("dvrows", c.dvRows) ++
+        statLines(c.stats) ++ bloomLines(c.blooms)))
 
   private def parseCommit(v: Long, content: String): Option[Commit] =
     parseLines(content).map { lines =>
@@ -413,20 +469,26 @@ object GenLog {
         op = lines.collectFirst { case l if l.startsWith("op:") => l.drop(3) }
           .getOrElse("write"),
         ts = lines.collectFirst { case l if l.startsWith("ts:") => l.drop(3).toLong }
-          .getOrElse(0L))
+          .getOrElse(0L),
+        stats = parseStats(lines),
+        blooms = parseBlooms(lines))
     }
 
   private def checkpointBody(gen: String, live: Seq[String],
       dvLive: Seq[String], rows: Map[String, Long],
       dvRows: Map[String, Long], schema: Option[String],
-      genIndex: Seq[(Long, String)]): String = {
+      genIndex: Seq[(Long, String)],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty): String = {
     val (liveSet, dvSet) = (live.toSet, dvLive.toSet)
     sentinelBody(s"gen:$gen" +:
       (schema.map("schema:" + _).toSeq ++
         genIndex.sortBy(_._1).map { case (v, g) => s"genver:$v:$g" } ++
         live.map("live:" + _) ++ dvLive.map("dvlive:" + _) ++
         countedLines("rows", rows.view.filterKeys(liveSet).toMap) ++
-        countedLines("dvrows", dvRows.view.filterKeys(dvSet).toMap)))
+        countedLines("dvrows", dvRows.view.filterKeys(dvSet).toMap) ++
+        statLines(stats.view.filterKeys(liveSet).toMap) ++
+        bloomLines(blooms.view.filterKeys(liveSet).toMap)))
   }
 
   private def parseCheckpoint(content: String): Option[CkptState] =
@@ -443,7 +505,9 @@ object GenLog {
           val rest = l.drop(7)
           val i = rest.indexOf(':')
           (rest.take(i).toLong, rest.drop(i + 1))
-        })
+        },
+        parseStats(lines),
+        parseBlooms(lines))
     }
 
   // ----------------------------------------------------------------
@@ -488,6 +552,8 @@ object GenLog {
     var rows = Map.empty[String, Long]
     var dvRows = Map.empty[String, Long]
     var schema: Option[String] = None
+    var stats = Map.empty[String, Map[String, (Long, Long)]]
+    var blooms = Map.empty[String, Array[Long]]
     var from = 0L // replay commits > from
     if (!commits.headOption.contains(1L)) {
       // history was truncated (vacuum): start at the earliest
@@ -499,9 +565,11 @@ object GenLog {
       rows = ck.rows
       dvRows = ck.dvRows
       schema = ck.schema
+      stats = ck.stats
+      blooms = ck.blooms
       from = start
       out += GenState(start, ck.gen, ck.live.sorted, ck.dvLive.sorted,
-        rows, dvRows, schema)
+        rows, dvRows, schema, stats, blooms)
     }
     val tail = commits.filter(_ > from)
     require(tail == ((from + 1) to tail.lastOption.getOrElse(from)),
@@ -513,8 +581,10 @@ object GenLog {
       rows = rows -- c.removes ++ c.rows
       dvRows = dvRows -- c.dvRemoves ++ c.dvRows
       schema = c.schema.orElse(schema)
+      stats = stats -- c.removes ++ c.stats
+      blooms = blooms -- c.removes ++ c.blooms
       out += GenState(v, c.gen, live.toSeq.sorted, dvLive.toSeq.sorted,
-        rows, dvRows, schema)
+        rows, dvRows, schema, stats, blooms)
     }
     out.result()
   }
@@ -594,14 +664,17 @@ object GenLog {
     require(tail == expected,
       s"broken commit chain resolving version $target in $dir: " +
         s"have $tail, need $expected")
-    var (live, dvLive, rows, dvRows, schema) = ck match {
+    var (live, dvLive, rows, dvRows, schema, stats, blooms) = ck match {
       case Some(cv) =>
         val c = readCheckpointState(fs, dir, cv)
-        (c.live.toSet, c.dvLive.toSet, c.rows, c.dvRows, c.schema)
+        (c.live.toSet, c.dvLive.toSet, c.rows, c.dvRows, c.schema,
+          c.stats, c.blooms)
       case None =>
         (Set.empty[String], Set.empty[String],
           Map.empty[String, Long], Map.empty[String, Long],
-          Option.empty[String])
+          Option.empty[String],
+          Map.empty[String, Map[String, (Long, Long)]],
+          Map.empty[String, Array[Long]])
     }
     tail.foreach { v =>
       val c = readCommit(fs, dir, v)
@@ -610,9 +683,11 @@ object GenLog {
       rows = rows -- c.removes ++ c.rows
       dvRows = dvRows -- c.dvRemoves ++ c.dvRows
       schema = c.schema.orElse(schema)
+      stats = stats -- c.removes ++ c.stats
+      blooms = blooms -- c.removes ++ c.blooms
     }
     Resolution(live.toSeq.sorted, ck, tail.size, dvLive.toSeq.sorted,
-      rows, dvRows, schema)
+      rows, dvRows, schema, stats, blooms)
   }
 
   // ----------------------------------------------------------------
@@ -728,7 +803,8 @@ object GenLog {
       val r = resolveVersion(fs, dir, commits, checkpoints, v)
       val idx = genIndexUpTo(fs, dir, commits, checkpoints, v)
       installIfAbsent(fs, dir,
-        checkpointBody(gen, r.live, r.dvLive, r.rows, r.dvRows, r.schema, idx),
+        checkpointBody(gen, r.live, r.dvLive, r.rows, r.dvRows, r.schema, idx,
+          r.stats, r.blooms),
         checkpointPath(dir, v))
       ()
     }
@@ -843,6 +919,108 @@ object GenLog {
     out.sorted
   }
 
+  /** The per-table skipping-statistics configuration object, stored
+    * as `_genlog/_stats_spec` (Delta's dataSkipping /
+    * bloom-filter-index table properties, executed small).
+    */
+  final val StatsSpecFile = "_stats_spec"
+
+  private[graft] final case class StatsSpec(cols: Seq[String],
+                                            bloomCol: Option[String])
+
+  /** Declare which columns every commit records per-file SKIPPING
+    * STATISTICS for: `cols` get (min, max) envelopes (as longs —
+    * integral columns directly, timestamps as epoch micros), and
+    * `bloomCol` gets a per-file 8192-bit Bloom of its value hashes
+    * (the point-lookup complement: a scattered key's envelope spans
+    * the domain in every file, so only membership bits can prune it).
+    * Set ONCE at table creation, BEFORE the first commit: the spec is
+    * table configuration, and every write verb then maintains the
+    * stats inside its own commit object — transactional with the
+    * data, no separate absorption step, no crash window where a
+    * snapshot's files outrun its stats. Stats cost one aggregate over
+    * each commit's ADDED files (∝ the batch, the same class as its
+    * CDF write).
+    */
+  def configureStats(spark: SparkSession, loc: String, cols: Seq[String],
+                     bloomCol: Option[String] = None): Unit = {
+    require((cols ++ bloomCol).nonEmpty, "configureStats needs at least one column")
+    (cols ++ bloomCol).foreach(c => require(!c.contains(":") && !c.contains("\n"),
+      s"stats column name must be colon- and newline-free: '$c'"))
+    val (p, fs) = fsOf(spark, loc)
+    val dir = logDirOf(p)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, StatsSpecFile), true)
+    try out.write((s"cols:${cols.mkString(",")}\n" +
+      bloomCol.map(c => s"bloom:$c\n").getOrElse("")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def statsSpecOf(spark: SparkSession, loc: String): Option[StatsSpec] = {
+    val (p, fs) = fsOf(spark, loc)
+    val f = new Path(logDirOf(p), StatsSpecFile)
+    if (!fs.exists(f)) return None
+    val lines = readText(fs, f).split("\n").filter(_.nonEmpty)
+    Some(StatsSpec(
+      lines.collectFirst { case l if l.startsWith("cols:") =>
+        l.drop(5).split(",").toSeq.filter(_.nonEmpty) }.getOrElse(Nil),
+      lines.collectFirst { case l if l.startsWith("bloom:") => l.drop(6) }))
+  }
+
+  /** One aggregate over `added` computing the table's configured
+    * per-file statistics: each tracked column's (min, max) envelope
+    * (timestamps normalize to epoch micros — exact integer
+    * arithmetic, no zone ambiguity) and the Bloom column's bit words.
+    * Returns empty maps when the table has no spec. An all-null
+    * tracked column fails LOUDLY naming the file — an envelope cannot
+    * be stated for it, and a silent skip would make the completeness
+    * contract ("every live file has stats") unverifiable.
+    */
+  private def computeFileStats(spark: SparkSession, loc: String,
+                               added: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]], Map[String, Array[Long]]) = {
+    val empty = (Map.empty[String, Map[String, (Long, Long)]],
+      Map.empty[String, Array[Long]])
+    if (added.isEmpty) return empty
+    val spec = statsSpecOf(spark, loc).getOrElse(return empty)
+    val df = spark.read.option("basePath", loc)
+      .option("mergeSchema", "true").parquet(added: _*)
+    (spec.cols ++ spec.bloomCol).foreach(c =>
+      require(df.columns.contains(c),
+        s"stats column '$c' is not in the batch schema at $loc"))
+    def norm(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+    val aggs: Seq[Column] =
+      spec.cols.flatMap(c => Seq(min(norm(c)), max(norm(c)))) ++
+        spec.bloomCol.map(c => graft.functions.BloomSketch.bloomAgg(
+          graft.functions.TextKernels.hash60StrCol(col(c).cast("string")) %
+            graft.functions.TextFns.P)).toSeq
+    // collected at metadata scale (one row per added file); file keys
+    // normalize through URI DECODING to the log's plain-path form
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val stats = rows.map { r =>
+      val f = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      f -> spec.cols.zipWithIndex.map { case (c, i) =>
+        require(!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i),
+          s"file $f has an all-null (or non-integral) stats column '$c' — " +
+            "no envelope can be recorded for it")
+        c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+      }.toMap
+    }.toMap
+    val blooms =
+      if (spec.bloomCol.isEmpty) Map.empty[String, Array[Long]]
+      else rows.map { r =>
+        val f = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        f -> r.getSeq[Long](1 + 2 * spec.cols.size).toArray
+      }.toMap
+    (stats, blooms)
+  }
+
   /** Persist a commit's change rows (CDF) under `_changes/<token>/`
     * and return the token the commit records. Change rows are FULL
     * logical rows (partition column included) tagged
@@ -940,7 +1118,9 @@ object GenLog {
   private[graft] final case class Staged(gen: String, parts: Seq[String],
       adds: Seq[String], removes: Seq[String], snapshotVersion: Long,
       rows: Map[String, Long] = Map.empty,
-      schema: Option[String] = None, cdf: Option[String] = None)
+      schema: Option[String] = None, cdf: Option[String] = None,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   /** Phase one of [[appendBatch]]: validate the batch schema, write
     * the batch's data files (staged + renamed — exact attribution),
@@ -998,7 +1178,9 @@ object GenLog {
           if (added.isEmpty) None
           else Some(spark.read.option("basePath", loc)
             .option("mergeSchema", "true").parquet(added: _*)))
-    Staged(gen, parts, added, removed, snapVer, rows, schemaLine, cdfTok)
+    val (st, bl) = computeFileStats(spark, loc, added)
+    Staged(gen, parts, added, removed, snapVer, rows, schemaLine, cdfTok,
+      st, bl)
   }
 
   /** Phase two: install a staged generation's commit, with the object
@@ -1011,7 +1193,8 @@ object GenLog {
     commitDelta(spark, loc,
       Commit(0L, s.gen, s.parts, s.adds, s.removes,
         rows = s.rows, schema = s.schema, cdf = s.cdf,
-        op = "append"), s.snapshotVersion)
+        op = "append", stats = s.stats, blooms = s.blooms),
+      s.snapshotVersion)
 
   /** Phase two for an INSERT-kind staged delta (the [[appendInsert]]
     * semantics: declares its partitions so restaters conflict, but
@@ -1029,7 +1212,8 @@ object GenLog {
     commitDelta(spark, loc,
       Commit(0L, s.gen, s.parts, s.adds, Nil, insert = true,
         rows = s.rows, schema = s.schema, cdf = None,
-        op = "insert"), s.snapshotVersion)
+        op = "insert", stats = s.stats, blooms = s.blooms),
+      s.snapshotVersion)
 
   /** Commit `df` as generation `gen`: append its files, mark the
     * previous generation's files for the RESTATED partitions removed,
@@ -1122,10 +1306,11 @@ object GenLog {
     val added = writeAttributed(spark, loc, df, partCols)
     val schemaLine =
       if (prev.schema.contains(df.schema.json)) None else Some(df.schema.json)
+    val (st, bl) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(AllParts), added, prev.live, dataChange = false,
         rows = footerRows(spark, added), schema = schemaLine,
-        op = "recluster"), snapVer)
+        op = "recluster", stats = st, blooms = bl), snapVer)
     ()
   }
 
@@ -1173,10 +1358,11 @@ object GenLog {
       else writeChanges(spark, loc, deletes = None,
         inserts = Some(spark.read.option("basePath", loc)
           .option("mergeSchema", "true").parquet(added: _*)))
+    val (st, bl) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, Nil, insert = true,
         rows = footerRows(spark, added), schema = schemaLine, cdf = cdfTok,
-        op = "insert"), snapVer)
+        op = "insert", stats = st, blooms = bl), snapVer)
     ()
   }
 
@@ -1250,10 +1436,11 @@ object GenLog {
       kept.map(_.unionByName(updates)).getOrElse(updates), partCols)
     val parts = (added.map(partTokenOf(root, _)) ++
       affected.map(partTokenOf(root, _))).distinct.sorted
+    val (stM, blM) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
         rows = footerRows(spark, added), cdf = cdfTok,
-        op = "merge"), snapVer)
+        op = "merge", stats = stM, blooms = blM), snapVer)
     ()
   }
 
@@ -1287,10 +1474,11 @@ object GenLog {
     // rule in tokensOverlap needs the real tokens on both sides)
     val (root, _) = fsOf(spark, loc)
     val parts = (target ++ added).map(partTokenOf(root, _)).distinct.sorted
+    val (st, bl) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, target,
         dataChange = false, rows = footerRows(spark, added),
-        op = "optimize"), snapVer)
+        op = "optimize", stats = st, blooms = bl), snapVer)
     ()
   }
 
@@ -1327,9 +1515,11 @@ object GenLog {
     val added = writeAttributed(spark, loc, out, partCols)
     val parts = (target.map(partTokenOf(root, _)) ++
       added.map(partTokenOf(root, _))).distinct.sorted
+    val (st, bl) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, target.sorted, dataChange = false,
-        rows = footerRows(spark, added), op = "replaceFiles"), snapVer)
+        rows = footerRows(spark, added), op = "replaceFiles",
+        stats = st, blooms = bl), snapVer)
     ()
   }
 
@@ -1401,7 +1591,10 @@ object GenLog {
       Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
         dvAdds = target.dvLive, dvRemoves = cur.dvLive,
         rows = target.rows, dvRows = target.dvRows,
-        schema = schemaLine, cdf = cdfTok, op = "restore"), snapVer)
+        schema = schemaLine, cdf = cdfTok, op = "restore",
+        // the re-listed files' stats were recorded by THEIR commits:
+        // the target resolution still carries them — no rescan
+        stats = target.stats, blooms = target.blooms), snapVer)
     ()
   }
 
@@ -1465,9 +1658,11 @@ object GenLog {
         deletes = Some(affectedView().where(hit)),
         inserts = None)
     val added = writeAttributed(spark, loc, affectedView().where(!hit), partCols)
+    val (stM, blM) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
-        rows = footerRows(spark, added), cdf = cdfTok, op = "delete"), snapVer)
+        rows = footerRows(spark, added), cdf = cdfTok, op = "delete",
+        stats = stM, blooms = blM), snapVer)
     ()
   }
 
@@ -1578,10 +1773,11 @@ object GenLog {
           .join(dv, Seq("__graft_dv_f", "__graft_dv_i"), "left_anti")
           .drop("__graft_dv_f", "__graft_dv_i"),
         partCols)
+    val (sts, bls) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts :+ DvParts, added, affected, dataChange = false,
         dvRemoves = st.dvLive, rows = footerRows(spark, added),
-        op = "materializeDeletes"), snapVer)
+        op = "materializeDeletes", stats = sts, blooms = bls), snapVer)
     ()
   }
 
@@ -1691,6 +1887,67 @@ object GenLog {
     val gens = generations(spark, loc)
     require(gens.nonEmpty, s"no generations committed at $loc")
     read(spark, loc, gens.last._1)
+  }
+
+  /** One live file's commit-recorded statistics: row count plus each
+    * tracked column's (min, max) envelope as longs (timestamps in
+    * epoch micros).
+    */
+  final case class FileStat(file: String, rows: Long,
+                            cols: Map[String, (Long, Long)])
+
+  /** The LATEST snapshot's per-file statistics, from the log alone —
+    * a checkpoint+tail metadata resolve, never a data read. This is
+    * the skipping surface (GenZoned/GenZoned2 price and prune from
+    * it): stats travel IN commit objects, so they are transactional
+    * with the files — a crash can never leave a snapshot whose stats
+    * lag its live set, and there is no absorption step to forget.
+    */
+  def snapshotStats(spark: SparkSession, loc: String): Seq[FileStat] = {
+    val (_, r) = latestFull(spark, loc)
+    r.live.map(f => FileStat(f,
+      r.rows.getOrElse(f, footerRowCount(spark, f)),
+      r.stats.getOrElse(f, Map.empty)))
+  }
+
+  /** The latest snapshot's per-file Bloom bit words for the table's
+    * configured Bloom column (empty for files committed without one).
+    */
+  def snapshotBlooms(spark: SparkSession, loc: String): Map[String, Array[Long]] = {
+    val (_, r) = latestFull(spark, loc)
+    r.blooms.view.filterKeys(r.live.toSet).toMap
+  }
+
+  /** The live files whose commit-recorded Bloom MAY contain the key
+    * whose hash is `keyHash` (the build/probe idiom: hash60 % P on
+    * the stringified key). No false negatives by construction; a live
+    * file with NO recorded Bloom is kept (conservative — it cannot be
+    * proven clean). Driver-side O(live files × NumHashes) bit probes.
+    */
+  def bloomMatchedFiles(spark: SparkSession, loc: String,
+                        keyHash: Long): Seq[String] = {
+    val (_, r) = latestFull(spark, loc)
+    r.live.filter { f =>
+      r.blooms.get(f).forall { words =>
+        (0 until graft.functions.BloomSketch.NumHashes).forall { i =>
+          val pos = graft.functions.BloomSketch.position(keyHash, i)
+          ((words(pos >> 6) >> (pos & 63)) & 1L) == 1L
+        }
+      }
+    }
+  }
+
+  /** Read only the live files whose commit-recorded Bloom may contain
+    * the probe key — point-lookup file skipping on a LOGGED table
+    * (q201's treatment, now transactional with the data). Callers
+    * re-apply the exact equality; an empty candidate set
+    * short-circuits against the latest snapshot's schema.
+    */
+  def readBloomPruned(spark: SparkSession, loc: String,
+                      keyHash: Long): DataFrame = {
+    val files = bloomMatchedFiles(spark, loc, keyHash)
+    if (files.isEmpty) readLatest(spark, loc).where(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** The surviving commits' (version, gen, timestamp-millis) triples,
@@ -1961,7 +2218,7 @@ object GenLog {
       Commit(0L, gname, Seq(AllParts), src.live, prev.live,
         dvAdds = src.dvLive, dvRemoves = prev.dvLive,
         rows = src.rows, dvRows = src.dvRows, schema = src.schema,
-        op = "clone"), snapVer)
+        op = "clone", stats = src.stats, blooms = src.blooms), snapVer)
     ()
   }
 
@@ -2019,7 +2276,7 @@ object GenLog {
       // commit tail.
       installIfAbsent(fs, dir,
         checkpointBody(cut.gen, cut.live, cut.dvLive, cut.rows, cut.dvRows,
-          cut.schema, Seq((cut.version, cut.gen))),
+          cut.schema, Seq((cut.version, cut.gen)), cut.stats, cut.blooms),
         checkpointPath(dir, cut.version))
       // 2. drop pre-cut log objects + the cut's now-redundant commit
       val (commits, checkpoints) = listLog(fs, dir)

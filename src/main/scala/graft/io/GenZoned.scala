@@ -4,25 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Zone-map file skipping OVER a generation-logged table, with a
-  * persisted clustering-quality metric and a quality-triggered
-  * re-layout — the maintenance loop every clustered lake table needs
-  * (Delta OPTIMIZE / Iceberg rewrite_data_files, decided by the
-  * numbers instead of a cron):
+  * clustering-quality metric and a quality-triggered re-layout — the
+  * maintenance loop every clustered lake table needs (Delta OPTIMIZE /
+  * Iceberg rewrite_data_files, decided by the numbers instead of a
+  * cron):
   *
   *   - INGESTION NEVER RE-SORTS. Append waves land as their own
   *     files under a wave partition tag (q199's economics: zone maps
   *     are per-file, so new files may cover wide envelopes — more
   *     candidate files, never wrong answers).
-  *   - STATS ABSORB INCREMENTALLY. One stats row per data file
-  *     (row count + tracked-column min/max), appended for exactly
-  *     the files not yet known — absorption scans the fresh files
-  *     only, is idempotent by file-name anti-join, and stat rows are
-  *     immutable so re-clustered history's rows simply stop matching
-  *     the live set. The stats directory sits BESIDE the table
-  *     (`<loc>_zstats`), outside the log's data-file namespace.
+  *   - STATS LIVE IN THE LOG. Every commit records its added files'
+  *     envelopes inside its own commit object
+  *     ([[GenLog.configureStats]] declares the tracked column once at
+  *     table creation; [[GenLog.snapshotStats]] serves the live
+  *     set's) — transactional with the data, exactly Delta/Iceberg's
+  *     per-file stats. The previous sibling stats TABLE and its
+  *     separate absorption step are gone, and with them the crash
+  *     window where a snapshot's files could outrun its stats.
   *   - QUALITY IS A METADATA READ. The clustering metric — the
   *     row-weighted mean envelope width over the LIVE files, as a
-  *     fraction of the live domain — comes from the stats rows
+  *     fraction of the live domain — comes from the snapshot stats
   *     alone. Tight month-files score ~width(month)/domain; an
   *     unsorted append wave scores ~1 for its rows, so the metric
   *     degrades exactly in proportion to how much of the table has
@@ -32,7 +33,7 @@ import org.apache.spark.sql.functions._
   *     [[GenLog.recluster]] (q209's partition-evolution mechanism):
   *     one new generation under the clustering key, history keeps
   *     its files for time travel, readers never migrate, and the
-  *     next stats absorption restores the tight envelopes.
+  *     rewrite commit carries its own files' tight envelopes.
   *
   * The reader re-applies the exact predicate after the pruned read,
   * so — like every skipping layer here — re-layout timing can change
@@ -54,91 +55,29 @@ object GenZoned {
     */
   final val WidthBound = 0.1
 
-  /** The stats directory for the layout at `loc` — a SIBLING, so the
-    * log's data-file listing never sees stat files.
+  /** One stats row per live data file — (file, cnt, lo, hi) with the
+    * tracked column's envelope — straight from the latest snapshot's
+    * commit-recorded statistics. Completeness is enforced LOUDLY: a
+    * live file without an envelope means the table was committed
+    * without [[GenLog.configureStats]], and a silent partial metric
+    * would understate decay.
     */
-  def statsLoc(loc: String): String = loc.stripSuffix("/") + "_zstats"
-
-  /** One stats row per live data file: (file, cnt, lo, hi) with the
-    * tracked timestamp column's envelope in epoch MICROS (exact
-    * integer arithmetic, no zone ambiguity in the metric).
-    */
-  private def readStats(spark: SparkSession, loc: String): Seq[(String, Long, Long, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(statsLoc(loc))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    spark.read.parquet(statsLoc(loc))
-      .select(col("file"), col("cnt"), col("lo"), col("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
-  }
-
-  /** Append stats rows for the latest generation's files not yet
-    * known — the scan reads ONLY the fresh files (cost ∝ the newly
-    * committed wave), and a replay after a crash between data commit
-    * and stats append finds the same fresh set again (idempotent
-    * convergence). Returns the number of files absorbed.
-    */
-  def absorbStats(spark: SparkSession, loc: String, tracked: String): Int = {
-    val live = latestLive(spark, loc)
-    val known = readStats(spark, loc).map(_._1).toSet
-    val fresh = live.filterNot(known)
-    if (fresh.isEmpty) return 0
-    import spark.implicits._
-    // one stats row per fresh file, collected (O(fresh files) —
-    // metadata scale, same class as every readStats) so the file key
-    // normalizes through URI DECODING to the log's plain-path form —
-    // a scheme-strip regexp would leave percent-encoded paths that
-    // never match the live list (spaces, non-ASCII partition values)
-    val stats = spark.read.parquet(fresh: _*)
-      .groupBy(input_file_name().as("raw"))
-      // the tracked column may be TIMESTAMP_NTZ (parquet wall time);
-      // the UTC session makes the cast an exact instant mapping
-      .agg(count(lit(1)).as("cnt"),
-        min(unix_micros(col(tracked).cast("timestamp"))).as("lo"),
-        max(unix_micros(col(tracked).cast("timestamp"))).as("hi"))
-      .collect()
-      .map { r =>
-        // an all-null tracked column leaves NULL min/max aggregates;
-        // a silent getLong would NPE here — fail loudly naming the
-        // file (an envelope cannot be stated for a stat-less file)
-        require(!r.isNullAt(2) && !r.isNullAt(3),
-          s"file ${r.getString(0)} has an all-null '$tracked' column — " +
-            "no envelope can be absorbed for it")
-        (new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0))).toUri.getPath,
-          r.getLong(1), r.getLong(2), r.getLong(3))
-      }.toSeq
-    stats.toDF("file", "cnt", "lo", "hi")
-      .write.mode("append").parquet(statsLoc(loc))
-    fresh.size
-  }
-
-  private def latestLive(spark: SparkSession, loc: String): Seq[String] = {
-    val gens = GenLog.generations(spark, loc)
-    require(gens.nonEmpty, s"no generations committed at $loc")
-    gens.last._2
-  }
-
-  /** Live-file stats rows (the join of the stats store with the
-    * latest live set — re-clustered history's immutable rows simply
-    * stop matching).
-    */
-  private def liveStats(spark: SparkSession, loc: String): Seq[(String, Long, Long, Long)] = {
-    val live = latestLive(spark, loc).toSet
-    val s = readStats(spark, loc).filter(r => live.contains(r._1))
-    require(s.map(_._1).toSet == live,
-      s"stats rows missing for live files at $loc — absorbStats must run after every commit")
-    s
-  }
+  private def liveStats(spark: SparkSession, loc: String,
+                        tracked: String): Seq[(String, Long, Long, Long)] =
+    GenLog.snapshotStats(spark, loc).map { fs =>
+      val (lo, hi) = fs.cols.getOrElse(tracked, sys.error(
+        s"live file ${fs.file} has no commit-recorded '$tracked' envelope " +
+          s"at $loc — configureStats must run before the first commit"))
+      (fs.file, fs.rows, lo, hi)
+    }
 
   /** The clustering metric: row-weighted mean envelope width of the
     * live files / live domain ∈ [0, 1]. 0 = every file a point;
-    * → 1 = every row in full-domain files. Metadata-only.
+    * → 1 = every row in full-domain files. Metadata-only (a
+    * checkpoint+tail log resolve).
     */
-  def quality(spark: SparkSession, loc: String): Double = {
-    val s = liveStats(spark, loc)
+  def quality(spark: SparkSession, loc: String, tracked: String): Double = {
+    val s = liveStats(spark, loc, tracked)
     val domain = (s.map(_._4).max - s.map(_._3).min).toDouble
     if (domain == 0) return 0.0
     val rows = s.map(_._2).sum.toDouble
@@ -147,17 +86,16 @@ object GenZoned {
 
   /** Re-layout IF the quality bound says so: re-cluster the full
     * current rows under `clusterKey` through [[GenLog.recluster]]
-    * (one new generation; history keeps its layout) and absorb the
-    * new files' stats. Returns whether the rewrite ran. Idempotent
-    * through GenLog's gen-id guard.
+    * (one new generation; history keeps its layout — and the commit
+    * records the new files' envelopes itself). Returns whether the
+    * rewrite ran. Idempotent through GenLog's gen-id guard.
     */
   def maybeRecluster(spark: SparkSession, loc: String, gen: String,
                      clusterKey: Column, tracked: String,
                      bound: Double = WidthBound): Boolean = {
-    if (quality(spark, loc) <= bound) return false
+    if (quality(spark, loc, tracked) <= bound) return false
     GenLog.recluster(spark, loc, gen,
       GenLog.readLatest(spark, loc).withColumn(PartCol, clusterKey), PartCol)
-    absorbStats(spark, loc, tracked)
     true
   }
 
@@ -174,15 +112,14 @@ object GenZoned {
   def maybeReclusterPartial(spark: SparkSession, loc: String, gen: String,
                             clusterKey: Column, tracked: String,
                             bound: Double = WidthBound): Boolean = {
-    if (quality(spark, loc) <= bound) return false
-    val s = liveStats(spark, loc)
+    if (quality(spark, loc, tracked) <= bound) return false
+    val s = liveStats(spark, loc, tracked)
     val domain = (s.map(_._4).max - s.map(_._3).min).toDouble
     val wide = s.filter(r => (r._4 - r._3) / domain > bound).map(_._1)
     require(wide.nonEmpty,
       "quality crossed the bound but no single file exceeds it — widen the metric")
     GenLog.replaceFiles(spark, loc, gen, wide, PartCol)(df =>
       df.drop(PartCol).withColumn(PartCol, clusterKey))
-    absorbStats(spark, loc, tracked)
     true
   }
 
@@ -191,9 +128,9 @@ object GenZoned {
     * superset; callers re-apply the exact predicate. Empty candidate
     * set short-circuits against the latest generation's schema.
     */
-  def prunedRead(spark: SparkSession, loc: String,
+  def prunedRead(spark: SparkSession, loc: String, tracked: String,
                  lo: Long, hi: Long): DataFrame = {
-    val files = liveStats(spark, loc)
+    val files = liveStats(spark, loc, tracked)
       .filter(r => r._4 >= lo && r._3 <= hi).map(_._1)
     if (files.isEmpty) GenLog.readLatest(spark, loc).where(lit(false))
     else spark.read.parquet(files: _*)
@@ -203,9 +140,9 @@ object GenZoned {
     * observable skipping economics (GenZonedSpec asserts recovery
     * after re-layout).
     */
-  def matchedFraction(spark: SparkSession, loc: String,
+  def matchedFraction(spark: SparkSession, loc: String, tracked: String,
                       lo: Long, hi: Long): Double = {
-    val s = liveStats(spark, loc)
+    val s = liveStats(spark, loc, tracked)
     s.count(r => r._4 >= lo && r._3 <= hi).toDouble / s.size
   }
 }

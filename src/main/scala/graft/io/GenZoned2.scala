@@ -4,19 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TWO-DIMENSIONAL zone-map skipping over a generation-logged table,
-  * with a persisted 2-D clustering-quality metric and a
-  * quality-triggered Z-ORDER re-layout — GenZoned's maintenance loop
-  * (q214) lifted to the multi-column case a single sort key cannot
-  * serve (q195's point, now on a MAINTAINED layout):
+  * with a 2-D clustering-quality metric and a quality-triggered
+  * Z-ORDER re-layout — GenZoned's maintenance loop (q214) lifted to
+  * the multi-column case a single sort key cannot serve (q195's
+  * point, now on a MAINTAINED layout):
   *
   *   - INGESTION NEVER RE-SORTS. Append waves land as their own
   *     files under a wave tag; their envelopes cover the full domain
   *     in BOTH tracked columns — more candidate files, never wrong
   *     answers.
-  *   - STATS ABSORB INCREMENTALLY. One stats row per data file with
-  *     BOTH columns' min/max envelopes, appended for exactly the
-  *     files not yet known (idempotent by file-name anti-join), in a
-  *     sibling directory outside the log's data namespace.
+  *   - STATS LIVE IN THE LOG. Both tracked columns' per-file
+  *     envelopes are recorded by each commit itself
+  *     ([[GenLog.configureStats]] once at creation;
+  *     [[GenLog.snapshotStats]] serves the live set's) —
+  *     transactional with the data, no sibling stats directory, no
+  *     absorption step, no crash lag.
   *   - QUALITY IS A METADATA READ, AND IT IS 2-D: the row-weighted
   *     mean of each file's WORST normalized envelope width,
   *     max(w1/domain1, w2/domain2). A layout sorted on one key alone
@@ -63,11 +65,6 @@ object GenZoned2 {
     */
   final val BlockShift = 14
 
-  /** The stats directory for the layout at `loc` — a SIBLING, so the
-    * log's data-file listing never sees stat files.
-    */
-  def statsLoc(loc: String): String = loc.stripSuffix("/") + "_z2stats"
-
   /** The aligned-z-block clustering key for columns `(c1, c2)` whose
     * live maxima are `(max1, max2)`: normalize both onto the lattice,
     * interleave (q86's Morton kernel — codegen'd), keep the top bits.
@@ -85,86 +82,36 @@ object GenZoned2 {
   }
 
   /** One stats row per live data file: (file, cnt, lo1, hi1, lo2,
-    * hi2) — both tracked columns' envelopes as longs.
+    * hi2) — both tracked columns' envelopes, straight from the
+    * latest snapshot's commit-recorded statistics. Completeness
+    * enforced loudly, as in GenZoned.liveStats.
     */
-  private def readStats(spark: SparkSession, loc: String)
-      : Seq[(String, Long, Long, Long, Long, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(statsLoc(loc))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    spark.read.parquet(statsLoc(loc))
-      .select(col("file"), col("cnt"), col("lo1"), col("hi1"),
-        col("lo2"), col("hi2"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
-      .toSeq
-  }
-
-  /** Append stats rows for the latest generation's files not yet
-    * known — the scan reads ONLY the fresh files (cost ∝ the newly
-    * committed wave); idempotent by anti-join on file name. Returns
-    * the number of files absorbed.
-    */
-  def absorbStats(spark: SparkSession, loc: String,
-                  c1: String, c2: String): Int = {
-    val live = latestLive(spark, loc)
-    val known = readStats(spark, loc).map(_._1).toSet
-    val fresh = live.filterNot(known)
-    if (fresh.isEmpty) return 0
-    import spark.implicits._
-    // collected at metadata scale (one row per fresh file) so the
-    // file key normalizes through URI DECODING to the log's
-    // plain-path form — GenZoned.absorbStats' discipline
-    val stats = spark.read.parquet(fresh: _*)
-      .groupBy(input_file_name().as("raw"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col(c1).cast("long")).as("lo1"), max(col(c1).cast("long")).as("hi1"),
-        min(col(c2).cast("long")).as("lo2"), max(col(c2).cast("long")).as("hi2"))
-      .collect()
-      .map { r =>
-        // all-null tracked columns leave NULL min/max aggregates —
-        // fail loudly naming the file (GenZoned.absorbStats' guard)
-        require((2 to 5).forall(!r.isNullAt(_)),
-          s"file ${r.getString(0)} has an all-null '$c1' or '$c2' " +
-            "column — no 2-D envelope can be absorbed for it")
-        (new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0))).toUri.getPath,
-          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      }.toSeq
-    stats.toDF("file", "cnt", "lo1", "hi1", "lo2", "hi2")
-      .write.mode("append").parquet(statsLoc(loc))
-    fresh.size
-  }
-
-  private def latestLive(spark: SparkSession, loc: String): Seq[String] = {
-    val gens = GenLog.generations(spark, loc)
-    require(gens.nonEmpty, s"no generations committed at $loc")
-    gens.last._2
-  }
-
-  private def liveStats(spark: SparkSession, loc: String)
-      : Seq[(String, Long, Long, Long, Long, Long)] = {
-    val live = latestLive(spark, loc).toSet
-    val s = readStats(spark, loc).filter(r => live.contains(r._1))
-    require(s.map(_._1).toSet == live,
-      s"stats rows missing for live files at $loc — absorbStats must run after every commit")
-    s
-  }
+  private def liveStats(spark: SparkSession, loc: String,
+                        c1: String, c2: String)
+      : Seq[(String, Long, Long, Long, Long, Long)] =
+    GenLog.snapshotStats(spark, loc).map { fs =>
+      def env(c: String) = fs.cols.getOrElse(c, sys.error(
+        s"live file ${fs.file} has no commit-recorded '$c' envelope at " +
+          s"$loc — configureStats must run before the first commit"))
+      val ((lo1, hi1), (lo2, hi2)) = (env(c1), env(c2))
+      (fs.file, fs.rows, lo1, hi1, lo2, hi2)
+    }
 
   /** The live maxima of both tracked columns — an O(files) metadata
     * read (max of per-file maxes == the global max), never the data.
     */
-  def liveMaxes(spark: SparkSession, loc: String): (Long, Long) = {
-    val s = liveStats(spark, loc)
+  def liveMaxes(spark: SparkSession, loc: String,
+                c1: String, c2: String): (Long, Long) = {
+    val s = liveStats(spark, loc, c1, c2)
     (s.map(_._4).max, s.map(_._6).max)
   }
 
   /** The 2-D clustering metric: row-weighted mean over live files of
     * max(width1/domain1, width2/domain2) ∈ [0, 1]. Metadata-only.
     */
-  def quality(spark: SparkSession, loc: String): Double = {
-    val s = liveStats(spark, loc)
+  def quality(spark: SparkSession, loc: String,
+              c1: String, c2: String): Double = {
+    val s = liveStats(spark, loc, c1, c2)
     val d1 = (s.map(_._4).max - s.map(_._3).min).toDouble
     val d2 = (s.map(_._6).max - s.map(_._5).min).toDouble
     val rows = s.map(_._2).sum.toDouble
@@ -178,19 +125,18 @@ object GenZoned2 {
   /** Re-layout IF the 2-D quality bound says so: re-cluster the full
     * current rows into aligned Morton blocks of `(c1, c2)` through
     * [[GenLog.recluster]] (one new generation; history keeps its
-    * layout) and absorb the new files' stats. Returns whether the
-    * rewrite ran. Idempotent through GenLog's gen-id guard.
+    * layout; the commit records its own envelopes). Returns whether
+    * the rewrite ran. Idempotent through GenLog's gen-id guard.
     */
   def maybeRecluster(spark: SparkSession, loc: String, gen: String,
                      c1: String, c2: String,
                      bound: Double = WidthBound2): Boolean = {
-    if (quality(spark, loc) <= bound) return false
-    val (m1, m2) = liveMaxes(spark, loc)
+    if (quality(spark, loc, c1, c2) <= bound) return false
+    val (m1, m2) = liveMaxes(spark, loc, c1, c2)
     GenLog.recluster(spark, loc, gen,
       GenLog.readLatest(spark, loc)
         .withColumn(PartCol, blockKey(col(c1), col(c2), m1, m2)),
       PartCol)
-    absorbStats(spark, loc, c1, c2)
     true
   }
 
@@ -206,8 +152,8 @@ object GenZoned2 {
   def maybeReclusterPartial(spark: SparkSession, loc: String, gen: String,
                             c1: String, c2: String,
                             bound: Double = WidthBound2): Boolean = {
-    if (quality(spark, loc) <= bound) return false
-    val s = liveStats(spark, loc)
+    if (quality(spark, loc, c1, c2) <= bound) return false
+    val s = liveStats(spark, loc, c1, c2)
     val d1 = (s.map(_._4).max - s.map(_._3).min).toDouble
     val d2 = (s.map(_._6).max - s.map(_._5).min).toDouble
     val wide = s.filter { r =>
@@ -217,11 +163,10 @@ object GenZoned2 {
     }.map(_._1)
     require(wide.nonEmpty,
       "quality crossed the bound but no single file exceeds it — widen the metric")
-    val (m1, m2) = liveMaxes(spark, loc)
+    val (m1, m2) = liveMaxes(spark, loc, c1, c2)
     GenLog.replaceFiles(spark, loc, gen, wide, PartCol)(df =>
       df.drop(PartCol)
         .withColumn(PartCol, blockKey(col(c1), col(c2), m1, m2)))
-    absorbStats(spark, loc, c1, c2)
     true
   }
 
@@ -229,9 +174,9 @@ object GenZoned2 {
     * `[lo1, hi1] × [lo2, hi2]` — candidate superset pruned on BOTH
     * columns simultaneously; callers re-apply the exact predicate.
     */
-  def prunedRead(spark: SparkSession, loc: String,
+  def prunedRead(spark: SparkSession, loc: String, c1: String, c2: String,
                  lo1: Long, hi1: Long, lo2: Long, hi2: Long): DataFrame = {
-    val files = liveStats(spark, loc)
+    val files = liveStats(spark, loc, c1, c2)
       .filter(r => r._4 >= lo1 && r._3 <= hi1 && r._6 >= lo2 && r._5 <= hi2)
       .map(_._1)
     if (files.isEmpty) GenLog.readLatest(spark, loc).where(lit(false))
@@ -242,9 +187,9 @@ object GenZoned2 {
     * skipping economics (GenZonedSpec asserts recovery after the
     * z-order re-layout).
     */
-  def matchedFraction(spark: SparkSession, loc: String,
+  def matchedFraction(spark: SparkSession, loc: String, c1: String, c2: String,
                       lo1: Long, hi1: Long, lo2: Long, hi2: Long): Double = {
-    val s = liveStats(spark, loc)
+    val s = liveStats(spark, loc, c1, c2)
     s.count(r => r._4 >= lo1 && r._3 <= hi1 && r._6 >= lo2 && r._5 <= hi2)
       .toDouble / s.size
   }

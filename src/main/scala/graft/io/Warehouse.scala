@@ -492,7 +492,14 @@ object Warehouse {
     "graft_ev_del_[0-9a-f]+".r,         // v2: CDF on the delete commit
     "graft_ev_clone_[0-9a-f]+".r,       // v2: re-cloned from gens v4
     "graft_ev_sgens_(v2_)?[0-9a-f]+".r, // v3: streaming committer CDF
-    "graft_ev_restore_[0-9a-f]+".r)     // v2: restore writes CDF
+    "graft_ev_restore_[0-9a-f]+".r,     // v2: restore writes CDF
+    // v2: per-file stats moved INTO the log's commit objects — the
+    // old tables' logs carry no stats and their `_zstats`/`_z2stats`
+    // SIBLING directories are dead with them
+    "graft_li_genzone_[0-9a-f]+(_zstats)?".r,
+    "graft_li_genzonep_[0-9a-f]+(_zstats)?".r,
+    "graft_li_genzone2_[0-9a-f]+(_z2stats)?".r,
+    "graft_li_genzone2p_[0-9a-f]+(_z2stats)?".r)
 
   /** Delete superseded fixture directories (and any catalog entries
     * under those names) from the warehouse — the cruft sweep that

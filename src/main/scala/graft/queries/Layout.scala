@@ -520,28 +520,29 @@ object Layout {
       .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
 
+  /** v2: per-file stats moved INTO the log's commit objects
+    * (GenLog.configureStats — no sibling `_zstats` table, no separate
+    * absorption step); the old-format table and its stats sibling are
+    * in Warehouse.SupersededFixtures.
+    */
   private[graft] def ensureAdaptiveZoned(spark: SparkSession, dir: String): String = {
     import graft.io.{GenLog, GenZoned}
-    val tbl = s"graft_li_genzone_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft_li_genzone_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
     val loc = graft.io.Warehouse.tableLocation(spark, tbl)
     val src = s"$dir/lineitem.parquet"
     if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(loc, GenZoned.statsLoc(loc)).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.configureStats(spark, loc, Seq("l_shipdate"))
       GenLog.appendBatch(spark, loc, "base",
         adaptiveSlice(spark, dir, "l_orderkey % 8 != 0")
           .withColumn(GenZoned.PartCol, monthKey), GenZoned.PartCol)
-      GenZoned.absorbStats(spark, loc, "l_shipdate")
       Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
         .foreach { case (w, f) =>
           GenLog.appendBatch(spark, loc, s"wave$w",
             adaptiveSlice(spark, dir, f)
               .withColumn(GenZoned.PartCol, lit(s"wave$w")), GenZoned.PartCol)
-          GenZoned.absorbStats(spark, loc, "l_shipdate")
           GenZoned.maybeRecluster(spark, loc, s"relayout$w", monthKey,
             "l_shipdate")
           ()
@@ -569,26 +570,22 @@ object Layout {
   // ---------------------------------------------------------------
   private[graft] def ensurePartialZoned(spark: SparkSession, dir: String): String = {
     import graft.io.{GenLog, GenZoned}
-    val tbl = s"graft_li_genzonep_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft_li_genzonep_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
     val loc = graft.io.Warehouse.tableLocation(spark, tbl)
     val src = s"$dir/lineitem.parquet"
     if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(loc, GenZoned.statsLoc(loc)).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.configureStats(spark, loc, Seq("l_shipdate"))
       GenLog.appendBatch(spark, loc, "base",
         adaptiveSlice(spark, dir, "l_orderkey % 8 != 0")
           .withColumn(GenZoned.PartCol, monthKey), GenZoned.PartCol)
-      GenZoned.absorbStats(spark, loc, "l_shipdate")
       Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
         .foreach { case (w, f) =>
           GenLog.appendBatch(spark, loc, s"wave$w",
             adaptiveSlice(spark, dir, f)
               .withColumn(GenZoned.PartCol, lit(s"wave$w")), GenZoned.PartCol)
-          GenZoned.absorbStats(spark, loc, "l_shipdate")
           GenZoned.maybeReclusterPartial(spark, loc, s"prl$w", monthKey,
             "l_shipdate")
           ()
@@ -601,7 +598,8 @@ object Layout {
   def q223(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensurePartialZoned(spark, dir)
     val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
-    graft.io.GenZoned.prunedRead(spark, loc, micros(ShipLo), micros(ShipHi))
+    graft.io.GenZoned.prunedRead(spark, loc, "l_shipdate",
+        micros(ShipLo), micros(ShipHi))
       .where(col("l_shipdate").between(lo, hi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
@@ -613,7 +611,8 @@ object Layout {
   def q214(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensureAdaptiveZoned(spark, dir)
     val (lo, hi) = (lit(ShipLo).cast("timestamp"), lit(ShipHi).cast("timestamp"))
-    graft.io.GenZoned.prunedRead(spark, loc, micros(ShipLo), micros(ShipHi))
+    graft.io.GenZoned.prunedRead(spark, loc, "l_shipdate",
+        micros(ShipLo), micros(ShipHi))
       .where(col("l_shipdate").between(lo, hi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
@@ -648,16 +647,14 @@ object Layout {
 
   private[graft] def ensureZoned2(spark: SparkSession, dir: String): String = {
     import graft.io.{GenLog, GenZoned2}
-    val tbl = s"graft_li_genzone2_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft_li_genzone2_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
     val loc = graft.io.Warehouse.tableLocation(spark, tbl)
     val src = s"$dir/lineitem.parquet"
     if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(loc, GenZoned2.statsLoc(loc)).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.configureStats(spark, loc, Seq("l_partkey", "l_suppkey"))
       val base = zoned2Slice(spark, dir, "l_orderkey % 8 != 0")
       val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
       GenLog.appendBatch(spark, loc, "base",
@@ -665,14 +662,12 @@ object Layout {
           GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
             m.getLong(0), m.getLong(1))),
         GenZoned2.PartCol)
-      GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
       Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
         .foreach { case (w, f) =>
           GenLog.appendBatch(spark, loc, s"wave$w",
             zoned2Slice(spark, dir, f)
               .withColumn(GenZoned2.PartCol, lit(s"wave$w")),
             GenZoned2.PartCol)
-          GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
           GenZoned2.maybeRecluster(spark, loc, s"zrl$w",
             "l_partkey", "l_suppkey")
           ()
@@ -696,16 +691,14 @@ object Layout {
   // ---------------------------------------------------------------
   private[graft] def ensureZoned2Partial(spark: SparkSession, dir: String): String = {
     import graft.io.{GenLog, GenZoned2}
-    val tbl = s"graft_li_genzone2p_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft_li_genzone2p_v2_${java.lang.Integer.toHexString(dir.hashCode)}"
     val loc = graft.io.Warehouse.tableLocation(spark, tbl)
     val src = s"$dir/lineitem.parquet"
     if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(loc, GenZoned2.statsLoc(loc)).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.configureStats(spark, loc, Seq("l_partkey", "l_suppkey"))
       val base = zoned2Slice(spark, dir, "l_orderkey % 8 != 0")
       val m = base.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
       GenLog.appendBatch(spark, loc, "base",
@@ -713,14 +706,12 @@ object Layout {
           GenZoned2.blockKey(col("l_partkey"), col("l_suppkey"),
             m.getLong(0), m.getLong(1))),
         GenZoned2.PartCol)
-      GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
       Seq(1 -> "l_orderkey % 16 = 0", 2 -> "l_orderkey % 16 = 8")
         .foreach { case (w, f) =>
           GenLog.appendBatch(spark, loc, s"wave$w",
             zoned2Slice(spark, dir, f)
               .withColumn(GenZoned2.PartCol, lit(s"wave$w")),
             GenZoned2.PartCol)
-          GenZoned2.absorbStats(spark, loc, "l_partkey", "l_suppkey")
           GenZoned2.maybeReclusterPartial(spark, loc, s"zprl$w",
             "l_partkey", "l_suppkey")
           ()
@@ -732,9 +723,10 @@ object Layout {
 
   private def zoned2BoxAgg(spark: SparkSession, loc: String): DataFrame = {
     import graft.io.GenZoned2
-    val (pmax, smax) = GenZoned2.liveMaxes(spark, loc)
+    val (pmax, smax) = GenZoned2.liveMaxes(spark, loc, "l_partkey", "l_suppkey")
     val (pLo, pHi, sLo, sHi) = zBox(pmax, smax)
-    GenZoned2.prunedRead(spark, loc, pLo, pHi, sLo, sHi)
+    GenZoned2.prunedRead(spark, loc, "l_partkey", "l_suppkey",
+        pLo, pHi, sLo, sHi)
       .where(col("l_partkey").between(lit(pLo), lit(pHi)) &&
         col("l_suppkey").between(lit(sLo), lit(sHi)))
       .groupBy(col("l_returnflag"))
@@ -755,6 +747,61 @@ object Layout {
   def q228(spark: SparkSession, dir: String): DataFrame =
     zoned2BoxAgg(spark, ensureZoned2(spark, dir))
 
+  // ---------------------------------------------------------------
+  // q236_bloom_logged — q201's POINT-lookup Bloom skipping, on a
+  // GENERATION-LOGGED table with the Blooms carried IN the commit
+  // objects (GenLog.configureStats bloomCol): the layout is
+  // month-clustered by shipdate, so l_orderkey is scattered — every
+  // file's orderkey envelope spans ~the whole domain and min/max
+  // stats keep everything; the per-file 8192-bit Bloom recorded at
+  // COMMIT TIME keeps only the files that may contain the key, and
+  // because it travels with the commit there is no stats table to
+  // lag, rebuild, or crash out of sync (the q201 layer's last
+  // non-transactional piece, gone). The probe key derives from the
+  // data (largest orderkey ≤ 3/8 of max — the q201 discipline), the
+  // pruned read re-applies the exact equality, and the flat-scan
+  // oracle (q201Sql verbatim) certifies skipping never changes the
+  // answer; GenLogSpec pins the strict-minority pruning and the
+  // inputFiles == bloom-matched set fact.
+  // ---------------------------------------------------------------
+  private[graft] def ensureBloomLogged(spark: SparkSession, dir: String): String = {
+    import graft.io.GenLog
+    val tbl = s"graft_li_genbloom_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/lineitem.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.configureStats(spark, loc, Seq("l_shipdate"),
+        bloomCol = Some("l_orderkey"))
+      GenLog.appendBatch(spark, loc, "base",
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+          .withColumn(graft.io.GenZoned.PartCol, monthKey),
+        graft.io.GenZoned.PartCol)
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureBloomLogged(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val k = li.where(col("l_orderkey") <= lit(3L * mx / 8))
+      .agg(max(col("l_orderkey"))).head().getLong(0)
+    // the DRIVER-side twin of the build's hash60StrCol(cast string)
+    val kh = graft.functions.TextKernels.hash60(
+      k.toString.getBytes("UTF-8")) % graft.functions.TextFns.P
+    graft.io.GenLog.readBloomPruned(spark, loc, kh)
+      .where(col("l_orderkey") === lit(k))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q86_zorder_layout" -> (q86 _),
     "q194_zonemap_pruned" -> (q194 _),
@@ -767,7 +814,8 @@ object Layout {
     "q214_adaptive_relayout" -> (q214 _),
     "q223_partial_relayout" -> (q223 _),
     "q228_zoned2d_relayout" -> (q228 _),
-    "q229_zoned2d_partial" -> (q229 _))
+    "q229_zoned2d_partial" -> (q229 _),
+    "q236_bloom_logged" -> (q236 _))
 
   def oracles: Map[String, String] = Map(
     "q86_zorder_layout" -> q86Sql,
@@ -791,5 +839,8 @@ object Layout {
     // verbatim
     "q228_zoned2d_relayout" -> q195Sql,
     // q229: the 2-D partial re-layout answers identically
-    "q229_zoned2d_partial" -> q195Sql)
+    "q229_zoned2d_partial" -> q195Sql,
+    // q236: Bloom pruning on the logged table is answer-neutral —
+    // q201's flat-scan oracle verbatim
+    "q236_bloom_logged" -> q201Sql)
 }
