@@ -210,7 +210,8 @@ object GenLog {
       op: String = "write",
       ts: Long = 0L,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      cmap: Option[Map[String, String]] = None)
 
   /** How a snapshot resolve was served: the live sets, the checkpoint
     * version it started from (None = replayed from empty), the number
@@ -225,7 +226,8 @@ object GenLog {
       dvRows: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      colMap: Map[String, String] = Map.empty)
 
   /** A parsed checkpoint: resolved state + the gen→version index of
     * every generation resolvable at its version.
@@ -235,7 +237,8 @@ object GenLog {
       dvRows: Map[String, Long], schema: Option[String],
       genIndex: Seq[(Long, String)],
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      colMap: Map[String, String] = Map.empty)
 
   /** One resolvable generation's full state (vacuum's unit of
     * retention).
@@ -244,7 +247,8 @@ object GenLog {
       live: Seq[String], dvLive: Seq[String], rows: Map[String, Long],
       dvRows: Map[String, Long], schema: Option[String],
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      colMap: Map[String, String] = Map.empty)
 
   // ----------------------------------------------------------------
   // filesystem plumbing
@@ -448,7 +452,13 @@ object GenLog {
         c.adds.map("add:" + _) ++ c.removes.map("rm:" + _) ++
         c.dvAdds.map("dvadd:" + _) ++ c.dvRemoves.map("dvrm:" + _) ++
         countedLines("rows", c.rows) ++ countedLines("dvrows", c.dvRows) ++
-        statLines(c.stats) ++ bloomLines(c.blooms)))
+        statLines(c.stats) ++ bloomLines(c.blooms) ++
+        // the column map needs a presence MARKER: Some(empty) is a
+        // real state (recluster resetting the map to identity), not
+        // "unchanged"
+        c.cmap.map(_ => "cmapset:1").toSeq ++
+        c.cmap.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+          case (l, p) => s"cmap:$l:$p" })))
 
   private def parseCommit(v: Long, content: String): Option[Commit] =
     parseLines(content).map { lines =>
@@ -471,18 +481,30 @@ object GenLog {
         ts = lines.collectFirst { case l if l.startsWith("ts:") => l.drop(3).toLong }
           .getOrElse(0L),
         stats = parseStats(lines),
-        blooms = parseBlooms(lines))
+        blooms = parseBlooms(lines),
+        cmap =
+          if (!lines.contains("cmapset:1")) None
+          else Some(parseCmap(lines)))
     }
+
+  private def parseCmap(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("cmap:") =>
+      val rest = l.drop(5)
+      val i = rest.indexOf(':')
+      rest.take(i) -> rest.drop(i + 1)
+    }.toMap
 
   private def checkpointBody(gen: String, live: Seq[String],
       dvLive: Seq[String], rows: Map[String, Long],
       dvRows: Map[String, Long], schema: Option[String],
       genIndex: Seq[(Long, String)],
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty): String = {
+      blooms: Map[String, Array[Long]] = Map.empty,
+      colMap: Map[String, String] = Map.empty): String = {
     val (liveSet, dvSet) = (live.toSet, dvLive.toSet)
     sentinelBody(s"gen:$gen" +:
       (schema.map("schema:" + _).toSeq ++
+        colMap.toSeq.sortBy(_._1).map { case (l, pn) => s"cmap:$l:$pn" } ++
         genIndex.sortBy(_._1).map { case (v, g) => s"genver:$v:$g" } ++
         live.map("live:" + _) ++ dvLive.map("dvlive:" + _) ++
         countedLines("rows", rows.view.filterKeys(liveSet).toMap) ++
@@ -507,7 +529,8 @@ object GenLog {
           (rest.take(i).toLong, rest.drop(i + 1))
         },
         parseStats(lines),
-        parseBlooms(lines))
+        parseBlooms(lines),
+        parseCmap(lines))
     }
 
   // ----------------------------------------------------------------
@@ -554,6 +577,7 @@ object GenLog {
     var schema: Option[String] = None
     var stats = Map.empty[String, Map[String, (Long, Long)]]
     var blooms = Map.empty[String, Array[Long]]
+    var colMap = Map.empty[String, String]
     var from = 0L // replay commits > from
     if (!commits.headOption.contains(1L)) {
       // history was truncated (vacuum): start at the earliest
@@ -567,9 +591,10 @@ object GenLog {
       schema = ck.schema
       stats = ck.stats
       blooms = ck.blooms
+      colMap = ck.colMap
       from = start
       out += GenState(start, ck.gen, ck.live.sorted, ck.dvLive.sorted,
-        rows, dvRows, schema, stats, blooms)
+        rows, dvRows, schema, stats, blooms, colMap)
     }
     val tail = commits.filter(_ > from)
     require(tail == ((from + 1) to tail.lastOption.getOrElse(from)),
@@ -583,8 +608,9 @@ object GenLog {
       schema = c.schema.orElse(schema)
       stats = stats -- c.removes ++ c.stats
       blooms = blooms -- c.removes ++ c.blooms
+      colMap = c.cmap.getOrElse(colMap)
       out += GenState(v, c.gen, live.toSeq.sorted, dvLive.toSeq.sorted,
-        rows, dvRows, schema, stats, blooms)
+        rows, dvRows, schema, stats, blooms, colMap)
     }
     out.result()
   }
@@ -664,17 +690,18 @@ object GenLog {
     require(tail == expected,
       s"broken commit chain resolving version $target in $dir: " +
         s"have $tail, need $expected")
-    var (live, dvLive, rows, dvRows, schema, stats, blooms) = ck match {
+    var (live, dvLive, rows, dvRows, schema, stats, blooms, colMap) = ck match {
       case Some(cv) =>
         val c = readCheckpointState(fs, dir, cv)
         (c.live.toSet, c.dvLive.toSet, c.rows, c.dvRows, c.schema,
-          c.stats, c.blooms)
+          c.stats, c.blooms, c.colMap)
       case None =>
         (Set.empty[String], Set.empty[String],
           Map.empty[String, Long], Map.empty[String, Long],
           Option.empty[String],
           Map.empty[String, Map[String, (Long, Long)]],
-          Map.empty[String, Array[Long]])
+          Map.empty[String, Array[Long]],
+          Map.empty[String, String])
     }
     tail.foreach { v =>
       val c = readCommit(fs, dir, v)
@@ -685,9 +712,10 @@ object GenLog {
       schema = c.schema.orElse(schema)
       stats = stats -- c.removes ++ c.stats
       blooms = blooms -- c.removes ++ c.blooms
+      colMap = c.cmap.getOrElse(colMap)
     }
     Resolution(live.toSeq.sorted, ck, tail.size, dvLive.toSeq.sorted,
-      rows, dvRows, schema, stats, blooms)
+      rows, dvRows, schema, stats, blooms, colMap)
   }
 
   // ----------------------------------------------------------------
@@ -804,7 +832,7 @@ object GenLog {
       val idx = genIndexUpTo(fs, dir, commits, checkpoints, v)
       installIfAbsent(fs, dir,
         checkpointBody(gen, r.live, r.dvLive, r.rows, r.dvRows, r.schema, idx,
-          r.stats, r.blooms),
+          r.stats, r.blooms, r.colMap),
         checkpointPath(dir, v))
       ()
     }
@@ -1041,6 +1069,24 @@ object GenLog {
     Some(token)
   }
 
+  /** Rename a frame's PHYSICAL column names to their logical ones
+    * through the column map (logical -> physical). Columns absent
+    * from the frame no-op, so physical-only frames pass unchanged.
+    */
+  private def toLogical(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    colMap.foldLeft(df) { case (d, (l, pn)) =>
+      if (l == pn) d else d.withColumnRenamed(pn, l) }
+
+  /** The write-side inverse: logical names back to the physical ones
+    * stored in files (and partition directories).
+    */
+  private def toPhysical(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    colMap.foldLeft(df) { case (d, (l, pn)) =>
+      if (l == pn) d else d.withColumnRenamed(l, pn) }
+
+  private def physicalName(c: String, colMap: Map[String, String]): String =
+    colMap.getOrElse(c, c)
+
   /** Read `files` through the `dvLive` deletion vectors: the
     * MERGE-ON-READ view every row-level operation must run on — a
     * copy-on-write rewrite computed from the RAW files would carry
@@ -1050,9 +1096,10 @@ object GenLog {
     * them); basePath recovers the partition column.
     */
   private def morView(spark: SparkSession, loc: String, files: Seq[String],
-                      dvLive: Seq[String]): DataFrame = {
-    val data = spark.read.option("basePath", loc)
-      .option("mergeSchema", "true").parquet(files: _*)
+                      dvLive: Seq[String],
+                      colMap: Map[String, String] = Map.empty): DataFrame = {
+    val data = toLogical(spark.read.option("basePath", loc)
+        .option("mergeSchema", "true").parquet(files: _*), colMap)
       .withColumn("__graft_dv_f", col("_metadata.file_path"))
       .withColumn("__graft_dv_i", col("_metadata.row_index"))
     if (dvLive.isEmpty) data
@@ -1088,8 +1135,9 @@ object GenLog {
               s"schema — missing: [${missing.mkString(", ")}], retyped: " +
               s"[${retyped.map(k => s"$k: ${curM(k).simpleString} -> " +
                 s"${batM(k).simpleString}").mkString(", ")}] — nothing " +
-              "was written (a renamed or retyped column must go through " +
-              "an explicit recluster migration)")
+              "was written (a RENAME is a metadata commit — " +
+              "GenLog.renameColumn — old files serve untouched; a RETYPE " +
+              "goes through an explicit recluster migration)")
         val added = cur.fields.map(_.name).toSet
         val newFields = batch.fields.filterNot(f => added(f.name))
         if (newFields.isEmpty) None
@@ -1146,7 +1194,10 @@ object GenLog {
     val (root, _) = fsOf(spark, loc)
     val (snapVer, prev) = latestFull(spark, loc)
     val schemaLine = enforceSchema(prev.schema, df.schema, evolve, gen)
-    val added = writeAttributed(spark, loc, df, partCols)
+    // the batch arrives in LOGICAL names; files store PHYSICAL ones
+    // (the column map's contract — renames never rewrite data)
+    val added = writeAttributed(spark, loc, toPhysical(df, prev.colMap),
+      partCols.map(physicalName(_, prev.colMap)))
     val parts = added.map(partTokenOf(root, _)).distinct.sorted
     // removal is EXACT-token only: a tuple restatement replaces files
     // of exactly its tuples. A coarser-layout file (a whole-day file
@@ -1172,12 +1223,12 @@ object GenLog {
           // preimages through the vectors: an MoR-deleted row of a
           // restated file was not logically in the table and must not
           // appear as a delete event
-          else Some(morView(spark, loc, removed, prev.dvLive)
+          else Some(morView(spark, loc, removed, prev.dvLive, prev.colMap)
             .drop("__graft_dv_f", "__graft_dv_i")),
         inserts =
           if (added.isEmpty) None
-          else Some(spark.read.option("basePath", loc)
-            .option("mergeSchema", "true").parquet(added: _*)))
+          else Some(toLogical(spark.read.option("basePath", loc)
+            .option("mergeSchema", "true").parquet(added: _*), prev.colMap)))
     val (st, bl) = computeFileStats(spark, loc, added)
     Staged(gen, parts, added, removed, snapVer, rows, schemaLine, cdfTok,
       st, bl)
@@ -1310,7 +1361,11 @@ object GenLog {
     commitDelta(spark, loc,
       Commit(0L, gen, Seq(AllParts), added, prev.live, dataChange = false,
         rows = footerRows(spark, added), schema = schemaLine,
-        op = "recluster", stats = st, blooms = bl), snapVer)
+        op = "recluster", stats = st, blooms = bl,
+        // the rewrite's files store the frame's own names: the map
+        // resets to identity (a full rewrite defines the table)
+        cmap = if (prev.colMap.isEmpty) None else Some(Map.empty)),
+      snapVer)
     ()
   }
 
@@ -1351,13 +1406,14 @@ object GenLog {
     val (root, _) = fsOf(spark, loc)
     val (snapVer, prev) = latestFull(spark, loc)
     val schemaLine = enforceSchema(prev.schema, df.schema, evolve = false, gen)
-    val added = writeAttributed(spark, loc, df, partCols)
+    val added = writeAttributed(spark, loc, toPhysical(df, prev.colMap),
+      partCols.map(physicalName(_, prev.colMap)))
     val parts = added.map(partTokenOf(root, _)).distinct.sorted
     val cdfTok =
       if (!cdf || added.isEmpty) None
       else writeChanges(spark, loc, deletes = None,
-        inserts = Some(spark.read.option("basePath", loc)
-          .option("mergeSchema", "true").parquet(added: _*)))
+        inserts = Some(toLogical(spark.read.option("basePath", loc)
+          .option("mergeSchema", "true").parquet(added: _*), prev.colMap)))
     val (st, bl) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, Nil, insert = true,
@@ -1401,12 +1457,12 @@ object GenLog {
     // MoR-deleted rows as matches, carry them into the rewrite, and
     // resurrect them when the old file (and with it the vectors'
     // reach) leaves the live set
-    val view = morView(spark, loc, st.live, st.dvLive)
+    val view = morView(spark, loc, st.live, st.dvLive, st.colMap)
     val affected = view.join(keys, keyCols, "left_semi")
       .select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).toSeq.sorted
-    def affectedView() = morView(spark, loc, affected, st.dvLive)
+    def affectedView() = morView(spark, loc, affected, st.dvLive, st.colMap)
       .drop("__graft_dv_f", "__graft_dv_i")
     // surviving rows of the affected files (cast-aligned: the
     // basePath read infers the partition column's type from the
@@ -1433,7 +1489,9 @@ object GenLog {
           else Some(affectedView().join(keys, keyCols, "left_semi")),
         inserts = Some(updates))
     val added = writeAttributed(spark, loc,
-      kept.map(_.unionByName(updates)).getOrElse(updates), partCols)
+      toPhysical(kept.map(_.unionByName(updates)).getOrElse(updates),
+        st.colMap),
+      partCols.map(physicalName(_, st.colMap)))
     val parts = (added.map(partTokenOf(root, _)) ++
       affected.map(partTokenOf(root, _))).distinct.sorted
     val (stM, blM) = computeFileStats(spark, loc, added)
@@ -1523,6 +1581,53 @@ object GenLog {
     ()
   }
 
+  /** COLUMN MAPPING: rename a column as a METADATA-ONLY commit —
+    * zero data files written, old files serve untouched (Delta's
+    * column mapping, executed small). The log's schema record keeps
+    * LOGICAL names; the commit's column map entry records which
+    * PHYSICAL name (the one stored in every existing and future
+    * file) the new logical name projects from. Reads rename
+    * physical→logical at scan time; writes rename logical→physical
+    * before landing, so pre- and post-rename files stay
+    * byte-compatible and merge in one scan. AS-OF-before-the-rename
+    * resolves the OLD schema and map — history keeps its own names.
+    * Wildcard conflict scope (a concurrent writer's staged batch was
+    * validated against the old schema — it must abort and restage,
+    * Delta's ConcurrentMetadataException); dataChange=false (no row
+    * moved — feeds and incremental consumers skip it). Partition
+    * directories keep their physical names forever, so partition
+    * tokens and OCC are rename-stable by construction. Limits, by
+    * design: [[configureStats]] column names and [[replaceFiles]]/
+    * [[compactPartitionThroughLog]] transforms address PHYSICAL
+    * names (they operate on raw files below the mapping).
+    */
+  def renameColumn(spark: SparkSession, loc: String, gen: String,
+                   from: String, to: String): Unit = {
+    validateGen(gen)
+    require(!to.contains(":") && !to.contains("\n") && to.nonEmpty,
+      s"column name must be non-empty, colon- and newline-free: '$to'")
+    if (contains(spark, loc, gen)) return
+    val (snapVer, cur) = latestFull(spark, loc)
+    val js = cur.schema.getOrElse(throw new IllegalArgumentException(
+      s"renameColumn on a table with no recorded schema at $loc — " +
+        "commit a batch first"))
+    val schema = DataType.fromJson(js).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in the table schema at $loc " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists at $loc")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newMap = (cur.colMap - from) +
+      (to -> physicalName(from, cur.colMap))
+    commitDelta(spark, loc,
+      Commit(0L, gen, Seq(AllParts), Nil, Nil, dataChange = false,
+        schema = Some(renamed.json), cmap = Some(newMap),
+        op = "renameColumn"), snapVer)
+    ()
+  }
+
   /** RESTORE: make the table's latest state equal generation
     * `toGen`'s, as a NEW generation — the rollback that never erases
     * (Delta RESTORE): nothing is copied or written, the commit simply
@@ -1594,7 +1699,9 @@ object GenLog {
         schema = schemaLine, cdf = cdfTok, op = "restore",
         // the re-listed files' stats were recorded by THEIR commits:
         // the target resolution still carries them — no rescan
-        stats = target.stats, blooms = target.blooms), snapVer)
+        stats = target.stats, blooms = target.blooms,
+        cmap = if (target.colMap == cur.colMap) None
+               else Some(target.colMap)), snapVer)
     ()
   }
 
@@ -1638,7 +1745,7 @@ object GenLog {
     // read would keep MoR-deleted rows in the rewrite (resurrecting
     // them once the old file's vectors go inert) and mark files
     // affected on dead rows alone
-    val affected = morView(spark, loc, st.live, st.dvLive)
+    val affected = morView(spark, loc, st.live, st.dvLive, st.colMap)
       .where(hit).select(col("__graft_dv_f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)))
         .toUri.getPath).toSeq.sorted
@@ -1650,14 +1757,16 @@ object GenLog {
       return
     }
     val parts = affected.map(partTokenOf(root, _)).distinct.sorted
-    def affectedView() = morView(spark, loc, affected, st.dvLive)
+    def affectedView() = morView(spark, loc, affected, st.dvLive, st.colMap)
       .drop("__graft_dv_f", "__graft_dv_i")
     val cdfTok =
       if (!cdf) None
       else writeChanges(spark, loc,
         deletes = Some(affectedView().where(hit)),
         inserts = None)
-    val added = writeAttributed(spark, loc, affectedView().where(!hit), partCols)
+    val added = writeAttributed(spark, loc,
+      toPhysical(affectedView().where(!hit), st.colMap),
+      partCols.map(physicalName(_, st.colMap)))
     val (stM, blM) = computeFileStats(spark, loc, added)
     commitDelta(spark, loc,
       Commit(0L, gen, parts, added, affected,
@@ -1695,8 +1804,8 @@ object GenLog {
     val (snapVer, st) = latestFull(spark, loc)
     require(st.live.nonEmpty, s"deleteWhereMoR on an empty table at $loc")
     val hit = coalesce(pred, lit(false))
-    val data = spark.read.option("basePath", loc)
-      .option("mergeSchema", "true").parquet(st.live: _*)
+    val data = toLogical(spark.read.option("basePath", loc)
+        .option("mergeSchema", "true").parquet(st.live: _*), st.colMap)
       .withColumn("__graft_dv_f", col("_metadata.file_path"))
       .withColumn("__graft_dv_i", col("_metadata.row_index"))
     val view =
@@ -1864,7 +1973,8 @@ object GenLog {
     * [[read]] and [[readAsOfTimestamp]].
     */
   private def frameOf(spark: SparkSession, r: Resolution): DataFrame = {
-    val data = spark.read.option("mergeSchema", "true").parquet(r.live: _*)
+    val data = toLogical(
+      spark.read.option("mergeSchema", "true").parquet(r.live: _*), r.colMap)
     if (r.dvLive.isEmpty) data
     else {
       // merge-on-read: anti-join the deletion vectors' (file, row)
@@ -2218,7 +2328,9 @@ object GenLog {
       Commit(0L, gname, Seq(AllParts), src.live, prev.live,
         dvAdds = src.dvLive, dvRemoves = prev.dvLive,
         rows = src.rows, dvRows = src.dvRows, schema = src.schema,
-        op = "clone", stats = src.stats, blooms = src.blooms), snapVer)
+        op = "clone", stats = src.stats, blooms = src.blooms,
+        cmap = if (src.colMap.isEmpty) None else Some(src.colMap)),
+      snapVer)
     ()
   }
 
@@ -2276,7 +2388,8 @@ object GenLog {
       // commit tail.
       installIfAbsent(fs, dir,
         checkpointBody(cut.gen, cut.live, cut.dvLive, cut.rows, cut.dvRows,
-          cut.schema, Seq((cut.version, cut.gen)), cut.stats, cut.blooms),
+          cut.schema, Seq((cut.version, cut.gen)), cut.stats, cut.blooms,
+          cut.colMap),
         checkpointPath(dir, cut.version))
       // 2. drop pre-cut log objects + the cut's now-redundant commit
       val (commits, checkpoints) = listLog(fs, dir)

@@ -1086,6 +1086,59 @@ object TimeTravel {
        |   OR (event_type = '$MpType' AND CAST(ts AS DATE) = DATE '$MpDay')
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q237_column_rename — COLUMN MAPPING: the rollup's measure column
+  // renames (n_events → n_ev) as a METADATA-ONLY commit
+  // (GenLog.renameColumn — zero data files written; GenLogSpec pins
+  // the file listing), and the table keeps working across the
+  // boundary: a post-rename batch restates the late days under the
+  // NEW logical name (the write maps it back to the stored physical
+  // name, so pre- and post-rename files stay byte-compatible and
+  // merge in one scan), the latest read serves every era under n_ev,
+  // and AS-OF-before-the-rename still answers in the old name. The
+  // oracle is the flat rollup aliased to the new name — the
+  // hash-compare certifies that a rename moved NO values and lost NO
+  // rows. At 100 TB this is the difference between a metadata commit
+  // and a petabyte rewrite for the most common schema change there
+  // is.
+  // ---------------------------------------------------------------
+  private[graft] def renameTable(dir: String): String =
+    s"graft_ev_rename_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def ensureRenamedGenerations(spark: SparkSession,
+                                              dir: String): String = {
+    val tbl = renameTable(dir)
+    val loc = graft.io.Warehouse.tableLocation(spark, tbl)
+    val src = s"$dir/events.parquet"
+    if (!graft.io.Warehouse.fingerprintMatches(spark, tbl, src)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      GenLog.appendBatch(spark, loc, "g1",
+        batch(spark, dir, Some(MergeCut), None, None), "day_k")
+      GenLog.renameColumn(spark, loc, "ren_nev", "n_events", "n_ev")
+      GenLog.appendBatch(spark, loc, "g2",
+        batch(spark, dir, None, Some(Day2), None)
+          .withColumnRenamed("n_events", "n_ev"), "day_k")
+      graft.io.Warehouse.writeFingerprint(spark, tbl, src)
+    }
+    loc
+  }
+
+  def q237(spark: SparkSession, dir: String): DataFrame =
+    GenLog.readLatest(spark, ensureRenamedGenerations(spark, dir))
+      .select(col("day"), col("event_type"), col("n_ev"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Cutoff counts before Day2, full counts from Day2 on — under the
+    * renamed measure.
+    */
+  val q237Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_ev
+       |FROM events
+       |WHERE ts <= TIMESTAMP '$MergeCut' OR CAST(ts AS DATE) >= DATE '$Day2'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q203_snapshot_read" -> (q203 _),
     "q204_travel_overwritten" -> (q204 _),
@@ -1110,7 +1163,8 @@ object TimeTravel {
     "q232_stream_source" -> (q232 _),
     "q233_stream_source_adds" -> (q233 _),
     "q234_asof_timestamp" -> (q234 _),
-    "q235_multipart_restate" -> (q235 _))
+    "q235_multipart_restate" -> (q235 _),
+    "q237_column_rename" -> (q237 _))
 
   def oracles: Map[String, String] = Map(
     "q203_snapshot_read" -> q203Sql,
@@ -1136,5 +1190,6 @@ object TimeTravel {
     "q232_stream_source" -> q232Sql,
     "q233_stream_source_adds" -> q233Sql,
     "q234_asof_timestamp" -> q234Sql,
-    "q235_multipart_restate" -> q235Sql)
+    "q235_multipart_restate" -> q235Sql,
+    "q237_column_rename" -> q237Sql)
 }

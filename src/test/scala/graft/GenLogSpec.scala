@@ -149,6 +149,61 @@ class GenLogSpec extends SparkTestBase {
       "the depth-mismatched batch must not become a generation")
   }
 
+  test("column mapping: rename is a metadata commit with zero data files; reads project; AS-OF keeps old names; writes continue") {
+    val loc = freshGens()
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_")) Nil
+          else f.listFiles().toSeq.flatMap(walk)
+        } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(loc)).map(_.getPath).toSet
+    }
+    val filesBefore = dataFiles()
+    val liveBefore = GenLog.generations(spark, loc).last._2
+    GenLog.renameColumn(spark, loc, "ren", "n_events", "n_ev")
+    // ZERO data files written; the live set re-lists nothing
+    assert(dataFiles() == filesBefore,
+      "a rename must write no data file")
+    assert(GenLog.generations(spark, loc).last._2 == liveBefore)
+    // the latest read serves the NEW logical name, same values
+    val latest = GenLog.readLatest(spark, loc)
+    assert(latest.columns.contains("n_ev") &&
+      !latest.columns.contains("n_events"))
+    val renamedRows = latest
+      .select(col("day").cast("string"), col("event_type"), col("n_ev"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // AS-OF before the rename keeps its OWN schema and name
+    assert(GenLog.read(spark, loc, "g3").columns.contains("n_events"))
+    assert(renamedRows == rows(GenLog.read(spark, loc, "g3")))
+    // a writer still using the OLD name aborts, pointing at the path
+    val e = intercept[IllegalArgumentException](
+      GenLog.appendBatch(spark, loc, "bad_old_name",
+        TimeTravel.batch(spark, Sf, None, Some("2024-01-05"),
+          Some("2024-01-05")), "day_k"))
+    assert(e.getMessage.contains("renameColumn"))
+    // a NEW-name batch restates a day; its file stores the PHYSICAL
+    // name, so both eras merge in one scan
+    GenLog.appendBatch(spark, loc, "g4",
+      TimeTravel.batch(spark, Sf, None, Some("2024-01-05"),
+        Some("2024-01-05")).withColumnRenamed("n_events", "n_ev"), "day_k")
+    val g4Only = GenLog.generations(spark, loc).toMap
+      .apply("g4").toSet -- liveBefore.toSet
+    assert(g4Only.nonEmpty && g4Only.forall(f =>
+      spark.read.parquet(f).columns.contains("n_events")),
+      "post-rename files must store the physical name")
+    assert(GenLog.readLatest(spark, loc)
+      .select(col("day").cast("string"), col("event_type"), col("n_ev"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet == renamedRows,
+      "the restated day recomputes the same values — no row moved")
+    // rename validation: missing source, colliding target
+    intercept[IllegalArgumentException](
+      GenLog.renameColumn(spark, loc, "ren2", "no_such_col", "x"))
+    intercept[IllegalArgumentException](
+      GenLog.renameColumn(spark, loc, "ren3", "day", "event_type"))
+  }
+
   test("timestamp time travel: exactly-at resolves the commit, between resolves backwards, pre-history and post-vacuum abort") {
     val loc = freshGens()
     val tss = GenLog.commitTimestamps(spark, loc)
