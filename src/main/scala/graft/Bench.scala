@@ -157,6 +157,14 @@ object Bench {
       "zoned2_layouts" -> (() => {
         queries.Layout.ensureZoned2(spark, sfDir)
         queries.Layout.ensureZoned2Partial(spark, sfDir); ()
+      }),
+      // the round-16 log fixtures: the (day,type)-tuple table, the
+      // commit-Bloom lineitem layout, and the renamed-column table —
+      // one-time builds; the samples measure the reads
+      "log_fixtures_r16" -> (() => {
+        queries.TimeTravel.ensureMultipartGenerations(spark, sfDir)
+        queries.TimeTravel.ensureRenamedGenerations(spark, sfDir)
+        queries.Layout.ensureBloomLogged(spark, sfDir); ()
       }))
     val setupTimes: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_SETUP")) Nil

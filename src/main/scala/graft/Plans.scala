@@ -157,7 +157,13 @@ object Plans {
       "q228_zoned2d_relayout" -> "2-D maintained skipping: aligned Morton blocks, worst-dimension width metric, z-order recluster on bound crossing, box pruned on BOTH envelopes — q195's oracle verbatim",
       "q229_zoned2d_partial" -> "2-D liquid clustering: only the decayed files rewrite into Morton blocks (GenLog.replaceFiles, dataChange=false) — the z-blocked base survives byte-identically; same oracle",
       "q230_restore_feed" -> "the rollback feeds CDC: restore's change files from the file-list diff, netted to the delete's exact inverse (pure inserts) — derived stores absorb a rollback through the same feed path",
-      "q231_stream_cdc" -> "streaming CDC source: each micro-batch commit persists its change rows; the windowed feed nets to the cutoff diff — bronze/silver/gold each hop O(new data)")
+      "q231_stream_cdc" -> "streaming CDC source: each micro-batch commit persists its change rows; the windowed feed nets to the cutoff diff — bronze/silver/gold each hop O(new data)",
+      "q232_stream_source" -> "the log as a STREAMING SOURCE (Delta-as-a-source): per-commit micro-batches of commit-time change files past a checkpointed version cursor, drained and netted — stream == batch feed (q205's oracle verbatim)",
+      "q233_stream_source_adds" -> "the adds-mode stream over the insert table: one micro-batch per insert commit, the dataChange=false OPTIMIZE advances the cursor WITHOUT emitting — the union is the bronze feed, no row re-delivered",
+      "q234_asof_timestamp" -> "TIMESTAMP AS OF: monotonically adjusted commit stamps resolve latest-<=-T from O(surviving log objects) metadata; the snapshot read is q204's pinned-file-list plan",
+      "q235_multipart_restate" -> "multi-column partitioning through the log: (day, type) tuple directories, STRUCTURAL tuple conflict tokens, a one-tuple restatement replaces exactly its file — siblings byte-identical",
+      "q236_bloom_logged" -> "commit-time per-file Blooms on a logged table: driver-side bit probes keep a strict minority of files, pruned scan + exact equality re-applied — q201's oracle with no stats table to lag",
+      "q237_column_rename" -> "column mapping: rename as a metadata-only commit; reads project physical->logical at scan, post-rename writes map back — pre/post-rename files merge in ONE scan, flat-rollup oracle under the new name")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.01; asserted properties in ")

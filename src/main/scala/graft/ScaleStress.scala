@@ -350,6 +350,16 @@ object ScaleStress {
       val (z4, z4s) = queries.Layout.ensureBloomZoned(spark, dir)
       println(f"[stress] q201_bloom_layout_build@10x wall=${(System.nanoTime() - t4) / 1e9}%.2f s")
       time("q201_bloom_skipping@10x")(queries.Layout.q201(spark, dir).count())
+      // round-16: the same point lookup with the Blooms carried IN
+      // the log's commit objects — build wall includes the one
+      // stats+bloom aggregate over the written files (∝ the batch);
+      // the probe reads the bloom-matched minority
+      val t5 = System.nanoTime()
+      val bloc = queries.Layout.ensureBloomLogged(spark, dir)
+      println(f"[stress] q236_bloom_logged_build@10x wall=${(System.nanoTime() - t5) / 1e9}%.2f s")
+      time("q236_bloom_logged@10x")(queries.Layout.q236(spark, dir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(bloc))
       for (tbl <- Seq(z1, z1s, z2, z2s, z3, z3s, z4, z4s)) {
         val loc = new java.io.File(graft.io.Warehouse.tableLocation(spark, tbl))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -690,9 +700,34 @@ object ScaleStress {
       println(f"[stress] q203_generation_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       time("q203_snapshot_read@10x")(queries.TimeTravel.q203(spark, sdir).count())
       time("q205_change_feed@10x")(queries.TimeTravel.q205(spark, sdir).count())
+      // round-16: timestamp resolution is an O(surviving log objects)
+      // metadata read plus the same pinned-list scan; the streaming
+      // source's drain wall tracks the CHANGE FILES of the two
+      // consumed commits, never the table
+      time("q234_asof_timestamp@10x")(queries.TimeTravel.q234(spark, sdir).count())
+      time("q232_stream_source@10x")(queries.TimeTravel.q232(spark, sdir).count())
       // GenLog dirs are not catalog tables — just drop the files
       org.apache.spark.network.util.JavaUtils.deleteRecursively(
         new java.io.File(loc))
+    }
+    // round-16: multi-column partitioning + column mapping at 10x —
+    // the one-tuple restatement's BUILD wall tracks one (day, type)
+    // tuple of the 1M-event rollup (150 tuple files live; one
+    // replaced); the rename is a metadata commit, so the post-rename
+    // read's wall is the ordinary merged scan
+    locally {
+      val t0 = System.nanoTime()
+      val mploc = queries.TimeTravel.ensureMultipartGenerations(spark, sdir)
+      println(f"[stress] q235_multipart_build@10x wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q235_multipart_restate@10x")(queries.TimeTravel.q235(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(mploc))
+      val t1 = System.nanoTime()
+      val rnloc = queries.TimeTravel.ensureRenamedGenerations(spark, sdir)
+      println(f"[stress] q237_rename_build@10x wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      time("q237_column_rename@10x")(queries.TimeTravel.q237(spark, sdir).count())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(
+        new java.io.File(rnloc))
     }
     // round-14 DML through the log at 10x: the copy-on-write verbs'
     // BUILD walls are the evidence (delete rewrites only the ten

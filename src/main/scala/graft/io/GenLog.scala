@@ -1087,6 +1087,19 @@ object GenLog {
   private def physicalName(c: String, colMap: Map[String, String]): String =
     colMap.getOrElse(c, c)
 
+  /** The latest snapshot's column map — for consumers that read data
+    * files directly (the streaming source's adds mode) and must serve
+    * the stream under the table's CURRENT logical names (Delta's
+    * streaming-schema rule).
+    */
+  private[graft] def latestColMap(spark: SparkSession,
+                                  loc: String): Map[String, String] =
+    latestFull(spark, loc)._2.colMap
+
+  private[graft] def renameToLogical(df: DataFrame,
+                                     colMap: Map[String, String]): DataFrame =
+    toLogical(df, colMap)
+
   /** Read `files` through the `dvLive` deletion vectors: the
     * MERGE-ON-READ view every row-level operation must run on — a
     * copy-on-write rewrite computed from the RAW files would carry
@@ -1668,11 +1681,12 @@ object GenLog {
     val cdfTok =
       if (!cdf) None
       else {
-        def side(files: Seq[String], dvLive: Seq[String]): Option[DataFrame] =
+        def side(files: Seq[String], dvLive: Seq[String],
+                 colMap: Map[String, String]): Option[DataFrame] =
           if (files.isEmpty) None
           else {
-            val data = spark.read.option("basePath", loc)
-              .option("mergeSchema", "true").parquet(files: _*)
+            val data = toLogical(spark.read.option("basePath", loc)
+              .option("mergeSchema", "true").parquet(files: _*), colMap)
             if (dvLive.isEmpty) Some(data)
             else {
               val dv = spark.read.parquet(dvLive: _*)
@@ -1688,9 +1702,12 @@ object GenLog {
           }
         val curOnly = cur.live.filterNot(target.live.toSet)
         val tgtOnly = target.live.filterNot(cur.live.toSet)
+        // each side speaks ITS state's logical names (the deletes are
+        // rows leaving the current state, the inserts rows of the
+        // restored one)
         writeChanges(spark, loc,
-          deletes = side(curOnly, cur.dvLive),
-          inserts = side(tgtOnly, target.dvLive))
+          deletes = side(curOnly, cur.dvLive, cur.colMap),
+          inserts = side(tgtOnly, target.dvLive, target.colMap))
       }
     commitDelta(spark, loc,
       Commit(0L, newGen, Seq(AllParts), target.live, cur.live,
@@ -2150,7 +2167,12 @@ object GenLog {
     val files = range.map(readCommit(fs, dir, _))
       .filter(_.dataChange).flatMap(_.adds).distinct
     if (files.isEmpty) readLatest(spark, loc).where(lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
+    // the feed serves the table's CURRENT logical names (files store
+    // physical ones; a renamed table's consumers see the new name —
+    // Delta's streaming-schema rule)
+    else toLogical(
+      spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*),
+      latestColMap(spark, loc))
   }
 
   /** The committed version of `gen`, O(tail) through the checkpoint

@@ -279,13 +279,18 @@ object GenLogStream {
       s"unknown source mode '$mode' — use '$SourceAdds' or '$SourceCdf'")
     val cursor = cursorOf(spark, checkpointLoc)
     var emitted = 0
+    // adds-mode batches read data files (physical names) and must
+    // serve the table's CURRENT logical names, as readAppendedSince
+    // does (cdf batches already carry their epoch's logical names)
+    lazy val cmap = GenLog.latestColMap(spark, loc)
     GenLog.commitsAfter(spark, loc, cursor).foreach { c =>
       val frame: Option[DataFrame] =
         if (!c.dataChange) None // layout-only: rows already delivered
         else if (mode == SourceAdds) {
           if (c.adds.isEmpty) None // e.g. a delete that rewrote to nothing
-          else Some(spark.read.option("mergeSchema", "true")
-            .parquet(c.adds: _*))
+          else Some(GenLog.renameToLogical(
+            spark.read.option("mergeSchema", "true").parquet(c.adds: _*),
+            cmap))
         } else c.cdf match {
           case Some(tok) =>
             Some(spark.read.parquet(s"$loc/${GenLog.ChangesDir}/$tok")
