@@ -379,7 +379,12 @@ object CorpusOps {
         }
       }
     }
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // fanOut: the scrub is a pure map (per-token probes + md5 of the
+    // rewrite) that ran as ONE task over the single-file scan
+    // (profiled 0.57 s serial); partitioning-invariant map work.
+    Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .crossJoin(broadcast(bgRow))
       .select(col("doc_id"), scrubbed.as("c"))
       .select(col("doc_id"), col("c.n_tok").as("n_tok"),

@@ -127,7 +127,10 @@ object CurationOps {
   final val WinDropFrac = 0.5 // >= half duplicated-coverage: drop
 
   def q127(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut: the winHash kernel pass feeds THREE consumers and ran
+    // as single tasks over the one-file scan (profiled 0.62 s of
+    // serial stage time); counts/sets below are order-free.
+    val docs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"),
         // native kernel, not transform(shingles(...), hash60): the
         // interpreted HOF chain re-splits the text per element_at
@@ -380,7 +383,10 @@ object CurationOps {
     s"list_distinct(${shinglesSql("string_split(text, ' ')", 3)})"
 
   def q131(spark: SparkSession, dir: String): DataFrame = {
-    val srcGrams = Tables.documents(spark, dir)
+    // fanOut: the trigram-set explode feeding the distinct ran as ONE
+    // task over the single-file scan (profiled 0.79 s of serial stage
+    // time); distinct/counts/sorted sets are order-free.
+    val srcGrams = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"),
         explode(graft.functions.TextKernels.trigramSetCol(col("text"))).as("g"))
       .distinct()
@@ -450,7 +456,10 @@ object CurationOps {
 
   def q156(spark: SparkSession, dir: String): DataFrame = {
     val nb = floor(col("n") / ParaW).cast("int")
-    val blocks = Tables.documents(spark, dir)
+    // fanOut: the winHash block pass feeds both the keep aggregate
+    // and the join-back (profiled 0.38 s serial over the one-file
+    // scan); min(struct) winner and counts are order-free.
+    val blocks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextKernels.winHashCol(col("text"), ParaW).as("wh"),
         size(tokens(col("text"))).as("n"))
@@ -537,7 +546,11 @@ object CurationOps {
     * shuffle is introduced here.
     */
   private[graft] def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    // fanOut: winHash + per-row cut/span arrays + chunk re-hash ran
+    // as ONE task over the single-file scan (profiled 0.26 s serial
+    // in q164 alone; q176 shares this base); downstream aggregates
+    // are order-free.
+    val base = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("t"),
         graft.functions.TextKernels.winHashCol(col("text"), CdcK).as("wh"))
       .withColumn("n", size(col("t")))
@@ -705,7 +718,10 @@ object CurationOps {
       when(d % 5 =!= 4, concat(lit(" call +1 555-"),
         s(d % 900 + 100), lit("-"),
         lpad(s(d % 10000), 4, "0"))).otherwise(lit("")))
-    Tables.documents(spark, dir)
+    // fanOut: six regexp passes per row ran as ONE task over the
+    // single-file scan (profiled 0.51 s serial); sums and bit_xor are
+    // commutative, so the answer is partitioning-invariant.
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), dirty.as("dirty"))
       .withColumn("n_email", regexp_count(col("dirty"), lit(EmailRe)))
       .withColumn("n_phone", regexp_count(col("dirty"), lit(PhoneRe)))

@@ -276,10 +276,18 @@ object Dedup {
       .filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("lang"),
         TextKernels.bigramSetCol(col("text")).as("sh"))
-    val x = base.select(col("doc_id").as("id_a"), col("lang"),
-      col("sh").as("sh_a"))
-    val y = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-      col("sh").as("sh_b"))
+    // fanOut + broadcast: `lang` has a handful of values, so the
+    // previous shuffle self-join co-located ALL pairs of a language
+    // in one task — the O(block²) intersect verify ran serially
+    // (profiled 1.33 s single-task at sf0.1). Broadcasting one side
+    // removes the key-cardinality-bound exchange entirely, and
+    // fanning the probe side by doc_id spreads the verify evenly
+    // regardless of language skew. Same pairs, same jaccard —
+    // ordering is pinned by the final sort.
+    val x = Tables.fanOut(base, col("doc_id"))
+      .select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+    val y = broadcast(base.select(col("doc_id").as("id_b"),
+      col("lang").as("lang_b"), col("sh").as("sh_b")))
     // intersection bound ONCE per pair: referenced naked in both the
     // numerator and the union-size denominator it would run the
     // hash-set intersect twice per candidate pair
@@ -575,7 +583,13 @@ object Dedup {
     */
   private[graft] def ssDocs(spark: SparkSession, dir: String): DataFrame =
     graft.FrameCache.memoize("dedup.ssDocs", spark, dir)(
-      Tables.documents(spark, dir)
+      // fanOut BEFORE the checkpoint: the shingle kernel ran as one
+      // task over the single-file scan, and — more important — the
+      // checkpointed layout's partition count is what every verify
+      // join downstream inherits (q121's candidate-verify stages ran
+      // 5-wide with ~6.7 s of executor time; hash(doc_id) ×
+      // cores-many partitions lets them use the machine).
+      Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
         .select(col("doc_id"), ssShingles(col("text")).as("sh"))
         .withColumn("n", size(col("sh")))
         .where(col("n") > 0))
@@ -601,11 +615,18 @@ object Dedup {
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
       // prefix length p = n - ceil(tau*n) + 1, in exact integers
       val ceilTauN = expr(s"(n * $SsTauNum + ${SsTauDen - 1}) DIV $SsTauDen")
-      tok.join(freq, "t")
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
-        .where(col("r") <= col("n") - ceilTauN + lit(1))
-        .select(col("t"), col("doc_id"), col("n"), col("r"))
+      // final repartition on t BEFORE the checkpoint: the candidate
+      // self-join (pref ⋈ pref ON t) then reads BOTH sides already
+      // hash(t)-partitioned from the checkpointed layout — zero
+      // exchanges in the join — and at cores-many partitions instead
+      // of the AQE-coalesced handful the window left behind.
+      Tables.fanOut(
+        tok.join(freq, "t")
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+          .where(col("r") <= col("n") - ceilTauN + lit(1))
+          .select(col("t"), col("doc_id"), col("n"), col("r")),
+        col("t"))
     }
 
   private[graft] def ssCandidates(spark: SparkSession, dir: String): DataFrame = {

@@ -670,7 +670,11 @@ object PipelineOps {
 
   def q155(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(spark, dir)
+    // fanOut: the token explode + hash ran as ONE task over the
+    // single-file scan (profiled 0.50 s serial); all three branches
+    // still read the SAME subplan, so exchange reuse is unaffected,
+    // and every aggregate is an exact-integer sum (order-free).
+    val tok = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("source"),

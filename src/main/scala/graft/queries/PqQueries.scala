@@ -58,7 +58,15 @@ object PqQueries {
       struct(lit(b).as("blk"),
         slice(col("embedding"), b * BlockDim + 1, BlockDim).as("sub"))
     }: _*)
-    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // fanOut: every PQ query's per-block L2 scoring runs map-side on
+    // this frame and ran as single tasks over the one-file embeddings
+    // scan (profiled 0.4 s serial in each of q75/q76/q85). Keyed by
+    // vec_id, which is a subset of every downstream window /
+    // aggregate key here, so the assignment window adds NO exchange
+    // on top of this one.
+    Tables.fanOut(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("vec_id"))
       .select(col("vec_id"), explode(blkArr).as("e"))
       .select(col("vec_id"), col("e.blk").as("blk"), col("e.sub").as("sub"))
   }
@@ -395,7 +403,10 @@ object PqQueries {
 
   def q171(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns.hash60
-    val elem = Tables.embeddings(spark, dir)
+    // fanOut: the 64-way posexplode + per-element encode ran as ONE
+    // task over the single-file scan (profiled 0.22 s serial); max /
+    // exact-integer sums / bit_xor are order-free.
+    val elem = Tables.fanOut(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("d", "x")))
     val stats = elem.groupBy(col("d"))
@@ -480,7 +491,10 @@ object PqQueries {
           s"$d:$k".getBytes("UTF-8")) % 2 == 0L) 1L else -1L
       }
     }
-    val base = Tables.embeddings(spark, dir)
+    // fanOut: the 16×64 integer-fold projection is the whole query
+    // and ran as ONE task over the single-file scan (profiled 0.42 s
+    // serial); exact-integer folds and bit_xor are order-free.
+    val base = Tables.fanOut(Tables.embeddings(spark, dir), col("vec_id"))
       .withColumn("xfp", transform(col("embedding"),
         x => floor(x.cast("double") * RpFp + 0.5).cast("long")))
       .withColumn("yfp", transform(sequence(lit(0), lit(RpK - 1)), k =>

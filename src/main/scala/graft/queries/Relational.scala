@@ -194,7 +194,14 @@ object Relational {
   // ---------------------------------------------------------------
   def q08(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
+    // fanOut on the WINDOW key: the running collect_list materializes
+    // O(events-per-user²) array cells, and the window's own exchange
+    // was being size-coalesced to ~1 task (profiled 0.83 s of serial
+    // stage time). An explicit hash repartition on user_id satisfies
+    // the window's required distribution (still ONE exchange — it
+    // replaces the planner's) but pins cores-many partitions, which
+    // AQE leaves alone for user-specified repartitions.
+    Tables.fanOut(Tables.events(spark, dir), col("user_id"))
       .select(col("user_id"), col("event_id"), col("event_type"))
       .withColumn("running", collect_list(col("event_type")).over(w))
       .groupBy(col("user_id"))

@@ -113,7 +113,11 @@ object SketchQueries {
   // GK sketch) — same query shape, mergeable partial state.
   // ---------------------------------------------------------------
   def q51(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // fanOut: the sort-based percentile's buffer-building partial
+    // aggregate ran as ONE task over the single-split scan (profiled
+    // 0.75 s serial); exact percentile over the full multiset is
+    // order-free, so the fan-out is answer-neutral.
+    Tables.fanOut(Tables.lineitem(spark, dir), col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("qs"),
@@ -148,7 +152,10 @@ object SketchQueries {
   // corpus is small enough to afford the ground truth).
   // ---------------------------------------------------------------
   def q62(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fanOut: the token explode + hash + partial aggregate ran as one
+    // task over the single-file scan (profiled 0.34 s serial);
+    // order-free aggregates (count, distinct, KMV = k smallest).
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
       // native hash60 kernel: ~250k exploded tokens hashed per pass
       .select(col("source"), (graft.functions.TextKernels.hash60StrCol(col("tok")) % TextFns.P).as("h"))
@@ -409,7 +416,10 @@ object SketchQueries {
     // (Spark's runtime bloom join materializes the same way)
     val sketch = cust.agg(BloomSketch.bloomAgg(col("h")))
       .head().getAs[scala.collection.Seq[Long]](0).toArray
-    val pruned = Tables.orders(spark, dir)
+    // fanOut: the probe side hashes every orders row map-side and ran
+    // as ONE task over the single-file scan (profiled 0.44 s serial);
+    // the decimal-sum aggregate after the join is order-free.
+    val pruned = Tables.fanOut(Tables.orders(spark, dir), col("o_orderkey"))
       .withColumn("h", graft.functions.TextKernels.hash60StrCol(
         col("o_custkey").cast("string")) % TextFns.P)
       .filter(BloomSketch.mightContain(col("h"), sketch))
@@ -567,15 +577,14 @@ object SketchQueries {
     // merge of all four distinct sets lands in a single task
     // (measured: 3.5 s wall at only 2x parallelism on 32 cores; this
     // shape: every stage keyed, nothing serial).
-    val pairs = src
-      .select(explode(array(ProfileCols.map(c =>
-        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
-      .select(col("p.cn").as("cn"), col("p.v").as("v"))
-      // SQL aggregate semantics skip NULLs: COUNT(c) and
-      // COUNT(DISTINCT c) both exclude them, so the null group must
-      // not reach the keyed levels (lineitem's profiled columns are
-      // never null, but the profile must hold for any input)
-      .where(col("v").isNotNull)
+    // profilePairs carries the H1 repartition-before-heavy-map (the
+    // q179 idiom): without it the explode ×4 + partial (cn, v)
+    // aggregate ran as ONE task over the single-split scan (profiled
+    // 0.65 s serial at sf0.1). NULL handling note: SQL aggregate
+    // semantics skip NULLs — COUNT(c) and COUNT(DISTINCT c) both
+    // exclude them — so profilePairs' isNotNull filter keeps the
+    // null group away from the keyed levels.
+    val pairs = profilePairs(src)
     val agg = pairs.groupBy(col("cn"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cn"))
@@ -633,7 +642,15 @@ object SketchQueries {
 
   def q161(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.MisraGriesAgg
-    val toks = Tables.documents(spark, dir)
+    // fanOut: both passes (MG sketch, exact recount of broadcast
+    // candidates) explode the corpus's tokens map-side and ran as
+    // single tasks over the one-file scan (profiled 0.37 s serial).
+    // Partitioning cannot change the answer: the MG invariant keeps
+    // every token with share > 1/(m+1) under ANY merge order (and
+    // this vocabulary is smaller than m, so the summary is
+    // exhaustive), and the reported counts come from the exact
+    // recount, not the sketch.
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(TextFns.tokens(col("text"))).as("t"))
     val sk = toks.agg(MisraGriesAgg.sketch(col("t"), MgM).as("cand"),
       count(lit(1)).as("n"))
@@ -680,8 +697,13 @@ object SketchQueries {
     import graft.functions.HllSketch
     // winHash kernel == hash60 of each space-joined 3-token window
     // (KernelSpec-pinned parity): one codegen'd pass replaces the
-    // shingle-explode -> concat -> md5 expression chain
-    Tables.documents(spark, dir)
+    // shingle-explode -> concat -> md5 expression chain.
+    // fanOut: the trigram explode + partial aggregate is the query's
+    // cost and ran as ONE task over the single-file scan (profiled
+    // 0.48 s serial at sf0.1); spreading the raw docs first costs one
+    // small exchange. All aggregates are order-free (counts, register
+    // max), so the answer is partitioning-invariant.
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"),
         explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
       .groupBy(col("source"))
@@ -733,7 +755,11 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q175(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
-    Tables.documents(spark, dir)
+    // fanOut: two count_distincts plan an Expand over the exploded
+    // trigram stream — profiled as a 1.17 s single-task stage over
+    // the one-file scan; order-free aggregates, so spreading the
+    // docs first changes nothing but the parallelism.
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), expr("(doc_id DIV 20) % 2 = 0").as("is_ref"),
         explode(TextKernels.winHashCol(col("text"), 3)).as("h"))
       .groupBy(col("source"))
@@ -819,7 +845,11 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q178(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
-    val ev = Tables.events(spark, dir).select(
+    // fanOut: both event passes (hourly registers, exact recount)
+    // hash 100k user ids map-side in ONE task over the single-file
+    // scan (profiled 0.30 s serial); register max and count_distinct
+    // are order-free.
+    val ev = Tables.fanOut(Tables.events(spark, dir), col("event_id")).select(
       expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
       col("user_id"),
       TextFns.hash60(col("user_id").cast("string")).as("h"))
@@ -1285,7 +1315,11 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q185(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{HllKernels, HllSketch}
-    val docs = Tables.documents(spark, dir)
+    // fanOut: both sourceRegs legs explode trigrams + build registers
+    // map-side over the single-file scan (profiled 1.30 s of serial
+    // stage time across this query's jobs); register max is
+    // order-free, so the split is answer-neutral.
+    val docs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
     val base = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) =!= 0))
     val batch = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) === 0))
     val merged = mergeSourceRegs(base, batch)

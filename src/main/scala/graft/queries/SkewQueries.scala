@@ -101,9 +101,17 @@ object SkewQueries {
     val salts = spark.range(SaltBuckets)
       .select(col("id").cast("int").as("salt"))
     val dim = TypeWeights.toDF("event_type", "weight").crossJoin(salts)
-    val fact = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"),
-        pmod(col("event_id"), lit(SaltBuckets)).cast("int").as("salt"))
+    // fanOut on the SALTED join key: at bench scale AQE coalesced the
+    // (event_type, salt) exchange back to ~1 task (profiled 0.48 s of
+    // serial stage time), un-spreading the very skew the salt exists
+    // to spread. The explicit repartition IS the join's required
+    // distribution (no extra exchange) and pins cores-many
+    // partitions, which AQE leaves alone for user repartitions.
+    val fact = Tables.fanOut(
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("value"),
+            pmod(col("event_id"), lit(SaltBuckets)).cast("int").as("salt")),
+        col("event_type"), col("salt"))
     fact.hint("shuffle_hash")
       .join(dim, Seq("event_type", "salt"))
       .groupBy(col("event_type"))

@@ -33,6 +33,26 @@ object Tables {
       (System.identityHashCode(spark), dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Spread an UNSPLITTABLE scan across the cluster before heavy
+    * map-side work (optimization guide §2.5, "input skew: one huge
+    * unsplittable file… repartition immediately after the read").
+    * Each corpus table is ONE parquet file with ONE row group, so
+    * every scan plans as a single task and all map-side kernels
+    * (shingling, hashing, vector math, per-row expression chains)
+    * run serially no matter how many cores the session has — the
+    * profiled suite carried ~19 s of single-task executor time at
+    * sf0.1/local[32]. Hash-repartitioning on a provided (unique-ish)
+    * key costs one exchange of the raw rows and no local sort (the
+    * round-robin form pays sortBeforeRepartition), and is
+    * deterministic under retries. Sized from `defaultParallelism`,
+    * never a constant, so the fan-out tracks the session's cores at
+    * every scale the driver benches. Only applied where the per-row
+    * map cost dwarfs one exchange of the input rows — plain
+    * filter/aggregate scans keep the bare (pushdown-friendly) scan.
+    */
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** Register every corpus table as a temp view so the FULL query
     * surface is reachable from `spark.sql(...)` text — the events
     * view goes through [[events]]' encoding normalization, so SQL
