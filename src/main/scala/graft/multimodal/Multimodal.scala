@@ -42,12 +42,7 @@ object Multimodal {
     val kind = when(pmod(h, lit(3)) === 0, "image")
       .when(pmod(h, lit(3)) === 1, "audio")
       .otherwise("video")
-    // fanOut: every media query's decode/resize/sample kernel is
-    // map-side work over this frame, and the one-file documents scan
-    // plans as a single task (q90 profiled 0.59 s serial). Column
-    // pruning pushes through the repartition, so metadata-only
-    // consumers exchange only the columns they read.
-    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(

@@ -128,13 +128,23 @@ object AnalyzeOps {
   def q186(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
     import graft.sources.Tables
-    val li = Tables.lineitem(spark, dir)
+    // ONE fan-out exchange shared by all four slice passes (two
+    // moments + two histogram aggregates): each pass previously paid
+    // its own round-robin repartition of the single-split scan —
+    // four exchanges, each with sortBeforeRepartition's local sort
+    // (profiled ~1.0 s of sequential 1-task stage time). The keyed
+    // fan-out is identical in every branch, so ReuseExchange writes
+    // it once and all four consumers read it.
+    val li = Tables.fanOut(
+      Tables.lineitem(spark, dir)
+        .select((SketchQueries.ProfileCols :+ "l_orderkey").map(col): _*),
+      col("l_orderkey"))
     val base = li.where(pmod(col("l_orderkey"), lit(8)) =!= 0)
     val batch = li.where(pmod(col("l_orderkey"), lit(8)) === 0)
     // per-slice moments vector: n, raw registers, min, max, exact
     // decimal sum — every component re-mergeable
     def moments(src: DataFrame): DataFrame =
-      SketchQueries.profilePairs(src)
+      SketchQueries.pairsOf(src)
         .withColumn("h", SketchQueries.profileHash(col("v")))
         .groupBy(col("cn"))
         .agg(count(lit(1)).as("n"),

@@ -657,7 +657,14 @@ object Dedup {
 
   def q121(spark: SparkSession, dir: String): DataFrame = {
     val docs = ssDocs(spark, dir)
-    val withSets = ssCandidates(spark, dir)
+    // fanOut the CANDIDATE PAIRS before the verify joins: AQE
+    // coalesces the candidate aggregate's output to a handful of
+    // partitions (tiny bytes — (id, id) pairs), but those partitions
+    // are where the exact-Jaccard verify (the query's dominant cost,
+    // ~5 s of executor time) runs after the docs sides broadcast.
+    // The pair exchange is cheap — no shingle array crosses it.
+    val withSets = Tables.fanOut(
+        ssCandidates(spark, dir), col("id_a"), col("id_b"))
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
     // intersection bound once (the q52 lesson)

@@ -73,10 +73,7 @@ object Extended {
   // aligned window starts per event.
   // ---------------------------------------------------------------
   def q55(spark: SparkSession, dir: String): DataFrame =
-    // fanOut: the 2x window expansion + partial aggregate ran as ONE
-    // task over the single-file scan (profiled 0.38 s serial);
-    // decimal sums are exact, so merge order cannot matter.
-    Tables.fanOut(Tables.events(spark, dir), col("event_id"))
+    Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -34,10 +34,7 @@ object JobCores {
   // slice for the C1 rename).
   // ---------------------------------------------------------------
   private def casesShaped(spark: SparkSession, dir: String): DataFrame =
-    // fanOut: the date_format/string-shaping chain runs per row over
-    // the one-file events scan for every cases-time job core (q94
-    // profiled 0.20 s serial, q116 0.22 s); pure map work.
-    Tables.fanOut(Tables.events(spark, dir), col("event_id")).select(
+    Tables.events(spark, dir).select(
       date_format(col("ts"), "yyyy-MM-dd").as("ObservationDate"),
       when(col("user_id") % 5 === 0, lit(null).cast("string"))
         .otherwise(concat(lit("S"), (col("user_id") % 3).cast("string")))

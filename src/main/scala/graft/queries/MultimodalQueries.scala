@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns.{hash60Sql, rnd, rndSql}
 import graft.multimodal.Multimodal
+import graft.sources.Tables
 
 /** Multimodal-column queries. Both are DuckDB-oracled: the metadata
   * derivation (q46) and the decode stub's feature math (q47) are
@@ -87,8 +88,14 @@ object MultimodalQueries {
   final val OutH = 16
 
   def q90(spark: SparkSession, dir: String): DataFrame = {
-    val images = Multimodal.mediaTable(spark, dir)
-      .where(col("meta.kind") === "image")
+    // fanOut HERE, not in mediaTable: the 256-cell resample is the
+    // one media kernel heavy enough to pay for an exchange of its
+    // input rows (profiled 0.54 s serial over the single-file scan;
+    // fanning mediaTable itself measurably slowed the light metadata
+    // consumers q46/q47/q91, so they keep the bare scan).
+    val images = Tables.fanOut(
+      Multimodal.mediaTable(spark, dir)
+        .where(col("meta.kind") === "image"), col("doc_id"))
     Multimodal.resizeGrid(images, OutW, OutH)
       .select(col("doc_id"),
         col("meta.width").as("out_w"), col("meta.height").as("out_h"),

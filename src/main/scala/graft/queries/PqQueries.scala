@@ -403,10 +403,7 @@ object PqQueries {
 
   def q171(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns.hash60
-    // fanOut: the 64-way posexplode + per-element encode ran as ONE
-    // task over the single-file scan (profiled 0.22 s serial); max /
-    // exact-integer sums / bit_xor are order-free.
-    val elem = Tables.fanOut(Tables.embeddings(spark, dir), col("vec_id"))
+    val elem = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("d", "x")))
     val stats = elem.groupBy(col("d"))
@@ -491,10 +488,7 @@ object PqQueries {
           s"$d:$k".getBytes("UTF-8")) % 2 == 0L) 1L else -1L
       }
     }
-    // fanOut: the 16×64 integer-fold projection is the whole query
-    // and ran as ONE task over the single-file scan (profiled 0.42 s
-    // serial); exact-integer folds and bit_xor are order-free.
-    val base = Tables.fanOut(Tables.embeddings(spark, dir), col("vec_id"))
+    val base = Tables.embeddings(spark, dir)
       .withColumn("xfp", transform(col("embedding"),
         x => floor(x.cast("double") * RpFp + 0.5).cast("long")))
       .withColumn("yfp", transform(sequence(lit(0), lit(RpK - 1)), k =>

@@ -113,11 +113,7 @@ object SketchQueries {
   // GK sketch) — same query shape, mergeable partial state.
   // ---------------------------------------------------------------
   def q51(spark: SparkSession, dir: String): DataFrame =
-    // fanOut: the sort-based percentile's buffer-building partial
-    // aggregate ran as ONE task over the single-split scan (profiled
-    // 0.75 s serial); exact percentile over the full multiset is
-    // order-free, so the fan-out is answer-neutral.
-    Tables.fanOut(Tables.lineitem(spark, dir), col("l_orderkey"))
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("qs"),
@@ -479,9 +475,17 @@ object SketchQueries {
     * incremental slices run the identical map side.
     */
   private[queries] def profilePairs(src: DataFrame): DataFrame =
-    src
+    pairsOf(src
       .select(ProfileCols.map(col): _*)
-      .repartition(src.sparkSession.sparkContext.defaultParallelism)
+      .repartition(src.sparkSession.sparkContext.defaultParallelism))
+
+  /** The explode-to-pairs core WITHOUT the repartition — for callers
+    * that already fanned their input (q186 shares ONE keyed exchange
+    * across its four slice passes instead of paying four round-robin
+    * exchanges, each with `sortBeforeRepartition`'s local sort).
+    */
+  private[queries] def pairsOf(src: DataFrame): DataFrame =
+    src
       .select(explode(array(ProfileCols.map(c =>
         struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
       .select(col("p.cn").as("cn"), col("p.v").as("v"))
@@ -577,14 +581,21 @@ object SketchQueries {
     // merge of all four distinct sets lands in a single task
     // (measured: 3.5 s wall at only 2x parallelism on 32 cores; this
     // shape: every stage keyed, nothing serial).
-    // profilePairs carries the H1 repartition-before-heavy-map (the
-    // q179 idiom): without it the explode ×4 + partial (cn, v)
-    // aggregate ran as ONE task over the single-split scan (profiled
-    // 0.65 s serial at sf0.1). NULL handling note: SQL aggregate
-    // semantics skip NULLs — COUNT(c) and COUNT(DISTINCT c) both
-    // exclude them — so profilePairs' isNotNull filter keeps the
-    // null group away from the keyed levels.
-    val pairs = profilePairs(src)
+    // NO repartition here (unlike q179's profilePairs): measured at
+    // sf0.1, the round-robin exchange + its local sort cost MORE than
+    // the serial explode it parallelized (1.35 s → 1.88 s) because
+    // this exact path's partial (cn, v) aggregate barely collapses —
+    // the exchange bytes match the input. q179's hash pass, by
+    // contrast, dwarfs its exchange.
+    val pairs = src
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("p"))
+      .select(col("p.cn").as("cn"), col("p.v").as("v"))
+      // SQL aggregate semantics skip NULLs: COUNT(c) and
+      // COUNT(DISTINCT c) both exclude them, so the null group must
+      // not reach the keyed levels (lineitem's profiled columns are
+      // never null, but the profile must hold for any input)
+      .where(col("v").isNotNull)
     val agg = pairs.groupBy(col("cn"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cn"))
@@ -642,15 +653,7 @@ object SketchQueries {
 
   def q161(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.MisraGriesAgg
-    // fanOut: both passes (MG sketch, exact recount of broadcast
-    // candidates) explode the corpus's tokens map-side and ran as
-    // single tasks over the one-file scan (profiled 0.37 s serial).
-    // Partitioning cannot change the answer: the MG invariant keeps
-    // every token with share > 1/(m+1) under ANY merge order (and
-    // this vocabulary is smaller than m, so the summary is
-    // exhaustive), and the reported counts come from the exact
-    // recount, not the sketch.
-    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    val toks = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("t"))
     val sk = toks.agg(MisraGriesAgg.sketch(col("t"), MgM).as("cand"),
       count(lit(1)).as("n"))
@@ -845,11 +848,7 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q178(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllSketch
-    // fanOut: both event passes (hourly registers, exact recount)
-    // hash 100k user ids map-side in ONE task over the single-file
-    // scan (profiled 0.30 s serial); register max and count_distinct
-    // are order-free.
-    val ev = Tables.fanOut(Tables.events(spark, dir), col("event_id")).select(
+    val ev = Tables.events(spark, dir).select(
       expr("unix_micros(ts) DIV 3600000000 * 3600000000").as("win_us"),
       col("user_id"),
       TextFns.hash60(col("user_id").cast("string")).as("h"))
@@ -1315,11 +1314,7 @@ object SketchQueries {
   // ---------------------------------------------------------------
   def q185(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{HllKernels, HllSketch}
-    // fanOut: both sourceRegs legs explode trigrams + build registers
-    // map-side over the single-file scan (profiled 1.30 s of serial
-    // stage time across this query's jobs); register max is
-    // order-free, so the split is answer-neutral.
-    val docs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    val docs = Tables.documents(spark, dir)
     val base = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) =!= 0))
     val batch = sourceRegs(docs.where(pmod(col("doc_id"), lit(8)) === 0))
     val merged = mergeSourceRegs(base, batch)

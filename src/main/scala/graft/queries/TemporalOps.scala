@@ -103,10 +103,7 @@ object TemporalOps {
   // non-issue at any corpus size.
   // ---------------------------------------------------------------
   def q141(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: both aggregate branches scanned the one-file events
-    // table serially (profiled 1.38 s of single-task stage time);
-    // counts / distinct / min are order-free.
-    val d = Tables.fanOut(Tables.events(spark, dir), col("user_id"))
+    val d = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val daily = d.groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),

